@@ -1,0 +1,85 @@
+"""Oracle-parity numeric helpers.
+
+The driver's correctness gate hashes values produced by our Spark plans
+against DuckDB running equivalent ANSI SQL. Floating-point *accumulation*
+is the one place two correct engines legitimately diverge: a parallel
+32-partition double sum and DuckDB's sequential sum round differently near
+decimal boundaries. The fix is to make every money-style aggregate
+**order-independent**:
+
+- cast the addend to ``DECIMAL(28, 6)`` *before* summing (double→decimal
+  conversion is a deterministic per-value rounding, identical in both
+  engines; decimal addition is exact and associative),
+- divide / round / cast back to double only after the exact sum.
+
+This mirrors the reference's own post-aggregate ``.round(2)`` convention
+(reference data_processing.py:849,862,873,885,898 — every metric table is
+rounded to 2 decimals), so the helpers bake in ``round(_, 2)``.
+
+Single-value statistics (median / percentile) are sort-based, not
+accumulation-based, so plain doubles are already deterministic; Spark 3.4+
+``median``/``percentile`` are exact-interpolating like DuckDB's
+``median``/``quantile_cont`` (SURVEY.md §2.4 notes; never use
+``percentile_approx`` at oracle scale — see ``approx switch`` in
+quality.py for the 100 TB posture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Exact-sum accumulator type. 28 integer+fraction digits holds a sum of
+# ~1e12 rows of ~1e6-scale money values without overflow; 6 fractional
+# digits is far below any boundary the 2-decimal output rounding can see.
+DEC = "decimal(28,6)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Order-independent SUM: decimal-cast before accumulating."""
+    return F.sum(_c(col).cast(DEC))
+
+
+def money_sum(col: Column | str, scale: int = 2) -> Column:
+    """round(SUM(x), 2) as double — the reference's metric-sum shape."""
+    return F.round(exact_sum(col), scale).cast("double")
+
+
+def money_avg(col: Column | str) -> Column:
+    """SUM(x)/COUNT(x) as double, deliberately UNROUNDED.
+
+    The exact decimal sum is cast to double (deterministic nearest-value
+    conversion), then divided by the count in one IEEE-754 operation — two
+    identical inputs → bit-identical quotient in any engine. Rounding a raw
+    double is the one non-portable step (engines disagree exactly at the
+    .xx5 boundary, and ratios of 2-decimal money values land there often),
+    so the driver-facing queries skip it; the reference's cosmetic
+    ``.round(2)`` lives only in the taxi metrics module whose golden test
+    uses a pandas oracle.
+    """
+    c = _c(col)
+    return exact_sum(c).cast("double") / F.count(c)
+
+
+def money_median(col: Column | str) -> Column:
+    """Exact interpolated median, unrounded (sort-based → order-free)."""
+    return F.median(_c(col))
+
+
+def oracle_money_sum(expr: str, scale: int = 2) -> str:
+    """DuckDB SQL twin of :func:`money_sum`."""
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(28,6))), {scale}) AS DOUBLE)"
+
+
+def oracle_money_avg(expr: str) -> str:
+    """DuckDB SQL twin of :func:`money_avg`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def oracle_money_median(expr: str) -> str:
+    """DuckDB SQL twin of :func:`money_median`."""
+    return f"CAST(MEDIAN({expr}) AS DOUBLE)"

@@ -1,0 +1,754 @@
+"""Query catalog: every operator from SURVEY.md §2 phrased over the driver
+testdata tables, paired with the DuckDB oracle SQL the driver verifies
+against (FIXTURES.md §4 mapping rule).
+
+Each entry documents which SURVEY §2 operator ids it covers and the
+reference location (file:line under /root/reference) whose semantics it
+reproduces. The Spark side is a lazy DataFrame plan built from native
+functions only — zero Python UDFs in this module (SURVEY §2.10 design
+goal), so every query stays inside Catalyst/whole-stage-codegen and scales
+by partitioning alone.
+
+Determinism rules (so the driver's order-insensitive value hash matches):
+
+- money aggregates go through compat.money_* (decimal-exact, order-free);
+- every computed column is aliased identically in both dialects;
+- any LIMIT / row_number has a total-order tie-break on a unique key;
+- nanosecond timestamps are floored to µs identically in both engines
+  (tables.py handles Spark; DuckDB floors on read the same way).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..compat import (
+    money_avg,
+    money_median,
+    money_sum,
+    oracle_money_avg,
+    oracle_money_median,
+    oracle_money_sum,
+)
+from ..tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    doc: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # None → driver runs rows-only check
+    tags: tuple[str, ...] = field(default=())
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, doc: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = QuerySpec(name=name, doc=doc, spark=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# Scans / sources (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_parquet_scan_pruned",
+    "S1 parquet scan with column pruning + predicate pushdown. Reference "
+    "downloads whole files and loads all columns (data_processing.py:592-629); "
+    "here the filter and 3-column projection reach the parquet reader "
+    "(PushedFilters/ReadSchema in .explain) — the O8 free upgrade of SURVEY §4.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_quantity >= 45.0
+    """,
+    tags=("S1", "O8"),
+)
+def s1_parquet_scan_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "s5_keep_newest_per_key",
+    "S5 file-level dedup keep-newest (data_processing.py:212-224) as a "
+    "row_number window: latest event per user_id, event_id as total-order "
+    "tie-break.",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("S5", "window"),
+)
+def s5_keep_newest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "s6_topk_newest",
+    "S6 top-K newest selector (data_processing.py:552-590, sort desc + take "
+    "max_files). Total order via (ts, event_id) so the K-row result is "
+    "deterministic.",
+    oracle="""
+        SELECT event_id, ts, event_type
+        FROM events
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 20
+    """,
+    tags=("S6", "D4"),
+)
+def s6_topk_newest(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(20)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_typed_cast_enforce",
+    "P1 typed cast projection with coerce-to-null on failure "
+    "(apply_optimized_schema + robust_pandas_cast, data_processing.py:682-753). "
+    "Spark non-ANSI CAST ≡ pandas errors='coerce' ≡ DuckDB TRY_CAST; the "
+    "string→int cast column is all-null by design.",
+    oracle="""
+        SELECT CAST(l_orderkey AS INTEGER)      AS orderkey_i32,
+               TRY_CAST(l_linenumber AS TINYINT) AS linenumber_i8,
+               CAST(l_quantity AS REAL)          AS quantity_f32,
+               CAST(l_extendedprice AS REAL)     AS price_f32,
+               TRY_CAST(l_returnflag AS INTEGER) AS returnflag_bad_cast
+        FROM lineitem
+    """,
+    tags=("P1",),
+)
+def p1_typed_cast_enforce(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("int").alias("orderkey_i32"),
+        F.col("l_linenumber").cast("tinyint").alias("linenumber_i8"),
+        F.col("l_quantity").cast("float").alias("quantity_f32"),
+        F.col("l_extendedprice").cast("float").alias("price_f32"),
+        F.col("l_returnflag").cast("int").alias("returnflag_bad_cast"),
+    )
+
+
+@register(
+    "p2_partition_consistency_filter",
+    "P2 filename/partition consistency filter (data_processing.py:27-71: "
+    "rows whose event-time disagrees with the file's declared year/month are "
+    "dropped). Phrased as a year-bounded filter; in the taxi pipeline the "
+    "(year, month) literals come from regexp_extract(input_file_name()) — "
+    "see features.filename_consistency_filter.",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE year(o_orderdate) = 1996 AND month(o_orderdate) BETWEEN 1 AND 6
+    """,
+    tags=("P2", "E3"),
+)
+def p2_partition_consistency_filter(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    return od.filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate").between(1, 6))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "p3_invalid_record_filter",
+    "P3/C10 invalid-record removal (data_processing.py:190-200): positive "
+    "measures AND non-null timestamps.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_shipdate IS NOT NULL
+    """,
+    tags=("P3", "C10"),
+)
+def p3_invalid_record_filter(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") > 0)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "p4_valid_flag_projection",
+    "P4 validity flag as a column, not a filter (data_processing.py:805-812 "
+    "is_valid_trip: bounded duration/distance, non-negative money).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               (l_quantity > 0 AND l_quantity < 50
+                AND l_extendedprice > 0 AND l_extendedprice < 100000
+                AND l_discount >= 0 AND l_tax >= 0) AS is_valid_item
+        FROM lineitem
+    """,
+    tags=("P4",),
+)
+def p4_valid_flag_projection(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    valid = (
+        (F.col("l_quantity") > 0)
+        & (F.col("l_quantity") < 50)
+        & (F.col("l_extendedprice") > 0)
+        & (F.col("l_extendedprice") < 100000)
+        & (F.col("l_discount") >= 0)
+        & (F.col("l_tax") >= 0)
+    )
+    return li.select("l_orderkey", "l_linenumber", valid.alias("is_valid_item"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar expressions (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e1_ship_delay_minutes",
+    "E1 timestamp difference in minutes (data_processing.py:765-767 "
+    "trip_duration_minutes) over an order→lineitem join; the dim side of "
+    "nothing here is small, so this is a plain shuffled key join at scale "
+    "with AQE sizing.",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(date_diff('minute', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS ship_delay_minutes
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("E1", "join"),
+)
+def e1_ship_delay_minutes(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    od = load_table(spark, sf, "orders")
+    return li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("timestampdiff(MINUTE, o_orderdate, l_shipdate)").alias(
+            "ship_delay_minutes"
+        ),
+    )
+
+
+@register(
+    "e2_rate_clip_div_zero",
+    "E2 ratio with clip and the pandas inf trap (data_processing.py:770-771: "
+    "distance/(duration/60) clipped to [0,100]; duration 0 → inf → clipped "
+    "to 100). Spark x/0→NULL (non-ANSI), so the branch is explicit in both "
+    "dialects.",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN hour(ts) = 0 THEN 100.0
+                    ELSE LEAST(GREATEST(value / hour(ts), 0.0), 100.0)
+               END AS value_rate_clipped
+        FROM events
+    """,
+    tags=("E2",),
+)
+def e2_rate_clip_div_zero(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    h = F.hour("ts")
+    rate = F.least(F.greatest(F.col("value") / h, F.lit(0.0)), F.lit(100.0))
+    return ev.select(
+        "event_id",
+        F.when(h == 0, F.lit(100.0)).otherwise(rate).alias("value_rate_clipped"),
+    )
+
+
+@register(
+    "e3_e4_e5_datetime_parts",
+    "E3 hour/month/year extraction (data_processing.py:774-777), E4 weekday "
+    "name (dt.day_name → date_format EEEE), E5 weekend flag (pandas Mon=0 "
+    "dayofweek>=5 ≡ Spark dayofweek∈{1,7} ≡ DuckDB dayofweek∈{0,6}).",
+    oracle="""
+        SELECT event_id,
+               CAST(hour(ts) AS INTEGER)  AS event_hour,
+               CAST(month(ts) AS INTEGER) AS event_month,
+               CAST(year(ts) AS INTEGER)  AS event_year,
+               dayname(ts)                AS day_name,
+               dayofweek(ts) IN (0, 6)    AS is_weekend
+        FROM events
+    """,
+    tags=("E3", "E4", "E5"),
+)
+def e3_e4_e5_datetime_parts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").alias("event_hour"),
+        F.month("ts").alias("event_month"),
+        F.year("ts").alias("event_year"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    )
+
+
+@register(
+    "e6_time_of_day_binning",
+    "E6 right-closed hour binning (data_processing.py:780-785: pd.cut bins "
+    "[0,6,12,18,24] include_lowest → hour 6 is still Night).",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN hour(ts) <= 6  THEN 'Night'
+                    WHEN hour(ts) <= 12 THEN 'Morning'
+                    WHEN hour(ts) <= 18 THEN 'Afternoon'
+                    ELSE 'Evening' END AS time_of_day
+        FROM events
+    """,
+    tags=("E6",),
+)
+def e6_time_of_day_binning(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    h = F.hour("ts")
+    return ev.select(
+        "event_id",
+        F.when(h <= 6, "Night")
+        .when(h <= 12, "Morning")
+        .when(h <= 18, "Afternoon")
+        .otherwise("Evening")
+        .alias("time_of_day"),
+    )
+
+
+@register(
+    "e7_revenue_segment_binning",
+    "E7 revenue binning with the zero→null trap (data_processing.py:793-797: "
+    "pd.cut without include_lowest leaves total==0 (and <0, and null) "
+    "uncategorized → null segment). Thresholds scaled to o_totalprice.",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN NULL
+                    WHEN o_totalprice <= 100000 THEN 'Low'
+                    WHEN o_totalprice <= 200000 THEN 'Medium'
+                    WHEN o_totalprice <= 350000 THEN 'High'
+                    ELSE 'Very High' END AS revenue_segment
+        FROM orders
+    """,
+    tags=("E7",),
+)
+def e7_revenue_segment_binning(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    t = F.col("o_totalprice")
+    return od.select(
+        "o_orderkey",
+        F.when(t.isNull() | (t <= 0), F.lit(None).cast("string"))
+        .when(t <= 100000, "Low")
+        .when(t <= 200000, "Medium")
+        .when(t <= 350000, "High")
+        .otherwise("Very High")
+        .alias("revenue_segment"),
+    )
+
+
+@register(
+    "e8_safe_ratio_pct",
+    "E8 percentage ratio with divide-by-zero→0 (data_processing.py:800-802 "
+    "tip_percentage: tip/fare*100, ±inf and NaN → 0). l_discount has real "
+    "zeros in the testdata, so the guard branch is exercised.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount = 0 THEN 0.0
+                    ELSE l_tax / l_discount * 100.0
+               END AS tax_discount_pct
+        FROM lineitem
+    """,
+    tags=("E8",),
+)
+def e8_safe_ratio_pct(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(d == 0, F.lit(0.0))
+        .otherwise(F.col("l_tax") / d * 100.0)
+        .alias("tax_discount_pct"),
+    )
+
+
+@register(
+    "e10_regex_extract_props",
+    "E10 regex field extraction (data_processing.py:15-25 parses "
+    "yellow_tripdata_YYYY-MM from filenames; here the same regexp_extract "
+    "shape over the events.props JSON-ish string).",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_value
+        FROM events
+    """,
+    tags=("E10",),
+)
+def e10_regex_extract_props(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_value"),
+    )
+
+
+@register(
+    "e11_e12_consistency_expr",
+    "E11 abs-tolerance comparison (data_processing.py:169) + E12 interval "
+    "arithmetic (data_processing.py:180-184, +5 minutes): per-row expected "
+    "charge vs extendedprice, and a repaired timestamp column.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                   - l_extendedprice) > 0.1          AS charge_mismatch,
+               l_shipdate + INTERVAL 5 MINUTE        AS shipdate_plus_5m
+        FROM lineitem
+    """,
+    tags=("E11", "E12"),
+)
+def e11_e12_consistency_expr(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.abs(charge - F.col("l_extendedprice")) > 0.1).alias("charge_mismatch"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 5 MINUTES")).alias("shipdate_plus_5m"),
+    )
+
+
+@register(
+    "e13_date_format_partition_key",
+    "E13 date-part string formatting (data_processing.py:453 strftime "
+    "'%Y-%m' partition keys) as a row-level expression.",
+    oracle="""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_ym
+        FROM orders
+    """,
+    tags=("E13",),
+)
+def e13_date_format_partition_key(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    return od.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("order_ym")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_returnflag_performance",
+    "A1 vendor_performance analog (create_taxi_metrics, "
+    "data_processing.py:843-855): multi-aggregate with count / mean / exact "
+    "median / sum, all round(2), grouped by (l_returnflag, l_linestatus). "
+    "Decimal-exact sums keep the parallel aggregation hash-identical to the "
+    "sequential oracle.",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(l_quantity)                                    AS item_count,
+               {oracle_money_avg('l_quantity')}                     AS avg_qty,
+               {oracle_money_median('l_quantity')}                  AS median_qty,
+               {oracle_money_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+               {oracle_money_avg('l_extendedprice * (1 - l_discount)')} AS avg_revenue,
+               {oracle_money_median('l_extendedprice')}             AS median_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "agg", "median"),
+)
+def a1_returnflag_performance(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("l_quantity").alias("item_count"),
+        money_avg("l_quantity").alias("avg_qty"),
+        money_median("l_quantity").alias("median_qty"),
+        money_sum(revenue).alias("total_revenue"),
+        money_avg(revenue).alias("avg_revenue"),
+        money_median("l_extendedprice").alias("median_price"),
+    )
+
+
+@register(
+    "a2_hourly_demand",
+    "A2 hourly_demand (data_processing.py:857-866): count / sum / mean by "
+    "hour-of-day.",
+    oracle=f"""
+        SELECT CAST(hour(ts) AS INTEGER)      AS event_hour,
+               COUNT(event_id)                AS event_count,
+               {oracle_money_sum('value')}    AS total_value,
+               {oracle_money_avg('value')}    AS avg_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("A2", "agg"),
+)
+def a2_hourly_demand(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(F.hour("ts").alias("event_hour")).agg(
+        F.count("event_id").alias("event_count"),
+        money_sum("value").alias("total_value"),
+        money_avg("value").alias("avg_value"),
+    )
+
+
+@register(
+    "a3_supplier_analysis",
+    "A3 pickup_location_analysis analog (data_processing.py:868-877): "
+    "count / sum / mean by location key (l_suppkey).",
+    oracle=f"""
+        SELECT l_suppkey,
+               COUNT(l_extendedprice)               AS item_count,
+               {oracle_money_sum('l_extendedprice')} AS total_revenue,
+               {oracle_money_avg('l_quantity')}      AS avg_qty
+        FROM lineitem
+        GROUP BY 1
+    """,
+    tags=("A3", "agg"),
+)
+def a3_supplier_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count("l_extendedprice").alias("item_count"),
+        money_sum("l_extendedprice").alias("total_revenue"),
+        money_avg("l_quantity").alias("avg_qty"),
+    )
+
+
+@register(
+    "a4_priority_analysis",
+    "A4 payment_analysis analog (data_processing.py:879-889): count / two "
+    "sums / mean-of-ratio by categorical key.",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(o_orderkey)                    AS order_count,
+               {oracle_money_sum('o_totalprice')}   AS total_revenue,
+               {oracle_money_avg('o_totalprice')}   AS avg_revenue
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("A4", "agg"),
+)
+def a4_priority_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.count("o_orderkey").alias("order_count"),
+        money_sum("o_totalprice").alias("total_revenue"),
+        money_avg("o_totalprice").alias("avg_revenue"),
+    )
+
+
+@register(
+    "a5_monthly_summary",
+    "A5 monthly_summary (data_processing.py:892-908): multi-key group on "
+    "(year, month) derived from the event timestamp.",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               COUNT(o_orderkey)                   AS order_count,
+               {oracle_money_sum('o_totalprice')}  AS total_revenue,
+               {oracle_money_avg('o_totalprice')}  AS avg_revenue
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    tags=("A5", "agg"),
+)
+def a5_monthly_summary(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    return od.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count("o_orderkey").alias("order_count"),
+        money_sum("o_totalprice").alias("total_revenue"),
+        money_avg("o_totalprice").alias("avg_revenue"),
+    )
+
+
+@register(
+    "a6_scalar_statistics",
+    "A6 scalar statistics used inside cleaning (data_processing.py:94,132,"
+    "142,636,368): exact median, exact p99 percentile, distinct count, max. "
+    "One-row result; at 100 TB these become sketch/approx variants behind "
+    "quality.py's exactness switch.",
+    oracle=f"""
+        SELECT COUNT(*)                                         AS n_rows,
+               {oracle_money_median('l_quantity')}              AS median_qty,
+               CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS p99_price,
+               COUNT(DISTINCT l_partkey)                        AS distinct_parts,
+               MAX(l_shipdate)                                  AS max_shipdate
+        FROM lineitem
+    """,
+    tags=("A6", "agg", "percentile"),
+)
+def a6_scalar_statistics(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_median("l_quantity").alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.99)).cast("double").alias("p99_price"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / sort / set ops (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d1_exact_row_dedup",
+    "D1/C9 exact full-row dedup (data_processing.py:117-121 drop_duplicates). "
+    "Projected to (lang, source) so real duplicates exist; keep-first is "
+    "safe because duplicate rows are identical (SURVEY §7.3.5).",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+    tags=("D1", "C9"),
+)
+def d1_exact_row_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents").select("lang", "source").dropDuplicates()
+
+
+@register(
+    "d2_union_schema_drift",
+    "D2 schema-aligning n-ary union (efficient_union_dataframes, "
+    "data_processing.py:648-680: union of column sets, null-pad missing, "
+    "concat) ≡ unionByName(allowMissingColumns=True). Two drifted "
+    "projections of lineitem stand in for drifted files.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               l_extendedprice, CAST(NULL AS DOUBLE) AS l_tax
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, CAST(NULL AS DOUBLE) AS l_quantity,
+               l_extendedprice, l_tax
+        FROM lineitem WHERE l_linenumber = 2
+    """,
+    tags=("D2",),
+)
+def d2_union_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    b = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_tax"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "d5_distinct_sorted",
+    "D5 sorted-unique probe (data_processing.py:54-55,839-840).",
+    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    tags=("D5",),
+)
+def d5_distinct_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "events")
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "d6_manifest_anti_join",
+    "D6/S4 idempotency anti-filter (data_processing.py:341-345: candidate "
+    "set minus processed ledger) as a left-anti join: orders whose customer "
+    "is NOT in the negative-balance quarantine set. The quarantine side is "
+    "dim-sized → broadcast, no shuffle of the fact side.",
+    oracle="""
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0
+        )
+    """,
+    tags=("D6", "S4", "anti-join"),
+)
+def d6_manifest_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    quarantined = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    return od.join(
+        F.broadcast(quarantined),
+        od.o_custkey == quarantined.c_custkey,
+        "left_anti",
+    ).select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 — reference has none; ours are the Spark-native tier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_region_revenue_star_join",
+    "Star join through three broadcast-sized dims (lineitem→supplier→nation→"
+    "region) with decimal-exact revenue rollup. The reference has zero joins "
+    "(SURVEY §2.3); this is the engine's broadcast-join tier: all three dims "
+    "fit under the autoBroadcast threshold at any SF, so the fact table "
+    "never shuffles.",
+    oracle=f"""
+        SELECT r.r_name AS region_name,
+               COUNT(l.l_orderkey)                                   AS item_count,
+               {oracle_money_sum('l.l_extendedprice * (1 - l.l_discount)')}
+                                                                     AS total_revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def j1_region_revenue_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    su = load_table(spark, sf, "supplier")
+    na = load_table(spark, sf, "nation")
+    re = load_table(spark, sf, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("l_orderkey").alias("item_count"),
+            money_sum(revenue).alias("total_revenue"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Sinks S7-S9 (SURVEY.md §2.1; reference upload functions
+data_processing.py:465-538 + latest-alias publish dp:482-495).
+
+The reference writes one pandas frame to one S3 key per run
+(``processed/taxi/{processing_id}/...`` + a ``latest/`` copy_object
+alias). The Spark-native layout upgrade (SURVEY §1.4): Hive-style
+``partitionBy(pickup_year, pickup_month)`` parquet instead of manual
+``date=%Y-%m`` key templating — readers then get partition pruning for
+free. Paths are plain Hadoop-FS URIs: ``file:///`` locally, ``s3a://``
+on a cluster, no engine change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_fact_table(
+    df: DataFrame,
+    base_path: str,
+    processing_id: str,
+    partition_cols: tuple[str, ...] = ("pickup_year", "pickup_month"),
+) -> str:
+    """S7 (dp:465-503): snappy parquet, versioned path, partitioned layout."""
+    path = os.path.join(base_path, "processed", "taxi", processing_id)
+    writer = df.write.mode("overwrite").option("compression", "snappy")
+    if partition_cols and set(partition_cols) <= set(df.columns):
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return path
+
+
+def write_metrics(
+    metrics: dict[str, DataFrame], base_path: str, processing_id: str
+) -> dict[str, str]:
+    """S8 (dp:505-538): CSV per metric table under a date-partitioned key.
+
+    Metric tables are tiny aggregates (≤ thousands of rows at any SF), so
+    ``coalesce(1)`` matches the reference's single-CSV contract without a
+    meaningful bottleneck — the upstream aggregation stays parallel.
+    """
+    out = {}
+    for name, df in metrics.items():
+        path = os.path.join(base_path, "processed", "metrics", processing_id, name)
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+        out[name] = path
+    return out
+
+
+def publish_latest(df: DataFrame, base_path: str, table: str) -> str:
+    """S9 (dp:482-495, s3_uploader.py:185-203): stable ``latest/`` alias.
+
+    The reference copy_objects each key; in Spark the alias is simply an
+    ``overwrite`` of a stable path — atomic per the committer protocol.
+    """
+    path = os.path.join(base_path, "processed", table, "latest")
+    df.write.mode("overwrite").parquet(path)
+    return path

@@ -1,0 +1,106 @@
+"""Mini replica of the driver's DuckDB-oracle comparison so parity failures
+surface in `pytest` long before a round's CORRECTNESS_r{N}.json does.
+
+Mirrors the documented driver semantics: row-count + schema + order-
+insensitive value comparison with columns sorted by name. We compare exact
+values (the driver hashes), and report the worst float deviation when a
+query is only approximately equal so the offending aggregate is obvious.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    # numpy scalars → python
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = [tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple(repr(x) for x in r))
+
+
+@dataclass
+class CompareResult:
+    ok: bool
+    exact: bool
+    n_spark: int
+    n_oracle: int
+    max_float_diff: float
+    detail: str = ""
+
+
+def compare_frames(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, float_tol: float = 0.0
+) -> CompareResult:
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return CompareResult(
+            False, False, len(spark_pdf), len(oracle_pdf), math.inf,
+            f"column mismatch: spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}",
+        )
+    if len(spark_pdf) != len(oracle_pdf):
+        return CompareResult(
+            False, False, len(spark_pdf), len(oracle_pdf), math.inf,
+            f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}",
+        )
+    a = _normalize(spark_pdf)
+    b = _normalize(oracle_pdf)
+    max_diff = 0.0
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        for va, vb in zip(ra, rb):
+            if va is None and vb is None:
+                continue
+            if isinstance(va, float) and isinstance(vb, float):
+                if va == vb:
+                    continue
+                diff = abs(va - vb)
+                max_diff = max(max_diff, diff)
+                if diff > float_tol:
+                    return CompareResult(
+                        False, False, len(a), len(b), max_diff,
+                        f"row {i}: float {va!r} != {vb!r} (diff={diff:g})\n"
+                        f"  spark row:  {ra}\n  oracle row: {rb}",
+                    )
+            elif va != vb:
+                return CompareResult(
+                    False, False, len(a), len(b), max_diff,
+                    f"row {i}: {va!r} != {vb!r}\n"
+                    f"  spark row:  {ra}\n  oracle row: {rb}",
+                )
+    return CompareResult(True, max_diff == 0.0, len(a), len(b), max_diff)

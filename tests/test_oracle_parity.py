@@ -1,0 +1,40 @@
+"""Run every catalog query against its DuckDB oracle at small scale —
+the local replica of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+from .oracle_utils import compare_frames, duckdb_connection
+
+SQL_BACKED = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
+ROWS_ONLY = sorted(n for n, s in CATALOG.items() if s.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_oracle(spark, sf_dir, oracle, name):
+    spec = CATALOG[name]
+    got = spec.spark(spark, sf_dir).toPandas()
+    want = oracle.execute(spec.oracle).fetchdf()
+    res = compare_frames(got, want)
+    assert res.ok, f"{name}: {res.detail}"
+    assert res.exact, (
+        f"{name}: values only approximately equal "
+        f"(max float diff {res.max_float_diff:g}) — driver hash would fail"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = CATALOG[name].spark(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
