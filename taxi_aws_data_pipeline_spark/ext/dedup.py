@@ -1,0 +1,305 @@
+"""Deduplication operators over document tables (driver extension tier):
+exact content-hash dedup, word-shingle Jaccard near-dup, MinHash+LSH,
+SimHash — all as native Spark SQL plans (no UDFs).
+
+Scale design (the point of each variant):
+
+- **exact**: shuffle key is a 16-byte md5 of normalized text, never the
+  text itself — at 100 TB the dedup shuffle moves hashes, not documents.
+- **shingle Jaccard**: exact pairwise similarity, but blocked on shared
+  shingles so the join only materializes candidate pairs; quadratic in
+  the worst case → the test-scale/verification tool.
+- **MinHash LSH**: the 100 TB path. Signatures are computed in a pure
+  projection (higher-order ``transform``/``array_min`` over the shingle
+  array — zero shuffle), then one shuffle groups docs by (band, band
+  hash); only same-bucket pairs are joined. Cost is O(n·k) + bucket
+  joins instead of O(n²).
+- **SimHash**: constant-size signature per doc, also projection-only;
+  near-dups = signatures at small Hamming distance, LSH-able by nibble.
+
+Portability (DuckDB oracle twins in plans/ext_catalog.py): the base
+token/shingle hash is the first 8 hex digits of md5 → bigint, identical
+in any engine with md5; the k MinHash functions are fixed-constant
+universal hashes ``(a·H + b) mod p``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Universal-hash constants for MinHash: k=16 fixed (a, b) pairs drawn once
+# (odd a, arbitrary b), prime modulus > 2^32. Hardcoded so Spark plans and
+# oracle SQL agree forever.
+MINHASH_PRIME = 4_294_967_311
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_610_612_741, 805_306_457),
+    (402_653_189, 201_326_611),
+    (3_221_225_473, 1_566_374_653),
+    (2_147_483_659, 97_531_) ,
+    (1_073_741_827, 3_266_489_917),
+    (536_870_923, 198_491_317),
+    (268_435_459, 2_654_435_761),
+    (134_217_757, 40_503_),
+    (67_108_879, 1_131_217_927),
+    (33_554_467, 679_306_543),
+    (16_777_259, 2_246_822_519),
+    (8_388_617, 3_366_900_941),
+    (4_194_319, 600_851_475),
+    (2_097_169, 1_274_126_177),
+    (1_048_583, 2_869_860_233),
+    (524_309, 1_540_483_477),
+)
+LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
+
+
+def base_hash(col: Column) -> Column:
+    """Portable 32-bit-ish string hash: first 8 md5 hex digits as bigint.
+    Identical in Spark (conv) and DuckDB (0x cast) — the cross-engine
+    anchor for every MinHash/SimHash below."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text; documents shorter
+    than n words contribute their full text as one shingle."""
+    w = F.split(F.lower(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-hash groups: one row per distinct normalized text with the
+    keeper id (min id — deterministic) and the duplicate count."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.md5(normalized).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(id_col).alias("copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct normalized text (the min-id row).
+
+    Window-free formulation: groups → semi join back on (hash, keeper id).
+    At scale both sides shuffle once on the 16-byte hash.
+    """
+    groups = exact_dedup_groups(df, text_col, id_col)
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    keyed = df.withColumn("content_hash", F.md5(normalized))
+    return (
+        keyed.join(
+            groups.select("content_hash", F.col("keeper_id").alias(id_col)),
+            on=["content_hash", id_col],
+            how="left_semi",
+        )
+    ).drop("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# shingle-Jaccard near-dup (exact, blocked)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over shingle-blocked candidate pairs.
+
+    Only pairs sharing ≥1 shingle are materialized (inner join on the
+    exploded shingle), then |A∩B| is a group count and |A∪B| = nA+nB-∩.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, n: int = 3) -> Column:
+    """Array of k MinHash values — a pure projection (no explode/shuffle):
+    ``array_min`` over each universal hash of the shingle array."""
+    shingles = word_shingles(text, n)
+    hashed = F.transform(shingles, base_hash)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda h, a=a, b=b: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
+                )
+            )
+            for a, b in MINHASH_COEFFS
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), n).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the k-signature, bucket-join.
+
+    One explode (×bands), one shuffle on (band, band_hash), pair join
+    within buckets only. Expected Jaccard of surviving pairs ≥ ~(1/bands
+    banding curve); verify with jaccard_near_dup_pairs on candidates when
+    exactness matters.
+    """
+    rows_per_band = len(MINHASH_COEFFS) // bands
+    sig = minhash_signatures(df, text_col, id_col, n)
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(j),
+                    *[
+                        F.element_at("signature", j * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(band_arr).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(text: Column) -> Column:
+    """16-bit SimHash over word tokens, projection-only.
+
+    Per bit: sum of ±1 votes from each token's base hash; bit set iff the
+    vote is strictly positive (ties → 0, deterministic).
+    """
+    toks = F.split(F.lower(text), r"\s+")
+    hashed = F.transform(toks, base_hash)
+    bit_terms = []
+    for bit in range(SIMHASH_BITS):
+        votes = F.aggregate(
+            hashed,
+            F.lit(0).cast("bigint"),
+            lambda acc, h, bit=bit: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_terms.append(F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
+    return sum(bit_terms[1:], bit_terms[0]).cast("bigint")
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash16"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, LSH-blocked on the 4
+    nibbles (a pair within Hamming ≤3 of a 16-bit hash shares ≥1 exact
+    nibble — pigeonhole), so no full cross join."""
+    sig = simhash_signatures(df, text_col, id_col)
+    nibbles = F.array(
+        *[
+            F.concat_ws(
+                "_", F.lit(i), F.shiftright("simhash16", i * 4).bitwiseAND(F.lit(0xF))
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sig.select(
+        F.col(id_col).alias("doc"), F.col("simhash16"), F.explode(nibbles).alias("nib")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+    )
+    return (
+        a.join(b, (F.col("a.nib") == F.col("b.nib")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

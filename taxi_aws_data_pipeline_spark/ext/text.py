@@ -1,0 +1,129 @@
+"""Text analysis over document tables: language-ID, quality scoring,
+token counting, fingerprinting (driver extension tier; SURVEY.md §7.1
+step 8).
+
+Everything is native Spark SQL functions — higher-order lambdas, regex,
+md5 — no Python UDFs, so the hot path stays in whole-stage codegen and
+scales linearly with partitions. Each function takes/returns DataFrames
+and appends columns; the oracle twins live in plans/ext_catalog.py.
+
+Portability note (oracle parity): token counts use occurrence counts via
+``filter(tokens, ...)`` lambdas (not array_intersect — distinct-element
+semantics differ subtly across engines), and the document fingerprint is
+md5 over whitespace-normalized text (stable in any engine), with a
+polynomial rolling hash as the scale-path alternative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small + hardcoded: language ID here is a deterministic,
+# testable heuristic, not a model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "is", "of", "to", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "por"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, single non-space symbols
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), r"\s+")
+
+
+def stopword_hits(tokens: Column, stopwords: tuple[str, ...]) -> Column:
+    """Occurrence count of stopwords among tokens (non-distinct)."""
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-breaks.
+
+    Scores each language by stopword occurrences; picks the
+    lexicographically-first language among the max scorers; all-zero →
+    'und' (undetermined). One projection, no shuffle.
+    """
+    toks = words(text_col)
+    scored = df.withColumn("_toks", toks)
+    for lang, sw in STOPWORDS.items():
+        scored = scored.withColumn(f"_score_{lang}", stopword_hits(F.col("_toks"), sw))
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"_score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first max wins → lexicographic tie-break
+        pred = pred.when(F.col(f"_score_{lang}") == best, F.lit(lang))
+    return scored.withColumn("lang_pred", pred).drop(
+        "_toks", *[f"_score_{lang}" for lang in langs]
+    )
+
+
+def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase signals + a composite
+    quality score in [0,1] (the usual pre-training heuristics tier)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    word_count = F.size(words(text_col))
+    punct_count = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:'\"()-]", ""))
+    upper_count = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    stop_hits = stopword_hits(words(text_col), STOPWORDS["en"])
+
+    punct_ratio = punct_count.cast("double") / F.greatest(n_chars, F.lit(1))
+    upper_ratio = upper_count.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits.cast("double") / F.greatest(word_count, F.lit(1))
+    length_score = F.least(word_count.cast("double") / 50.0, F.lit(1.0))
+    quality = (
+        length_score * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0)))
+        * (1.0 - F.least(upper_ratio * 4.0, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("word_count", word_count)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return df.withColumn("ws_tokens", F.size(words(text_col))).withColumn(
+        "bpe_tokens", F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN))
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text.
+
+    Exact-dup detection key that survives formatting noise; at 100 TB the
+    fingerprint is the dedup shuffle key (16 bytes instead of full text).
+    """
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def add_rolling_hash(
+    df: DataFrame, text_col: str = "text", base: int = 257, mod: int = 1_000_000_007
+) -> DataFrame:
+    """Polynomial rolling hash over characters (Karp-Rabin style), computed
+    with the ``aggregate`` higher-order function — demonstrates an
+    order-dependent scan done natively without a UDF. Spark-only (no
+    portable SQL twin: char codepoints via ascii() differ per engine for
+    non-ASCII), so its catalog entry is rows-only checked.
+    """
+    chars = F.split(F.col(text_col), "")
+    rolled = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.coalesce(F.ascii(ch), F.lit(0))) % mod,
+    )
+    return df.withColumn("rolling_hash", rolled)

@@ -27,6 +27,17 @@ def _r(c, alias):  # round(2) convention, dp:849 etc.
     return F.bround(c, 2).alias(alias)
 
 
+def _group(df: DataFrame, *keys: str):
+    """pandas groupby(dropna=True) semantics: null group keys are dropped
+    (the reference never imputes VendorID, so its vendor_performance
+    silently excludes null-vendor trips — observable behavior we match)."""
+    cond = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return df.filter(cond).groupBy(*keys)
+
+
 def valid_trips(df: DataFrame) -> DataFrame:
     """P5 (dp:833): metrics see only rows flagged valid by P4."""
     return df.filter(F.col("is_valid_trip"))
@@ -34,7 +45,7 @@ def valid_trips(df: DataFrame) -> DataFrame:
 
 def vendor_performance(df: DataFrame) -> DataFrame:
     """A1 (dp:843-855): count/mean/median trios by vendor."""
-    return df.groupBy("VendorID").agg(
+    return _group(df, "VendorID").agg(
         F.count("trip_duration_minutes").alias("trip_count"),
         _r(F.avg("trip_duration_minutes"), "avg_duration"),
         _r(F.median("trip_duration_minutes"), "median_duration"),
@@ -50,7 +61,7 @@ def vendor_performance(df: DataFrame) -> DataFrame:
 
 def hourly_demand(df: DataFrame) -> DataFrame:
     """A2 (dp:857-866)."""
-    return df.groupBy("pickup_hour").agg(
+    return _group(df, "pickup_hour").agg(
         F.count("VendorID").alias("trip_count"),
         _r(F.sum("total_amount"), "total_revenue"),
         _r(F.avg("trip_duration_minutes"), "avg_duration"),
@@ -59,7 +70,7 @@ def hourly_demand(df: DataFrame) -> DataFrame:
 
 def pickup_location_analysis(df: DataFrame) -> DataFrame:
     """A3 (dp:868-877)."""
-    return df.groupBy("PULocationID").agg(
+    return _group(df, "PULocationID").agg(
         F.count("VendorID").alias("trip_count"),
         _r(F.sum("total_amount"), "total_revenue"),
         _r(F.avg("trip_duration_minutes"), "avg_duration"),
@@ -68,7 +79,7 @@ def pickup_location_analysis(df: DataFrame) -> DataFrame:
 
 def payment_analysis(df: DataFrame) -> DataFrame:
     """A4 (dp:879-889)."""
-    return df.groupBy("payment_type").agg(
+    return _group(df, "payment_type").agg(
         F.count("VendorID").alias("trip_count"),
         _r(F.sum("total_amount"), "total_revenue"),
         _r(F.sum("tip_amount"), "total_tips"),
@@ -78,7 +89,7 @@ def payment_analysis(df: DataFrame) -> DataFrame:
 
 def monthly_summary(df: DataFrame) -> DataFrame:
     """A5 (dp:892-908): multi-key (year, month)."""
-    return df.groupBy("pickup_year", "pickup_month").agg(
+    return _group(df, "pickup_year", "pickup_month").agg(
         F.count("VendorID").alias("trip_count"),
         _r(F.sum("total_amount"), "total_revenue"),
         _r(F.avg("trip_duration_minutes"), "avg_duration"),

@@ -126,13 +126,17 @@ def write_fixture_files(tmpdir: str, n: int = 4000) -> list[str]:
     (schema drift, mimicking pre-2021 files)."""
     rng = np.random.default_rng(RNG_SEED)
     paths = []
+    # µs timestamps like the real TLC files — pandas' default ns precision
+    # is a different (nanos) parquet logical type the engine treats as the
+    # events-table drift case, not the taxi contract
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
     a = make_trips(n, 2024, 1, rng)
     pa = f"{tmpdir}/yellow_tripdata_2024-01.parquet"
-    a.to_parquet(pa, index=False)
+    a.to_parquet(pa, **kw)
     paths.append(pa)
     b = make_trips(n, 2024, 2, rng).drop(columns=["airport_fee", "congestion_surcharge"])
     pb = f"{tmpdir}/yellow_tripdata_2024-02.parquet"
-    b.to_parquet(pb, index=False)
+    b.to_parquet(pb, **kw)
     paths.append(pb)
     return paths
 
