@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced through the "noop" sink so the full plan executes
+(a bare .count() would let Catalyst prune every projected expression).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from taxi_aws_data_pipeline_spark.plans import CATALOG
+from taxi_aws_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline spread: heavy aggregations, the fact-fact join, the star join,
+# drift union, window, and the extension tier (near-dup, LSH, ANN).
+BENCH_QUERIES = (
+    "a1_returnflag_performance",
+    "a3_supplier_analysis",
+    "a5_monthly_summary",
+    "e1_ship_delay_minutes",
+    "j1_region_revenue_star_join",
+    "d2_union_schema_drift",
+    "s5_keep_newest_per_key",
+    "p1_typed_cast_enforce",
+    "x5_exact_dedup_groups",
+    "x6_jaccard_near_dup_pairs",
+    "x8_minhash_lsh_candidate_pairs",
+    "x9_simhash_signatures",
+    "x10_cosine_topk_bruteforce",
+)
+
+
+def main() -> None:
+    spark = get_spark(app_name="taxi-engine-bench")
+    # warm the JVM/session so query 1 doesn't pay startup costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = CATALOG[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_match.group(1)) if sf_match else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,19 +28,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Universal-hash constants for MinHash: k=16 fixed (a, b) pairs drawn once
-# (odd a, arbitrary b), prime modulus > 2^32. Hardcoded so Spark plans and
+# Universal-hash constants for MinHash: k=16 fixed (a, b) pairs drawn once,
+# prime modulus > 2^32. Every ``a`` is an odd prime < 2^30 so a·H stays
+# under 2^62 for H < 2^32 — int64-safe in any engine (DuckDB raises on
+# bigint overflow; Spark would silently wrap). Hardcoded so Spark plans and
 # oracle SQL agree forever.
 MINHASH_PRIME = 4_294_967_311
 MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
-    (1_610_612_741, 805_306_457),
+    (805_306_457, 2_654_435_761),
     (402_653_189, 201_326_611),
-    (3_221_225_473, 1_566_374_653),
-    (2_147_483_659, 97_531_) ,
-    (1_073_741_827, 3_266_489_917),
+    (201_326_611, 1_566_374_653),
+    (100_663_319, 97_531),
+    (50_331_653, 3_266_489_917),
     (536_870_923, 198_491_317),
-    (268_435_459, 2_654_435_761),
-    (134_217_757, 40_503_),
+    (268_435_459, 805_306_457),
+    (134_217_757, 40_503),
     (67_108_879, 1_131_217_927),
     (33_554_467, 679_306_543),
     (16_777_259, 2_246_822_519),
@@ -166,14 +168,15 @@ def minhash_signature(text: Column, n: int = 3) -> Column:
     ``array_min`` over each universal hash of the shingle array."""
     shingles = word_shingles(text, n)
     hashed = F.transform(shingles, base_hash)
+
+    def universal(a: int, b: int):
+        # closure factory: default-arg captures would change the lambda's
+        # arity, which F.transform inspects
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    hashed,
-                    lambda h, a=a, b=b: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
-                )
-            )
+            F.array_min(F.transform(hashed, universal(a, b)))
             for a, b in MINHASH_COEFFS
         ]
     )
@@ -250,14 +253,15 @@ def simhash(text: Column) -> Column:
     """
     toks = F.split(F.lower(text), r"\s+")
     hashed = F.transform(toks, base_hash)
+
+    def vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bit_terms = []
     for bit in range(SIMHASH_BITS):
-        votes = F.aggregate(
-            hashed,
-            F.lit(0).cast("bigint"),
-            lambda acc, h, bit=bit: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        votes = F.aggregate(hashed, F.lit(0).cast("bigint"), vote(bit))
         bit_terms.append(F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
     return sum(bit_terms[1:], bit_terms[0]).cast("bigint")
 

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path (driver extension tier).
+
+All vector math is native higher-order functions (``zip_with`` +
+``aggregate``) in doubles — sequential accumulation over a 64-dim array is
+deterministic and cheap; no UDFs, no Python in the hot path.
+
+Scale posture: brute-force is O(probes × corpus) with the corpus side
+broadcast when probes are few (or the probe side broadcast when the corpus
+is the big side — pick by size). The LSH variant buckets both sides by
+hyperplane sign bits so each probe only scans its bucket: at 100 TB the
+corpus is hash-partitioned by bucket and the probe fan-out is
+``2^signbits`` smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import base_hash
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in doubles, sequential left-fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per probe. Probe side is broadcast (probes are
+    few by construction); ranking tie-breaks on candidate id so the k-row
+    cut is total-ordered and reproducible.
+
+    Output: (probe_id, neighbor_id, cos_sim, rank).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("cos_sim", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        .select("probe_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (sign-bit bucketing)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_component(plane: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane components in [-1, 1),
+    derived from the portable md5 base hash of 'plane:i' — reproducible
+    in any engine, no RNG state."""
+    # evaluated at plan-build time in Python, so plain hashlib is fine
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:8], 16)
+    return (h % 2000) / 1000.0 - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [_hyperplane_component(p, i) for i in range(dim)] for p in range(n_planes)
+    ]
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff vec·plane_p > 0."""
+    terms = []
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(terms[1:], terms[0]).alias("bucket")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's sign-bit
+    bucket (recall can be raised via multi-probe — flipping one bit —
+    left as the documented extension). Same output shape as brute force.
+    """
+    planes = hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        signature_bits(F.col(vec_col), planes).alias("cand_bucket"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        signature_bits(F.col(vec_col), planes).alias("probe_bucket"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(p),
+            (F.col("cand_bucket") == F.col("probe_bucket"))
+            & (F.col("neighbor_id") != F.col("probe_id")),
+        )
+        .withColumn("cos_sim", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        .select("probe_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: only same-
+    bucket pairs are scored (high-cosine pairs collide with high
+    probability under sign-bit LSH)."""
+    planes = hyperplanes(n_planes, dim)
+    keyed = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        signature_bits(F.col(vec_col), planes),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .withColumn("cos_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            "cos_sim",
+        )
+    )

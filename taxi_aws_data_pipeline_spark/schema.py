@@ -46,6 +46,25 @@ TRIP_SCHEMA = T.StructType(
     ]
 )
 
+# Permissive ingestion twin of TRIP_SCHEMA: every numeric read as double,
+# so files whose writers upcast (e.g. pandas turns nullable ints into
+# float64 → parquet DOUBLE) still scan. The reference has exactly this
+# split: files are read with whatever types they carry (pd.read_parquet,
+# data_processing.py:607-611) and only *then* cast down
+# (apply_optimized_schema, dp:682-725). enforce_schema() is that second
+# step. The parquet reader also widens true INT columns to double.
+TRIP_READ_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            f.name,
+            f.dataType
+            if isinstance(f.dataType, (T.TimestampType, T.StringType))
+            else T.DoubleType(),
+        )
+        for f in TRIP_SCHEMA.fields
+    ]
+)
+
 #: money component columns summed by the C7 consistency repair
 #: (data_processing.py:160-174)
 TOTAL_COMPONENTS = (

@@ -1,0 +1,118 @@
+"""Incremental exactly-once ingestion (SURVEY.md §2.9; reference watermark
++ processed-files ledger, data_processing.py:226-380).
+
+The reference hand-rolls three streaming concepts; Spark Structured
+Streaming's file source subsumes all of them:
+
+| reference mechanism                          | here |
+|---------------------------------------------|------|
+| `last_processed_watermark.txt` (dp:226-249)  | checkpoint offsets log |
+| `processed_files.json`, capped at 1000 keys  | checkpoint file-source log |
+|   (dp:251-280 — arbitrary set-order eviction)|   (compacted, no eviction) |
+| cron-triggered batch drain (pf:1024-1051)    | ``Trigger.AvailableNow`` |
+
+``Trigger.AvailableNow`` processes everything landed since the last
+checkpoint then stops — exactly the reference's "drain new files on a
+schedule" contract, but with crash-safe exactly-once per file (the
+kill/restart test in tests/test_streaming.py replays the reference's
+dp:309-380 guarantee).
+
+The batch fallback (`incremental_batch`) keeps an explicit manifest table
+and anti-joins it — for environments without a checkpoint dir; it also
+reproduces the reference's watermark-advance-on-empty edge case
+(dp:347-351) by simply having nothing to process.
+
+For per-batch cleaning statistics (SURVEY §7.3.3: C1-C5 stats must be
+batch-scoped), the transform runs inside ``foreachBatch`` — each micro
+batch recomputes its own medians/modes/percentiles like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import TRIP_READ_SCHEMA
+from .sources import anti_join_processed, list_files
+
+
+def incremental_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    glob_filter: str = "yellow_tripdata_*.parquet",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain all unprocessed files through ``batch_fn`` exactly once.
+
+    Returns the started query; call ``awaitTermination()``. Re-running
+    after a crash resumes from the checkpoint without reprocessing
+    (file-source log ≡ the reference's ledger, but transactional).
+    ``max_files_per_trigger`` maps the reference's PROCESSING_BATCH_SIZE
+    (pf:65-66).
+
+    Files are scanned with the permissive TRIP_READ_SCHEMA (numerics as
+    double) exactly like the reference loads files as-written before
+    casting; run ``enforce_schema`` inside ``batch_fn`` (the pipeline's
+    transform does) to land on the declared narrow types.
+    """
+    reader = (
+        spark.readStream.schema(TRIP_READ_SCHEMA)
+        .option("pathGlobFilter", glob_filter)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# explicit-manifest batch fallback (S3/S4 without a checkpoint dir)
+# ---------------------------------------------------------------------------
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Processed-files manifest as a parquet table (path, processed_at).
+    Unlike the reference's 1000-key JSON ledger with arbitrary set-order
+    eviction (dp:269-271), the manifest is unbounded parquet — eviction,
+    if ever needed, is by mtime, not hash order."""
+    if os.path.exists(manifest_path):
+        return spark.read.parquet(manifest_path)
+    return spark.createDataFrame([], "path string, processed_at timestamp")
+
+
+def append_manifest(spark: SparkSession, manifest_path: str, listing: DataFrame) -> None:
+    listing.select(
+        "path", F.current_timestamp().alias("processed_at")
+    ).write.mode("append").parquet(manifest_path)
+
+
+def incremental_batch(
+    spark: SparkSession,
+    input_dir: str,
+    manifest_path: str,
+    process_fn: Callable[[DataFrame, list[str]], None],
+    suffix: str = ".parquet",
+) -> list[str]:
+    """One manifest-gated batch run: list → anti-join manifest →
+    process → append manifest. Returns the processed paths (empty list ≡
+    the reference's watermark-advance-on-empty no-op, dp:347-351)."""
+    listing = list_files(spark, input_dir, suffix=suffix)
+    todo = anti_join_processed(listing, read_manifest(spark, manifest_path))
+    paths = [r.path for r in todo.select("path").collect()]
+    if not paths:
+        return []
+    df = spark.read.schema(TRIP_READ_SCHEMA).parquet(*paths)
+    process_fn(df, paths)
+    append_manifest(spark, manifest_path, todo)
+    return paths

@@ -1,0 +1,107 @@
+"""Behavioral tests for the extension operators: LSH recall vs brute
+force, exact-dedup row semantics, simhash blocking, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from taxi_aws_data_pipeline_spark.ext import dedup as X
+from taxi_aws_data_pipeline_spark.ext import multimodal as MM
+from taxi_aws_data_pipeline_spark.ext import similarity as S
+from taxi_aws_data_pipeline_spark.tables import load_table
+
+
+def test_exact_dedup_keeps_one_per_content(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello   world"),
+            (2, "Hello World"),  # same after normalization
+            (3, "different doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = X.exact_dedup(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    groups = {r.keeper_id: r.copies for r in X.exact_dedup_groups(df).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_lsh_candidates_cover_high_jaccard_pairs(spark, sf_dir):
+    """Banding theory: with 4 bands × 4 rows, pairs at Jaccard ≥ 0.7 are
+    caught with prob ≥ 1-(1-0.7^4)^4 ≈ 0.75 each; the fixture's injected
+    near-dups are ≥0.5, so require the LSH candidates to cover most exact
+    pairs at 0.7."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in X.jaccard_near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in X.lsh_candidate_pairs(docs).collect()}
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.7, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = X.simhash_near_dup_pairs(docs, max_hamming=2).collect()
+    assert all(r.hamming <= 2 for r in pairs)
+
+
+def test_lsh_ann_results_subset_of_bruteforce_space(spark, sf_dir):
+    """LSH top-k cosines can never exceed the brute-force top-k cosine at
+    the same rank (candidates are a subset)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.probe_id, r.rank): r.cos_sim
+        for r in S.brute_force_topk(emb, probes, k=3).collect()
+    }
+    approx = {
+        (r.probe_id, r.rank): r.cos_sim
+        for r in S.lsh_topk(emb, probes, k=3).collect()
+    }
+    for key, cos in approx.items():
+        assert cos <= brute[key] + 1e-12
+
+
+def test_multimodal_feature_extraction_with_fake_decoder(spark):
+    MM.set_decoder(MM.fake_decoder)
+    try:
+        assets = spark.createDataFrame(
+            [
+                (1, "image", bytearray(b"\x89PNG fake"), 640, 480, None),
+                (2, "audio", bytearray(b"RIFF fake"), None, None, 2000),
+                (3, "image", None, None, None, None),  # missing blob
+            ],
+            MM.MEDIA_SCHEMA,
+        )
+        feats = {r.asset_id: r for r in MM.extract_media_features(assets).collect()}
+        assert feats[1].n_bytes == 9 and len(feats[1].feature) == 8
+        assert feats[2].content_sha is not None
+        assert feats[3].feature is None and feats[3].n_bytes is None
+        # deterministic: same content → same feature
+        again = {r.asset_id: r for r in MM.extract_media_features(assets).collect()}
+        assert again[1].feature == feats[1].feature
+    finally:
+        MM.set_decoder(MM._real_decoder)
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), None, None, None)], MM.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        MM.extract_media_features(assets).collect()
+
+
+def test_frame_sample_plan(spark):
+    assets = spark.createDataFrame(
+        [(1, "video", None, 1920, 1080, 3500), (2, "image", None, 10, 10, None)],
+        MM.MEDIA_SCHEMA,
+    )
+    frames = MM.frame_sample_plan(assets, every_ms=1000).collect()
+    assert [(r.asset_id, r.frame_ts_ms) for r in frames] == [
+        (1, 0), (1, 1000), (1, 2000), (1, 3000)
+    ]

@@ -1,0 +1,89 @@
+"""Incremental-semantics tests (SURVEY.md §5.3): files landed in waves are
+processed exactly once across restarts, for both the Structured Streaming
+checkpoint path and the explicit-manifest batch fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from taxi_aws_data_pipeline_spark import streaming
+
+from .taxi_fixture import make_trips
+
+
+def _land(dirpath, year, month, n=300, seed=1):
+    rng = np.random.default_rng(seed)
+    df = make_trips(n, year, month, rng)
+    p = f"{dirpath}/yellow_tripdata_{year}-{month:02d}.parquet"
+    df.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    return p
+
+
+def test_streaming_exactly_once_across_restarts(spark, tmp_path):
+    src = tmp_path / "raw"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out: list[tuple[int, int]] = []
+
+    def batch_fn(df, epoch_id):
+        out.append((epoch_id, df.count()))
+
+    # wave 1: two files
+    _land(src, 2024, 1, seed=1)
+    _land(src, 2024, 2, seed=2)
+    q = streaming.incremental_stream(spark, str(src), ckpt, batch_fn)
+    q.awaitTermination()
+    rows_wave1 = sum(n for _, n in out)
+    assert rows_wave1 > 0
+
+    # restart with nothing new → zero new rows
+    out.clear()
+    q = streaming.incremental_stream(spark, str(src), ckpt, batch_fn)
+    q.awaitTermination()
+    assert sum(n for _, n in out) == 0
+
+    # wave 2: one new file → only its rows
+    out.clear()
+    p3 = _land(src, 2024, 3, seed=3)
+    q = streaming.incremental_stream(spark, str(src), ckpt, batch_fn)
+    q.awaitTermination()
+    expected = spark.read.parquet(p3).count()
+    assert sum(n for _, n in out) == expected
+
+
+def test_streaming_batch_size_bound(spark, tmp_path):
+    """maxFilesPerTrigger=1 ≡ the reference's PROCESSING_BATCH_SIZE: each
+    micro-batch sees one file."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    for m in (1, 2, 3):
+        _land(src, 2024, m, n=100, seed=m)
+    counts = []
+    q = streaming.incremental_stream(
+        spark, str(src), str(tmp_path / "ckpt"), lambda df, _: counts.append(df.count()),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert len(counts) == 3
+
+
+def test_manifest_batch_fallback_idempotent(spark, tmp_path):
+    src = tmp_path / "raw"
+    src.mkdir()
+    manifest = str(tmp_path / "manifest")
+    seen: list[str] = []
+
+    def process(df, paths):
+        seen.extend(paths)
+
+    _land(src, 2024, 1, seed=1)
+    _land(src, 2024, 2, seed=2)
+    first = streaming.incremental_batch(spark, str(src), manifest, process)
+    assert len(first) == 2
+    # rerun: nothing new (watermark-advance-on-empty no-op)
+    assert streaming.incremental_batch(spark, str(src), manifest, process) == []
+    # land one more → only it is processed
+    _land(src, 2024, 3, seed=3)
+    third = streaming.incremental_batch(spark, str(src), manifest, process)
+    assert len(third) == 1 and "2024-03" in third[0]
+    assert len(seen) == 3
