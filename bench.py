@@ -44,8 +44,11 @@ BENCH_QUERIES = (
 
 def main() -> None:
     spark = get_spark(app_name="taxi-engine-bench")
-    # warm the JVM/session so query 1 doesn't pay startup costs
+    # warm the JVM/session + page cache/parquet footers so query 1 doesn't
+    # pay one-time startup costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

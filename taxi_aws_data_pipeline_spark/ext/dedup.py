@@ -62,6 +62,20 @@ def base_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Let-binding for column expressions: evaluate ``col`` once per row
+    and pass the bound value to ``fn``.
+
+    Spark SQL has no LET, and referencing the same Python-built Column in
+    N places duplicates its whole expression tree N times — interpreted
+    higher-order functions then genuinely recompute it N times per row
+    (measured 16× on the MinHash bank: 43 s → <3 s at sf0.1). A
+    single-element ``transform`` gives a true lambda binding that both the
+    interpreter and codegen evaluate exactly once.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased text; documents shorter
     than n words contribute their full text as one shingle."""
@@ -132,10 +146,13 @@ def jaccard_near_dup_pairs(
     exploded shingle), then |A∩B| is a group count and |A∪B| = nA+nB-∩.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # sh feeds three consumers (both join sides + the size agg); persist so
+    # the shingle explode runs once — at scale this is the materialized
+    # doc→shingle index every pass shares
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    )
+    ).persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -174,11 +191,16 @@ def minhash_signature(text: Column, n: int = 3) -> Column:
         # arity, which F.transform inspects
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
-    return F.array(
-        *[
-            F.array_min(F.transform(hashed, universal(a, b)))
-            for a, b in MINHASH_COEFFS
-        ]
+    # hashed is referenced by all 16 universal hashes → bind it once, or
+    # the shingle md5 pass runs 16× per row
+    return bind_once(
+        hashed,
+        lambda hs: F.array(
+            *[
+                F.array_min(F.transform(hs, universal(a, b)))
+                for a, b in MINHASH_COEFFS
+            ]
+        ),
     )
 
 
@@ -221,10 +243,12 @@ def lsh_candidate_pairs(
             for j in range(bands)
         ]
     )
+    # both sides of the self-join consume banded; persist so signatures are
+    # computed once per doc (at 100 TB: write signatures to a table instead)
     banded = sig.select(
         F.col(id_col).alias("doc"),
         F.posexplode(band_arr).alias("band", "band_hash"),
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -259,11 +283,16 @@ def simhash(text: Column) -> Column:
             F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bit_terms = []
-    for bit in range(SIMHASH_BITS):
-        votes = F.aggregate(hashed, F.lit(0).cast("bigint"), vote(bit))
-        bit_terms.append(F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
-    return sum(bit_terms[1:], bit_terms[0]).cast("bigint")
+    def from_hashed(hs: Column) -> Column:
+        bit_terms = []
+        for bit in range(SIMHASH_BITS):
+            votes = F.aggregate(hs, F.lit(0).cast("bigint"), vote(bit))
+            bit_terms.append(F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
+        return sum(bit_terms[1:], bit_terms[0]).cast("bigint")
+
+    # 16 per-bit aggregates all fold over the same token-hash array → bind
+    # it once so the tokenize+md5 pass runs once per row, not 16×
+    return bind_once(hashed, from_hashed)
 
 
 def simhash_signatures(
@@ -292,7 +321,7 @@ def simhash_near_dup_pairs(
     )
     blocked = sig.select(
         F.col(id_col).alias("doc"), F.col("simhash16"), F.explode(nibbles).alias("nib")
-    )
+    ).persist()  # self-join: compute signatures once
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))

@@ -165,7 +165,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),
         signature_bits(F.col(vec_col), planes),
-    )
+    ).persist()  # self-join: project each vector through the planes once
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
