@@ -31,6 +31,9 @@ BENCH_QUERIES = (
     "a5_monthly_summary",
     "e1_ship_delay_minutes",
     "j1_region_revenue_star_join",
+    "w1_tumbling_hourly_value",
+    "w2_user_sessionization",
+    "g1_rollup_year_priority",
     "d2_union_schema_drift",
     "s5_keep_newest_per_key",
     "p1_typed_cast_enforce",

@@ -752,3 +752,151 @@ def j1_region_revenue_star_join(spark: SparkSession, sf: str) -> DataFrame:
             money_sum(revenue).alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing / sessionization / multi-level aggregation — the
+# Spark-native tier beyond the reference (SURVEY §2.8-2.9: reference has no
+# window functions and hand-rolls its streaming concepts; these are the ops
+# a real event table needs at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_tumbling_hourly_value",
+    "Tumbling 1-hour event-time window aggregation (the batch shape of the "
+    "streaming hourly-demand metric; streaming twin in streaming.py with "
+    "watermarks). window() ≡ date_trunc in any engine; one shuffle on the "
+    "window key.",
+    oracle=f"""
+        SELECT date_trunc('hour', ts)        AS window_start,
+               COUNT(event_id)               AS event_count,
+               {oracle_money_sum('value')}   AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("window", "streaming", "agg"),
+)
+def w1_tumbling_hourly_value(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("event_id").alias("event_count"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_count", "total_value"
+        )
+    )
+
+
+@register(
+    "w2_user_sessionization",
+    "Gaps-and-islands sessionization: per-user sessions split at >30-min "
+    "inactivity (lag + running sum of new-session flags), then per-session "
+    "rollup. THE canonical event-log operator; one shuffle on user_id, "
+    "sessions never cross partitions so it scales by user cardinality.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id, ts,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               COUNT(event_id) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    tags=("window", "sessionization"),
+)
+def w2_user_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # gap > 1800 s ⟺ ts > prev + 30 min (interval arithmetic — ntz
+    # timestamps don't cast to double)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("event_id").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "w3_topk_per_group",
+    "Top-3 orders by totalprice per priority class (rank window + filter): "
+    "the per-key top-k pattern — partial top-k runs map-side before the "
+    "single shuffle on the group key; (price, orderkey) tie-break keeps the "
+    "cut deterministic.",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice DESC, o_orderkey)
+                        AS INTEGER) AS rnk
+            FROM orders
+        )
+        WHERE rnk <= 3
+    """,
+    tags=("window", "topk"),
+)
+def w3_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        od.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "g1_rollup_year_priority",
+    "ROLLUP multi-level aggregate (year × priority → year subtotals → grand "
+    "total) — subsumes the reference's separate per-dimension metric tables "
+    "in ONE shuffle instead of five. Null group keys mark subtotal rows "
+    "(keys are non-null in the data, so levels are unambiguous).",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               o_orderpriority,
+               COUNT(o_orderkey)                  AS order_count,
+               {oracle_money_sum('o_totalprice')} AS total_revenue
+        FROM orders
+        GROUP BY ROLLUP(1, 2)
+    """,
+    tags=("rollup", "agg"),
+)
+def g1_rollup_year_priority(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    return od.rollup(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.count("o_orderkey").alias("order_count"),
+        money_sum("o_totalprice").alias("total_revenue"),
+    )

@@ -76,6 +76,50 @@ def incremental_stream(
     )
 
 
+def streaming_hourly_demand(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "hourly_demand_stream",
+    watermark: str = "2 hours",
+    glob_filter: str = "yellow_tripdata_*.parquet",
+):
+    """A2 hourly_demand as a true event-time streaming aggregation
+    (SURVEY §2.9 'event-time windows' row: absent in the reference, free
+    in Spark): tumbling 1-hour windows on pickup time with a late-data
+    watermark bounding the aggregation state.
+
+    ``complete`` output to a memory sink keeps the example self-contained;
+    production would use ``update`` to an idempotent-upsert sink. State
+    size = live windows × groups, bounded by the watermark horizon — this
+    is the piece the reference cannot express (its metrics recompute whole
+    batches).
+    """
+    stream = (
+        spark.readStream.schema(TRIP_READ_SCHEMA)
+        .option("pathGlobFilter", glob_filter)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("tpep_pickup_datetime", watermark)
+        .groupBy(F.window("tpep_pickup_datetime", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("trip_count"),
+            F.sum("total_amount").alias("total_revenue"),
+        )
+        .select(F.col("w.start").alias("window_start"), "trip_count", "total_revenue")
+    )
+    return (
+        agg.writeStream.queryName(queryName)
+        .format("memory")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # explicit-manifest batch fallback (S3/S4 without a checkpoint dir)
 # ---------------------------------------------------------------------------

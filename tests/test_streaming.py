@@ -5,6 +5,7 @@ checkpoint path and the explicit-manifest batch fallback."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from taxi_aws_data_pipeline_spark import streaming
 
@@ -65,6 +66,43 @@ def test_streaming_batch_size_bound(spark, tmp_path):
     )
     q.awaitTermination()
     assert len(counts) == 3
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """The streaming tumbling-window aggregation equals the equivalent
+    batch groupBy over the same files."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    _land(src, 2024, 1, n=500, seed=11)
+    _land(src, 2024, 2, n=500, seed=12)
+    q = streaming.streaming_hourly_demand(
+        spark, str(src), str(tmp_path / "ckpt"), queryName="hd_test"
+    )
+    q.awaitTermination()
+    got = {
+        r.window_start: (r.trip_count, r.total_revenue)
+        for r in spark.sql("SELECT * FROM hd_test").collect()
+    }
+    batch = (
+        spark.read.parquet(str(src))
+        .groupBy(F.window("tpep_pickup_datetime", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("trip_count"),
+            F.sum("total_amount").alias("total_revenue"),
+        )
+        .select(F.col("w.start").alias("window_start"), "trip_count", "total_revenue")
+    )
+    want = {
+        r.window_start: (r.trip_count, r.total_revenue)
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, rev) in want.items():
+        assert got[k][0] == n
+        # double sums may accumulate in different orders across the two runs
+        assert got[k][1] == pytest.approx(rev, rel=1e-9)
 
 
 def test_manifest_batch_fallback_idempotent(spark, tmp_path):
