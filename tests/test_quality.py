@@ -1,0 +1,65 @@
+"""Cleaning-suite invariants (SURVEY.md §5.1/§5.4) + the exact↔approx
+statistics switch (quality.py's 100 TB path)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from taxi_aws_data_pipeline_spark import quality
+from taxi_aws_data_pipeline_spark.schema import TRIP_SCHEMA, enforce_schema
+
+from .taxi_fixture import make_trips
+
+
+@pytest.fixture(scope="module")
+def raw_trips(spark, tmp_path_factory):
+    rng = np.random.default_rng(99)
+    pdf = make_trips(3000, 2024, 5, rng)
+    p = str(tmp_path_factory.mktemp("q") / "yellow_tripdata_2024-05.parquet")
+    pdf.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    return enforce_schema(spark.read.parquet(p), TRIP_SCHEMA)
+
+
+def test_clean_output_invariants(spark, raw_trips):
+    cleaned = quality.clean_trips(raw_trips)
+    agg = cleaned.selectExpr(
+        "count(*) AS n",
+        "sum(CASE WHEN fare_amount <= 0 THEN 1 ELSE 0 END) AS bad_fare",
+        "sum(CASE WHEN trip_distance <= 0 THEN 1 ELSE 0 END) AS bad_dist",
+        "sum(CASE WHEN passenger_count < 1 OR passenger_count > 6 THEN 1 ELSE 0 END) AS bad_pass",
+        "sum(CASE WHEN tpep_dropoff_datetime < tpep_pickup_datetime THEN 1 ELSE 0 END) AS time_travel",
+        "sum(CASE WHEN total_amount IS NULL THEN 1 ELSE 0 END) AS null_total",
+    ).collect()[0]
+    assert agg.n > 0
+    assert agg.bad_fare == 0 and agg.bad_dist == 0
+    assert agg.bad_pass == 0 and agg.time_travel == 0
+    assert agg.null_total == 0
+
+
+def test_approx_stats_path_equivalent_shape(spark, raw_trips):
+    """approx_stats=True (t-digest percentiles — the cluster-scale path)
+    must keep the same plan shape and row count: caps change values near
+    the p99 boundary only, never which rows survive the C10 filter."""
+    exact = quality.clean_trips(raw_trips, approx_stats=False)
+    approx = quality.clean_trips(raw_trips, approx_stats=True)
+    assert exact.count() == approx.count()
+    assert exact.columns == approx.columns
+    # capped columns stay within their repair bounds in both modes
+    for df in (exact, approx):
+        row = df.selectExpr(
+            "max(passenger_count) AS mx", "min(passenger_count) AS mn"
+        ).collect()[0]
+        assert 1 <= row.mn and row.mx <= 6
+
+
+def test_clean_filter_clamp_idempotent(spark, raw_trips):
+    """Second application of the value-repair + filter stages is a no-op
+    (SURVEY §5.4): re-cleaning already-clean data changes nothing except
+    possibly imputation stats (none fire — no nulls remain)."""
+    once = quality.clean_trips(raw_trips)
+    twice = quality.clean_trips(once)
+    assert once.count() == twice.count()
+    a = once.selectExpr("sum(cast(fare_amount AS double)) AS s").collect()[0].s
+    b = twice.selectExpr("sum(cast(fare_amount AS double)) AS s").collect()[0].s
+    assert a == pytest.approx(b, rel=1e-12)
