@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..compat import (
+    exact_sum,
     money_avg,
     money_median,
     money_sum,
@@ -899,4 +900,37 @@ def g1_rollup_year_priority(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(
         F.count("o_orderkey").alias("order_count"),
         money_sum("o_totalprice").alias("total_revenue"),
+    )
+
+
+@register(
+    "k1_salted_skew_agg",
+    "Two-stage salted aggregation: sub-aggregate on (key, salt), then "
+    "merge on key. THE skew-resistant pattern when one group key holds a "
+    "large share of a 100 TB table — the hot key's rows spread over 16 "
+    "reducers in stage 1 and stage 2 merges 16 tiny partials. Result is "
+    "provably identical to a plain GROUP BY because the decimal partial "
+    "sums are exact and associative; the oracle runs the plain form.",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(event_id)              AS event_count,
+               {oracle_money_sum('value')}  AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("skew", "salt", "agg"),
+)
+def k1_salted_skew_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    partial = (
+        ev.withColumn("_salt", F.pmod("event_id", F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count("event_id").alias("c"),
+            exact_sum("value").alias("s"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("event_count"),
+        F.round(F.sum("s"), 2).cast("double").alias("total_value"),
     )

@@ -381,6 +381,20 @@ def x11_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x14_ivf_ann_topk",
+    "Extension: approximate top-3 via an IVF index (deterministic coarse "
+    "quantizer, nprobe=2) — the partition-by-cell ANN scale path "
+    "complementing the sign-bit LSH of x11. Centroid list is collected at "
+    "plan build; rows-only check.",
+    oracle=None,
+    tags=("ext", "similarity", "ann", "ivf"),
+)
+def x14_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+
+
+@register(
     "x12_embedding_near_dup_pairs",
     "Extension: embedding-cosine near-duplicate pairs (cos ≥ 0.9), "
     "LSH-bucketed so only same-bucket pairs are scored. Rows-only check "

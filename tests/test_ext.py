@@ -66,6 +66,29 @@ def test_lsh_ann_results_subset_of_bruteforce_space(spark, sf_dir):
         assert cos <= brute[key] + 1e-12
 
 
+def test_ivf_ann_recall_against_bruteforce(spark, sf_dir):
+    """IVF with nprobe=2 of 16 cells should recover a meaningful share of
+    the exact top-3 (and, like any pruned scan, never beat the exact
+    cosine at a given rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    brute = {
+        (r.probe_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, probes, k=3).collect()
+    }
+    ivf_rows = S.ivf_topk(emb, probes, k=3).collect()
+    ivf = {(r.probe_id, r.neighbor_id) for r in ivf_rows}
+    assert len(ivf_rows) > 0
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+    brute_sims = {
+        (r.probe_id, r.rank): r.cos_sim
+        for r in S.brute_force_topk(emb, probes, k=3).collect()
+    }
+    for r in ivf_rows:
+        assert r.cos_sim <= brute_sims[(r.probe_id, r.rank)] + 1e-12
+
+
 def test_multimodal_feature_extraction_with_fake_decoder(spark):
     MM.set_decoder(MM.fake_decoder)
     try:
