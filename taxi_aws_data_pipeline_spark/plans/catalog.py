@@ -623,6 +623,107 @@ def a6_scalar_statistics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Imputation / repair operators (SURVEY §2.7 C-family) — phrased over the
+# testdata tables with deterministic masking so the driver gate exercises
+# the batch-scoped-statistic semantics (the taxi pipeline's quality.py is
+# additionally pinned by the golden pandas-oracle test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c1_median_impute_batch",
+    "C1 median imputation with a batch-scoped statistic (clean_taxi_data, "
+    "data_processing.py:86-95): nulls (deterministically masked here) are "
+    "filled with the median of the current batch. The scalar is one "
+    "partial-aggregated job collected to the driver and injected as a "
+    "literal — the repair projection itself is shuffle-free.",
+    oracle="""
+        WITH m AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS mv
+            FROM events
+        )
+        SELECT event_id,
+               COALESCE(mv, (SELECT median(mv) FROM m)) AS value_imputed
+        FROM m
+    """,
+    tags=("C1", "impute"),
+)
+def c1_median_impute_batch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    med = ev.agg(F.median(masked)).collect()[0][0]
+    return ev.select(
+        "event_id", F.coalesce(masked, F.lit(med)).alias("value_imputed")
+    )
+
+
+@register(
+    "c2_mode_impute_batch",
+    "C2 mode imputation (data_processing.py:98-105) with the fully "
+    "deterministic groupBy-count formulation (highest count, smallest "
+    "value tie-break — pandas mode().iloc[0] semantics) — identical "
+    "ordering logic runs in the oracle, so ties cannot diverge.",
+    oracle="""
+        WITH m AS (
+            SELECT event_id,
+                   CASE WHEN value < 1 THEN NULL ELSE event_type END AS mt
+            FROM events
+        )
+        SELECT event_id,
+               COALESCE(mt, (SELECT mt FROM m WHERE mt IS NOT NULL
+                             GROUP BY mt ORDER BY count(*) DESC, mt LIMIT 1))
+                   AS type_imputed
+        FROM m
+    """,
+    tags=("C2", "impute", "mode"),
+)
+def c2_mode_impute_batch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    masked = F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("event_type"))
+    mode_row = (
+        ev.select(masked.alias("mt"))
+        .filter(F.col("mt").isNotNull())
+        .groupBy("mt")
+        .count()
+        .orderBy(F.desc("count"), F.asc("mt"))
+        .first()
+    )
+    return ev.select(
+        "event_id", F.coalesce(masked, F.lit(mode_row.mt)).alias("type_imputed")
+    )
+
+
+@register(
+    "c4_p99_outlier_cap",
+    "C4/C5 outlier cap to the batch p99 (data_processing.py:127-144: "
+    "values outside the legal range overwritten with the 99th percentile "
+    "computed over the whole batch). Exact percentile at oracle scale; "
+    "quality.py documents the percentile_approx switch for 100 TB.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_extendedprice >
+                         (SELECT quantile_cont(l_extendedprice, 0.99) FROM lineitem)
+                    THEN (SELECT quantile_cont(l_extendedprice, 0.99) FROM lineitem)
+                    ELSE l_extendedprice END AS price_capped
+        FROM lineitem
+    """,
+    tags=("C4", "C5", "percentile"),
+)
+def c4_p99_outlier_cap(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p99 = li.agg(F.percentile("l_extendedprice", F.lit(0.99))).collect()[0][0]
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(price > p99, F.lit(p99)).otherwise(price).alias("price_capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup / sort / set ops (SURVEY §2.5)
 # ---------------------------------------------------------------------------
 
