@@ -75,6 +75,65 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched alternative to :func:`brute_force_topk`: per corpus
+    partition, score all probes against the partition's candidate block
+    with one NumPy matmul, emit local top-k, then a global window keeps
+    the true top-k.
+
+    Same results as the native plan (tested equal); exists as the
+    vectorized-Python comparison point and the template for kernels that
+    genuinely need NumPy (e.g. PQ distance tables). Scales like the
+    native version: probes broadcast (driver-collected), corpus streamed
+    partition-parallel, only |partitions|·|probes|·k rows shuffle into
+    the final window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probe_rows = probes.select(id_col, vec_col).collect()
+    probe_ids = np.array([r[0] for r in probe_rows])
+    probe_mat = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    probe_norms = np.linalg.norm(probe_mat, axis=1)
+
+    out_schema = (
+        "probe_id long, neighbor_id long, cos_sim double"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            cand_ids = pdf[id_col].to_numpy()
+            cand = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = (probe_mat @ cand.T) / (
+                probe_norms[:, None] * np.linalg.norm(cand, axis=1)[None, :]
+            )
+            for i, pid in enumerate(probe_ids):
+                row_sims = sims[i]
+                mask = cand_ids != pid
+                ids, s = cand_ids[mask], row_sims[mask]
+                if len(ids) == 0:
+                    continue
+                # lexsort matches the global (-sim, neighbor_id) tie-break
+                top = np.lexsort((ids, -s))[:k]
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.full(len(top), pid),
+                        "neighbor_id": ids[top],
+                        "cos_sim": s[top],
+                    }
+                )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH (sign-bit bucketing)
 # ---------------------------------------------------------------------------

@@ -120,6 +120,72 @@ def streaming_hourly_demand(
     )
 
 
+def streaming_vendor_running_totals(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    glob_filter: str = "yellow_tripdata_*.parquet",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-vendor running trip count and revenue, carried across micro
+    batches in managed state.
+
+    This is the arbitrary-stateful tier Spark offers beyond windowed
+    aggregation — the state (one row per vendor) lives in the state
+    store, is checkpointed with the source offsets (crash → exact
+    resume), and each micro batch updates it with one Arrow-batched
+    pandas call per key group. The reference cannot express this at all:
+    its metrics recompute whole batches from scratch.
+
+    ``batch_fn`` receives each micro batch's updated (vendor, totals)
+    rows — the idempotent-upsert sink (memory sink can't recover from a
+    checkpoint, so restartability requires foreachBatch or a
+    transactional sink).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["total_amount"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"VendorID": [key[0]], "trip_count": [n], "total_revenue": [total]}
+        )
+
+    stream = (
+        spark.readStream.schema(TRIP_READ_SCHEMA)
+        .option("pathGlobFilter", glob_filter)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    running = (
+        stream.select("VendorID", "total_amount")
+        # null keys don't round-trip through the Arrow state batch; real
+        # pipelines impute VendorID first (C1) anyway
+        .filter(F.col("VendorID").isNotNull())
+        .groupBy("VendorID")
+        .applyInPandasWithState(
+            update,
+            outputStructType="VendorID double, trip_count long, total_revenue double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        running.writeStream.foreachBatch(batch_fn)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # explicit-manifest batch fallback (S3/S4 without a checkpoint dir)
 # ---------------------------------------------------------------------------

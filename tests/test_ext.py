@@ -66,6 +66,22 @@ def test_lsh_ann_results_subset_of_bruteforce_space(spark, sf_dir):
         assert cos <= brute[key] + 1e-12
 
 
+def test_pandas_udf_topk_equals_native(spark, sf_dir):
+    """The Arrow/NumPy brute-force variant returns exactly the native
+    plan's top-k (same tie-break)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    native = {
+        (r.probe_id, r.rank): (r.neighbor_id, round(r.cos_sim, 12))
+        for r in S.brute_force_topk(emb, probes, k=3).collect()
+    }
+    arrow = {
+        (r.probe_id, r.rank): (r.neighbor_id, round(r.cos_sim, 12))
+        for r in S.brute_force_topk_pandas(emb, probes, k=3).collect()
+    }
+    assert native == arrow
+
+
 def test_ivf_ann_recall_against_bruteforce(spark, sf_dir):
     """IVF with nprobe=2 of 16 cells should recover a meaningful share of
     the exact top-3 (and, like any pruned scan, never beat the exact

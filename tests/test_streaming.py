@@ -105,6 +105,46 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
         assert got[k][1] == pytest.approx(rev, rel=1e-9)
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-vendor totals across micro
+    batches AND across query restarts (state checkpointed with offsets)."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    latest: dict[float, tuple[int, float]] = {}
+
+    def upsert(df, _epoch):
+        for r in df.collect():
+            latest[r.VendorID] = (r.trip_count, round(r.total_revenue, 4))
+
+    _land(src, 2024, 1, n=300, seed=21)
+    q = streaming.streaming_vendor_running_totals(spark, str(src), ckpt, upsert)
+    q.awaitTermination()
+
+    # restart with one more file: totals must ACCUMULATE (state restored)
+    _land(src, 2024, 2, n=300, seed=22)
+    q = streaming.streaming_vendor_running_totals(spark, str(src), ckpt, upsert)
+    q.awaitTermination()
+    got = latest
+    batch = (
+        spark.read.parquet(str(src))
+        .filter(F.col("VendorID").isNotNull())
+        .groupBy("VendorID")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("total_amount"), F.lit(0.0))).alias("rev"),
+        )
+        .collect()
+    )
+    want = {r.VendorID: (r.n, round(r.rev, 4)) for r in batch}
+    assert set(got) == set(want)
+    for k, (n, rev) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(rev, rel=1e-9)
+
+
 def test_manifest_batch_fallback_idempotent(spark, tmp_path):
     src = tmp_path / "raw"
     src.mkdir()
