@@ -1,0 +1,59 @@
+"""Physical-plan shape guards: the scale posture (predicate pushdown,
+column pruning, broadcast joins, partial aggregation) is asserted, not
+assumed, so a conf or query regression fails CI rather than silently
+costing a shuffle at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = CATALOG[name].spark(spark, sf_dir)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_s1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_parquet_scan_pruned")
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan  # filter reached the scan
+    # projection pruned to exactly the three selected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_j1_star_join_all_broadcast(spark, sf_dir):
+    # "simple" mode prints each node once ("formatted" repeats them in
+    # the detail section, which breaks counting)
+    plan = _plan(spark, sf_dir, "j1_region_revenue_star_join", "simple")
+    assert plan.count("BroadcastHashJoin") == 3  # every dim broadcast
+    assert "SortMergeJoin" not in plan  # fact side never shuffles for a join
+    assert "HashAggregate" in plan  # partial+final agg
+
+
+def test_d6_anti_join_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "d6_manifest_anti_join")
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_a1_single_shuffle_partial_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a1_returnflag_performance", "simple")
+    # exact medians force ObjectHashAggregate; still partial → one
+    # exchange → final, nothing more
+    assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["x5_exact_dedup_groups", "x7_minhash_signatures", "x9_simhash_signatures"],
+)
+def test_text_ops_are_projection_plus_single_agg(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name, "simple")
+    # signature/fingerprint computation must stay a projection: at most
+    # the one dedup-group shuffle, never a join or extra exchange
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
