@@ -1,0 +1,68 @@
+"""Unit tests for the file-listing operator family S2-S6 (SURVEY.md §2.1):
+discovery, watermark bounding, keep-newest dedup, top-K, anti-join."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from taxi_aws_data_pipeline_spark import sources
+
+
+def _touch(path: str, mtime: datetime) -> None:
+    with open(path, "wb") as f:
+        f.write(b"x")
+    ts = mtime.timestamp()
+    os.utime(path, (ts, ts))
+
+
+def test_listing_filter_and_schema(spark, tmp_path):
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    _touch(str(tmp_path / "a.parquet"), base)
+    _touch(str(tmp_path / "b.parquet"), base + timedelta(hours=1))
+    _touch(str(tmp_path / "ignore.csv"), base)
+    listing = sources.list_files(spark, str(tmp_path))
+    rows = listing.collect()
+    assert sorted(r.basename for r in rows) == ["a.parquet", "b.parquet"]
+    assert all(r.size > 0 for r in rows)
+
+
+def test_watermark_bounding(spark, tmp_path):
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(4):
+        _touch(str(tmp_path / f"f{i}.parquet"), base + timedelta(hours=i))
+    listing = sources.list_files(spark, str(tmp_path))
+    since = sources.filter_since_watermark(listing, base + timedelta(hours=1))
+    names = [r.basename for r in since.collect()]
+    assert names == ["f2.parquet", "f3.parquet"]  # strict >, mtime ascending
+
+
+def test_dedup_keep_newest_per_basename(spark, tmp_path):
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    (tmp_path / "u1").mkdir()
+    (tmp_path / "u2").mkdir()
+    _touch(str(tmp_path / "u1" / "same.parquet"), base)
+    _touch(str(tmp_path / "u2" / "same.parquet"), base + timedelta(hours=2))
+    a = sources.list_files(spark, str(tmp_path / "u1"))
+    b = sources.list_files(spark, str(tmp_path / "u2"))
+    deduped = sources.dedup_keep_newest(a.unionByName(b)).collect()
+    assert len(deduped) == 1
+    assert "u2" in deduped[0].path  # newest wins
+
+
+def test_topk_newest(spark, tmp_path):
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(5):
+        _touch(str(tmp_path / f"f{i}.parquet"), base + timedelta(minutes=i))
+    top = sources.top_k_newest(sources.list_files(spark, str(tmp_path)), k=2).collect()
+    assert [r.basename for r in top] == ["f4.parquet", "f3.parquet"]
+
+
+def test_anti_join_processed(spark, tmp_path):
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    for i in range(3):
+        _touch(str(tmp_path / f"f{i}.parquet"), base)
+    listing = sources.list_files(spark, str(tmp_path))
+    processed = listing.filter(listing.basename == "f1.parquet").select("path")
+    todo = sources.anti_join_processed(listing, processed).collect()
+    assert sorted(r.basename for r in todo) == ["f0.parquet", "f2.parquet"]
