@@ -179,12 +179,19 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    probe_flips: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's sign-bit
-    bucket (recall can be raised via multi-probe — flipping one bit —
-    left as the documented extension). Same output shape as brute force.
+    bucket. ``probe_flips=1`` enables multi-probe: each probe also scans
+    the ``n_planes`` buckets at Hamming distance 1 (the vectors most
+    likely to be near-misses of the quantization), trading n_planes+1×
+    the candidate scan for sharply better recall — still a tiny fraction
+    of the corpus. The corpus side keeps exactly one bucket per vector
+    regardless, so the inverted index never grows.
+
+    Same output shape as brute force.
     """
     planes = hyperplanes(n_planes, dim)
     c = corpus.select(
@@ -195,7 +202,17 @@ def lsh_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
-        signature_bits(F.col(vec_col), planes).alias("probe_bucket"),
+        signature_bits(F.col(vec_col), planes).alias("b0"),
+    )
+    if probe_flips >= 1:
+        buckets = F.array(
+            F.col("b0"),
+            *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+    else:
+        buckets = F.array(F.col("b0"))
+    p = p.select(
+        "probe_id", "probe_vec", F.explode(buckets).alias("probe_bucket")
     )
     scored = (
         c.join(

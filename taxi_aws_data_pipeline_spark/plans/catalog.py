@@ -947,6 +947,51 @@ def w2_user_sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "w4_session_window_native",
+    "Native session_window sessionization (merge while consecutive gaps "
+    "< 30 min; window end = last event + gap) — the same islands as w2 "
+    "but via Spark's built-in session-window aggregation, which also "
+    "runs incrementally under Structured Streaming with watermarked "
+    "state. Oracle reproduces the merge rule as gaps-and-islands.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS seq
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts)                       AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+               COUNT(event_id)               AS n_events
+        FROM sessions
+        GROUP BY user_id, seq
+    """,
+    tags=("window", "sessionization", "streaming"),
+)
+def w4_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("event_id").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "w3_topk_per_group",
     "Top-3 orders by totalprice per priority class (rank window + filter): "
     "the per-key top-k pattern — partial top-k runs map-side before the "

@@ -369,15 +369,16 @@ def x10_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "x11_lsh_ann_topk",
     "Extension: approximate top-3 via random-hyperplane sign-bit LSH "
-    "(bucketed candidate scan — the scale path; recall vs x10 is the "
-    "quality metric, checked in tests). Hyperplanes are md5-derived at "
-    "plan build; not practically SQL-expressible → rows-only check.",
+    "with multi-probe (distance-1 bucket flips — the scale path; recall "
+    "vs x10 is the quality metric, checked in tests). Hyperplanes are "
+    "md5-derived at plan build; not practically SQL-expressible → "
+    "rows-only check.",
     oracle=None,
     tags=("ext", "similarity", "ann", "lsh"),
 )
 def x11_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, probe_flips=1)
 
 
 @register(

@@ -66,6 +66,28 @@ def test_lsh_ann_results_subset_of_bruteforce_space(spark, sf_dir):
         assert cos <= brute[key] + 1e-12
 
 
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    """Distance-1 bucket flips scan a candidate superset, so multi-probe
+    results contain every single-probe result and recall vs brute force
+    can only improve."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    brute = {
+        (r.probe_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, probes, k=3).collect()
+    }
+    single = {
+        (r.probe_id, r.neighbor_id)
+        for r in S.lsh_topk(emb, probes, k=3).collect()
+    }
+    multi = {
+        (r.probe_id, r.neighbor_id)
+        for r in S.lsh_topk(emb, probes, k=3, probe_flips=1).collect()
+    }
+    assert len(multi & brute) >= len(single & brute)
+    assert len(multi) >= len(single)
+
+
 def test_pandas_udf_topk_equals_native(spark, sf_dir):
     """The Arrow/NumPy brute-force variant returns exactly the native
     plan's top-k (same tie-break)."""
