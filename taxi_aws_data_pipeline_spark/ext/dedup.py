@@ -262,6 +262,44 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    threshold: float = 0.0,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates refined by the MinHash Jaccard estimator:
+    est = |agreeing hashes| / k.
+
+    This is the 100 TB near-dup decision path end-to-end: signatures are
+    a projection, candidates one bucket shuffle, and the estimate reads
+    only the two k-length signatures — the shingle sets (the expensive
+    part the estimator replaces) are never rematerialized. Use
+    jaccard_near_dup_pairs to audit the estimator at test scale.
+
+    Output: (doc_a, doc_b, jaccard_est) with doc_a < doc_b.
+    """
+    k = len(MINHASH_COEFFS)
+    cand = lsh_candidate_pairs(df, bands, text_col, id_col, n)
+    sig = minhash_signatures(df, text_col, id_col, n).persist()
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda same: same
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_est", agree.cast("double") / F.lit(float(k)))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

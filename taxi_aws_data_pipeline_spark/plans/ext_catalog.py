@@ -303,6 +303,51 @@ def x8_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     return X.lsh_candidate_pairs(load_table(spark, sf, "documents"))
 
 
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.mh{i:02d} = b.mh{i:02d} THEN 1 ELSE 0 END"
+    for i in range(len(X.MINHASH_COEFFS))
+)
+_MH_EST_ORACLE = f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform({sql_shingles('text')}, s -> {SQL_H.format(s='s')}) AS hs
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM hashed
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST({_AGREE_SQL} AS DOUBLE) / {len(X.MINHASH_COEFFS)}.0 AS jaccard_est
+    FROM cand
+    JOIN sig a ON a.doc_id = cand.doc_a
+    JOIN sig b ON b.doc_id = cand.doc_b
+"""
+
+
+@register(
+    "x15_minhash_jaccard_estimate",
+    "Extension: MinHash Jaccard estimation over the LSH candidates "
+    "(agreeing hashes / k) — the end-to-end scale decision path: "
+    "signatures are a projection, candidates one bucket shuffle, and "
+    "the estimate never rematerializes shingle sets (x6 is the exact "
+    "audit tool).",
+    oracle=_MH_EST_ORACLE,
+    tags=("ext", "dedup", "minhash", "lsh"),
+)
+def x15_minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    return X.minhash_jaccard_estimates(load_table(spark, sf, "documents"))
+
+
 _SIMHASH_BITS_SQL = " + ".join(
     f"""CASE WHEN list_sum(list_transform({SQL_WORDS.format(t='text')},
         t -> CASE WHEN ({SQL_H.format(s='t')} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END)) > 0
