@@ -33,6 +33,7 @@ BENCH_QUERIES = (
     "j1_region_revenue_star_join",
     "w1_tumbling_hourly_value",
     "w2_user_sessionization",
+    "j2_asof_join_prior_click",
     "g1_rollup_year_priority",
     "d2_union_schema_drift",
     "s5_keep_newest_per_key",

@@ -1080,3 +1080,156 @@ def k1_salted_skew_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c").alias("event_count"),
         F.round(F.sum("s"), 2).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "j2_asof_join_prior_click",
+    "As-of join: each 'view' event enriched with the user's most recent "
+    "prior-or-equal 'click' (the point-in-time lookup Spark has no native "
+    "operator for). Implemented as the scalable union-sort trick: tag both "
+    "event streams in ONE scan, single shuffle on user_id, then "
+    "last(ignorenulls) over an unbounded-preceding frame forward-fills the "
+    "click columns — no range crossjoin, no per-key collect, linear in rows. "
+    "Ties at equal ts resolve by event_id, identically in both dialects.",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+                   CASE WHEN event_type = 'click' THEN ts END AS click_ts
+            FROM events WHERE event_type IN ('view', 'click')
+        ), filled AS (
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(click_id IGNORE NULLS) OVER w AS asof_click_id,
+                   last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+            FROM tagged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, ts, asof_click_id, asof_click_ts
+        FROM filled WHERE event_type = 'view'
+    """,
+    tags=("join", "asof", "window"),
+)
+def j2_asof_join_prior_click(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn(
+        "asof_click_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return filled.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "asof_click_id", "asof_click_ts"
+    )
+
+
+@register(
+    "w5_moving_avg_lag_delta",
+    "Sliding-frame analytics: per-user 3-row moving average of value plus "
+    "delta vs the previous event (lag). The frame average accumulates in "
+    "DECIMAL so the 3-term sum is exact and order-free in both engines "
+    "(compat.py rationale); the lag delta is a single IEEE-754 subtraction. "
+    "One shuffle on user_id serves both window specs.",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   / COUNT(value) OVER w                         AS moving_avg_3,
+               value - lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)   AS delta_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "lag"),
+)
+def w5_moving_avg_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).over(wf).cast("double")
+            / F.count("value").over(wf)
+        ).alias("moving_avg_3"),
+        (F.col("value") - F.lag("value").over(wo)).alias("delta_prev"),
+    )
+
+
+@register(
+    "g2_cube_flag_status",
+    "CUBE multi-dimensional aggregate over (returnflag, linestatus): all "
+    "four grouping levels — cell, each one-dimension subtotal, grand total "
+    "— in ONE shuffle (Spark expands grouping sets map-side, partial-aggs "
+    "before the exchange). Complements g1's ROLLUP; group keys are non-null "
+    "in the data so NULL unambiguously marks subtotal rows.",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(l_orderkey)                        AS line_count,
+               {oracle_money_sum('l_extendedprice')}    AS sum_price
+        FROM lineitem
+        GROUP BY CUBE(1, 2)
+    """,
+    tags=("cube", "agg"),
+)
+def g2_cube_flag_status(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("l_orderkey").alias("line_count"),
+        money_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "j3_range_join_value_tiers",
+    "Range (interval-containment) join: each event matched to the value tier "
+    "whose [lo, hi) interval contains it — the non-equi join Spark has no "
+    "native operator for. Scale path: the interval dimension is tiny and "
+    "explicitly broadcast, so the plan is a BroadcastNestedLoopJoin with the "
+    "range predicate evaluated stream-side in codegen — no shuffle of the "
+    "fact side at all; the following aggregate is the only exchange. For a "
+    "large interval dimension the same shape generalizes to binning the "
+    "probe column and equi-joining on bin id (the IVF/LSH trick ext/ uses).",
+    oracle="""
+        WITH tiers(tier_name, lo, hi) AS (
+            VALUES ('T0', 0.0, 10.0), ('T1', 10.0, 100.0),
+                   ('T2', 100.0, 1000.0), ('T3', 1000.0, 1e18)
+        )
+        SELECT t.tier_name,
+               COUNT(*)                  AS event_count,
+               COUNT(DISTINCT e.user_id) AS distinct_users
+        FROM events e JOIN tiers t
+          ON e.value >= t.lo AND e.value < t.hi
+        GROUP BY t.tier_name
+    """,
+    tags=("join", "range", "broadcast"),
+)
+def j3_range_join_value_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    tiers = spark.createDataFrame(
+        [("T0", 0.0, 10.0), ("T1", 10.0, 100.0),
+         ("T2", 100.0, 1000.0), ("T3", 1000.0, 1e18)],
+        "tier_name string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("tier_name").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.countDistinct("user_id").alias("distinct_users"),
+    )
