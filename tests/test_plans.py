@@ -57,3 +57,28 @@ def test_text_ops_are_projection_plus_single_agg(spark, sf_dir, name):
     # the one dedup-group shuffle, never a join or extra exchange
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
+
+
+def test_j2_asof_join_single_shuffle_no_join(spark, sf_dir):
+    # the union-sort as-of formulation must stay join-free: one exchange
+    # on user_id feeds both window fills, nothing rejoins the fact side
+    plan = _plan(spark, sf_dir, "j2_asof_join_prior_click", "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_j3_range_join_broadcast_no_fact_shuffle(spark, sf_dir):
+    # the interval dim must broadcast (nested-loop, range predicate
+    # stream-side); the only exchanges are for the distinct aggregate,
+    # never a sort-merge of the fact side
+    plan = _plan(spark, sf_dir, "j3_range_join_value_tiers", "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_g2_cube_single_shuffle(spark, sf_dir):
+    # grouping-set expansion happens map-side before one partial→final agg
+    plan = _plan(spark, sf_dir, "g2_cube_flag_status", "simple")
+    assert plan.count("Exchange") == 1
+    assert "Expand" in plan
