@@ -1233,3 +1233,74 @@ def j3_range_join_value_tiers(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("event_count"),
         F.countDistinct("user_id").alias("distinct_users"),
     )
+
+
+@register(
+    "w6_sliding_window_halfhour",
+    "Sliding event-time window: 1-hour windows advancing every 30 minutes, "
+    "so each event contributes to exactly two overlapping windows. Spark's "
+    "window(ts, '1 hour', '30 minutes') expands events map-side into their "
+    "containing windows before ONE shuffle on the window key — identical "
+    "cost shape to a tumbling window times the overlap factor. The oracle "
+    "derives the same two windows per event from the epoch-aligned 30-min "
+    "slot (Spark windows are epoch-aligned by default).",
+    oracle=f"""
+        WITH slotted AS (
+            SELECT value,
+                   TIMESTAMP '1970-01-01 00:00:00'
+                       + CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                         * INTERVAL 1 SECOND
+                       AS slot
+            FROM events WHERE ts IS NOT NULL
+        ), expanded AS (
+            SELECT value, slot AS window_start FROM slotted
+            UNION ALL
+            SELECT value, slot - INTERVAL 30 MINUTE AS window_start FROM slotted
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               COUNT(*)                       AS event_count,
+               {oracle_money_sum('value')}    AS total_value
+        FROM expanded
+        GROUP BY window_start
+    """,
+    tags=("window", "sliding", "streaming", "agg"),
+)
+def w6_sliding_window_halfhour(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "k2_approx_sketches",
+    "The approximate tier of A6's scalar statistics: HyperLogLog++ distinct "
+    "count and approximate percentiles over lineitem — the documented "
+    "exact↔approx switch (SURVEY §4) that replaces exact median/p99 above a "
+    "row-count threshold. Both sketches are constant-memory, single-pass, "
+    "mergeable across partitions, so at 100 TB they cost one map-side pass "
+    "plus a tiny final merge where exact percentile would need a full sort. "
+    "No SQL oracle: HLL/t-digest internals are engine-specific; accuracy is "
+    "pinned instead by tests/test_plans.py (rel-error vs the exact values).",
+    oracle=None,
+    tags=("sketch", "approx", "agg"),
+)
+def k2_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10_000
+        ).alias("approx_price_p50_p99"),
+    )

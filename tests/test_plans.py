@@ -82,3 +82,20 @@ def test_g2_cube_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "g2_cube_flag_status", "simple")
     assert plan.count("Exchange") == 1
     assert "Expand" in plan
+
+
+def test_k2_sketch_accuracy_vs_exact(spark, sf_dir):
+    # the approx tier must stay within its advertised error of the exact
+    # statistics it replaces at scale (rsd=2% HLL; 1/10k-accuracy t-digest)
+    from taxi_aws_data_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = CATALOG["k2_approx_sketches"].spark(spark, sf_dir).first()
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("pcts"),
+    ).first()
+    assert abs(approx["approx_parts"] - exact["parts"]) / exact["parts"] < 0.05
+    for a, e in zip(approx["approx_price_p50_p99"], exact["pcts"]):
+        assert abs(a - e) / e < 0.01
