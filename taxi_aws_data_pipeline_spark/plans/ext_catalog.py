@@ -465,3 +465,62 @@ def x12_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 def x13_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return TX.add_rolling_hash(docs).select("doc_id", "rolling_hash")
+
+
+@register(
+    "x16_deterministic_hash_sample",
+    "Reproducible corpus sampling: keep the ~1/8 of documents whose "
+    "md5(doc_id) starts with '0' or '1'. Hash-based sampling is THE "
+    "training-data sampling primitive — deterministic across runs, "
+    "cluster-size-independent, composable (re-running with a wider prefix "
+    "set strictly grows the sample), and embarrassingly parallel: a pure "
+    "projection+filter with no shuffle, unlike rand()-based sampling which "
+    "is irreproducible across retries/speculative tasks.",
+    oracle="""
+        SELECT doc_id, length(text) AS text_len
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    tags=("sampling", "deterministic", "text"),
+)
+def x16_deterministic_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", F.length("text").alias("text_len"))
+
+
+@register(
+    "x17_decontaminate_anti_join",
+    "Benchmark decontamination: drop every document whose exact content "
+    "fingerprint appears in a held-out 'benchmark' set (here: the 10 "
+    "longest docs, tie-broken by doc_id — a stand-in for a real eval set). "
+    "The benchmark side is tiny by construction, so the plan is a broadcast "
+    "LEFT ANTI join on md5(text): the 100 TB corpus side never shuffles, "
+    "each partition just probes the broadcast fingerprint set. Null texts "
+    "are excluded up front so NOT-IN/anti-join null semantics agree.",
+    oracle="""
+        WITH benchmark AS (
+            SELECT md5(text) AS fp
+            FROM documents WHERE text IS NOT NULL
+            ORDER BY length(text) DESC, doc_id
+            LIMIT 10
+        )
+        SELECT d.doc_id, md5(d.text) AS fp
+        FROM documents d
+        WHERE d.text IS NOT NULL
+          AND md5(d.text) NOT IN (SELECT fp FROM benchmark)
+    """,
+    tags=("decontamination", "anti-join", "broadcast", "dedup"),
+)
+def x17_decontaminate_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    benchmark = (
+        docs.orderBy(F.length("text").desc(), "doc_id")
+        .limit(10)
+        .select(F.md5("text").alias("fp"))
+    )
+    corpus = docs.select("doc_id", F.md5("text").alias("fp"))
+    return corpus.join(F.broadcast(benchmark), on="fp", how="left_anti").select(
+        "doc_id", "fp"
+    )

@@ -99,3 +99,11 @@ def test_k2_sketch_accuracy_vs_exact(spark, sf_dir):
     assert abs(approx["approx_parts"] - exact["parts"]) / exact["parts"] < 0.05
     for a, e in zip(approx["approx_price_p50_p99"], exact["pcts"]):
         assert abs(a - e) / e < 0.01
+
+
+def test_x17_decontamination_broadcast_anti(spark, sf_dir):
+    # the corpus side must never shuffle: benchmark fingerprints broadcast,
+    # anti-join probes them partition-locally
+    plan = _plan(spark, sf_dir, "x17_decontaminate_anti_join", "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
