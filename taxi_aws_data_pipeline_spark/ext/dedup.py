@@ -374,3 +374,78 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over the candidate-pair graph)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster assignment for near-duplicate documents: connected
+    components over the MinHash-LSH candidate-pair graph, each doc labeled
+    with the min doc id reachable from it (``cluster_id``). Keeping
+    ``cluster_id == doc_id`` rows afterward is the canonical
+    one-doc-per-near-dup-cluster dedup policy.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels, until a fixpoint. Rounds
+    are pure join+groupBy (no driver-side data), so each round is one
+    shuffle; convergence needs O(component diameter) rounds, and near-dup
+    components are dense quasi-cliques (diameter 2-3 in practice). For
+    graphs with long chains, the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) drops rounds to O(log n) — same join shape, documented here
+    as the scale escape hatch.
+
+    Only docs that appear in at least one candidate pair are returned;
+    everything else is its own singleton cluster by definition.
+    """
+    pairs = lsh_candidate_pairs(df, bands, text_col, id_col, n)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    cached = labels  # the persisted frame backing the current labels
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                labels.node,
+                F.col("label").alias("old_label"),
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        # the convergence-check count also materializes proposed's cache,
+        # so the next round (and the returned frame) read it, not its
+        # lineage; only then is the previous generation safe to drop
+        changed = proposed.filter(F.col("label") != F.col("old_label")).count()
+        cached.unpersist()
+        cached = proposed
+        labels = proposed.select("node", "label")
+        if changed == 0:
+            break
+
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    edges.unpersist()
+    return out

@@ -127,3 +127,41 @@ def add_rolling_hash(
         lambda acc, ch: (acc * base + F.coalesce(F.ascii(ch), F.lit(0))) % mod,
     )
     return df.withColumn("rolling_hash", rolled)
+
+
+def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-line repetition signals (the Gopher/MassiveText-style
+    repetition filter): per document, the count of non-empty lines, the
+    count of distinct lines, and the duplicate-line fraction
+    ``1 - distinct/total`` (0.0 for empty docs).
+
+    Pure projection — array ops over split(), no explode, no shuffle —
+    so at 100 TB it costs one codegen'd map pass. ``bind_once`` keeps the
+    split+filter array from being evaluated once per consumer.
+    """
+    from .dedup import bind_once
+
+    raw_lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0
+    )
+
+    def signals(lines: Column) -> Column:
+        total = F.size(lines)
+        distinct = F.size(F.array_distinct(lines))
+        ratio = F.when(
+            total > 0, 1.0 - distinct.cast("double") / total
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            total.alias("n_lines"),
+            distinct.alias("n_distinct_lines"),
+            ratio.alias("dup_line_ratio"),
+        )
+
+    bound = bind_once(raw_lines, signals)
+    return (
+        df.withColumn("_rep", bound)
+        .withColumn("n_lines", F.col("_rep.n_lines"))
+        .withColumn("n_distinct_lines", F.col("_rep.n_distinct_lines"))
+        .withColumn("dup_line_ratio", F.col("_rep.dup_line_ratio"))
+        .drop("_rep")
+    )

@@ -1304,3 +1304,143 @@ def k2_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10_000
         ).alias("approx_price_p50_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth tier: the join / subquery shapes a SQL user of the
+# engine expects beyond the star join (SURVEY §2.3 notes the reference has
+# zero joins; these pin the outer / semi / self-aggregate / distinct-agg
+# physical strategies for the 100 TB posture)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_customer_order_distribution",
+    "Left-outer join + two-level aggregation (TPC-H Q13 shape): orders per "
+    "customer including zero-order customers, then the distribution of that "
+    "count. Orders are pre-aggregated to (custkey, count) BEFORE the join, "
+    "so only one compact row per customer crosses the wire instead of every "
+    "order row — the partial-agg-below-join rewrite that matters at 100 TB. "
+    "The second groupBy is over ~tens of distinct counts: AQE coalesces it "
+    "to a few partitions.",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey, COUNT(o_orderkey) AS c_count
+            FROM orders
+            GROUP BY o_custkey
+        )
+        SELECT COALESCE(p.c_count, 0) AS c_count,
+               COUNT(c.c_custkey)     AS custdist
+        FROM customer c
+        LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+        GROUP BY 1
+    """,
+    tags=("join", "outer", "agg"),
+)
+def j4_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    cu = load_table(spark, sf, "customer")
+    od = load_table(spark, sf, "orders")
+    per_cust = od.groupBy("o_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        cu.join(per_cust, cu.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"), "c_custkey")
+        .groupBy("c_count")
+        .agg(F.count("c_custkey").alias("custdist"))
+    )
+
+
+@register(
+    "j5_exists_semi_join",
+    "EXISTS-style LEFT SEMI join with a non-equi conjunct (TPC-H Q4 shape): "
+    "count orders per priority that have at least one lineitem shipped "
+    "after the order date. Semi join never duplicates the left side no "
+    "matter how many lineitems match, and Spark dedups the probe input "
+    "map-side; both sides hash-partition on orderkey only — the non-equi "
+    "ship-date conjunct evaluates post-probe without widening the shuffle "
+    "key.",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(o.o_orderkey) AS late_order_count
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "semi", "agg"),
+)
+def j5_exists_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate)
+    return (
+        od.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("o_orderkey").alias("late_order_count"))
+    )
+
+
+@register(
+    "j6_small_quantity_revenue",
+    "Self-join against a per-key aggregate threshold (TPC-H Q17 shape): "
+    "revenue from lineitems whose quantity is below half the part's average "
+    "quantity. The per-part average is the decimal-exact money_avg (order-"
+    "independent, so both engines derive the identical double threshold); "
+    "the probe side compares l_quantity*2 < avg — one IEEE op, no cross-"
+    "engine rounding hazard. Physically both sides shuffle on l_partkey, so "
+    "Spark reuses one exchange for the aggregate and the join.",
+    oracle=f"""
+        WITH thresh AS (
+            SELECT l_partkey,
+                   {oracle_money_avg('l_quantity')} AS avg_qty
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT {oracle_money_sum('l.l_extendedprice')} AS small_qty_revenue,
+               COUNT(*)                                AS item_count
+        FROM lineitem l
+        JOIN thresh t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity * 2 < t.avg_qty
+    """,
+    tags=("join", "self-aggregate", "agg"),
+)
+def j6_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(money_avg("l_quantity").alias("avg_qty"))
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") * 2 < F.col("avg_qty"))
+        .agg(
+            money_sum("l_extendedprice").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("item_count"),
+        )
+    )
+
+
+@register(
+    "a7_distinct_suppliers_per_part",
+    "COUNT(DISTINCT) aggregation through a broadcast dim join (TPC-H Q16 "
+    "shape): distinct suppliers per (brand, size). The dim join broadcasts "
+    "(part is small relative to the fact at every SF), and Spark plans the "
+    "distinct as a two-phase expand/partial-dedup aggregate, so duplicate "
+    "(group, suppkey) pairs die map-side before the shuffle.",
+    oracle="""
+        SELECT p.p_brand, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, p.p_size
+    """,
+    tags=("agg", "distinct", "join", "broadcast"),
+)
+def a7_distinct_suppliers_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    pa = load_table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

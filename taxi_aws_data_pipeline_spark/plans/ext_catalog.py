@@ -524,3 +524,243 @@ def x17_decontaminate_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.join(F.broadcast(benchmark), on="fp", how="left_anti").select(
         "doc_id", "fp"
     )
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_LSH_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst
+        FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+    FROM walk
+    GROUP BY node
+"""
+
+
+@register(
+    "x18_near_dup_clusters",
+    "Near-dup cluster assignment: connected components over the MinHash-LSH "
+    "candidate-pair graph via iterative min-label propagation (each round "
+    "one join+groupBy shuffle; near-dup components are quasi-cliques so it "
+    "converges in O(diameter)≈2-3 rounds; large-star/small-star is the "
+    "documented O(log n) scale path). This is the step between candidate "
+    "PAIRS (x8) and an actual dedup POLICY: keep cluster_id == doc_id, drop "
+    "the rest. Oracle: DuckDB recursive CTE reachability over the same "
+    "pairs.",
+    oracle=_CLUSTER_ORACLE,
+    tags=("ext", "dedup", "clustering", "iterative"),
+)
+def x18_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    return X.near_dup_clusters(load_table(spark, sf, "documents"))
+
+
+@register(
+    "x19_repetition_signals",
+    "Duplicate-line repetition signals (Gopher/MassiveText repetition "
+    "filter): per-doc non-empty line count, distinct line count, and "
+    "duplicate-line fraction. Pure projection (array ops on split(), no "
+    "explode) — one codegen'd map pass at any scale, zero shuffle.",
+    oracle="""
+        SELECT doc_id,
+               len(lines)                AS n_lines,
+               len(list_distinct(lines)) AS n_distinct_lines,
+               CASE WHEN len(lines) > 0
+                    THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                               / len(lines)
+                    ELSE 0.0 END         AS dup_line_ratio
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               x -> length(x) > 0) AS lines
+            FROM documents
+        )
+    """,
+    tags=("ext", "text", "quality", "repetition"),
+)
+def x19_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return TX.add_repetition_signals(docs).select(
+        "doc_id", "n_lines", "n_distinct_lines", "dup_line_ratio"
+    )
+
+
+@register(
+    "x20_stratified_quota_sample",
+    "Stratified quota sampling: a deterministic per-language sample of up "
+    "to 25 docs, ranked by md5(doc_id) within each language (doc_id as "
+    "tie-break). The training-mix primitive — per-stratum quotas with "
+    "hash ranking stay reproducible across runs and cluster sizes, unlike "
+    "rand()-ordered sampling. One shuffle on the stratum key; for skewed "
+    "strata the rank can run over salted sub-strata whose per-salt quotas "
+    "are merged (documented scale path).",
+    oracle="""
+        SELECT doc_id, lang, rn
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 25
+    """,
+    tags=("ext", "sampling", "stratified", "window"),
+)
+def x20_stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+@register(
+    "x21_embedding_label_centroids",
+    "Per-label embedding centroids (the k-means/IVF 'update' step and the "
+    "class-prototype primitive): posexplode to (label, pos, val), then a "
+    "fixed-point positional mean: components quantize via floor(val*1e6) "
+    "to BIGINT (one IEEE multiply + floor — bit-identical in any engine, "
+    "unlike float→decimal casts, whose midpoint rounding differs between "
+    "Spark's shortest-string BigDecimal path and DuckDB's exact-binary "
+    "path), integer-sum exactly (order-free), divide once at the end. "
+    "Map-side partial aggregation compresses the exploded rows to "
+    "|labels|×dim per partition before the single shuffle, so the explode "
+    "never hits the wire at scale. Flattened to one row per (label, pos): "
+    "arrays of doubles don't value-hash portably.",
+    oracle="""
+        SELECT label, pos,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+                    AS DOUBLE) / (1000000.0 * COUNT(val)) AS centroid,
+               COUNT(val)                                 AS n
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding)                     AS val
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
+    tags=("ext", "embedding", "centroid", "agg"),
+)
+def x21_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    q = F.floor(F.col("val").cast("double") * 1000000)
+    return ex.groupBy("label", "pos").agg(
+        (
+            F.sum(q).cast("double") / (F.lit(1000000.0) * F.count("val"))
+        ).alias("centroid"),
+        F.count("val").alias("n"),
+    )
+
+
+# Portable across Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+# lookaround, explicit character classes only.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "x22_pii_email_redaction",
+    "PII scrubbing (training-data compliance tier): count email-shaped "
+    "spans and fingerprint the redacted text (md5 after replacing each "
+    "span with '<EMAIL>'). Projection-only — regexp_count + "
+    "regexp_replace in one codegen'd map pass, no shuffle; the regex is "
+    "restricted to the Java-regex ∩ RE2 common dialect so both engines "
+    "see identical spans.",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_EMAIL_RE}'))      AS email_count,
+               md5(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS redacted_fp
+        FROM documents
+    """,
+    tags=("ext", "text", "pii", "redaction"),
+)
+def x22_pii_email_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("email_count"),
+        F.md5(F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")).alias("redacted_fp"),
+    )
+
+
+@register(
+    "x23_tfidf_top_terms",
+    "TF-IDF top-3 terms per document with a RATIONAL idf weight "
+    "(N+1)/(df+1) instead of ln() — Java's Math.log and DuckDB's libm ln "
+    "disagree in the last ulp, so the portable formulation keeps the "
+    "score inside exactly-reproducible IEEE multiply/divide; the ranking "
+    "is ln-equivalent because log is monotone. Three shuffles: term "
+    "frequency per (doc, term), document frequency per term, and the "
+    "per-doc top-k window; ties break on the term string so the k rows "
+    "are total-ordered.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> ''
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) DESC,
+                                tf.term
+                   ) AS rn
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, rn
+        FROM scored WHERE rn <= 3
+    """,
+    tags=("ext", "text", "tfidf", "window"),
+)
+def x23_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )

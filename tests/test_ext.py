@@ -166,3 +166,54 @@ def test_frame_sample_plan(spark):
     assert [(r.asset_id, r.frame_ts_ms) for r in frames] == [
         (1, 0), (1, 1000), (1, 2000), (1, 3000)
     ]
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    """A~B and B~C near-dup edges must land A, B, C in ONE cluster labeled
+    with the min doc_id, even when A and C never share an LSH bucket
+    directly — the property candidate PAIRS alone don't give you."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, base + " extra trailing"),  # near-dup of 2 (and likely 1)
+            (9, "completely unrelated text about spark catalyst optimizer internals"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = {r.doc_id: r.cluster_id for r in X.near_dup_clusters(df).collect()}
+    # docs 1,2,3 connected (possibly transitively) → all labeled 1
+    assert clusters.get(1) == clusters.get(2) == clusters.get(3) == 1
+    assert 9 not in clusters  # no candidate pair → singleton, not returned
+
+
+def test_repetition_signals_counts_duplicate_lines(spark):
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\n\na"),   # 4 non-empty lines, 2 distinct
+            (2, "x\ny\nz"),        # no repetition
+            (3, ""),               # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TX.add_repetition_signals(df).collect()}
+    assert rows[1].n_lines == 4 and rows[1].n_distinct_lines == 2
+    assert rows[1].dup_line_ratio == pytest.approx(0.5)
+    assert rows[2].dup_line_ratio == 0.0
+    assert rows[3].n_lines == 0 and rows[3].dup_line_ratio == 0.0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    fn = CATALOG["x20_stratified_quota_sample"].spark
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b  # reproducible across runs
+    per_lang = {}
+    for doc_id, lang, rn in a:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert all(v <= 25 for v in per_lang.values())

@@ -107,3 +107,31 @@ def test_x17_decontamination_broadcast_anti(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x17_decontaminate_anti_join", "simple")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_j4_partial_agg_below_outer_join(spark, sf_dir):
+    # orders must aggregate to (custkey, count) BEFORE the outer join so
+    # only one row per customer crosses the wire
+    plan = _plan(spark, sf_dir, "j4_customer_order_distribution", "simple")
+    assert "LeftOuter" in plan, plan
+    # an aggregate sits BELOW the join (textually after it in tree order):
+    # the orders side was reduced to (custkey, count) pre-join — compact
+    # enough that Spark then broadcasts it
+    assert plan.rindex("HashAggregate") > plan.index("LeftOuter"), plan
+
+
+def test_j5_semi_join_no_duplication(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j5_exists_semi_join", "simple")
+    assert "LeftSemi" in plan
+
+
+def test_a7_broadcast_dim_distinct_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a7_distinct_suppliers_per_part", "simple")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # two-phase distinct: partial dedup before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_x19_repetition_is_pure_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x19_repetition_signals", "simple")
+    assert "Exchange" not in plan and "Join" not in plan
