@@ -43,6 +43,11 @@ BENCH_QUERIES = (
     "x8_minhash_lsh_candidate_pairs",
     "x9_simhash_signatures",
     "x10_cosine_topk_bruteforce",
+    "j4_customer_order_distribution",
+    "a7_distinct_suppliers_per_part",
+    "x18_near_dup_clusters",
+    "x21_embedding_label_centroids",
+    "x23_tfidf_top_terms",
 )
 
 

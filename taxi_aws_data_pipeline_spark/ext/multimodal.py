@@ -126,3 +126,85 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("asset_id", "frame_ts_ms", "width", "height")
     )
+
+
+# ---------------------------------------------------------------------------
+# real (dependency-free) header probing: container formats carry their
+# dimensions in the first bytes, so width/height extraction needs no
+# imaging library — this stage is NOT stubbed
+# ---------------------------------------------------------------------------
+
+DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),  # png|jpeg|gif|None
+        T.StructField("probe_width", T.IntegerType(), True),
+        T.StructField("probe_height", T.IntegerType(), True),
+    ]
+)
+
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}  # DHT / JPG / DAC share the SOF range
+
+
+def parse_image_dims(b: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from container headers; (None,)*3 if the
+    bytes are not a recognized image."""
+    if not b:
+        return None, None, None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"\xff\xd8":  # JPEG: walk the marker stream to a SOF
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # bare markers carry no length
+                continue
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return "jpeg", None, None
+    return None, None, None
+
+
+def probe_image_dimensions(assets: DataFrame) -> DataFrame:
+    """Arrow-batched header probe: real width/height extraction from PNG /
+    GIF / JPEG bytes, no imaging library. The validation tier of a media
+    ingest pipeline — compare probed dims against declared metadata
+    before paying for a full decode; same mapInPandas shape (and scale
+    posture) as the stubbed feature kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_dims(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": [p[0] for p in parsed],
+                    "probe_width": pd.array(
+                        [p[1] for p in parsed], dtype="Int32"
+                    ),
+                    "probe_height": pd.array(
+                        [p[2] for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(run, DIMS_SCHEMA)

@@ -58,3 +58,28 @@ def publish_latest(df: DataFrame, base_path: str, table: str) -> str:
     path = os.path.join(base_path, "processed", table, "latest")
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed, sorted managed table: pre-shuffles ONCE at write time so
+    every later equi-join or aggregation on ``bucket_col`` is
+    exchange-free (Spark reads each bucket as a pre-partitioned,
+    pre-sorted split).
+
+    This is the 100 TB co-located-join strategy the reference cannot
+    express: when a fact table is joined on the same key by many
+    downstream queries, bucketing amortizes the shuffle across all of
+    them. Bucket count should put one bucket ≈ one task's worth of data
+    (128-512 MB) at the target scale; both join sides must agree on
+    (col, n_buckets) for the exchange to be elided.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)

@@ -226,3 +226,47 @@ def incremental_batch(
     process_fn(df, paths)
     append_manifest(spark, manifest_path, todo)
     return paths
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    batch_fn: Callable[[DataFrame, int], None],
+    event_time_col: str = "tpep_pickup_datetime",
+    watermark: str = "2 hours",
+    glob_filter: str = "yellow_tripdata_*.parquet",
+):
+    """Streaming ingestion dedup: emit each key once, dropping re-arrivals
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming twin of the batch dedup tier (D1/x5): the reference
+    dedups whole batches in memory (data_processing.py:117-121), which
+    cannot span batch boundaries; here duplicate rows that arrive in
+    LATER files (retransmits, overlapping uploads) are dropped too, as
+    long as they arrive within the watermark of the original. State is
+    bounded: keys older than the watermark are evicted, so at 100 TB/day
+    the dedup map holds only the horizon's keys — the standard trade of
+    exactness-within-horizon for bounded state (exact global dedup stays
+    a batch job over the landed table).
+
+    Deduped rows flow to ``batch_fn`` (foreachBatch — unlike a memory
+    sink, it supports checkpoint recovery, so re-running after a crash
+    resumes the dedup state instead of failing).
+    """
+    stream = (
+        spark.readStream.schema(TRIP_READ_SCHEMA)
+        .option("pathGlobFilter", glob_filter)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    deduped = stream.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(key_cols)
+    return (
+        deduped.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

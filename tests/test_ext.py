@@ -217,3 +217,34 @@ def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
     for doc_id, lang, rn in a:
         per_lang[lang] = per_lang.get(lang, 0) + 1
     assert all(v <= 25 for v in per_lang.values())
+
+
+def test_image_header_probe_real_bytes(spark):
+    """The header probe is REAL (not stubbed): PNG/GIF/JPEG dimensions
+    parsed from raw container bytes through the mapInPandas stage."""
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 5
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), None, None, None),
+            (2, "image", bytearray(gif), None, None, None),
+            (3, "image", bytearray(jpg), None, None, None),
+            (4, "image", bytearray(b"junk"), None, None, None),
+            (5, "image", None, None, None, None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.probe_image_dimensions(df).collect()}
+    assert (rows[1].format, rows[1].probe_width, rows[1].probe_height) == ("png", 640, 480)
+    assert (rows[2].format, rows[2].probe_width, rows[2].probe_height) == ("gif", 320, 200)
+    assert (rows[3].format, rows[3].probe_width, rows[3].probe_height) == ("jpeg", 640, 480)
+    assert rows[4].format is None and rows[5].format is None

@@ -66,3 +66,38 @@ def test_anti_join_processed(spark, tmp_path):
     processed = listing.filter(listing.basename == "f1.parquet").select("path")
     todo = sources.anti_join_processed(listing, processed).collect()
     assert sorted(r.basename for r in todo) == ["f0.parquet", "f2.parquet"]
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same (key, n_buckets) join without any
+    Exchange: the write-time shuffle is reused by every downstream join —
+    the co-located-join contract write_bucketed_table promises at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark import sinks
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    sinks.write_bucketed_table(li, "li_bucketed", "l_orderkey", 8, "l_orderkey")
+    sinks.write_bucketed_table(od, "od_bucketed", "o_orderkey", 8, "o_orderkey")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("od_bucketed").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the unbucketed join
+        expected = li.join(od, li.l_orderkey == od.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")

@@ -165,3 +165,46 @@ def test_manifest_batch_fallback_idempotent(spark, tmp_path):
     third = streaming.incremental_batch(spark, str(src), manifest, process)
     assert len(third) == 1 and "2024-03" in third[0]
     assert len(seen) == 3
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-sent rows (same key, same event time) landing in a later file are
+    emitted once; the memory sink matches a batch dropDuplicates over the
+    union of both files."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(7)
+    df = make_trips(200, 2024, 1, rng)
+    df.to_parquet(
+        src / "yellow_tripdata_2024-01.parquet",
+        index=False, coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    # retransmit: the first 60 rows arrive again in a second file
+    df.head(60).to_parquet(
+        src / "yellow_tripdata_2024-01b.parquet",
+        index=False, coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    keys = [
+        "tpep_pickup_datetime", "VendorID", "PULocationID",
+        "DOLocationID", "fare_amount", "total_amount",
+    ]
+    counts: list[int] = []
+
+    def batch_fn(df, epoch_id):
+        counts.append(df.count())
+
+    q = streaming.streaming_dedup_within_watermark(
+        spark, str(src), ckpt, keys, batch_fn
+    )
+    q.awaitTermination()
+    expected = spark.read.parquet(str(src)).dropDuplicates(keys).count()
+    assert sum(counts) == expected
+
+    # restart with nothing new → checkpoint recovery works, no new rows
+    counts.clear()
+    q = streaming.streaming_dedup_within_watermark(
+        spark, str(src), ckpt, keys, batch_fn
+    )
+    q.awaitTermination()
+    assert sum(counts) == 0
