@@ -1444,3 +1444,61 @@ def a7_distinct_suppliers_per_part(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "g3_grouping_sets_explicit",
+    "Explicit GROUPING SETS — the general form behind ROLLUP (g1) and CUBE "
+    "(g2): exactly the (priority), (status), and grand-total groupings, "
+    "skipping the cross cells a CUBE would also pay for, plus grouping_id() "
+    "so consumers can tell a subtotal NULL from a data NULL. Same one-"
+    "shuffle Expand plan as cube/rollup.",
+    oracle=f"""
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                                                      AS grouping_level,
+               COUNT(o_orderkey)                      AS order_count,
+               {oracle_money_sum('o_totalprice')}     AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("grouping-sets", "agg"),
+)
+def g3_grouping_sets_explicit(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    od.createOrReplaceTempView("g3_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id(o_orderpriority, o_orderstatus) AS grouping_level,
+               COUNT(o_orderkey)                           AS order_count,
+               CAST(ROUND(SUM(CAST(o_totalprice AS decimal(28,6))), 2) AS DOUBLE)
+                                                           AS sum_price
+        FROM g3_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "w7_ntile_quartiles",
+    "NTILE window: orders bucketed into price quartiles within each "
+    "priority (the per-group quantile-binning primitive; feature-binning "
+    "tier for training pipelines). Total order via (price, key) tie-break "
+    "so bucket boundaries are deterministic in both engines.",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS price_quartile
+        FROM orders
+    """,
+    tags=("window", "ntile", "binning"),
+)
+def w7_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    od = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )

@@ -764,3 +764,56 @@ def x23_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf", "rn")
     )
+
+
+@register(
+    "x24_edit_distance_pairs",
+    "Fuzzy (edit-distance) near-match pairs: documents blocked on an "
+    "identical 16-char normalized prefix, then levenshtein over the "
+    "first 80 chars <= 10. Prefix blocking is the q-gram-style filter "
+    "that keeps the quadratic DP off the full cross product — one "
+    "shuffle on the block key, DP only within buckets (same shape as "
+    "the LSH/simhash blocked self-joins). Both engines implement "
+    "classic Levenshtein, so the distances hash-match exactly.",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substr(a.norm, 1, 80), substr(b.norm, 1, 80))
+                   AS edit_distance
+        FROM d a JOIN d b
+          ON substr(a.norm, 1, 16) = substr(b.norm, 1, 16)
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.norm, 1, 80), substr(b.norm, 1, 80)) <= 10
+    """,
+    tags=("ext", "dedup", "fuzzy", "levenshtein"),
+)
+def x24_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("norm"),
+    ).persist()  # self-join: normalize once per side
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(
+        F.substring(F.col("a.norm"), 1, 80), F.substring(F.col("b.norm"), 1, 80)
+    )
+    return (
+        a.join(
+            b,
+            (
+                F.substring(F.col("a.norm"), 1, 16)
+                == F.substring(F.col("b.norm"), 1, 16)
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 10)
+    )
