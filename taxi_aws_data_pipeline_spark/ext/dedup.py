@@ -133,42 +133,74 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+# Blocking cap: shingles appearing in more documents than this are dropped
+# from CANDIDATE GENERATION (never from the Jaccard itself). An ultra-common
+# shingle ("terms of service apply") otherwise creates one quadratic block —
+# df docs → df²/2 joined pairs on a single reducer, the classic skew blowup.
+# Pairs whose every shared shingle is above the cap are boilerplate-only
+# overlap by definition (the standard frequent-shingle trick). 1024 is far
+# above any doc frequency in the test fixtures (≤500 docs at sf0.01), so
+# oracle results are unchanged there while the worst block at scale is
+# bounded at ~0.5M pairs.
+MAX_SHINGLE_DF = 1024
+
+
 def jaccard_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over shingle-blocked candidate pairs.
 
-    Only pairs sharing ≥1 shingle are materialized (inner join on the
-    exploded shingle), then |A∩B| is a group count and |A∪B| = nA+nB-∩.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Candidates = pairs sharing ≥1 shingle with doc-frequency ≤
+    ``max_shingle_df`` (``None`` disables the cap). The Jaccard itself is
+    EXACT regardless of the cap: |A∩B| is computed from the two full
+    shingle arrays at pair time (``array_intersect``), not from the
+    blocked join, so capping only prunes which pairs are considered —
+    never their scores. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    # sh feeds three consumers (both join sides + the size agg); persist so
-    # the shingle explode runs once — at scale this is the materialized
-    # doc→shingle index every pass shares
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    ).persist()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+    # the doc→shingle-array index feeds candidate generation AND both
+    # sides of the scoring join; persist so shingling runs once — at scale
+    # this is the materialized index every pass shares
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), n).alias("shs"),
+        )
+        .withColumn("n_sh", F.size("shs"))
+        .persist()
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sh = docs.select("doc", F.explode("shs").alias("s"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df_s"))
+            .filter(F.col("df_s") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(
+        F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    db = docs.select(
+        F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .withColumn(
             "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+            common.cast("double") / (F.col("n_a") + F.col("n_b") - common),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -381,43 +413,25 @@ def simhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def near_dup_clusters(
-    df: DataFrame,
-    bands: int = LSH_BANDS,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    max_iterations: int = 20,
-) -> DataFrame:
-    """Cluster assignment for near-duplicate documents: connected
-    components over the MinHash-LSH candidate-pair graph, each doc labeled
-    with the min doc id reachable from it (``cluster_id``). Keeping
-    ``cluster_id == doc_id`` rows afterward is the canonical
-    one-doc-per-near-dup-cluster dedup policy.
+def _cc_label_propagation(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Min-label propagation over a symmetric (src, dst) edge frame.
+    O(component diameter) rounds, one join+groupBy shuffle each — great
+    for the dense quasi-cliques near-dup graphs form, linear-round-count
+    on long chains (use _cc_star for those).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels, until a fixpoint. Rounds
-    are pure join+groupBy (no driver-side data), so each round is one
-    shuffle; convergence needs O(component diameter) rounds, and near-dup
-    components are dense quasi-cliques (diameter 2-3 in practice). For
-    graphs with long chains, the large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) drops rounds to O(log n) — same join shape, documented here
-    as the scale escape hatch.
-
-    Only docs that appear in at least one candidate pair are returned;
-    everything else is its own singleton cluster by definition.
+    Each round ends in an eager ``localCheckpoint``: every round's plan
+    embeds the previous round's plan several times over, so without
+    lineage truncation the query tree grows EXPONENTIALLY with rounds and
+    the driver dies in analysis (observed: heap OOM at ~15 rounds on a
+    toy graph). Checkpointing resets each round to a materialized scan —
+    the standard shape for iterative DataFrame algorithms.
     """
-    pairs = lsh_candidate_pairs(df, bands, text_col, id_col, n)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
-    cached = labels  # the persisted frame backing the current labels
 
     for _ in range(max_iterations):
         nbr_min = (
@@ -432,20 +446,150 @@ def near_dup_clusters(
                 F.col("label").alias("old_label"),
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        # the convergence-check count also materializes proposed's cache,
-        # so the next round (and the returned frame) read it, not its
-        # lineage; only then is the previous generation safe to drop
         changed = proposed.filter(F.col("label") != F.col("old_label")).count()
-        cached.unpersist()
-        cached = proposed
         labels = proposed.select("node", "label")
         if changed == 0:
             break
+    return labels
 
-    out = labels.select(
+
+def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): alternating
+    edge rewrites that converge in O(log n) rounds regardless of component
+    diameter — the 100 TB path for graphs with long chains, where label
+    propagation would need O(diameter) shuffles.
+
+    - large-star(u): every neighbor v > u is re-pointed at m = min(N(u) ∪
+      {u}). Connectivity-preserving, strictly shrinks long paths.
+    - small-star(u): over edges canonicalized as (u > v), every smaller
+      neighbor (and u itself) is pointed at the minimum one.
+
+    At the fixpoint every edge is (node, component-min); labels read off
+    the edges directly. Input: symmetric (src, dst) frame; output: (node,
+    label) for every node with ≥1 edge, label = min reachable node —
+    identical to _cc_label_propagation's contract.
+
+    Every round ends in an eager ``localCheckpoint`` — see
+    _cc_label_propagation for why lineage truncation is load-bearing in
+    iterative DataFrame algorithms.
+    """
+
+    def _stats(frame: DataFrame):
+        # order-free fixpoint signature of an edge set
+        row = frame.agg(
+            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        return (row.n, row.h)
+
+    # canonical orientation (u > v); input is symmetric so nothing is lost
+    canon = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = _stats(canon)
+
+    for _ in range(max_iterations):
+        # large-star over the symmetric view of canon
+        sym = canon.select("u", "v").union(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            # emit (v, m): v > u ≥ m = least(u, mn) ⇒ already canonical
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star over the canonical (u > v) edges
+        s_min = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(s_min, "u")
+            .filter(F.col("v") != F.col("m"))
+            # v ∈ N(u), v > m ⇒ canonical
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(s_min.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _stats(ss)
+        canon = ss
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged: every edge is (node, component-min); minima label themselves
+    labels = canon.select(F.col("u").alias("node"), F.col("v").alias("label")).union(
+        canon.select(F.col("v").alias("node"), F.col("v").alias("label")).distinct()
+    ).distinct()
+    return labels
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    method: str = "star",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list: (node, label)
+    with label = min node reachable. ``method='star'`` is the O(log n)
+    default; ``'propagation'`` is min-label propagation (fewer shuffles
+    per round, O(diameter) rounds — fine for quasi-clique graphs)."""
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    if method == "star":
+        labels = _cc_star(edges, max_iterations)
+    elif method == "propagation":
+        labels = _cc_label_propagation(edges, max_iterations)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    edges.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_iterations: int = 25,
+    method: str = "star",
+) -> DataFrame:
+    """Cluster assignment for near-duplicate documents: connected
+    components over the MinHash-LSH candidate-pair graph, each doc labeled
+    with the min doc id reachable from it (``cluster_id``). Keeping
+    ``cluster_id == doc_id`` rows afterward is the canonical
+    one-doc-per-near-dup-cluster dedup policy.
+
+    Default method is large-star/small-star (O(log n) rounds at any
+    component shape — the 100 TB posture); ``method='propagation'`` keeps
+    the min-label-propagation variant, which does fewer shuffles per round
+    and converges just as fast on the dense quasi-cliques near-dup graphs
+    usually form. Both produce identical labels.
+
+    Only docs that appear in at least one candidate pair are returned;
+    everything else is its own singleton cluster by definition.
+    """
+    pairs = lsh_candidate_pairs(df, bands, text_col, id_col, n)
+    labels = connected_components(
+        pairs, "doc_a", "doc_b", method=method, max_iterations=max_iterations
+    )
+    return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
-    edges.unpersist()
-    return out

@@ -40,13 +40,16 @@ def add_trip_features(df: DataFrame) -> DataFrame:
     df = df.withColumn("trip_duration_minutes", duration_min)
     dur = F.col("trip_duration_minutes")
 
-    # E2 (dp:770-771) — speed clipped to [0,100]; dur==0 → pandas inf → 100
+    # E2 (dp:770-771) — speed clipped to [0,100]; dur==0 → pandas inf → 100.
+    # least/greatest SKIP nulls, so a null speed (null distance or duration
+    # on uncleaned input) must be propagated explicitly: pandas NaN stays
+    # NaN through .clip, it does not become 0.
     speed = F.col("trip_distance") / (dur / 60.0)
     df = df.withColumn(
         "average_speed_mph",
-        F.when(dur == 0, F.lit(100.0)).otherwise(
-            F.least(F.greatest(speed, F.lit(0.0)), F.lit(100.0))
-        ),
+        F.when(dur == 0, F.lit(100.0))
+        .when(speed.isNull(), speed)
+        .otherwise(F.least(F.greatest(speed, F.lit(0.0)), F.lit(100.0))),
     )
 
     # E3/E4 (dp:774-777)

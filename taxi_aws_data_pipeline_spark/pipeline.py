@@ -28,14 +28,23 @@ class PipelineResult:
     cleaned: DataFrame
     metric_frames: dict[str, DataFrame] = field(default_factory=dict)
 
+    def unpersist(self) -> None:
+        """Release the cached cleaned frame once the caller is done with it.
+        The frame stays usable afterwards (it just recomputes)."""
+        self.cleaned.unpersist()
 
-def transform_trips(raw: DataFrame, validate_filenames: bool = True) -> DataFrame:
+
+def transform_trips(
+    raw: DataFrame,
+    validate_filenames: bool = True,
+    intermediates: list[DataFrame] | None = None,
+) -> DataFrame:
     """Schema enforcement → (optional) filename consistency → cleaning →
     feature block. Pure plan construction except the cleaning-stats jobs."""
     df = enforce_schema(raw, TRIP_SCHEMA)
     if validate_filenames:
         df = features.filename_consistency_filter(df)
-    df = quality.clean_trips(df)
+    df = quality.clean_trips(df, intermediates=intermediates)
     return features.add_trip_features(df)
 
 
@@ -51,13 +60,23 @@ def run_batch(
         "%Y%m%d_%H%M%S"
     )
     raw = sources.read_trip_files(spark, input_path)
-    cleaned = transform_trips(raw, validate_filenames=validate_filenames)
+    intermediates: list[DataFrame] = []
+    cleaned = transform_trips(
+        raw, validate_filenames=validate_filenames, intermediates=intermediates
+    )
     cleaned.cache()  # five metric jobs + the fact write consume it
 
     fact_path = sinks.write_fact_table(cleaned, output_path, processing_id)
     metric_frames = metrics.create_taxi_metrics(cleaned)
     metric_paths = sinks.write_metrics(metric_frames, output_path, processing_id)
     sinks.publish_latest(cleaned, output_path, "taxi")
+
+    # the dedup intermediate's cache only exists to feed the stats jobs and
+    # the first materialization of `cleaned` (itself cached above) — release
+    # it now so repeated run_batch calls don't accumulate cached partitions;
+    # `cleaned` stays cached for the caller, released by result.unpersist()
+    for frame in intermediates:
+        frame.unpersist()
 
     return PipelineResult(
         processing_id=processing_id,

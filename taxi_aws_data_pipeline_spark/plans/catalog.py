@@ -161,7 +161,9 @@ def p1_typed_cast_enforce(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_linenumber").cast("tinyint").alias("linenumber_i8"),
         F.col("l_quantity").cast("float").alias("quantity_f32"),
         F.col("l_extendedprice").cast("float").alias("price_f32"),
-        F.col("l_returnflag").cast("int").alias("returnflag_bad_cast"),
+        # try_cast, not cast: identical to non-ANSI coercion but cannot throw
+        # CAST_INVALID_INPUT even if a caller bypasses load_table's conf pin.
+        F.col("l_returnflag").try_cast("int").alias("returnflag_bad_cast"),
     )
 
 
@@ -1298,11 +1300,18 @@ def w6_sliding_window_halfhour(spark: SparkSession, sf: str) -> DataFrame:
 )
 def k2_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    return li.agg(
+    # Scalar columns, not an array<double>: the driver's order-insensitive
+    # value hash cannot canonicalize list-valued cells (r01 k2 TypeError).
+    sketched = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx(
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10_000
-        ).alias("approx_price_p50_p99"),
+        ).alias("pcts"),
+    )
+    return sketched.select(
+        "approx_parts",
+        F.element_at("pcts", 1).alias("approx_price_p50"),
+        F.element_at("pcts", 2).alias("approx_price_p99"),
     )
 
 

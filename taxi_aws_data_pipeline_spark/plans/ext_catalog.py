@@ -195,23 +195,35 @@ def x5_exact_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     return X.exact_dedup_groups(load_table(spark, sf, "documents"))
 
 
+# Same structure as ext/dedup.jaccard_near_dup_pairs: candidates blocked on
+# shingles with doc-frequency ≤ MAX_SHINGLE_DF, Jaccard computed exactly
+# from the full shingle lists of each candidate pair.
 _JACCARD_ORACLE = f"""
-    WITH sh AS (
-        SELECT doc_id,
-               unnest({sql_shingles('text')}) AS s,
-               len({sql_shingles('text')}) AS n_sh
+    WITH docs AS (
+        SELECT doc_id, {sql_shingles('text')} AS shs
         FROM documents
     ),
-    common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS common, any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+    sh AS (
+        SELECT doc_id, unnest(shs) AS s FROM docs
+    ),
+    rare AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) <= {X.MAX_SHINGLE_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+        WHERE a.s IN (SELECT s FROM rare)
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+               / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+                   AS jaccard
+        FROM cand
+        JOIN docs x ON cand.doc_a = x.doc_id
+        JOIN docs y ON cand.doc_b = y.doc_id
     )
-    SELECT doc_a, doc_b,
-           CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
-    FROM common
-    WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.5
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
 
@@ -549,10 +561,11 @@ _CLUSTER_ORACLE = f"""
 @register(
     "x18_near_dup_clusters",
     "Near-dup cluster assignment: connected components over the MinHash-LSH "
-    "candidate-pair graph via iterative min-label propagation (each round "
-    "one join+groupBy shuffle; near-dup components are quasi-cliques so it "
-    "converges in O(diameter)≈2-3 rounds; large-star/small-star is the "
-    "documented O(log n) scale path). This is the step between candidate "
+    "candidate-pair graph via alternating large-star/small-star rewrites "
+    "(Kiveris et al. SoCC'14) — O(log n) rounds at ANY component shape, the "
+    "100 TB posture; min-label propagation (O(diameter) rounds, fine for "
+    "quasi-cliques) stays available as method='propagation' and is "
+    "equivalence-tested against it. This is the step between candidate "
     "PAIRS (x8) and an actual dedup POLICY: keep cluster_id == doc_id, drop "
     "the rest. Oracle: DuckDB recursive CTE reachability over the same "
     "pairs.",

@@ -196,19 +196,27 @@ def drop_invalid(df: DataFrame) -> DataFrame:
     )
 
 
-def clean_trips(df: DataFrame, approx_stats: bool = False) -> DataFrame:
+def clean_trips(
+    df: DataFrame,
+    approx_stats: bool = False,
+    intermediates: list[DataFrame] | None = None,
+) -> DataFrame:
     """The full ordered suite (dp:73-210). ``approx_stats=True`` is the
     100 TB path: sketch-based percentiles, same plan shape otherwise.
 
     The imputed+deduped intermediate is cached because two independent
     stats jobs (C4, C5) and the final pass all consume it — the Spark
-    analog of the reference's in-memory reuse (SURVEY §3.4). Callers that
-    are done with the result should ``spark.catalog.clearCache()`` or
-    unpersist via the returned plan's lineage.
+    analog of the reference's in-memory reuse (SURVEY §3.4). Pass an
+    ``intermediates`` list to receive the cached frame and ``unpersist()``
+    it once the returned plan has been materialized (pipeline.run_batch
+    does); in a long-lived session un-released caches pile up until memory
+    pressure evicts them.
     """
     imputed = impute_missing(df)
     deduped = imputed.dropDuplicates()  # C9 (dp:116-121)
     deduped.cache()
+    if intermediates is not None:
+        intermediates.append(deduped)
     capped = cap_outliers(deduped, approx=approx_stats)
     repaired = repair_consistency(capped)
     return drop_invalid(repaired)

@@ -188,6 +188,82 @@ def test_near_dup_clusters_transitive_closure(spark):
     assert 9 not in clusters  # no candidate pair → singleton, not returned
 
 
+def test_jaccard_frequent_shingle_cap_bounds_blocks(spark):
+    """Skew fixture: 60 docs share one boilerplate sentence (one shingle
+    block of df=60 → 1770 quadratic pairs uncapped). With the cap below
+    60 the boilerplate shingles stop generating candidates, while a
+    genuine near-dup pair (joined by RARE shingles) is still found with
+    its EXACT Jaccard — the cap prunes candidates, never scores."""
+    boiler = "all rights reserved terms of service apply to this content"
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(60)]
+    # 100/101: near-dups of each other via rare shingles, plus boilerplate
+    rows += [
+        (100, boiler + " alpha beta gamma delta epsilon zeta"),
+        (101, boiler + " alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = X.jaccard_near_dup_pairs(df, threshold=0.1, max_shingle_df=10)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    assert (100, 101) in pairs
+    # every surviving pair must share at least one RARE shingle; the 60
+    # boilerplate-only docs pair with nobody
+    assert all(a >= 100 for a, _ in pairs)
+
+    uncapped = X.jaccard_near_dup_pairs(df, threshold=0.1, max_shingle_df=None)
+    upairs = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped.collect()}
+    # 1770 boilerplate pairs + the real one appear without the cap …
+    assert len(upairs) > 1000
+    # … and where both find a pair, the exact Jaccard is identical
+    assert pairs[(100, 101)] == upairs[(100, 101)]
+
+
+def test_connected_components_chain_1000_nodes(spark):
+    """The star variant's whole point: a 1000-node path converges in
+    O(log n) alternations (label propagation would need ~1000 rounds).
+    Every node must label to the component min, node 0."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    labels = X.connected_components(pairs, method="star", max_iterations=15)
+    rows = labels.collect()
+    assert len(rows) == 1000
+    assert all(r.label == 0 for r in rows)
+
+
+def test_connected_components_methods_agree(spark):
+    """star and propagation must produce identical labels — multiple
+    components, a short chain, and isolated-pair shapes."""
+    edges = (
+        [(i, i + 1) for i in range(20, 40)]  # 21-node chain, min 20
+        + [(1, 5), (5, 9), (9, 1)]           # triangle, min 1
+        + [(100, 200)]                       # isolated pair
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {r.node: r.label for r in X.connected_components(pairs, method="star").collect()}
+    prop = {
+        r.node: r.label
+        for r in X.connected_components(pairs, method="propagation").collect()
+    }
+    assert star == prop
+    assert star[40] == 20 and star[9] == 1 and star[200] == 100
+
+
+def test_near_dup_cluster_methods_agree_on_lsh_graph(spark, sf_dir):
+    """Both CC methods over the real MinHash-LSH candidate graph of the
+    documents table must assign identical cluster ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    star = {
+        r.doc_id: r.cluster_id
+        for r in X.near_dup_clusters(docs, method="star").collect()
+    }
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in X.near_dup_clusters(docs, method="propagation").collect()
+    }
+    assert star == prop and star
+
+
 def test_repetition_signals_counts_duplicate_lines(spark):
     from taxi_aws_data_pipeline_spark.ext import text as TX
 

@@ -53,6 +53,24 @@ def test_approx_stats_path_equivalent_shape(spark, raw_trips):
         assert 1 <= row.mn and row.mx <= 6
 
 
+def test_all_null_mode_column_stays_null(spark, raw_trips):
+    """dp:100-103: the reference's 'Unknown' fallback is unreachable — the
+    ``notna().any()`` guard skips an all-null categorical entirely, so the
+    column must come out of imputation still all-null (and NOT 'Unknown').
+    Pins the documented equivalence in quality.impute_missing."""
+    from pyspark.sql import functions as F
+
+    all_null = raw_trips.withColumn(
+        "store_and_fwd_flag", F.lit(None).cast("string")
+    )
+    imputed = quality.impute_missing(all_null)
+    agg = imputed.selectExpr(
+        "count(*) AS n",
+        "sum(CASE WHEN store_and_fwd_flag IS NULL THEN 1 ELSE 0 END) AS nulls",
+    ).collect()[0]
+    assert agg.n > 0 and agg.nulls == agg.n
+
+
 def test_clean_filter_clamp_idempotent(spark, raw_trips):
     """Second application of the value-repair + filter stages is a no-op
     (SURVEY §5.4): re-cleaning already-clean data changes nothing except

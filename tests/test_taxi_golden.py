@@ -87,6 +87,28 @@ def test_cleaned_row_count_matches_oracle(result, golden, fixture_paths):
     assert result.cleaned.count() == oracle_rows
 
 
+def test_metrics_csv_roundtrip_values(result, spark):
+    """S8 (dp:505-538): header, quoting, and float precision must survive
+    the CSV sink — values read back under the original schema equal the
+    in-memory metric frame, not merely its row count."""
+    for name, path in result.metric_paths.items():
+        frame = result.metric_frames[name]
+        back = spark.read.option("header", True).schema(frame.schema).csv(path)
+        keys = [frame.columns[0]]
+        got = back.toPandas().sort_values(keys).reset_index(drop=True)
+        want = frame.toPandas().sort_values(keys).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        for c in want.columns:
+            g, w = got[c], want[c]
+            if pd.api.types.is_float_dtype(w):
+                np.testing.assert_allclose(
+                    g.astype(float), w.astype(float), atol=1e-9, rtol=0,
+                    err_msg=f"{name}.{c}",
+                )
+            else:
+                assert g.tolist() == w.tolist(), f"{name}.{c}"
+
+
 def test_outputs_written(result, spark):
     fact = spark.read.parquet(result.fact_path)
     assert fact.count() == result.cleaned.count()
