@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 
 Each query is forced through the "noop" sink so the full plan executes
 (a bare .count() would let Catalyst prune every projected expression).
+
+Set SPARK_GRAFT_VANILLA=1 to run on a vanilla Spark session (no builder
+confs beyond master/shuffle partitions) — proves the engine's performance
+doesn't secretly depend on session.py: the semantics confs are pinned by
+load_table itself, and the tuning confs (AQE etc.) are Spark 4 defaults
+or purely protective.
 """
 
 from __future__ import annotations
@@ -19,9 +25,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from taxi_aws_data_pipeline_spark.plans import CATALOG
-from taxi_aws_data_pipeline_spark.session import get_spark
+from taxi_aws_data_pipeline_spark.session import default_parallelism, get_spark
+from taxi_aws_data_pipeline_spark.tables import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+VANILLA = os.environ.get("SPARK_GRAFT_VANILLA") == "1"
+
+
+def vanilla_spark():
+    from pyspark.sql import SparkSession
+
+    cpus = default_parallelism()
+    spark = (
+        SparkSession.builder.appName("taxi-engine-bench-vanilla")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
 # Headline spread: heavy aggregations, the fact-fact join, the star join,
 # drift union, window, and the extension tier (near-dup, LSH, ANN).
@@ -52,12 +76,14 @@ BENCH_QUERIES = (
 
 
 def main() -> None:
-    spark = get_spark(app_name="taxi-engine-bench")
+    spark = vanilla_spark() if VANILLA else get_spark(app_name="taxi-engine-bench")
     # warm the JVM/session + page cache/parquet footers so query 1 doesn't
     # pay one-time startup costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
-        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        # through load_table, the engine's read edge — it pins the session
+        # confs a vanilla session lacks (events.ts is TIMESTAMP(NANOS))
+        load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -175,13 +175,21 @@ def jaccard_near_dup_pairs(
     )
     sh = docs.select("doc", F.explode("shs").alias("s"))
     if max_shingle_df is not None:
-        rare = (
+        # anti-join against the FREQUENT set, not inner-join against the
+        # rare set: heavy hitters are few by definition (≤ total/df_cap
+        # distinct values), so the anti-join broadcasts them and the big
+        # exploded side never shuffles for the filter
+        frequent = (
             sh.groupBy("s")
             .agg(F.count("*").alias("df_s"))
-            .filter(F.col("df_s") <= max_shingle_df)
+            .filter(F.col("df_s") > max_shingle_df)
             .select("s")
         )
-        sh = sh.join(rare, "s")
+        sh = sh.join(frequent, "s", "left_anti")
+    # persist the blocked frame: BOTH self-join sides read it, and without
+    # the cache each side re-runs explode(+anti-join) from scratch — the
+    # same recompute trap BASELINE.md records for the LSH bucket join
+    sh = sh.persist()
     a, b = sh.alias("a"), sh.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))

@@ -59,6 +59,16 @@ def test_text_ops_are_projection_plus_single_agg(spark, sf_dir, name):
     assert "Join" not in plan
 
 
+def test_x6_cap_is_anti_join_scores_from_arrays(spark, sf_dir):
+    # the doc-frequency cap must be an ANTI join against the (few) frequent
+    # shingles — never an inner join against the (huge) rare set — and the
+    # Jaccard must come from array_intersect over the full shingle arrays,
+    # so the cap can only prune candidates, never change scores
+    plan = _plan(spark, sf_dir, "x6_jaccard_near_dup_pairs", "simple")
+    assert "LeftAnti" in plan
+    assert "array_intersect" in plan
+
+
 def test_j2_asof_join_single_shuffle_no_join(spark, sf_dir):
     # the union-sort as-of formulation must stay join-free: one exchange
     # on user_id feeds both window fills, nothing rejoins the fact side
