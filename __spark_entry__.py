@@ -78,13 +78,15 @@ _PRIORITY = (
     "j3_range_join_value_tiers",
     "k1_salted_skew_agg",
     "k2_approx_sketches",
-    # flagship core shapes (re-verified each round)
+    # flagship core shapes (re-verified each round) + the composed
+    # curation pipeline (the x-tier's capstone — worth a driver verdict
+    # more than another simple projection)
     "a1_returnflag_performance",
     "s1_parquet_scan_pruned",
     "j1_region_revenue_star_join",
     "d1_exact_row_dedup",
     "g1_rollup_year_priority",
-    "e8_safe_ratio_pct",
+    "x27_training_data_pipeline",
 )
 
 

@@ -72,6 +72,9 @@ BENCH_QUERIES = (
     "x18_near_dup_clusters",
     "x21_embedding_label_centroids",
     "x23_tfidf_top_terms",
+    "x25_ngram_decontamination_fuzzy",
+    "x26_paragraph_dedup",
+    "x27_training_data_pipeline",
 )
 
 

@@ -216,6 +216,130 @@ def jaccard_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# fuzzy n-gram decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination (the n-gram-overlap generalization
+    of the exact-fingerprint anti-join): for every corpus doc, count its
+    distinct word n-grams that also occur anywhere in the benchmark set,
+    and flag docs with zero overlap as clean. This is the GPT-3/C4-style
+    "13-gram decontamination" shape scaled to the fixture (n=5).
+
+    Scale posture: the benchmark gram set is tiny (an eval suite, not a
+    corpus), so it broadcasts; the corpus side explodes its grams and
+    probes the broadcast — one groupBy(doc) shuffle of (id, matched-gram)
+    HITS only, never the corpus text. Output: (id, shared_grams, clean)
+    for every corpus doc.
+    """
+    bench_grams = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    # word_shingles is per-doc distinct, so count(*) == distinct grams
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"),
+            (F.coalesce("shared_grams", F.lit(0)) == 0).alias("clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (Gopher/MassiveText repetition removal shape)
+# ---------------------------------------------------------------------------
+
+
+def chunk_words(text: Column, k: int = 10) -> Column:
+    """Re-chunk free text into newline-joined k-word windows — the
+    'paragraph' segmentation for corpora that arrive as one long line.
+    Pure projection; the word array is let-bound so the tokenizing split
+    runs once per row, not once per chunk (the bind_once 16× trap)."""
+    ws = F.split(F.lower(text), r"\s+")
+
+    def build(w: Column) -> Column:
+        n_chunks = F.greatest(
+            F.ceil(F.size(w) / F.lit(float(k))), F.lit(1)
+        ).cast("int")
+        return F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i * k + 1, k)),
+            ),
+        )
+
+    return bind_once(ws, build)
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: split every doc into non-empty lines,
+    keep only the globally FIRST occurrence of each distinct line (first =
+    min (doc, position) — deterministic), and reassemble each doc from its
+    surviving lines in original order. Duplicates are removed both across
+    docs and within a doc.
+
+    Scale posture: the keeper decision groups on md5(line) — 16-byte keys
+    shuffle, not paragraph text (same design as exact_dedup). Reassembly
+    is one groupBy(doc) over surviving lines. Docs whose text is null or
+    has no non-empty lines are dropped (nothing to dedup).
+
+    Output: (id, n_lines, n_kept, text_dedup).
+    """
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0)
+        ).alias("ord", "line"),
+    )
+    # global first-occurrence key; positions are far below the 1e6 stride
+    keyed = lines.withColumn(
+        "k", F.col("doc") * F.lit(1_000_000) + F.col("ord")
+    ).withColumn("h", F.md5("line"))
+    keepers = keyed.groupBy("h").agg(F.min("k").alias("min_k"))
+    survivors = keyed.join(keepers, "h").filter(F.col("k") == F.col("min_k"))
+    reassembled = survivors.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "line"))),
+                lambda s: s.line,
+            ),
+        ).alias("text_dedup"),
+    )
+    totals = lines.groupBy("doc").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(reassembled, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

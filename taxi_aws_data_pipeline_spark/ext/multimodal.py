@@ -208,3 +208,74 @@ def probe_image_dimensions(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, DIMS_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("audio_format", T.StringType(), True),  # wav|None
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("probe_duration_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def parse_wav_meta(
+    b: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(format, channels, sample_rate, bits_per_sample, duration_ms) from a
+    RIFF/WAVE header — real chunk-walking byte parsing, no audio library.
+    Returns (None,)*5 for non-WAV bytes; a WAV whose fmt/data chunks are
+    truncated yields 'wav' with None fields."""
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None, None
+    channels = rate = bits = byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            if i + 24 <= len(b):
+                bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        # chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size + (size % 2)
+    duration_ms = (
+        int(data_size * 1000 // byte_rate)
+        if data_size is not None and byte_rate
+        else None
+    )
+    return "wav", channels, rate, bits, duration_ms
+
+
+def probe_audio_metadata(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio header probe: channels / sample rate / bit depth
+    / duration parsed from raw RIFF/WAVE bytes — like the image probe,
+    this validation tier is REAL (dependency-free), only sample-level
+    decode is stubbed. Same mapInPandas shape and scale posture."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_meta(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "audio_format": [p[0] for p in parsed],
+                    "channels": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "bits_per_sample": pd.array(
+                        [p[3] for p in parsed], dtype="Int32"
+                    ),
+                    "probe_duration_ms": pd.array(
+                        [p[4] for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(run, AUDIO_SCHEMA)

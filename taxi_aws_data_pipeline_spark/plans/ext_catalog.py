@@ -830,3 +830,195 @@ def x24_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= 10)
     )
+
+
+_DECON_FUZZY_ORACLE = f"""
+    WITH benchmark AS (
+        SELECT text FROM documents WHERE text IS NOT NULL
+        ORDER BY length(text) DESC, doc_id
+        LIMIT 10
+    ),
+    bg AS (
+        SELECT DISTINCT unnest({sql_shingles('text', 5)}) AS g FROM benchmark
+    ),
+    cg AS (
+        SELECT doc_id, unnest({sql_shingles('text', 5)}) AS g
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hits AS (
+        SELECT doc_id, count(*) AS shared_grams
+        FROM cg WHERE g IN (SELECT g FROM bg)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.shared_grams, 0) AS shared_grams,
+           COALESCE(h.shared_grams, 0) = 0 AS clean
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.text IS NOT NULL
+"""
+
+
+@register(
+    "x25_ngram_decontamination_fuzzy",
+    "Fuzzy benchmark decontamination: per-doc count of distinct word "
+    "5-grams shared with the held-out benchmark set (same 10-longest-docs "
+    "convention as x17), clean = zero overlap — the GPT-3/C4 '13-gram "
+    "decontamination' shape scaled to the fixture. The benchmark gram set "
+    "broadcasts (an eval suite is tiny); only gram HITS are shuffled for "
+    "the per-doc count, never corpus text. Exact-fingerprint x17 is the "
+    "precision tool; this is the recall tool that also catches partial "
+    "containment.",
+    oracle=_DECON_FUZZY_ORACLE,
+    tags=("ext", "decontamination", "ngram", "broadcast"),
+)
+def x25_ngram_decontamination_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    benchmark = docs.orderBy(F.length("text").desc(), "doc_id").limit(10)
+    return X.ngram_overlap_contamination(docs, benchmark, n=5)
+
+
+# Chunking mirror of ext/dedup.chunk_words(k=10): 1-based list slices in
+# DuckDB, 0-based chunk index in both.
+_SQL_CHUNKED = (
+    "array_to_string(list_transform("
+    "range(0, greatest(CAST(ceil(len({w}) / 10.0) AS BIGINT), 1)), "
+    "i -> array_to_string(({w})[i*10+1:i*10+10], ' ')), chr(10))"
+).format(w=SQL_WORDS.format(t="text"))
+
+_PARA_DEDUP_ORACLE = f"""
+    WITH chunked AS (
+        SELECT doc_id, {_SQL_CHUNKED} AS text2
+        FROM documents WHERE text IS NOT NULL
+    ),
+    l0 AS (
+        SELECT doc_id,
+               list_filter(string_split(text2, chr(10)),
+                           x -> length(x) > 0) AS ls
+        FROM chunked
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(ls) AS line,
+               unnest(range(0, len(ls))) AS ord
+        FROM l0
+    ),
+    keyed AS (
+        SELECT doc_id, line, ord, doc_id * 1000000 + ord AS k FROM lines
+    ),
+    keepers AS (
+        SELECT line, min(k) AS min_k FROM keyed GROUP BY line
+    ),
+    surv AS (
+        SELECT doc_id, line, ord
+        FROM keyed JOIN keepers USING (line)
+        WHERE k = min_k
+    ),
+    counts AS (
+        SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+    ),
+    re AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY ord) AS text_dedup
+        FROM surv GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.text_dedup, '') AS text_dedup
+    FROM counts c LEFT JOIN re r USING (doc_id)
+"""
+
+
+@register(
+    "x26_paragraph_dedup",
+    "Corpus-wide paragraph-level exact dedup (Gopher/MassiveText shape): "
+    "segment each doc into 10-word 'paragraphs', keep only the globally "
+    "first occurrence of each distinct paragraph (min (doc, position) — "
+    "deterministic), reassemble docs in original order with counts. The "
+    "keeper decision shuffles md5(paragraph) 16-byte keys, not text "
+    "(exact_dedup design); reassembly is one groupBy(doc). ~5% of fixture "
+    "chunks are cross-doc duplicates, so the hash gate covers real "
+    "removals, not a no-op.",
+    oracle=_PARA_DEDUP_ORACLE,
+    tags=("ext", "dedup", "paragraph", "gopher"),
+)
+def x26_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    chunked = docs.select("doc_id", X.chunk_words(F.col("text"), 10).alias("text"))
+    return X.paragraph_dedup(chunked)
+
+
+_SQL_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+_PIPELINE_ORACLE = f"""
+    WITH lang AS ({_LANG_ORACLE}),
+    q AS ({_QUALITY_ORACLE}),
+    fp AS (
+        SELECT doc_id, {_SQL_FP} AS fingerprint
+        FROM documents WHERE text IS NOT NULL
+    ),
+    filtered AS (
+        SELECT f.doc_id, l.lang_pred, q.quality_score, f.fingerprint
+        FROM fp f
+        JOIN lang l USING (doc_id)
+        JOIN q USING (doc_id)
+        WHERE l.lang_pred = 'en' AND q.quality_score >= 0.8
+    ),
+    dedup AS (
+        SELECT f.*
+        FROM filtered f
+        JOIN (
+            SELECT fingerprint, min(doc_id) AS doc_id
+            FROM filtered GROUP BY fingerprint
+        ) k USING (fingerprint, doc_id)
+    ),
+    bench AS (
+        SELECT {_SQL_FP} AS fingerprint
+        FROM documents WHERE text IS NOT NULL
+        ORDER BY length(text) DESC, doc_id
+        LIMIT 10
+    )
+    SELECT doc_id, lang_pred, quality_score, fingerprint
+    FROM dedup
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM bench)
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          IN ('0','1','2','3','4','5','6','7')
+"""
+
+
+@register(
+    "x27_training_data_pipeline",
+    "The composed end-to-end curation pipeline every stage above exists "
+    "for: language filter (x1) → quality filter ≥0.8 (x2) → exact dedup "
+    "keep-min (x5) → benchmark decontamination (x17) → deterministic 1/2 "
+    "hash sample (x16), in the standard curation order. One declarative "
+    "plan: Catalyst fuses the three projection stages into the scan, the "
+    "dedup groupBy shuffles 16-byte fingerprints post-filter (never "
+    "pre-filter text), the benchmark set broadcasts, and the sample is a "
+    "free filter — at 100 TB the only wide op is the one dedup exchange "
+    "over the filtered minority of the corpus.",
+    oracle=_PIPELINE_ORACLE,
+    tags=("ext", "pipeline", "composition", "dedup", "decontamination"),
+)
+def x27_training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = TX.add_quality_signals(TX.add_language_id(docs))
+    d = d.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.8))
+    d = TX.add_fingerprint(d).select(
+        "doc_id", "lang_pred", "quality_score", "fingerprint"
+    )
+    keepers = d.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    d = d.join(keepers, ["fingerprint", "doc_id"], "left_semi")
+    benchmark = (
+        docs.orderBy(F.length("text").desc(), "doc_id")
+        .limit(10)
+        .select(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+            ).alias("fingerprint")
+        )
+    )
+    d = d.join(F.broadcast(benchmark), "fingerprint", "left_anti")
+    d = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*"01234567")
+    )
+    return d.select("doc_id", "lang_pred", "quality_score", "fingerprint")

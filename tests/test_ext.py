@@ -168,6 +168,44 @@ def test_frame_sample_plan(spark):
     ]
 
 
+def _wav_bytes(channels=2, rate=44100, bits=16, n_samples=44100):
+    """Minimal valid RIFF/WAVE file built by hand (stdlib-free)."""
+    byte_rate = rate * channels * bits // 8
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_probe_parses_real_headers(spark):
+    """The audio probe is REAL byte parsing: a hand-built PCM WAV yields
+    its channels/rate/bits/duration; junk and null come back None."""
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_wav_bytes(2, 44100, 16, 44100)), None, None, None),
+            (2, "audio", bytearray(_wav_bytes(1, 8000, 8, 4000)), None, None, None),
+            (3, "audio", bytearray(b"not a wav at all"), None, None, None),
+            (4, "audio", None, None, None, None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.probe_audio_metadata(assets).collect()}
+    assert (rows[1].audio_format, rows[1].channels, rows[1].sample_rate) == ("wav", 2, 44100)
+    assert rows[1].bits_per_sample == 16 and rows[1].probe_duration_ms == 1000
+    assert (rows[2].channels, rows[2].sample_rate, rows[2].probe_duration_ms) == (1, 8000, 500)
+    assert rows[3].audio_format is None
+    assert rows[4].audio_format is None
+
+
 def test_near_dup_clusters_transitive_closure(spark):
     """A~B and B~C near-dup edges must land A, B, C in ONE cluster labeled
     with the min doc_id, even when A and C never share an LSH bucket
@@ -262,6 +300,59 @@ def test_near_dup_cluster_methods_agree_on_lsh_graph(spark, sf_dir):
         for r in X.near_dup_clusters(docs, method="propagation").collect()
     }
     assert star == prop and star
+
+
+def test_ngram_decontamination_flags_overlap(spark):
+    """A corpus doc sharing a 5-gram with the benchmark is flagged with
+    the right overlap count; disjoint docs come back clean."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains 'the quick brown fox jumps' + 'quick brown fox jumps over' …
+            (1, "intro the quick brown fox jumps over everything"),
+            (2, "completely different words about spark shuffles"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # full overlap
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in X.ngram_overlap_contamination(corpus, bench, n=5).collect()}
+    assert rows[1].shared_grams == 2 and not rows[1].clean
+    assert rows[2].shared_grams == 0 and rows[2].clean
+    # doc 3 == benchmark doc: all 5 of its 5-grams shared
+    assert rows[3].shared_grams == 5 and not rows[3].clean
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    """Duplicate paragraphs are dropped across AND within docs; survivors
+    keep original order; the keeper is the globally first (doc, position)."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),      # intra-doc dup of 'alpha'
+            (2, "beta\ngamma"),              # 'beta' already seen in doc 1
+            (3, "\ngamma\n\ndelta\n"),       # empty lines ignored; gamma dup
+            (4, "alpha"),                    # fully duplicated doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in X.paragraph_dedup(df).collect()}
+    assert rows[1].text_dedup == "alpha\nbeta" and rows[1].n_lines == 3 and rows[1].n_kept == 2
+    assert rows[2].text_dedup == "gamma" and rows[2].n_kept == 1
+    assert rows[3].text_dedup == "delta" and rows[3].n_lines == 2 and rows[3].n_kept == 1
+    assert rows[4].text_dedup == "" and rows[4].n_kept == 0
+
+
+def test_chunk_words_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.c for r in df.select("doc_id", X.chunk_words(F.col("text"), 10).alias("c")).collect()}
+    assert rows[1] == "a b c d e f g h i j\nk l"
+    assert rows[2] == "x y"
+    assert rows[3] == ""
 
 
 def test_repetition_signals_counts_duplicate_lines(spark):
