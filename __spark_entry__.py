@@ -78,15 +78,17 @@ _PRIORITY = (
     "j3_range_join_value_tiers",
     "k1_salted_skew_agg",
     "k2_approx_sketches",
-    # flagship core shapes (re-verified each round) + the composed
-    # curation pipeline (the x-tier's capstone — worth a driver verdict
-    # more than another simple projection)
-    "a1_returnflag_performance",
-    "s1_parquet_scan_pruned",
-    "j1_region_revenue_star_join",
-    "d1_exact_row_dedup",
-    "g1_rollup_year_priority",
+    # round-2 x-tier additions: never driver-verified, so they outrank
+    # the core flagships (a1/s1/j1/d1/g1 were hash-green in r01 and stay
+    # pinned by the pytest parity sweep every round). The 50-entry
+    # window fits exactly 6 of the 8 new entries; x29/x30 (single-scan
+    # projections, parity-pinned) wait outside.
+    "x25_ngram_decontamination_fuzzy",
+    "x26_paragraph_dedup",
     "x27_training_data_pipeline",
+    "x28_gopher_quality_rules",
+    "x31_corpus_language_stats",
+    "x32_semantic_dedup",
 )
 
 

@@ -75,6 +75,7 @@ BENCH_QUERIES = (
     "x25_ngram_decontamination_fuzzy",
     "x26_paragraph_dedup",
     "x27_training_data_pipeline",
+    "x33_cross_corpus_dedup",
 )
 
 

@@ -376,23 +376,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    bands: int = LSH_BANDS,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the k-signature, bucket-join.
-
-    One explode (×bands), one shuffle on (band, band_hash), pair join
-    within buckets only. Expected Jaccard of surviving pairs ≥ ~(1/bands
-    banding curve); verify with jaccard_near_dup_pairs on candidates when
-    exactness matters.
-    """
+def band_hash_array(bands: int = LSH_BANDS) -> Column:
+    """Per-band md5 keys over the ``signature`` column produced by
+    :func:`minhash_signatures` (band index is salted into the hash so
+    identical row-groups in different bands never collide)."""
     rows_per_band = len(MINHASH_COEFFS) // bands
-    sig = minhash_signatures(df, text_col, id_col, n)
-    band_arr = F.array(
+    return F.array(
         *[
             F.md5(
                 F.concat_ws(
@@ -407,11 +396,28 @@ def lsh_candidate_pairs(
             for j in range(bands)
         ]
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the k-signature, bucket-join.
+
+    One explode (×bands), one shuffle on (band, band_hash), pair join
+    within buckets only. Expected Jaccard of surviving pairs ≥ ~(1/bands
+    banding curve); verify with jaccard_near_dup_pairs on candidates when
+    exactness matters.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n)
     # both sides of the self-join consume banded; persist so signatures are
     # computed once per doc (at 100 TB: write signatures to a table instead)
     banded = sig.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(band_arr).alias("band", "band_hash"),
+        F.posexplode(band_hash_array(bands)).alias("band", "band_hash"),
     ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -423,6 +429,56 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_cross_corpus_matches(
+    new: DataFrame,
+    existing: DataFrame,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: for every NEW document, does it
+    MinHash-LSH-collide with anything in the EXISTING corpus? This is the
+    shape every recurring crawl runs — dedup the fresh batch against data
+    already ingested, without re-pairing the existing corpus against
+    itself.
+
+    Scale posture: both sides reduce to (id, band, band_hash) keys before
+    the join — one shuffle on (band, band_hash), never on text; in
+    production the existing side's band keys are a precomputed table, so
+    each increment only signatures the new batch. Output keeps EVERY new
+    doc: (id, n_existing_matches, min_existing_match, is_new_unique).
+    """
+
+    def banded(df: DataFrame, name: str) -> DataFrame:
+        sig = minhash_signatures(df, text_col, id_col)
+        return sig.select(
+            F.col(id_col).alias(name),
+            F.posexplode(band_hash_array(bands)).alias("band", "band_hash"),
+        )
+
+    matches = (
+        banded(new, "new_doc")
+        .join(banded(existing, "old_doc"), ["band", "band_hash"])
+        .groupBy("new_doc")
+        .agg(
+            F.countDistinct("old_doc").alias("n_existing_matches"),
+            F.min("old_doc").alias("min_existing_match"),
+        )
+    )
+    return (
+        new.select(F.col(id_col))
+        .join(matches.withColumnRenamed("new_doc", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_existing_matches", F.lit(0)).alias(
+                "n_existing_matches"
+            ),
+            "min_existing_match",
+            F.col("n_existing_matches").isNull().alias("is_new_unique"),
+        )
     )
 
 

@@ -331,3 +331,177 @@ def embedding_near_dup_pairs(
             "cos_sim",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): group
+    embeddings into semantic-duplicate clusters and elect one
+    representative per cluster — the end-to-end DECISION the pairwise
+    tools feed. Pipeline: sign-bit-LSH-bucketed cosine pairs
+    (:func:`embedding_near_dup_pairs`) → connected components
+    (large-star/small-star, O(log n) rounds) → representative = min id
+    per cluster; vectors in no pair are their own singleton clusters.
+
+    Scale posture: the only all-pairs work happens inside LSH buckets
+    (2^n_planes-way partitioned), components shuffle (id, id) edges only,
+    and the final labeling is one left join — no step touches raw vectors
+    after the pair stage.
+
+    Output: (id, cluster_id, is_representative) for EVERY input vector.
+    """
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        df, threshold, n_planes, dim, id_col, vec_col
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_representative", F.col("cluster_id") == F.col(id_col))
+    )
+
+
+def _nearest_centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the squared-L2-nearest centroid, deterministic tie-break
+    on the lower cell index: argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c),
+    so each cell costs one dot product; the per-cell (dist, cell) structs
+    sort ascending and the head wins."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(sum(x * x for x in cvec))
+                    - 2.0 * dot(vec, F.array(*[F.lit(x) for x in cvec]))
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cvec in enumerate(centroids)
+        ]
+    )
+    return F.element_at(F.array_sort(scored), 1).getField("cell")
+
+
+def _farthest_point_seeds(
+    points: list[tuple[int, list[float]]], k: int
+) -> list[list[float]]:
+    """Greedy farthest-point initialization over a (small, driver-side)
+    sample: start from the lowest id, then repeatedly add the point with
+    the maximum min-squared-distance to the chosen seeds (ties -> lowest
+    id). Deterministic k-means++ stand-in; O(|sample| * k * dim)."""
+    chosen = [points[0][1]]
+    best = {
+        pid: sum((a - b) ** 2 for a, b in zip(vec, chosen[0]))
+        for pid, vec in points
+    }
+    by_id = dict(points)
+    while len(chosen) < min(k, len(points)):
+        far_id = max(best, key=lambda pid: (best[pid], -pid))
+        far_vec = by_id[far_id]
+        chosen.append(far_vec)
+        for pid, vec in points:
+            d = sum((a - b) ** 2 for a, b in zip(vec, far_vec))
+            if d < best[pid]:
+                best[pid] = d
+    while len(chosen) < k:  # fewer distinct points than k: repeat head
+        chosen.append(chosen[0])
+    return [list(c) for c in chosen]
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    max_iterations: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], int]:
+    """Distributed Lloyd k-means over an embedding column — the iterative
+    refinement that turns :func:`ivf_topk`'s lowest-id seed quantizer into
+    real centroids, and the template for iterative ML on DataFrames.
+
+    Determinism, the hard part of distributed k-means, is handled at every
+    step: seeding is a deterministic hash-ranked sample (md5 of the id —
+    the x16 sampling trick, one scan, ≤256 rows collected) refined by
+    greedy farthest-point selection (k-means++ shaped, no RNG, min-id
+    tie-breaks), assignment tie-breaks on cell index, and the update step
+    integer-sums floor(val*1e6) fixed-point components (the x21 centroid
+    trick) so the result is identical at ANY partitioning/parallelism —
+    float summation order never leaks into the output. Convergence = the
+    quantized sum signature repeating, which implies the centroids (hence
+    the next assignment) are a fixpoint.
+
+    Scale posture: centroids travel driver->executors as plan literals
+    (k x dim doubles), so each round is one codegen'd assignment
+    projection plus one partial-aggregated (cell, pos) shuffle; the
+    per-round collect is k x dim rows — bounded, never data-sized. Plan
+    depth is CONSTANT per round (each round's plan rebuilds from the
+    persisted input + literals, the no-lineage-blowup alternative to
+    iterating on a DataFrame).
+
+    Returns (assignments (id, cell), centroids, rounds_run).
+    """
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).persist()
+    sample = (
+        vecs.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(max(k, 256))
+        .collect()
+    )
+    if not sample:
+        return (
+            vecs.select(F.col("vid").alias(id_col), F.lit(0).alias("cell")),
+            [],
+            0,
+        )
+    centroids = _farthest_point_seeds(
+        sorted((r.vid, [float(x) for x in r.v]) for r in sample), k
+    )
+    dim = len(centroids[0])
+    prev_sig: list | None = None
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        assigned = vecs.withColumn(
+            "cell", _nearest_centroid_cell(F.col("v"), centroids)
+        )
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * 1_000_000)
+                ).alias("qsum"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        sig = sorted((r.cell, r.pos, int(r.qsum), r.n) for r in stats)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        by_cell: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            by_cell.setdefault(r.cell, [0.0] * dim)[r.pos] = float(r.qsum)
+            counts[r.cell] = r.n
+        centroids = [
+            [c / (1_000_000.0 * counts[i]) for c in by_cell[i]]
+            if i in by_cell
+            else centroids[i]  # empty cell keeps its centroid (standard)
+            for i in range(k)
+        ]
+    assignments = vecs.withColumn(
+        "cell", _nearest_centroid_cell(F.col("v"), centroids)
+    ).select(F.col("vid").alias(id_col), "cell")
+    vecs.unpersist()
+    return assignments, centroids, rounds

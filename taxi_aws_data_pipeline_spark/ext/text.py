@@ -129,6 +129,157 @@ def add_rolling_hash(
     return df.withColumn("rolling_hash", rolled)
 
 
+def add_gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText document-level quality rules (Rae et al. 2021
+    §A1.1.1), the standard pre-training heuristic gate: word-count bounds,
+    mean-word-length bounds, minimum stopword evidence, and minimum
+    alphabetic-word fraction, plus the conjunction ``gopher_pass``.
+
+    Pure projection over the token array (``bind_once`` keeps the split
+    from re-running per rule) — one codegen'd map pass, zero shuffle, so
+    the gate costs a scan at any corpus size.
+    """
+    from .dedup import bind_once
+
+    def signals(w: Column) -> Column:
+        wc = F.size(w)
+        safe_wc = F.greatest(wc, F.lit(1))
+        mean_len = (
+            F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+            .cast("double")
+            / safe_wc
+        )
+        stop_hits = stopword_hits(w, STOPWORDS["en"])
+        alpha_frac = (
+            F.size(F.filter(w, lambda t: t.rlike("[a-z]"))).cast("double")
+            / safe_wc
+        )
+        return F.struct(
+            wc.alias("word_count"),
+            mean_len.alias("mean_word_len"),
+            stop_hits.alias("stopword_count"),
+            alpha_frac.alias("alpha_word_frac"),
+        )
+
+    s = bind_once(words(text_col), signals)
+    out = df.withColumn("_g", s)
+    rules = {
+        "word_count": F.col("_g.word_count"),
+        "mean_word_len": F.col("_g.mean_word_len"),
+        "stopword_count": F.col("_g.stopword_count"),
+        "alpha_word_frac": F.col("_g.alpha_word_frac"),
+        "rule_word_count": F.col("_g.word_count").between(50, 100_000),
+        "rule_mean_word_len": F.col("_g.mean_word_len").between(3.0, 10.0),
+        "rule_stopwords": F.col("_g.stopword_count") >= 2,
+        "rule_alpha_words": F.col("_g.alpha_word_frac") >= 0.8,
+    }
+    for name, col in rules.items():
+        out = out.withColumn(name, col)
+    return out.withColumn(
+        "gopher_pass",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_stopwords")
+        & F.col("rule_alpha_words"),
+    ).drop("_g")
+
+
+def add_lexical_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexical-diversity quality signals, all exact rationals (no log /
+    libm — entropy-style measures drift in the last ulp across engines,
+    these hash identically everywhere): type-token ratio, hapax fraction
+    (words occurring exactly once), and top-character concentration.
+
+    O(distinct·n) comparisons inside a per-row projection — bounded by
+    document length, zero shuffle.
+    """
+    from .dedup import bind_once
+
+    def tok_signals(w: Column) -> Column:
+        wc = F.greatest(F.size(w), F.lit(1))
+        distinct = F.array_distinct(w)
+        hapax = F.size(
+            F.filter(
+                distinct,
+                lambda t: F.size(F.filter(w, lambda x: x == t)) == 1,
+            )
+        )
+        return F.struct(
+            (F.size(distinct).cast("double") / wc).alias("ttr"),
+            (hapax.cast("double") / wc).alias("hapax_frac"),
+        )
+
+    def char_signals(chars: Column) -> Column:
+        total = F.greatest(F.size(chars), F.lit(1))
+        maxc = F.array_max(
+            F.transform(
+                F.array_distinct(chars),
+                lambda c: F.size(F.filter(chars, lambda x: x == c)),
+            )
+        )
+        return (F.coalesce(maxc, F.lit(0)).cast("double") / total).alias(
+            "top_char_frac"
+        )
+
+    toks = bind_once(words(text_col), tok_signals)
+    chars = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", ""), ""),
+        lambda c: c != "",
+    )
+    top_char = bind_once(chars, char_signals)
+    return (
+        df.withColumn("_lx", toks)
+        .withColumn("ttr", F.col("_lx.ttr"))
+        .withColumn("hapax_frac", F.col("_lx.hapax_frac"))
+        .withColumn("top_char_frac", top_char)
+        .drop("_lx")
+    )
+
+
+def add_top_ngram_fraction(
+    df: DataFrame, n: int, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Gopher repetition signal: fraction of document characters covered
+    by the single most frequent word n-gram (count × gram length ÷ doc
+    length). Deterministic tie-break: among max-count grams, the
+    lexicographically smallest. Docs shorter than n words score 0.0.
+
+    Like the other repetition signals this is a pure projection —
+    the n-gram list is materialized per row (O(words) strings), counted
+    with array lambdas, never exploded into a shuffle.
+    """
+    from .dedup import bind_once
+
+    name = out_col or f"top_{n}gram_char_frac"
+    toks = words(text_col)
+    grams_expr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def frac(grams: Column) -> Column:
+        distinct = F.array_distinct(grams)
+        counts = F.transform(
+            distinct, lambda g: F.size(F.filter(grams, lambda x: x == g))
+        )
+        maxc = F.array_max(counts)
+        top = F.array_min(
+            F.filter(
+                distinct,
+                lambda g: F.size(F.filter(grams, lambda x: x == g)) == maxc,
+            )
+        )
+        return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+            (maxc * F.length(top)).cast("double")
+            / F.greatest(F.length(F.col(text_col)), F.lit(1))
+        )
+
+    return df.withColumn(name, bind_once(grams_expr, frac))
+
+
 def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Duplicate-line repetition signals (the Gopher/MassiveText-style
     repetition filter): per document, the count of non-empty lines, the

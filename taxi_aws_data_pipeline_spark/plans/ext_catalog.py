@@ -1022,3 +1022,383 @@ def x27_training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*"01234567")
     )
     return d.select("doc_id", "lang_pred", "quality_score", "fingerprint")
+
+
+_SQL_EN_STOPWORDS = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+
+_GOPHER_ORACLE = f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(w) AS word_count,
+               CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                   / greatest(len(w), 1) AS mean_word_len,
+               len(list_filter(w, t -> t IN ({_SQL_EN_STOPWORDS})))
+                   AS stopword_count,
+               CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+                    AS DOUBLE) / greatest(len(w), 1) AS alpha_word_frac
+        FROM (
+            SELECT doc_id, {SQL_WORDS.format(t='text')} AS w
+            FROM documents WHERE text IS NOT NULL
+        )
+    )
+    SELECT doc_id, word_count, mean_word_len, stopword_count,
+           alpha_word_frac,
+           word_count BETWEEN 50 AND 100000       AS rule_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0     AS rule_mean_word_len,
+           stopword_count >= 2                    AS rule_stopwords,
+           alpha_word_frac >= 0.8                 AS rule_alpha_words,
+           (word_count BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND stopword_count >= 2
+             AND alpha_word_frac >= 0.8           AS gopher_pass
+    FROM s
+"""
+
+
+@register(
+    "x28_gopher_quality_rules",
+    "Gopher/MassiveText document-quality rule gate (Rae et al. 2021 "
+    "A1.1.1): word-count bounds [50, 100k], mean-word-length bounds "
+    "[3, 10], >=2 English stopwords, >=80% words containing a letter, "
+    "plus the conjunction gopher_pass. Pure projection over the token "
+    "array (bind_once single split) — the whole gate costs one codegen'd "
+    "scan at any corpus size.",
+    oracle=_GOPHER_ORACLE,
+    tags=("ext", "text", "quality", "gopher"),
+)
+def x28_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return TX.add_gopher_rules(docs).select(
+        "doc_id", "word_count", "mean_word_len", "stopword_count",
+        "alpha_word_frac", "rule_word_count", "rule_mean_word_len",
+        "rule_stopwords", "rule_alpha_words", "gopher_pass",
+    )
+
+
+_LEXDIV_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               {SQL_WORDS.format(t='text')} AS w,
+               list_filter(string_split(
+                   regexp_replace(lower(text), '\\s+', '', 'g'), ''),
+                   c -> c <> '') AS cs
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(w)) AS DOUBLE)
+               / greatest(len(w), 1) AS ttr,
+           CAST(len(list_filter(list_distinct(w),
+                    t -> len(list_filter(w, x -> x = t)) = 1)) AS DOUBLE)
+               / greatest(len(w), 1) AS hapax_frac,
+           CAST(COALESCE(list_max(list_transform(list_distinct(cs),
+                    c -> len(list_filter(cs, x -> x = c)))), 0) AS DOUBLE)
+               / greatest(len(cs), 1) AS top_char_frac
+    FROM base
+"""
+
+
+@register(
+    "x29_lexical_diversity",
+    "Lexical-diversity quality signals: type-token ratio, hapax fraction "
+    "(words occurring exactly once), top-character concentration. All "
+    "exact rationals by design — entropy-style log measures drift in the "
+    "last ulp across engines; these hash identically everywhere. "
+    "Projection-only, O(distinct x len) comparisons per row, no shuffle.",
+    oracle=_LEXDIV_ORACLE,
+    tags=("ext", "text", "quality"),
+)
+def x29_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return TX.add_lexical_diversity(docs).select(
+        "doc_id", "ttr", "hapax_frac", "top_char_frac"
+    )
+
+
+def _sql_top_ngram_frac(n: int) -> str:
+    w = SQL_WORDS.format(t="text")
+    grams = (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n - 2}), "
+        f"i -> array_to_string(({w})[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+    return f"""
+        SELECT doc_id,
+               CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+                   CAST(maxc * length(
+                       list_min(list_filter(list_distinct(grams),
+                           x -> len(list_filter(grams, y -> y = x)) = maxc))
+                   ) AS DOUBLE) / greatest(length(text), 1)
+               END AS frac
+        FROM (
+            SELECT doc_id, text, grams,
+                   list_max(list_transform(list_distinct(grams),
+                       x -> len(list_filter(grams, y -> y = x)))) AS maxc
+            FROM (
+                SELECT doc_id, text, {grams} AS grams
+                FROM documents WHERE text IS NOT NULL
+            )
+        )
+    """
+
+
+_TOP_NGRAM_ORACLE = f"""
+    WITH f2 AS ({_sql_top_ngram_frac(2)}),
+    f3 AS ({_sql_top_ngram_frac(3)})
+    SELECT f2.doc_id,
+           f2.frac AS top_2gram_char_frac,
+           f3.frac AS top_3gram_char_frac
+    FROM f2 JOIN f3 USING (doc_id)
+"""
+
+
+@register(
+    "x30_top_ngram_repetition",
+    "Gopher repetition signal: fraction of document characters covered by "
+    "the most frequent word 2-gram and 3-gram (count x gram length / doc "
+    "length; lexicographic tie-break so the answer is total-ordered). "
+    "Complements x19's duplicate-line ratio — this catches within-line "
+    "boilerplate loops. Pure projection: gram lists are array-lambda "
+    "counted per row, never exploded into a shuffle.",
+    oracle=_TOP_NGRAM_ORACLE,
+    tags=("ext", "text", "quality", "repetition", "gopher"),
+)
+def x30_top_ngram_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = TX.add_top_ngram_fraction(docs, 2)
+    d = TX.add_top_ngram_fraction(d, 3)
+    return d.select("doc_id", "top_2gram_char_frac", "top_3gram_char_frac")
+
+
+_LANG_STATS_ORACLE = f"""
+    WITH lang AS ({_LANG_ORACLE}),
+    d AS (
+        SELECT l.lang_pred,
+               len({SQL_WORDS.format(t='doc.text')}) AS ws_tokens,
+               doc.source
+        FROM lang l JOIN documents doc USING (doc_id)
+        WHERE doc.text IS NOT NULL
+    )
+    SELECT lang_pred,
+           CAST(count(*) AS BIGINT)            AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT)      AS total_ws_tokens,
+           CAST(min(ws_tokens) AS BIGINT)      AS min_ws_tokens,
+           CAST(max(ws_tokens) AS BIGINT)      AS max_ws_tokens,
+           CAST(sum(ws_tokens) AS DOUBLE) / count(*) AS avg_ws_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM d
+    GROUP BY lang_pred
+"""
+
+
+@register(
+    "x31_corpus_language_stats",
+    "Corpus composition report: per predicted language, doc count, "
+    "whitespace-token totals/min/max/mean, and distinct source count — "
+    "the training-mix summary every curation run ends with. One partial-"
+    "aggregated shuffle on the (tiny-cardinality) language key; the "
+    "token counting itself is fused into the scan projection.",
+    oracle=_LANG_STATS_ORACLE,
+    tags=("ext", "text", "stats"),
+)
+def x31_corpus_language_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = TX.add_language_id(docs)
+    d = d.withColumn("ws_tokens", F.size(TX.words("text")))
+    return d.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.min("ws_tokens").alias("min_ws_tokens"),
+        F.max("ws_tokens").alias("max_ws_tokens"),
+        (F.sum("ws_tokens").cast("double") / F.count("*")).alias(
+            "avg_ws_tokens"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def _sql_lsh_bucket(vec: str) -> str:
+    """Sign-bit bucket id over inlined hyperplane literals — generated
+    from the SAME deterministic md5-derived constants as the Spark plan
+    (ext/similarity.hyperplanes), so the dialects cannot drift."""
+    terms = []
+    for p, plane in enumerate(S.hyperplanes(8, 64)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = SQL_DOT.format(a=vec, b=arr)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH RECURSIVE c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
+    ),
+    pairs AS (
+        SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE {sql_cosine('x.v', 'y.v')} >= 0.3
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst
+        FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (
+        SELECT node, LEAST(node, MIN(reach)) AS cluster_id
+        FROM walk GROUP BY node
+    )
+    SELECT c.vec_id,
+           COALESCE(l.cluster_id, c.vec_id) AS cluster_id,
+           COALESCE(l.cluster_id, c.vec_id) = c.vec_id AS is_representative
+    FROM c LEFT JOIN labels l ON c.vec_id = l.node
+"""
+
+
+@register(
+    "x32_semantic_dedup",
+    "SemDeDup-shaped semantic deduplication (Abbas et al. 2023) end to "
+    "end: sign-bit-LSH-bucketed cosine pairs -> connected components "
+    "(large-star/small-star) -> one representative (min id) per cluster, "
+    "singletons kept. The DECISION layer on top of x12's pairs — at "
+    "100 TB only same-bucket pairs are scored, components shuffle "
+    "(id,id) edges, and the labeling is one join. Threshold 0.3 is "
+    "fixture-calibrated (the synthetic embeddings are near-orthogonal; "
+    "max same-bucket cosine ~0.49) so clusters actually form; real "
+    "corpora use the API default 0.9. Oracle: recursive-CTE reachability "
+    "over the identical inlined-hyperplane bucketing.",
+    oracle=_SEMANTIC_DEDUP_ORACLE,
+    tags=("ext", "similarity", "dedup", "clustering", "iterative"),
+)
+def x32_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return S.semantic_dedup(load_table(spark, sf, "embeddings"), threshold=0.3)
+
+
+_CROSS_CORPUS_ORACLE = f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform({sql_shingles('text')}, s -> {SQL_H.format(s='s')}) AS hs
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM hashed
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    nb AS (SELECT doc_id, band, band_hash FROM bands WHERE doc_id % 2 = 1),
+    eb AS (SELECT doc_id, band, band_hash FROM bands WHERE doc_id % 2 = 0),
+    m AS (
+        SELECT nb.doc_id,
+               CAST(count(DISTINCT eb.doc_id) AS BIGINT) AS n_existing_matches,
+               min(eb.doc_id) AS min_existing_match
+        FROM nb JOIN eb USING (band, band_hash)
+        GROUP BY nb.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(m.n_existing_matches, 0) AS n_existing_matches,
+           m.min_existing_match,
+           m.doc_id IS NULL AS is_new_unique
+    FROM documents d LEFT JOIN m USING (doc_id)
+    WHERE d.doc_id % 2 = 1
+"""
+
+
+@register(
+    "x33_cross_corpus_dedup",
+    "Incremental-ingest dedup: MinHash-LSH collision check of a NEW batch "
+    "(odd doc_ids) against the EXISTING corpus (even doc_ids) — the shape "
+    "every recurring crawl runs, deduping the fresh batch against already-"
+    "ingested data without re-pairing the existing corpus with itself. "
+    "Both sides reduce to (id, band, band_hash) keys before the one "
+    "shuffle join; in production the existing side's band keys are a "
+    "precomputed table so each increment only signatures the new batch. "
+    "Every new doc is reported with its match count, min matched id, and "
+    "an is_new_unique verdict.",
+    oracle=_CROSS_CORPUS_ORACLE,
+    tags=("ext", "dedup", "minhash", "lsh", "incremental"),
+)
+def x33_cross_corpus_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    return X.lsh_cross_corpus_matches(new, existing)
+
+
+_BPE_PAIR_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({SQL_WORDS.format(t='text')}) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(t)),
+                                     i -> substr(t, i, 2))) AS pair
+        FROM toks WHERE length(t) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+"""
+
+
+@register(
+    "x34_bpe_pair_counts",
+    "Corpus-wide adjacent-character-pair frequencies — the statistic the "
+    "first BPE merge step maximizes (tokenizer training's inner loop). "
+    "Pairs stay within whitespace tokens (no cross-word merges), counted "
+    "with a partial-aggregated shuffle on the tiny pair key space; the "
+    "top-20 cut is total-ordered (count desc, pair asc) so the result "
+    "set is deterministic in any engine.",
+    oracle=_BPE_PAIR_ORACLE,
+    tags=("ext", "text", "tokenizer", "stats"),
+)
+def x34_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(TX.words("text")).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@register(
+    "x35_kmeans_cells",
+    "Distributed Lloyd k-means (k=8) over the embeddings table — the "
+    "iterative refinement that turns x14's seed quantizer into real IVF "
+    "centroids. Fully deterministic: hash-sampled farthest-point seeds "
+    "(no RNG), tie-broken assignment, fixed-point integer-sum updates "
+    "(identical at any parallelism), convergence = quantized-signature "
+    "fixpoint. Each round "
+    "is one assignment projection (centroids ride as plan literals) plus "
+    "one partial-aggregated (cell, pos) shuffle; plan depth stays "
+    "constant per round. Rows-only check: data-dependent iteration count "
+    "is not SQL-expressible.",
+    oracle=None,
+    tags=("ext", "embedding", "clustering", "iterative"),
+)
+def x35_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+    assignments, _, _ = S.kmeans_lloyd(load_table(spark, sf, "embeddings"), k=8)
+    return assignments

@@ -415,3 +415,147 @@ def test_image_header_probe_real_bytes(spark):
     assert (rows[2].format, rows[2].probe_width, rows[2].probe_height) == ("gif", 320, 200)
     assert (rows[3].format, rows[3].probe_width, rows[3].probe_height) == ("jpeg", 640, 480)
     assert rows[4].format is None and rows[5].format is None
+
+
+def test_gopher_rules_bite_both_ways(spark):
+    """Word-count and stopword rules must fail and pass on crafted docs;
+    the conjunction reflects every rule."""
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    long_good = "the cat sat on the mat and then " * 8  # 64 words, stopwords
+    short = "tiny doc without enough words"             # fails word count
+    no_stop = " ".join(f"w{i}" for i in range(60))      # 0 stopword hits
+    df = spark.createDataFrame(
+        [(1, long_good.strip()), (2, short), (3, no_stop)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TX.add_gopher_rules(df).collect()}
+    assert rows[1].rule_word_count and rows[1].rule_stopwords
+    assert rows[1].gopher_pass
+    assert not rows[2].rule_word_count and not rows[2].gopher_pass
+    assert rows[3].stopword_count == 0 and not rows[3].rule_stopwords
+
+
+def test_lexical_diversity_exact_rationals(spark):
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    r = TX.add_lexical_diversity(df).collect()[0]
+    assert r.ttr == pytest.approx(2 / 3)
+    assert r.hapax_frac == pytest.approx(1 / 3)   # only 'b' occurs once
+    assert r.top_char_frac == pytest.approx(2 / 3)  # chars 'aab'
+
+
+def test_top_ngram_fraction_tiebreak_and_short_docs(spark):
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # 'a b' x2 ties 'b a' x2 -> lexicographic min
+            (2, "one"),          # shorter than n -> 0.0
+            (3, "x y z"),        # all grams unique -> maxc 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in TX.add_top_ngram_fraction(df, 2).collect()
+    }
+    # 'a b' occurs twice, len 3, text len 9
+    assert rows[1].top_2gram_char_frac == pytest.approx(2 * 3 / 9)
+    assert rows[2].top_2gram_char_frac == 0.0
+    assert rows[3].top_2gram_char_frac == pytest.approx(3 / 5)
+
+
+def test_semantic_dedup_clusters_and_representatives(spark):
+    """Two identical vectors cluster under the min id; an orthogonal one
+    stays a singleton; every input vector appears exactly once."""
+    from taxi_aws_data_pipeline_spark.ext import similarity as S
+
+    v1 = [1.0] * 8 + [0.0] * 56
+    v3 = [0.0] * 56 + [1.0] * 8
+    df = spark.createDataFrame(
+        [(10, v1, 0), (20, list(v1), 0), (30, v3, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.vec_id: r for r in S.semantic_dedup(df, threshold=0.9).collect()}
+    assert len(rows) == 3
+    assert rows[10].cluster_id == 10 and rows[10].is_representative
+    assert rows[20].cluster_id == 10 and not rows[20].is_representative
+    assert rows[30].cluster_id == 30 and rows[30].is_representative
+
+
+def test_cross_corpus_matches_flags_known_duplicate(spark):
+    """A new doc that is a verbatim copy of an existing doc must collide
+    in every band; a new doc with disjoint text must come back unique."""
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about distributed shuffle plans"
+    existing = spark.createDataFrame(
+        [(0, text_a), (2, "some other existing document entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, text_a), (3, text_b)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in X.lsh_cross_corpus_matches(new, existing).collect()
+    }
+    assert len(rows) == 2
+    assert rows[1].n_existing_matches >= 1
+    assert rows[1].min_existing_match == 0
+    assert not rows[1].is_new_unique
+    assert rows[3].n_existing_matches == 0
+    assert rows[3].min_existing_match is None
+    assert rows[3].is_new_unique
+
+
+def test_bpe_pairs_count_within_tokens_only(spark):
+    """Adjacent char pairs never span a whitespace boundary, and the
+    top-k cut is total-ordered (count desc, pair asc)."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    df = spark.createDataFrame([(1, "abab ab")], "doc_id long, text string")
+    toks = df.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = {r.pair: r.n for r in pairs.groupBy("pair").agg(F.count("*").alias("n")).collect()}
+    # 'abab' -> ab, ba, ab ; 'ab' -> ab  => ab:3, ba:1; no 'b a' cross-token pair
+    assert counts == {"ab": 3, "ba": 1}
+
+
+def test_kmeans_lloyd_converges_and_is_deterministic(spark):
+    """Three well-separated synthetic groups: Lloyd must converge before
+    the iteration cap, put each group in one cell, and reproduce the
+    exact same assignment when run twice (fixed-point updates make the
+    result partitioning-independent)."""
+    from taxi_aws_data_pipeline_spark.ext import similarity as S
+
+    def vec(axis, i):
+        # 10 vectors per group, clustered along one of 3 orthogonal axes
+        base = [0.0] * 64
+        base[axis * 20] = 10.0
+        base[axis * 20 + 1] = (i % 5) * 0.1  # small within-group spread
+        return base
+
+    rows = [(axis * 10 + i, vec(axis, i), axis) for axis in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    a1, c1, r1 = S.kmeans_lloyd(df, k=3, max_iterations=15)
+    got1 = {r.vec_id: r.cell for r in a1.collect()}
+    assert r1 < 15  # converged, didn't hit the cap
+    # each true group lands wholly in one cell, three distinct cells
+    cells = [{got1[axis * 10 + i] for i in range(10)} for axis in range(3)]
+    assert all(len(c) == 1 for c in cells)
+    assert len({c.pop() for c in cells}) == 3
+
+    a2, c2, _ = S.kmeans_lloyd(df.repartition(7), k=3, max_iterations=15)
+    assert {r.vec_id: r.cell for r in a2.collect()} == got1
+    assert c2 == c1

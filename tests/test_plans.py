@@ -146,3 +146,22 @@ def test_a7_broadcast_dim_distinct_agg(spark, sf_dir):
 def test_x19_repetition_is_pure_projection(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x19_repetition_signals", "simple")
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_quality_gate_projections_no_shuffle(spark, sf_dir):
+    # the Gopher gate, lexical diversity, and top-n-gram repetition are
+    # all single-scan projections: no Exchange, no Join anywhere
+    for name in (
+        "x28_gopher_quality_rules",
+        "x29_lexical_diversity",
+        "x30_top_ngram_repetition",
+    ):
+        plan = _plan(spark, sf_dir, name, "simple")
+        assert "Exchange" not in plan and "Join" not in plan, name
+
+
+def test_x25_benchmark_grams_broadcast(spark, sf_dir):
+    # the benchmark gram set must broadcast; the corpus side probes it
+    # partition-locally — only gram hits reach the per-doc count shuffle
+    plan = _plan(spark, sf_dir, "x25_ngram_decontamination_fuzzy", "simple")
+    assert "BroadcastHashJoin" in plan
