@@ -270,3 +270,62 @@ def streaming_dedup_within_watermark(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCUMENT_READ_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def streaming_document_curation(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    min_quality: float = 0.0,
+    lang: str | None = None,
+    watermark: str = "10 minutes",
+    glob_filter: str = "*.parquet",
+):
+    """Streaming training-data curation: the x-tier quality gates composed
+    onto the incremental file source, so documents are curated AS THEY
+    LAND instead of in a nightly batch sweep.
+
+    Per micro-batch: language-ID (x1) and quality scoring (x2) run as
+    projections fused into the scan; the gate filters BEFORE the stateful
+    stage so only surviving fingerprints enter the dedup map; exact dedup
+    uses ``dropDuplicatesWithinWatermark`` on the content fingerprint
+    (x4) — state bounded to the watermark horizon, the same
+    exactness-within-horizon trade as streaming_dedup_within_watermark
+    (global dedup stays a batch job, x5/x33, over the landed table).
+
+    Curated rows flow to ``batch_fn`` via foreachBatch (checkpoint-
+    recoverable); ``Trigger.AvailableNow`` drains everything landed since
+    the last checkpoint, so a cron-style "curate the new files" run is
+    one call.
+    """
+    from .ext import text as TX
+
+    stream = (
+        spark.readStream.schema(DOCUMENT_READ_SCHEMA)
+        .option("pathGlobFilter", glob_filter)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+        .filter(F.col("text").isNotNull())
+    )
+    d = TX.add_fingerprint(TX.add_quality_signals(TX.add_language_id(stream)))
+    if lang is not None:
+        d = d.filter(F.col("lang_pred") == lang)
+    d = d.filter(F.col("quality_score") >= min_quality)
+    d = (
+        d.withColumn("ingest_time", F.current_timestamp())
+        .withWatermark("ingest_time", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .drop("ingest_time")
+    )
+    return (
+        d.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -559,3 +559,49 @@ def test_kmeans_lloyd_converges_and_is_deterministic(spark):
     a2, c2, _ = S.kmeans_lloyd(df.repartition(7), k=3, max_iterations=15)
     assert {r.vec_id: r.cell for r in a2.collect()} == got1
     assert c2 == c1
+
+
+def _mp4_bytes(timescale=1000, duration=2500, version=0):
+    """Minimal ISO-BMFF container built by hand: ftyp + moov(mvhd)."""
+    ftyp_payload = b"isom" + (0).to_bytes(4, "big") + b"isomiso2"
+    ftyp = (8 + len(ftyp_payload)).to_bytes(4, "big") + b"ftyp" + ftyp_payload
+    if version == 0:
+        mvhd_payload = (
+            bytes([0, 0, 0, 0])          # version 0 + flags
+            + (0).to_bytes(4, "big")     # creation
+            + (0).to_bytes(4, "big")     # modification
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+        )
+    else:
+        mvhd_payload = (
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big")
+            + (0).to_bytes(8, "big")
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+        )
+    mvhd = (8 + len(mvhd_payload)).to_bytes(4, "big") + b"mvhd" + mvhd_payload
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    free = (8).to_bytes(4, "big") + b"free"
+    return ftyp + free + moov
+
+
+def test_mp4_probe_parses_real_containers(spark):
+    """The video probe walks real ISO-BMFF boxes: brand and mvhd duration
+    come back for both mvhd versions; junk and null come back None."""
+    assets = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_mp4_bytes(1000, 2500, version=0)), None, None, None),
+            (2, "video", bytearray(_mp4_bytes(600, 1200, version=1)), None, None, None),
+            (3, "video", bytearray(b"definitely not an mp4 container"), None, None, None),
+            (4, "video", None, None, None, None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.probe_video_metadata(assets).collect()}
+    assert (rows[1].video_format, rows[1].major_brand) == ("mp4", "isom")
+    assert rows[1].probe_duration_ms == 2500 and rows[1].n_boxes == 3
+    assert rows[2].probe_duration_ms == 2000  # 1200/600 ticks = 2 s
+    assert rows[3].video_format is None
+    assert rows[4].video_format is None

@@ -165,3 +165,24 @@ def test_x25_benchmark_grams_broadcast(spark, sf_dir):
     # partition-locally — only gram hits reach the per-doc count shuffle
     plan = _plan(spark, sf_dir, "x25_ngram_decontamination_fuzzy", "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_x31_prunes_doc_id_and_partial_aggregates(spark, sf_dir):
+    # the language-stats report needs only (text, source): doc_id must be
+    # pruned at the scan, and the agg must be two-phase (partial before
+    # the language-key exchange)
+    plan = _plan(spark, sf_dir, "x31_corpus_language_stats", "formatted")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "source" in read and "doc_id" not in read
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_x34_top_pairs_single_agg_shuffle(spark, sf_dir):
+    # corpus-wide pair counting: one partial-aggregated shuffle on the
+    # pair key, a TakeOrdered cut, no join anywhere
+    plan = _plan(spark, sf_dir, "x34_bpe_pair_counts", "formatted")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "doc_id" not in read
+    assert "TakeOrdered" in plan
+    assert "Join" not in plan

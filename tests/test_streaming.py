@@ -208,3 +208,68 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     q.awaitTermination()
     assert sum(counts) == 0
+
+
+def test_streaming_document_curation_gates_and_dedups(spark, tmp_path):
+    """Documents landing across two files are language-gated, quality-
+    gated BEFORE the stateful stage, and fingerprint-deduped across
+    files; a checkpointed restart with no new files emits nothing."""
+    import pandas as pd
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    good = (
+        "the data pipeline reads the files and the tables are written "
+        "to the lake while the jobs run and the metrics land in the store "
+        "so the team can see the results of the work every day in the "
+        "dashboard that the pipeline keeps fresh for all of the users"
+    )
+    spanish = "el la de que y los una por " * 8
+    f1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [good, "tiny", spanish.strip()],
+            "lang": ["en", "en", "es"],
+            "source": ["a", "a", "b"],
+            "n_chars": [len(good), 4, len(spanish)],
+        }
+    )
+    # file 2: a re-spaced duplicate of doc 1 (same fingerprint) + a fresh doc
+    good2 = good.replace(" the ", "  the ")
+    fresh = good.replace("pipeline", "crawler")
+    f2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": [good2, fresh],
+            "lang": ["en", "en"],
+            "source": ["b", "b"],
+            "n_chars": [len(good2), len(fresh)],
+        }
+    )
+    f1.to_parquet(src / "batch1.parquet", index=False)
+    f2.to_parquet(src / "batch2.parquet", index=False)
+
+    seen: list = []
+
+    def batch_fn(df, epoch_id):
+        seen.extend(df.select("doc_id").toPandas().doc_id.tolist())
+
+    q = streaming.streaming_document_curation(
+        spark, str(src), ckpt, batch_fn, min_quality=0.5, lang="en"
+    )
+    q.awaitTermination()
+    # doc 2 fails quality, doc 3 fails language; docs 1 and 4 share a
+    # fingerprint so exactly ONE of them survives (both files can drain
+    # in a single AvailableNow micro-batch, so which copy wins is not
+    # specified); doc 5 is fresh
+    assert len(seen) == 2 and 5 in seen
+    assert len(set(seen) & {1, 4}) == 1
+    assert not set(seen) & {2, 3}
+
+    seen.clear()
+    q = streaming.streaming_document_curation(
+        spark, str(src), ckpt, batch_fn, min_quality=0.5, lang="en"
+    )
+    q.awaitTermination()
+    assert seen == []
