@@ -423,14 +423,65 @@ def x10_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
+def _sql_lsh_bucket(vec: str) -> str:
+    """Sign-bit bucket id over inlined hyperplane literals — generated
+    from the SAME deterministic md5-derived constants as the Spark plan
+    (ext/similarity.hyperplanes), so the dialects cannot drift."""
+    terms = []
+    for p, plane in enumerate(S.hyperplanes(8, 64)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = SQL_DOT.format(a=vec, b=arr)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+# probe buckets under multi-probe: the home bucket plus each distance-1 flip
+_PROBE_BUCKETS = "\n        UNION ALL\n".join(
+    ["        SELECT probe_id, pv, b0 AS probe_bucket FROM p"]
+    + [
+        f"        SELECT probe_id, pv, xor(b0, {1 << i}) AS probe_bucket FROM p"
+        for i in range(8)
+    ]
+)
+
+_LSH_ANN_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, v AS pv, bucket AS b0 FROM b
+        WHERE vec_id < 8
+    ),
+    pb AS (
+{_PROBE_BUCKETS}
+    ),
+    scored AS (
+        SELECT pb.probe_id, b.vec_id AS neighbor_id,
+               {sql_cosine('pb.pv', 'b.v')} AS cos_sim
+        FROM b JOIN pb
+          ON b.bucket = pb.probe_bucket AND b.vec_id <> pb.probe_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+"""
+
+
 @register(
     "x11_lsh_ann_topk",
     "Extension: approximate top-3 via random-hyperplane sign-bit LSH "
     "with multi-probe (distance-1 bucket flips — the scale path; recall "
-    "vs x10 is the quality metric, checked in tests). Hyperplanes are "
-    "md5-derived at plan build; not practically SQL-expressible → "
-    "rows-only check.",
-    oracle=None,
+    "vs x10 is the quality metric, checked in tests). Hash-verified: the "
+    "oracle inlines the same md5-derived hyperplanes and replays the "
+    "9-bucket multi-probe with xor flips.",
+    oracle=_LSH_ANN_ORACLE,
     tags=("ext", "similarity", "ann", "lsh"),
 )
 def x11_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -438,13 +489,62 @@ def x11_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, probe_flips=1)
 
 
+# IVF cell ranking: sim = dot/|centroid| (the probe's own norm is
+# constant per partition), descending, ties -> HIGHER cell id (Spark's
+# reverse(array_sort(struct(sim, cell))) tie order)
+_IVF_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, v AS cv,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (a, b) -> a + b)) AS cnorm
+        FROM c
+        WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT 16)
+    ),
+    cellsim AS (
+        SELECT c.vec_id, c.v, cent.cell,
+               {SQL_DOT.format(a='c.v', b='cent.cv')} / cent.cnorm AS sim,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {SQL_DOT.format(a='c.v', b='cent.cv')}
+                                           / cent.cnorm DESC,
+                                           cent.cell DESC) AS rn
+        FROM c CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, v AS cand_vec, cell
+        FROM cellsim WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, v AS probe_vec, cell
+        FROM cellsim WHERE rn <= 2 AND vec_id < 8
+    ),
+    scored AS (
+        SELECT p.probe_id, a.neighbor_id,
+               {sql_cosine('p.probe_vec', 'a.cand_vec')} AS cos_sim
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.neighbor_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+"""
+
+
 @register(
     "x14_ivf_ann_topk",
     "Extension: approximate top-3 via an IVF index (deterministic coarse "
-    "quantizer, nprobe=2) — the partition-by-cell ANN scale path "
-    "complementing the sign-bit LSH of x11. Centroid list is collected at "
-    "plan build; rows-only check.",
-    oracle=None,
+    "quantizer = 16 lowest-id vectors, nprobe=2) — the partition-by-cell "
+    "ANN scale path complementing the sign-bit LSH of x11. Hash-verified: "
+    "the quantizer is pure data (no RNG), so the oracle rebuilds the "
+    "same cells, cell ranking (dot/|centroid|, ties to the higher cell — "
+    "Spark's reverse-sorted struct order), and nprobe fan-out in SQL.",
+    oracle=_IVF_ORACLE,
     tags=("ext", "similarity", "ann", "ivf"),
 )
 def x14_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -452,26 +552,69 @@ def x14_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
+def _sql_lsh_bucket(vec: str) -> str:
+    """Sign-bit bucket id over inlined hyperplane literals — generated
+    from the SAME deterministic md5-derived constants as the Spark plan
+    (ext/similarity.hyperplanes), so the dialects cannot drift."""
+    terms = []
+    for p, plane in enumerate(S.hyperplanes(8, 64)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = SQL_DOT.format(a=vec, b=arr)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_EMB_PAIRS_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
+    )
+    SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+           {sql_cosine('x.v', 'y.v')} AS cos_sim
+    FROM b x JOIN b y
+      ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {sql_cosine('x.v', 'y.v')} >= 0.3
+"""
+
+
 @register(
     "x12_embedding_near_dup_pairs",
-    "Extension: embedding-cosine near-duplicate pairs (cos ≥ 0.9), "
-    "LSH-bucketed so only same-bucket pairs are scored. Rows-only check "
-    "(hyperplane constants live in the plan).",
-    oracle=None,
+    "Extension: embedding-cosine near-duplicate pairs, LSH-bucketed so "
+    "only same-bucket pairs are scored. Hash-verified against an oracle "
+    "that inlines the SAME md5-derived hyperplane constants (the x32 "
+    "mechanism); threshold 0.3 is fixture-calibrated (the synthetic "
+    "embeddings are near-orthogonal, max same-bucket cosine ~0.49) so "
+    "the gate covers real pairs — production corpora use the API "
+    "default 0.9.",
+    oracle=_EMB_PAIRS_ORACLE,
     tags=("ext", "similarity", "dedup"),
 )
 def x12_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
-        load_table(spark, sf, "embeddings"), threshold=0.9
+        load_table(spark, sf, "embeddings"), threshold=0.3
     )
 
 
 @register(
     "x13_rolling_hash_fingerprint",
     "Extension: Karp-Rabin polynomial rolling hash via the aggregate "
-    "higher-order function (order-dependent scan without a UDF). "
-    "Rows-only: ascii() on non-ASCII codepoints is engine-specific.",
-    oracle=None,
+    "higher-order function (order-dependent scan without a UDF). The "
+    "oracle emulates Spark's zero-seeded left fold by prepending 0 to "
+    "the codepoint list before list_reduce. Valid because the fixture is "
+    "pure ASCII — ascii() on non-ASCII codepoints is engine-specific "
+    "(Spark: UTF-16 unit, DuckDB: codepoint), so non-ASCII corpora "
+    "should treat this entry as Spark-defined.",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 257 + x) % 1000000007) AS rolling_hash
+        FROM documents
+    """,
     tags=("ext", "text"),
 )
 def x13_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
@@ -1215,18 +1358,6 @@ def x31_corpus_language_stats(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.countDistinct("source").alias("n_sources"),
     )
-
-
-def _sql_lsh_bucket(vec: str) -> str:
-    """Sign-bit bucket id over inlined hyperplane literals — generated
-    from the SAME deterministic md5-derived constants as the Spark plan
-    (ext/similarity.hyperplanes), so the dialects cannot drift."""
-    terms = []
-    for p, plane in enumerate(S.hyperplanes(8, 64)):
-        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
-        dot = SQL_DOT.format(a=vec, b=arr)
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(terms)
 
 
 _SEMANTIC_DEDUP_ORACLE = f"""
