@@ -640,6 +640,15 @@ def _cc_label_propagation(edges: DataFrame, max_iterations: int) -> DataFrame:
         labels = proposed.select("node", "label")
         if changed == 0:
             break
+    else:
+        # labels were still moving at the cap: silently returning them
+        # would break the method-equivalence contract with _cc_star
+        # (propagation needs O(diameter) rounds — a >max_iterations-hop
+        # chain lands here; use the star method or raise the cap)
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing)"
+        )
     return labels
 
 

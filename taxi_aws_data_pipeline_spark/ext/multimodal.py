@@ -236,12 +236,15 @@ def parse_wav_meta(
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = int.from_bytes(b[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(b):
+        # require the chunk to DECLARE the 16 PCM-format bytes, not just
+        # the buffer to be long enough: a malformed fmt chunk with
+        # size < 16 must yield None fields, not bytes read from whatever
+        # chunk follows it
+        if cid == b"fmt " and size >= 16 and i + 24 <= len(b):
             channels = int.from_bytes(b[i + 10 : i + 12], "little")
             rate = int.from_bytes(b[i + 12 : i + 16], "little")
             byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
-            if i + 24 <= len(b):
-                bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
         elif cid == b"data":
             data_size = size
         # chunks are word-aligned: odd sizes carry a pad byte

@@ -458,11 +458,9 @@ def kmeans_lloyd(
         .collect()
     )
     if not sample:
-        return (
-            vecs.select(F.col("vid").alias(id_col), F.lit(0).alias("cell")),
-            [],
-            0,
-        )
+        empty = vecs.select(F.col("vid").alias(id_col), F.lit(0).alias("cell"))
+        vecs.unpersist()
+        return empty, [], 0
     centroids = _farthest_point_seeds(
         sorted((r.vid, [float(x) for x in r.v]) for r in sample), k
     )
@@ -500,8 +498,14 @@ def kmeans_lloyd(
             else centroids[i]  # empty cell keeps its centroid (standard)
             for i in range(k)
         ]
-    assignments = vecs.withColumn(
-        "cell", _nearest_centroid_cell(F.col("v"), centroids)
-    ).select(F.col("vid").alias(id_col), "cell")
+    # materialize the final assignment BEFORE releasing the input cache —
+    # the returned frame is consumed lazily (count + hash passes in the
+    # harness), and an unpersisted lineage would re-read the source per
+    # pass; localCheckpoint also severs the plan from the cache entry
+    assignments = (
+        vecs.withColumn("cell", _nearest_centroid_cell(F.col("v"), centroids))
+        .select(F.col("vid").alias(id_col), "cell")
+        .localCheckpoint(eager=True)
+    )
     vecs.unpersist()
     return assignments, centroids, rounds

@@ -241,7 +241,9 @@ def add_top_ngram_fraction(
 ) -> DataFrame:
     """Gopher repetition signal: fraction of document characters covered
     by the single most frequent word n-gram (count × gram length ÷ doc
-    length). Deterministic tie-break: among max-count grams, the
+    length, capped at 1.0 — overlapping occurrences of a self-repeating
+    gram double-count characters, e.g. 'a a a' has two overlapping
+    'a a' grams). Deterministic tie-break: among max-count grams, the
     lexicographically smallest. Docs shorter than n words score 0.0.
 
     Like the other repetition signals this is a pure projection —
@@ -273,8 +275,11 @@ def add_top_ngram_fraction(
             )
         )
         return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
-            (maxc * F.length(top)).cast("double")
-            / F.greatest(F.length(F.col(text_col)), F.lit(1))
+            F.least(
+                (maxc * F.length(top)).cast("double")
+                / F.greatest(F.length(F.col(text_col)), F.lit(1)),
+                F.lit(1.0),
+            )
         )
 
     return df.withColumn(name, bind_once(grams_expr, frac))

@@ -40,15 +40,23 @@ def add_trip_features(df: DataFrame) -> DataFrame:
     df = df.withColumn("trip_duration_minutes", duration_min)
     dur = F.col("trip_duration_minutes")
 
-    # E2 (dp:770-771) — speed clipped to [0,100]; dur==0 → pandas inf → 100.
-    # least/greatest SKIP nulls, so a null speed (null distance or duration
-    # on uncleaned input) must be propagated explicitly: pandas NaN stays
-    # NaN through .clip, it does not become 0.
-    speed = F.col("trip_distance") / (dur / 60.0)
+    # E2 (dp:770-771) — speed clipped to [0,100]. pandas edge cases of
+    # dist/(dur/60) then .clip(0,100), encoded branch by branch: any null
+    # input → NaN stays NaN through clip; dur==0 → +inf→100 only for
+    # dist>0, -inf→0 for dist<0, and 0/0 → NaN; least/greatest SKIP
+    # nulls, so null propagation must precede the dur==0 shortcut.
+    dist = F.col("trip_distance")
+    speed = dist / (dur / 60.0)
+    null_d = F.lit(None).cast("double")
     df = df.withColumn(
         "average_speed_mph",
-        F.when(dur == 0, F.lit(100.0))
-        .when(speed.isNull(), speed)
+        F.when(dist.isNull() | dur.isNull(), null_d)
+        .when(
+            dur == 0,
+            F.when(dist > 0, F.lit(100.0))
+            .when(dist < 0, F.lit(0.0))
+            .otherwise(null_d),
+        )
         .otherwise(F.least(F.greatest(speed, F.lit(0.0)), F.lit(100.0))),
     )
 

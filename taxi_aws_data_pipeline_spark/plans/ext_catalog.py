@@ -552,18 +552,6 @@ def x14_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
-def _sql_lsh_bucket(vec: str) -> str:
-    """Sign-bit bucket id over inlined hyperplane literals — generated
-    from the SAME deterministic md5-derived constants as the Spark plan
-    (ext/similarity.hyperplanes), so the dialects cannot drift."""
-    terms = []
-    for p, plane in enumerate(S.hyperplanes(8, 64)):
-        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
-        dot = SQL_DOT.format(a=vec, b=arr)
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(terms)
-
-
 _EMB_PAIRS_ORACLE = f"""
     WITH c AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1268,10 +1256,10 @@ def _sql_top_ngram_frac(n: int) -> str:
     return f"""
         SELECT doc_id,
                CASE WHEN len(grams) = 0 THEN 0.0 ELSE
-                   CAST(maxc * length(
+                   least(CAST(maxc * length(
                        list_min(list_filter(list_distinct(grams),
                            x -> len(list_filter(grams, y -> y = x)) = maxc))
-                   ) AS DOUBLE) / greatest(length(text), 1)
+                   ) AS DOUBLE) / greatest(length(text), 1), 1.0)
                END AS frac
         FROM (
             SELECT doc_id, text, grams,
@@ -1299,7 +1287,8 @@ _TOP_NGRAM_ORACLE = f"""
     "x30_top_ngram_repetition",
     "Gopher repetition signal: fraction of document characters covered by "
     "the most frequent word 2-gram and 3-gram (count x gram length / doc "
-    "length; lexicographic tie-break so the answer is total-ordered). "
+    "length, capped at 1.0 for overlapping self-repeats; lexicographic "
+    "tie-break so the answer is total-ordered). "
     "Complements x19's duplicate-line ratio — this catches within-line "
     "boilerplate loops. Pure projection: gram lists are array-lambda "
     "counted per row, never exploded into a shuffle.",

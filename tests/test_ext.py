@@ -605,3 +605,45 @@ def test_mp4_probe_parses_real_containers(spark):
     assert rows[2].probe_duration_ms == 2000  # 1200/600 ticks = 2 s
     assert rows[3].video_format is None
     assert rows[4].video_format is None
+
+
+def test_top_ngram_fraction_caps_overlapping_self_repeats(spark):
+    """'alpha alpha alpha' has two OVERLAPPING 'alpha alpha' bigrams —
+    count x length exceeds the doc length, so the fraction caps at 1.0."""
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "alpha alpha alpha")], "doc_id long, text string"
+    )
+    r = TX.add_top_ngram_fraction(df, 2).collect()[0]
+    assert r.top_2gram_char_frac == 1.0
+
+
+def test_propagation_raises_when_rounds_insufficient(spark):
+    """A chain needs O(diameter) propagation rounds; hitting the cap with
+    labels still moving must raise, not return wrong labels."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        X.connected_components(chain, method="propagation", max_iterations=3)
+    # the star method handles the same chain inside the same tiny cap
+    labels = {
+        r.node: r.label
+        for r in X.connected_components(
+            chain, method="star", max_iterations=10
+        ).collect()
+    }
+    assert set(labels.values()) == {0}
+
+
+def test_wav_probe_rejects_undersized_fmt_chunk(spark):
+    """A fmt chunk declaring size < 16 must yield 'wav' with None fields,
+    not values read from the following chunk's bytes."""
+    bad_fmt = b"fmt " + (4).to_bytes(4, "little") + b"\x01\x00\x02\x00"
+    data = b"data" + (4).to_bytes(4, "little") + b"\x00" * 4
+    payload = bad_fmt + data
+    wav = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WAVE" + payload
+    fmt_, ch, rate, bits, dur = MM.parse_wav_meta(wav)
+    assert fmt_ == "wav"
+    assert ch is None and rate is None and bits is None and dur is None

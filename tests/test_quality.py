@@ -81,3 +81,42 @@ def test_clean_filter_clamp_idempotent(spark, raw_trips):
     a = once.selectExpr("sum(cast(fare_amount AS double)) AS s").collect()[0].s
     b = twice.selectExpr("sum(cast(fare_amount AS double)) AS s").collect()[0].s
     assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_speed_division_edge_cases_match_pandas(spark):
+    """E2 edge cases of dist/(dur/60) then clip(0,100) — dp:770-771: any
+    null input stays null; zero duration gives 100 only for positive
+    distance (+inf), 0 for negative (-inf), and null for 0/0 (NaN)."""
+    import datetime as dt
+
+    from taxi_aws_data_pipeline_spark import features
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def row(dist, minutes):
+        drop = t0 + dt.timedelta(minutes=minutes) if minutes is not None else None
+        return (t0, drop, dist, 1, 1, 10.0, 1.0, 8.0)
+
+    df = spark.createDataFrame(
+        [
+            row(6.0, 30),     # normal: 12 mph
+            row(5.0, 0),      # +inf -> 100
+            row(-2.0, 0),     # -inf -> 0
+            row(0.0, 0),      # 0/0 = NaN -> null
+            row(None, 0),     # NaN/0 -> null
+            row(None, 30),    # NaN -> null
+            row(3.0, None),   # null duration -> null
+        ],
+        "tpep_pickup_datetime timestamp, tpep_dropoff_datetime timestamp, "
+        "trip_distance double, RatecodeID int, payment_type int, "
+        "total_amount double, tip_amount double, fare_amount double",
+    )
+    got = [
+        r.average_speed_mph
+        for r in features.add_trip_features(df)
+        .select("average_speed_mph")
+        .collect()
+    ]
+    assert got[0] == pytest.approx(12.0)
+    assert got[1] == 100.0 and got[2] == 0.0
+    assert got[3] is None and got[4] is None and got[5] is None and got[6] is None
