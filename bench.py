@@ -76,6 +76,7 @@ BENCH_QUERIES = (
     "x26_paragraph_dedup",
     "x27_training_data_pipeline",
     "x33_cross_corpus_dedup",
+    "x36_dup_ngram_coverage",
 )
 
 

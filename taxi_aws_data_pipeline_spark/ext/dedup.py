@@ -339,6 +339,88 @@ def paragraph_dedup(
     )
 
 
+def dup_ngram_coverage(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-substring coverage — the distributed shape
+    of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every word position
+    of every document, decide whether a word n-gram starting there occurs
+    at least ``min_count`` times across the WHOLE corpus (within-doc
+    repeats count), then report per document the total word count, the
+    number of word positions covered by at least one globally-repeated
+    n-gram, and the covered fraction — the "how much of me is corpus
+    boilerplate" number a curation pipeline thresholds or trims on.
+
+    Scale shape: the corpus-wide decision shuffles (md5(gram), doc, pos)
+    — 32-byte hex keys, never gram text; the global occurrence count is a
+    partially-aggregated groupBy over those keys; and the per-doc coverage
+    union is an array fold over the collected start positions (bounded by
+    words-per-doc), not an n-fold row explosion. The exploded gram frame
+    feeds both the duplicate-key aggregation and the position join, so it
+    is persisted — without it the tokenize+explode runs twice.
+    """
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("w"),
+    )
+    docs_words = base.select("doc", F.size("w").cast("long").alias("n_words"))
+    gram_structs = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice("w", i, n))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+    exploded = (
+        base.select("doc", F.explode(gram_structs).alias("g"))
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .persist()
+    )
+    dup_keys = (
+        exploded.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("occurrences") >= min_count)
+        .select("gh")
+    )
+    covered = (
+        exploded.join(dup_keys, "gh")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+        .select(
+            "doc",
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("starts"),
+                            lambda s: F.sequence(s, s + (n - 1)),
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("dup_words"),
+        )
+    )
+    dup_w = F.coalesce(F.col("dup_words"), F.lit(0).cast("long"))
+    return docs_words.join(covered, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_words",
+        dup_w.alias("dup_words"),
+        (dup_w.cast("double") / F.greatest(F.col("n_words"), F.lit(1))).alias(
+            "dup_word_frac"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -285,6 +285,64 @@ def add_top_ngram_fraction(
     return df.withColumn(name, bind_once(grams_expr, frac))
 
 
+def add_dup_ngram_fraction(
+    df: DataFrame, n: int = 5, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Gopher duplicate-n-gram repetition signal: the fraction of word
+    positions covered by a word n-gram that occurs at least twice WITHIN
+    the document. Complements :func:`add_top_ngram_fraction` (which only
+    measures the single most frequent gram): a doc alternating between two
+    boilerplate blocks scores high here while the top-gram number stays
+    moderate. Docs shorter than n words score 0.0.
+
+    Coverage is a true positional union — each repeated gram start expands
+    to its n covered positions and the union is deduplicated — so
+    overlapping repeats never push the fraction past 1.0. Pure projection
+    (array lambdas per row, no explode/shuffle); the per-row cost is
+    O(grams²) string compares like the other repetition signals, bounded
+    by document length. Cross-corpus repeats are x36's job
+    (``dedup.dup_ngram_coverage``) — this signal is per-document by
+    construction and needs no shuffle at any scale.
+    """
+    from .dedup import bind_once
+
+    name = out_col or f"dup_{n}gram_word_frac"
+    toks = words(text_col)
+
+    def over_words(w: Column) -> Column:
+        m = F.size(w)
+        grams_expr = F.when(
+            m >= n,
+            F.transform(
+                F.sequence(F.lit(1), m - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def frac(grams: Column) -> Column:
+            starts = F.filter(
+                F.sequence(F.lit(1), F.size(grams)),
+                lambda i: F.size(
+                    F.filter(grams, lambda g: g == F.element_at(grams, i))
+                )
+                >= 2,
+            )
+            covered = F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(starts, lambda s: F.sequence(s, s + (n - 1)))
+                    )
+                )
+            )
+            return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+                covered.cast("double") / F.greatest(m, F.lit(1))
+            )
+
+        return bind_once(grams_expr, frac)
+
+    return df.withColumn(name, bind_once(toks, over_words))
+
+
 def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Duplicate-line repetition signals (the Gopher/MassiveText-style
     repetition filter): per document, the count of non-empty lines, the

@@ -1522,3 +1522,117 @@ def x34_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
 def x35_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
     assignments, _, _ = S.kmeans_lloyd(load_table(spark, sf, "embeddings"), k=8)
     return assignments
+
+
+_DUP_NGRAM_N = 5
+_SQL_WS = SQL_WORDS.format(t="text")
+
+_INDOC_DUP_NGRAM_ORACLE = f"""
+    SELECT doc_id,
+           CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+               CAST(len(list_distinct(flatten(list_transform(
+                   list_filter(range(1, len(grams) + 1),
+                       i -> len(list_filter(grams, g -> g = grams[i])) >= 2),
+                   s -> range(s, s + {_DUP_NGRAM_N}))))) AS DOUBLE)
+               / greatest(nw, 1)
+           END AS dup_{_DUP_NGRAM_N}gram_word_frac
+    FROM (
+        SELECT doc_id, len({_SQL_WS}) AS nw,
+               CASE WHEN len({_SQL_WS}) >= {_DUP_NGRAM_N} THEN
+                   list_transform(range(1, len({_SQL_WS}) - {_DUP_NGRAM_N - 2}),
+                       i -> array_to_string(({_SQL_WS})[i:i+{_DUP_NGRAM_N - 1}], ' '))
+               ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+"""
+
+
+@register(
+    "x37_indoc_dup_ngram_fraction",
+    "Gopher duplicate-n-gram repetition: fraction of word positions "
+    "covered by a word 5-gram occurring at least twice WITHIN the "
+    "document, as a true positional union (overlapping repeats never "
+    "exceed 1.0). Catches alternating-boilerplate docs that x30's "
+    "single-top-gram fraction underrates. Pure projection — array "
+    "lambdas per row, no explode, no shuffle at any scale.",
+    oracle=_INDOC_DUP_NGRAM_ORACLE,
+    tags=("ext", "text", "repetition", "gopher"),
+)
+def x37_indoc_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return TX.add_dup_ngram_fraction(docs, _DUP_NGRAM_N).select(
+        "doc_id", f"dup_{_DUP_NGRAM_N}gram_word_frac"
+    )
+
+
+_DUP_COVERAGE_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WS} AS ws FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (SELECT doc_id, len(ws) AS n_words FROM w),
+    g0 AS (
+        SELECT doc_id, ws,
+               unnest(CASE WHEN len(ws) >= {_DUP_NGRAM_N} THEN
+                   range(1, len(ws) - {_DUP_NGRAM_N - 2})
+               ELSE CAST([] AS BIGINT[]) END) AS pos
+        FROM w
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(ws[pos:pos+{_DUP_NGRAM_N - 1}], ' ')) AS gh
+        FROM g0
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+    cov0 AS (
+        SELECT doc_id, unnest(range(pos, pos + {_DUP_NGRAM_N})) AS widx
+        FROM hits
+    ),
+    cov AS (
+        SELECT doc_id, count(DISTINCT widx) AS dup_words FROM cov0
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           d.n_words,
+           COALESCE(cov.dup_words, 0) AS dup_words,
+           CAST(COALESCE(cov.dup_words, 0) AS DOUBLE)
+               / greatest(d.n_words, 1) AS dup_word_frac
+    FROM d LEFT JOIN cov USING (doc_id)
+"""
+
+
+@register(
+    "x36_dup_ngram_coverage",
+    "Corpus-level duplicated-substring coverage (the distributed shape of "
+    "Lee et al. 2022 suffix-array substring dedup): per document, the "
+    "count and fraction of word positions covered by a word 5-gram that "
+    "occurs >= 2 times anywhere in the corpus (within-doc repeats "
+    "included). The global decision shuffles md5(gram) keys, never text; "
+    "occurrence counting is a partial-aggregated groupBy; coverage is a "
+    "per-doc positional-union array fold, not an n-fold explosion.",
+    oracle=_DUP_COVERAGE_ORACLE,
+    tags=("ext", "dedup", "substring", "lee2022"),
+)
+def x36_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return X.dup_ngram_coverage(docs, n=_DUP_NGRAM_N)
+
+
+@register(
+    "x38_pq_ann_topk",
+    "Product-quantization ANN (Jégou et al. 2011): per-subspace Lloyd "
+    "codebooks (m=4, k=16 over the 64-dim embeddings), nearest-centroid "
+    "code assignment as a literal-codebook projection, and asymmetric-"
+    "distance (ADC) top-k where candidates are scanned as 4-cell codes "
+    "instead of 64 floats — the compressed-corpus memory lever for "
+    "100 TB ANN. Deterministic end to end (kmeans_lloyd seeds/updates, "
+    "id tie-breaks). Rows-only check: the data-dependent Lloyd iteration "
+    "is not SQL-expressible (same class as x35).",
+    oracle=None,
+    tags=("ext", "embedding", "ann", "pq"),
+)
+def x38_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    books = S.pq_train(emb, m=4, k=16)
+    return S.pq_topk(emb, emb.filter(F.col("vec_id") < 8), books, k=3)

@@ -647,3 +647,141 @@ def test_wav_probe_rejects_undersized_fmt_chunk(spark):
     fmt_, ch, rate, bits, dur = MM.parse_wav_meta(wav)
     assert fmt_ == "wav"
     assert ch is None and rate is None and bits is None and dur is None
+
+
+def test_dup_ngram_fraction_positional_union(spark):
+    """'a b c d e a b c d e f': the 5-gram 'a b c d e' repeats at starts
+    1 and 6 -> covered positions 1-10 of 11 words. Short docs score 0."""
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e f"),
+            (2, "w1 w2 w3 w4 w5 w6"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.dup_5gram_word_frac
+        for r in TX.add_dup_ngram_fraction(df, 5).collect()
+    }
+    assert rows[1] == pytest.approx(10 / 11)
+    assert rows[2] == 0.0  # all grams distinct
+    assert rows[3] == 0.0  # shorter than n words
+
+
+def test_dup_ngram_coverage_cross_and_within_doc(spark):
+    """Global 5-gram coverage: cross-doc repeats count (docs 1/2 share
+    'one two three four five'), within-doc repeats count (doc 4), unique
+    docs score 0, and coverage is a positional union (doc 4 = 10/10)."""
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "zzz one two three four five yyy"),
+            (3, "unique words only here now foo"),
+            (4, "p q r s t p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.dup_ngram_coverage(df, 5).collect()}
+    assert out[1].n_words == 6 and out[1].dup_words == 5
+    assert out[1].dup_word_frac == pytest.approx(5 / 6)
+    assert out[2].n_words == 7 and out[2].dup_words == 5
+    assert out[2].dup_word_frac == pytest.approx(5 / 7)
+    assert out[3].dup_words == 0 and out[3].dup_word_frac == 0.0
+    assert out[4].dup_words == 10 and out[4].dup_word_frac == 1.0
+
+
+def test_pq_codebooks_shape_and_determinism(spark, sf_dir):
+    """m codebooks of k centroids of dim/m floats, identical across
+    repeated training runs (no RNG anywhere in the path)."""
+    from taxi_aws_data_pipeline_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_train(emb, m=4, k=8, max_iterations=5)
+    again = S.pq_train(emb, m=4, k=8, max_iterations=5)
+    assert len(books) == 4
+    assert all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    assert books == again
+
+
+def test_pq_encode_is_projection_and_bounded(spark, sf_dir):
+    from taxi_aws_data_pipeline_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_train(emb, m=4, k=8, max_iterations=5)
+    codes = S.pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.pq_code) == 4 for r in rows)
+    assert all(0 <= c <= 7 for r in rows for c in r.pq_code)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # encoding must never shuffle
+
+
+def test_pq_adc_is_exact_when_quantization_error_is_zero(spark):
+    """A corpus with <= k distinct subvectors per subspace quantizes with
+    zero error (Lloyd recovers the distinct points exactly — values are
+    float32-exact multiples of 0.25, integral under the 1e6 fixed-point
+    update), so every ADC distance must equal the true squared L2."""
+    import numpy as np
+
+    from taxi_aws_data_pipeline_spark.ext import similarity as S
+
+    pats = [[0.25 * i, 1.5 - 0.25 * i] for i in range(6)]
+    rows = []
+    for t in range(48):
+        vec: list[float] = []
+        for j, stride in enumerate((1, 2, 3, 5)):
+            vec += pats[(t * stride + j) % 6]
+        rows.append((t, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = S.pq_train(emb, m=4, k=8, max_iterations=6)
+    got = S.pq_topk(emb, emb.filter(F.col("vec_id") < 4), books, k=5).collect()
+    assert len(got) == 4 * 5
+    vecs = {t: np.array(v, dtype=np.float64) for t, v in rows}
+    for r in got:
+        exact = float(((vecs[r.probe_id] - vecs[r.neighbor_id]) ** 2).sum())
+        assert r.adc_dist == pytest.approx(exact, abs=1e-9)
+
+
+def test_pq_shortlist_contains_exact_neighbors(spark, sf_dir):
+    """The production PQ pattern is ADC shortlist + exact re-rank: the
+    k=50 ADC cut over the (near-random, hard) embeddings table must hold
+    a large multiple of chance recall of the true squared-L2 top-5 —
+    >= 40% vs ~10% for a random 50-of-500 shortlist — with distances
+    non-negative and ascending within each probe."""
+    import numpy as np
+
+    from taxi_aws_data_pipeline_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_train(emb, m=4, k=16, max_iterations=8)
+    probes = emb.filter(F.col("vec_id") < 10)
+    got = S.pq_topk(emb, probes, books, k=50).collect()
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    hits = total = 0
+    by_probe: dict[int, list] = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {r.vec_id for r in probes.collect()}
+    for pid, prows in by_probe.items():
+        prows.sort(key=lambda r: r.rank)
+        dists = [r.adc_dist for r in prows]
+        assert all(d >= 0.0 for d in dists)
+        assert dists == sorted(dists)
+        q = vecs[pid]
+        exact_ids = {
+            vid
+            for _, vid in sorted(
+                (float(((v - q) ** 2).sum()), vid)
+                for vid, v in vecs.items()
+                if vid != pid
+            )[:5]
+        }
+        hits += len(exact_ids & {r.neighbor_id for r in prows})
+        total += 5
+    assert hits / total >= 0.4

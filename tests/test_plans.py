@@ -186,3 +186,22 @@ def test_x34_top_pairs_single_agg_shuffle(spark, sf_dir):
     assert "text" in read and "doc_id" not in read
     assert "TakeOrdered" in plan
     assert "Join" not in plan
+
+
+def test_x37_indoc_dup_ngram_is_pure_projection(spark, sf_dir):
+    # within-doc repetition never needs cross-row context: no Exchange,
+    # no Join — one codegen'd scan at any corpus size
+    plan = _plan(spark, sf_dir, "x37_indoc_dup_ngram_fraction", "simple")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_x36_dup_coverage_shuffles_hashes_not_text(spark, sf_dir):
+    # the corpus-wide duplicate decision must move md5 keys, not grams:
+    # the occurrence count is partial-aggregated (HashAggregate above and
+    # below its exchange) and no shuffle carries the text column
+    plan = _plan(spark, sf_dir, "x36_dup_ngram_coverage", "formatted")
+    assert plan.count("HashAggregate") >= 2
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
