@@ -157,14 +157,22 @@ def jaccard_near_dup_pairs(
 
     Candidates = pairs sharing ≥1 shingle with doc-frequency ≤
     ``max_shingle_df`` (``None`` disables the cap). The Jaccard itself is
-    EXACT regardless of the cap: |A∩B| is computed from the two full
-    shingle arrays at pair time (``array_intersect``), not from the
-    blocked join, so capping only prunes which pairs are considered —
-    never their scores. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    EXACT regardless of the cap: |A∩B| splits into the rare part — counted
+    directly by the blocking self-join's group-by, since shingles are
+    per-doc distinct — plus the frequent part, recovered from the per-doc
+    FREQUENT-shingle arrays (tiny: ≥cap docs each, so few distinct values
+    exist). Capping only prunes which pairs are considered — never their
+    scores. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Scale shape: the pair-scoring path never ships a full shingle array —
+    candidates carry (id, id, count) plus two int sizes and two small
+    frequent-arrays; the old formulation (array_intersect of the full
+    arrays per pair) re-shuffled every document's whole shingle set per
+    candidate and measured 4× slower at sf0.1.
     """
-    # the doc→shingle-array index feeds candidate generation AND both
-    # sides of the scoring join; persist so shingling runs once — at scale
-    # this is the materialized index every pass shares
+    # the doc→shingle-array index feeds candidate generation and the
+    # per-doc set sizes; persist so shingling runs once — at scale this is
+    # the materialized index every pass shares
     docs = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -185,30 +193,74 @@ def jaccard_near_dup_pairs(
             .filter(F.col("df_s") > max_shingle_df)
             .select("s")
         )
-        sh = sh.join(frequent, "s", "left_anti")
+        sh_rare = sh.join(frequent, "s", "left_anti")
+        # per-doc frequent-shingle arrays: bounded by the number of
+        # frequent shingles (small), broadcastable at any corpus size
+        doc_freq = (
+            sh.join(F.broadcast(frequent), "s")
+            .groupBy("doc")
+            .agg(F.collect_set("s").alias("fr"))
+        )
+    else:
+        sh_rare = sh
+        doc_freq = None
     # persist the blocked frame: BOTH self-join sides read it, and without
     # the cache each side re-runs explode(+anti-join) from scratch — the
     # same recompute trap BASELINE.md records for the LSH bucket join
-    sh = sh.persist()
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = (
+    sh_rare = sh_rare.persist()
+    a, b = sh_rare.alias("a"), sh_rare.alias("b")
+    # one aggregation yields candidate pairs AND their rare-intersection
+    # size (shingles are per-doc distinct ⇒ one joined row per shared
+    # rare shingle per pair)
+    pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common_rare"))
     )
-    da = docs.select(
-        F.col("doc").alias("doc_a"), F.col("shs").alias("sh_a"), F.col("n_sh").alias("n_a")
+    sizes = docs.select("doc", "n_sh")
+    scored = (
+        pairs.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        ).join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
     )
-    db = docs.select(
-        F.col("doc").alias("doc_b"), F.col("shs").alias("sh_b"), F.col("n_sh").alias("n_b")
-    )
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    if doc_freq is not None:
+        empty = F.array().cast("array<string>")
+        scored = (
+            scored.join(
+                F.broadcast(
+                    doc_freq.select(F.col("doc").alias("doc_a"), F.col("fr").alias("fr_a"))
+                ),
+                "doc_a",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    doc_freq.select(F.col("doc").alias("doc_b"), F.col("fr").alias("fr_b"))
+                ),
+                "doc_b",
+                "left",
+            )
+            .withColumn(
+                "common",
+                F.col("common_rare")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("fr_a", empty), F.coalesce("fr_b", empty)
+                    )
+                ),
+            )
+        )
+    else:
+        scored = scored.withColumn("common", F.col("common_rare"))
     return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
-            common.cast("double") / (F.col("n_a") + F.col("n_b") - common),
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

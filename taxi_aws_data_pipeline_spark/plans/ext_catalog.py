@@ -195,9 +195,12 @@ def x5_exact_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     return X.exact_dedup_groups(load_table(spark, sf, "documents"))
 
 
-# Same structure as ext/dedup.jaccard_near_dup_pairs: candidates blocked on
-# shingles with doc-frequency ≤ MAX_SHINGLE_DF, Jaccard computed exactly
-# from the full shingle lists of each candidate pair.
+# Same semantics as ext/dedup.jaccard_near_dup_pairs: candidates blocked on
+# shingles with doc-frequency ≤ MAX_SHINGLE_DF, Jaccard exact. The oracle
+# recomputes |A∩B| from the full shingle lists per pair (simplest correct
+# SQL); the Spark plan instead counts rare-shared shingles in the blocking
+# join's group-by and adds the frequent part from small per-doc arrays —
+# same values, no big-array shuffle.
 _JACCARD_ORACLE = f"""
     WITH docs AS (
         SELECT doc_id, {sql_shingles('text')} AS shs
