@@ -1,0 +1,132 @@
+"""Training-sequence preparation operators: fixed-window chunking and
+contiguous greedy packing (driver extension tier).
+
+These are the steps between "curated documents" and "training batches":
+split long documents into fixed token windows, then pack variable-length
+documents into fixed-budget training sequences. Both are native Spark SQL
+plans (higher-order lambdas + one window), no Python UDFs.
+
+Scale posture:
+
+- **chunking** is a pure projection + posexplode — no shuffle at all;
+  output row count is sum(ceil(len/k)) and each row carries only its own
+  window of text.
+- **packing** needs a sequential scan by construction (greedy first-fit
+  in a fixed document order is inherently order-dependent), so it uses
+  the standard distributed compromise: contiguous packing — documents are
+  laid out in a deterministic order (id) and a running token total is cut
+  into budget-sized bins. One window per partition key (``source``), so
+  parallelism is the number of sources/shards; at 100 TB you partition by
+  (source, shard) so no single window sees more than a shard. The
+  pandas/single-node reference shape for this is a sort + cumsum, which
+  is exactly what the window computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import bind_once
+
+
+def chunk_documents(
+    df: DataFrame,
+    k: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode each document into consecutive k-word training windows.
+
+    Output: (id, chunk_id, chunk_text, n_words) — chunk_id is 0-based
+    position within the doc, n_words ≤ k (the tail window is short, never
+    padded: padding is a tokenizer/collator concern, not a corpus one).
+    Documents with null text are dropped. Pure projection + posexplode;
+    the word array is let-bound so the tokenizing split runs once per row.
+    """
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def windows(w):
+        n_chunks = F.greatest(
+            F.ceil(F.size(w) / F.lit(float(k))), F.lit(1)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.slice(w, i * k + 1, k),
+        )
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(bind_once(ws, windows)).alias("chunk_id", "_w"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.concat_ws(" ", "_w").alias("chunk_text"),
+            F.size("_w").alias("n_words"),
+        )
+    )
+
+
+def contiguous_pack_bins(
+    df: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partition_col: str = "source",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training bin by
+    contiguous packing: within each ``partition_col`` group, lay documents
+    out in id order and cut the running word-count total into
+    ``budget``-sized bins (bin = floor((cumsative_total - n_words) /
+    budget) — i.e. the bin the document STARTS in).
+
+    This is the deterministic, order-based approximation of greedy bin
+    packing every large-scale pretraining pipeline uses (exact first-fit
+    is sequential; contiguous packing is one window scan and loses only a
+    few percent of fill). Output: (id, partition, n_words, bin_id).
+    """
+    w = Window.partitionBy(partition_col).orderBy(id_col)
+    toks = F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(partition_col),
+            toks.alias("n_words"),
+        )
+        .withColumn("_end", F.sum("n_words").over(w))
+        .select(
+            F.col(id_col),
+            F.col(partition_col),
+            "n_words",
+            F.floor((F.col("_end") - F.col("n_words")) / F.lit(budget)).alias(
+                "bin_id"
+            ),
+        )
+    )
+
+
+def pack_bin_stats(
+    df: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partition_col: str = "source",
+) -> DataFrame:
+    """Per-bin packing summary over contiguous_pack_bins: how many docs
+    landed in each bin and how full it is. The fill fraction is the
+    packing-efficiency number a data loader reads before deciding budget /
+    shard sizes. Output: (partition, bin_id, n_docs, total_words,
+    fill_fraction) — fill can exceed 1.0 for the bin a long document
+    spills out of (contiguous packing never splits a document; the
+    chunking operator is the splitter).
+    """
+    bins = contiguous_pack_bins(df, budget, text_col, id_col, partition_col)
+    return bins.groupBy(partition_col, "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        (F.sum("n_words") / F.lit(float(budget))).alias("fill_fraction"),
+    )

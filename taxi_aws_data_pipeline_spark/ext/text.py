@@ -16,7 +16,7 @@ polynomial rolling hash as the scale-path alternative.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -378,4 +378,66 @@ def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_distinct_lines", F.col("_rep.n_distinct_lines"))
         .withColumn("dup_line_ratio", F.col("_rep.dup_line_ratio"))
         .drop("_rep")
+    )
+
+
+def add_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization: lowercase, strip punctuation/symbol
+    characters (everything outside [a-z0-9] and whitespace), collapse
+    whitespace runs, trim. The standard preprocessing step before
+    hashing/shingling when formatting noise shouldn't affect dedup keys.
+
+    Pure projection (regexp chain, whole-stage codegen). Output columns:
+    text_norm, n_chars_norm, and removed_ratio (fraction of characters
+    dropped — a cheap "how noisy was this doc" signal).
+    """
+    from .dedup import bind_once
+
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    bound = bind_once(
+        norm,
+        lambda n: F.struct(
+            n.alias("text_norm"),
+            F.length(n).alias("n_chars_norm"),
+            (
+                (F.length(t) - F.length(n)).cast("double")
+                / F.greatest(F.length(t), F.lit(1))
+            ).alias("removed_ratio"),
+        ),
+    )
+    return (
+        df.withColumn("_nrm", bound)
+        .withColumn("text_norm", F.col("_nrm.text_norm"))
+        .withColumn("n_chars_norm", F.col("_nrm.n_chars_norm"))
+        .withColumn("removed_ratio", F.col("_nrm.removed_ratio"))
+        .drop("_nrm")
+    )
+
+
+def length_band_filter(
+    df: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    length_col: str = "n_chars",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Keep documents inside the [lo, hi] length-percentile band of their
+    group — the outlier-trim a curation pipeline runs per language
+    (too-short docs are fragments, too-long ones are concatenation
+    artifacts).
+
+    Exact and deterministic: percent_rank() = (rank-1)/(n-1) with
+    min-rank ties, identical across engines, so equal lengths share a
+    band decision. One window shuffle on the group key; the window state
+    is O(1) per row (rank only). Output: input columns + length_pr.
+    """
+    w = Window.partitionBy(group_col).orderBy(length_col)
+    return (
+        df.withColumn("length_pr", F.percent_rank().over(w))
+        .filter((F.col("length_pr") >= lo) & (F.col("length_pr") <= hi))
     )

@@ -1639,3 +1639,153 @@ def x38_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     books = S.pq_train(emb, m=4, k=16)
     return S.pq_topk(emb, emb.filter(F.col("vec_id") < 8), books, k=3)
+
+
+# ---------------------------------------------------------------------------
+# training-sequence preparation (normalization / chunking / packing / trim)
+# ---------------------------------------------------------------------------
+
+from ..ext import packing as PK  # noqa: E402  (grouped with its tier)
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+_NORMALIZE_ORACLE = f"""
+    SELECT doc_id,
+           {_NORM_SQL} AS text_norm,
+           CAST(length({_NORM_SQL}) AS INT) AS n_chars_norm,
+           CAST(length(text) - length({_NORM_SQL}) AS DOUBLE)
+               / greatest(length(text), 1) AS removed_ratio
+    FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register(
+    "x39_text_normalization",
+    "Canonical text normalization: lowercase, strip non-alphanumeric "
+    "characters, collapse whitespace runs, trim — the preprocessing step "
+    "before hashing/shingling when formatting noise shouldn't change "
+    "dedup keys. Pure regexp-chain projection (whole-stage codegen, no "
+    "shuffle); removed_ratio is a per-doc noise signal a quality gate "
+    "can threshold.",
+    oracle=_NORMALIZE_ORACLE,
+    tags=("ext", "text", "normalize"),
+)
+def x39_text_normalization(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return TX.add_normalized_text(docs).select(
+        "doc_id",
+        "text_norm",
+        "n_chars_norm",
+        "removed_ratio",
+    )
+
+
+_CHUNK_K = 64
+
+_CHUNK_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id, ws,
+               greatest(CAST(ceil(len(ws) / {_CHUNK_K}.0) AS INT), 1) AS nc
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(ws[i * {_CHUNK_K} + 1 : i * {_CHUNK_K} + {_CHUNK_K}], ' ')
+               AS chunk_text,
+           CAST(len(ws[i * {_CHUNK_K} + 1 : i * {_CHUNK_K} + {_CHUNK_K}]) AS INT)
+               AS n_words
+    FROM c, unnest(range(0, nc)) AS t(i)
+"""
+
+
+@register(
+    "x40_chunk_documents",
+    f"Fixed-window training chunking: explode each document into "
+    f"consecutive {_CHUNK_K}-word windows (tail short, never padded) — "
+    "the step between curated documents and tokenizer input. Pure "
+    "projection + posexplode, zero shuffle at any scale; each output row "
+    "carries only its own window of text.",
+    oracle=_CHUNK_ORACLE,
+    tags=("ext", "text", "chunking"),
+)
+def x40_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return PK.chunk_documents(load_table(spark, sf, "documents"), k=_CHUNK_K)
+
+
+_PACK_BUDGET = 256
+
+_PACK_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({SQL_WORDS.format(t='text')}) AS INT) AS n_words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT source, n_words,
+               CAST(floor(
+                   (sum(n_words) OVER (PARTITION BY source ORDER BY doc_id)
+                    - n_words) / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM t
+    )
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           sum(n_words) / {_PACK_BUDGET}.0 AS fill_fraction
+    FROM b GROUP BY source, bin_id
+"""
+
+
+@register(
+    "x41_pack_bin_stats",
+    f"Contiguous sequence packing: within each source, documents in id "
+    f"order are cut into {_PACK_BUDGET}-word training bins by a running "
+    "token total (the distributed approximation of greedy first-fit — "
+    "exact first-fit is inherently sequential), then summarized per bin "
+    "(doc count, word total, fill fraction). One window per source plus "
+    "one partial-aggregated groupBy; at 100 TB the window partitions by "
+    "(source, shard) so no single ordered scan exceeds a shard. Budget "
+    "is a power of two so fill_fraction division is float-exact across "
+    "engines.",
+    oracle=_PACK_ORACLE,
+    tags=("ext", "text", "packing", "window"),
+)
+def x41_pack_bin_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return PK.pack_bin_stats(
+        load_table(spark, sf, "documents"), budget=_PACK_BUDGET
+    )
+
+
+_LENGTH_BAND_ORACLE = """
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+                   AS length_pr
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, length_pr
+    FROM r WHERE length_pr >= 0.05 AND length_pr <= 0.95
+"""
+
+
+@register(
+    "x42_length_band_filter",
+    "Per-language length-percentile trim: keep documents inside the "
+    "[p5, p95] band of n_chars within their lang — the outlier gate that "
+    "drops fragments and concatenation artifacts. percent_rank is exact "
+    "and engine-portable ((rank-1)/(n-1), min-rank ties), one window "
+    "shuffle on the group key with O(1) per-row state.",
+    oracle=_LENGTH_BAND_ORACLE,
+    tags=("ext", "text", "quality", "window"),
+)
+def x42_length_band_filter(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return TX.length_band_filter(docs).select(
+        "doc_id", "lang", "n_chars", "length_pr"
+    )

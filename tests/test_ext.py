@@ -785,3 +785,87 @@ def test_pq_shortlist_contains_exact_neighbors(spark, sf_dir):
         hits += len(exact_ids & {r.neighbor_id for r in prows})
         total += 5
     assert hits / total >= 0.4
+
+
+# ---------------------------------------------------------------------------
+# training-sequence preparation (packing / chunking / normalization / trim)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from taxi_aws_data_pipeline_spark.ext import packing as PK
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 words, k=3 -> 3+3+1
+            (2, "x y"),             # shorter than k -> one short chunk
+            (3, None),              # dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_words)
+        for r in PK.chunk_documents(df, k=3).collect()
+    }
+    assert rows == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("d e f", 3),
+        (1, 2): ("g", 1),
+        (2, 0): ("x y", 2),
+    }
+
+
+def test_contiguous_pack_bins_cut_by_running_total(spark):
+    from taxi_aws_data_pipeline_spark.ext import packing as PK
+
+    # source s: 3+3+3 words with budget 5 -> doc 1 starts at 0 (bin 0),
+    # doc 2 starts at 3 (bin 0), doc 3 starts at 6 (bin 1)
+    df = spark.createDataFrame(
+        [
+            (1, "s", "a b c"),
+            (2, "s", "d e f"),
+            (3, "s", "g h i"),
+            (4, "t", "lone doc here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    bins = {
+        (r.source, r.doc_id): r.bin_id
+        for r in PK.contiguous_pack_bins(df, budget=5).collect()
+    }
+    assert bins == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("t", 4): 0}
+    stats = {
+        (r.source, r.bin_id): (r.n_docs, r.total_words)
+        for r in PK.pack_bin_stats(df, budget=5).collect()
+    }
+    assert stats == {("s", 0): (2, 6), ("s", 1): (1, 3), ("t", 0): (1, 3)}
+
+
+def test_normalized_text_strips_and_reports_ratio(spark):
+    from taxi_aws_data_pipeline_spark.ext import text as TX2
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   WORLD!!"), (2, "...")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX2.add_normalized_text(df).collect()}
+    assert out[1].text_norm == "hello world"
+    assert out[1].n_chars_norm == 11
+    # 16 chars in, 11 kept
+    assert abs(out[1].removed_ratio - 5 / 16) < 1e-12
+    # punctuation-only doc collapses to empty, ratio 1.0
+    assert out[2].text_norm == ""
+    assert out[2].removed_ratio == 1.0
+
+
+def test_length_band_filter_trims_group_extremes(spark):
+    from taxi_aws_data_pipeline_spark.ext import text as TX2
+
+    rows = [(i, "en", i * 10) for i in range(1, 22)]  # 21 docs, pr = (i-1)/20
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kept = sorted(
+        r.doc_id for r in TX2.length_band_filter(df).collect()
+    )
+    # pr(doc 1)=0 < 0.05 and pr(doc 21)=1 > 0.95 -> both trimmed;
+    # doc 2 (pr=0.05) and doc 20 (pr=0.95) sit exactly on the closed band
+    assert kept == list(range(2, 21))
