@@ -205,3 +205,36 @@ def test_x36_dup_coverage_shuffles_hashes_not_text(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_x40_chunking_is_pure_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x40_chunk_documents", "simple")
+    # chunking must never shuffle: filter -> project/generate only
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_x39_normalization_is_pure_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x39_text_normalization", "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_x41_packing_one_window_one_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x41_pack_bin_stats", "simple")
+    # one shuffle for the per-source window; the groupBy re-uses the
+    # same (source) partitioning only if keys align — bin_id widens the
+    # key, so allow the agg exchange but nothing beyond
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_x42_length_band_single_window_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x42_length_band_filter", "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    # n_chars/lang/doc_id only — text column must be pruned at the scan
+    full = _plan(spark, sf_dir, "x42_length_band_filter")
+    read_schema = [l for l in full.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
