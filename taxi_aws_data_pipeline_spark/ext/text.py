@@ -441,3 +441,95 @@ def length_band_filter(
         df.withColumn("length_pr", F.percent_rank().over(w))
         .filter((F.col("length_pr") >= lo) & (F.col("length_pr") <= hi))
     )
+
+
+def vocab_coverage(
+    df: DataFrame, top_n: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary report: the top_n most frequent whitespace tokens
+    with rank, count, corpus frequency, and CUMULATIVE coverage — the
+    "how much of the corpus does a size-N vocab explain" curve a
+    tokenizer budget decision reads.
+
+    Deterministic total order (count desc, token asc). Scale shape: one
+    partial-aggregated token-count shuffle (the key space is the
+    vocabulary, far smaller than the corpus), then ranking/cumsum over
+    only top_n rows; the grand total rides in as a 1-row broadcast, so
+    coverage fractions are exact count/total divisions (no libm).
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words(text_col)).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("token"))
+            ),
+        )
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(w_cum))
+        .select(
+            "rank",
+            "token",
+            "n",
+            (F.col("n").cast("double") / F.col("_total")).alias("token_frac"),
+            (F.col("cum_n").cast("double") / F.col("_total")).alias(
+                "cum_coverage"
+            ),
+        )
+    )
+
+
+def length_minmax_scaled(
+    df: DataFrame, length_col: str = "n_chars", group_col: str = "source"
+) -> DataFrame:
+    """Per-group min-max scaling of a document statistic to [0, 1] — the
+    normalization step before mixing quality/length signals across
+    corpora with different scales. Integer min/max/differences keep the
+    one double division exact across engines; a constant group (max ==
+    min) scales to 0.5 (the conventional "no information" midpoint)
+    rather than dividing by zero. One window shuffle, O(1) state.
+    """
+    w = Window.partitionBy(group_col)
+    lo, hi = F.min(length_col).over(w), F.max(length_col).over(w)
+    scaled = F.when(hi == lo, F.lit(0.5)).otherwise(
+        (F.col(length_col) - lo).cast("double") / (hi - lo)
+    )
+    return df.withColumn("scaled", scaled)
+
+
+def token_count_histogram(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Log2-bucketed histogram of per-document token counts — the corpus
+    length-distribution report. The bucket is floor(log2(n_words)),
+    computed EXACTLY as length(binary representation) - 1 (no libm log,
+    which is not correctly rounded at powers of two in every engine).
+    Output: (log2_bucket, lo_words, n_docs) — lo_words = 2^bucket, the
+    bucket's inclusive lower edge. One tiny-key-space aggregation.
+    """
+    nw = F.size(words(text_col))
+    bucket = (F.length(F.conv(nw.cast("string"), 10, 2)) - 1).alias(
+        "log2_bucket"
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(bucket)
+        .groupBy("log2_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "log2_bucket",
+            F.pow(F.lit(2.0), F.col("log2_bucket")).cast("long").alias("lo_words"),
+            "n_docs",
+        )
+    )

@@ -1789,3 +1789,106 @@ def x42_length_band_filter(spark: SparkSession, sf: str) -> DataFrame:
     return TX.length_band_filter(docs).select(
         "doc_id", "lang", "n_chars", "length_pr"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics (vocabulary / scaling / length distribution)
+# ---------------------------------------------------------------------------
+
+_VOCAB_N = 100
+
+_VOCAB_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({SQL_WORDS.format(t='text')}) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM toks WHERE length(token) > 0 GROUP BY token
+    ),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+    top AS (
+        SELECT token, n,
+               CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT)
+                   AS rank
+        FROM counts ORDER BY n DESC, token ASC LIMIT {_VOCAB_N}
+    )
+    SELECT rank, token, n,
+           CAST(n AS DOUBLE) / t AS token_frac,
+           CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / t AS cum_coverage
+    FROM top, total
+"""
+
+
+@register(
+    "x43_vocab_coverage",
+    f"Corpus vocabulary report: top-{_VOCAB_N} tokens with rank, count, "
+    "corpus frequency, and cumulative coverage — the 'how much does a "
+    "size-N vocab explain' curve a tokenizer budget reads. Deterministic "
+    "total order (count desc, token asc); one partial-aggregated "
+    "token-count shuffle (key space = vocabulary, not corpus); the grand "
+    "total rides as a 1-row broadcast so fractions are exact integer "
+    "divisions.",
+    oracle=_VOCAB_ORACLE,
+    tags=("ext", "text", "stats", "tokenizer"),
+)
+def x43_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.vocab_coverage(load_table(spark, sf, "documents"), _VOCAB_N)
+
+
+_MINMAX_ORACLE = """
+    SELECT doc_id, source, n_chars,
+           CASE WHEN mx = mn THEN 0.5
+                ELSE CAST(n_chars - mn AS DOUBLE) / (mx - mn) END AS scaled
+    FROM (
+        SELECT doc_id, source, n_chars,
+               min(n_chars) OVER (PARTITION BY source) AS mn,
+               max(n_chars) OVER (PARTITION BY source) AS mx
+        FROM documents
+    )
+"""
+
+
+@register(
+    "x44_length_minmax_scaled",
+    "Per-source min-max scaling of document length to [0, 1] — the "
+    "normalization step before mixing quality/length signals across "
+    "corpora with different scales; a constant group scales to the 0.5 "
+    "midpoint instead of dividing by zero. Integer min/max keep the one "
+    "double division exact across engines. One window shuffle, O(1) "
+    "state.",
+    oracle=_MINMAX_ORACLE,
+    tags=("ext", "text", "stats", "window"),
+)
+def x44_length_minmax_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return TX.length_minmax_scaled(docs).select(
+        "doc_id", "source", "n_chars", "scaled"
+    )
+
+
+_HISTOGRAM_ORACLE = f"""
+    WITH b AS (
+        SELECT CAST(length(bin(len({SQL_WORDS.format(t='text')}))) - 1 AS INT)
+                   AS log2_bucket
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT log2_bucket,
+           CAST(pow(2.0, log2_bucket) AS BIGINT) AS lo_words,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY log2_bucket
+"""
+
+
+@register(
+    "x45_token_count_histogram",
+    "Log2-bucketed histogram of per-document token counts (the corpus "
+    "length-distribution report). floor(log2(n)) is computed EXACTLY as "
+    "length-of-binary-representation minus one (Spark conv(n,10,2) ≡ "
+    "DuckDB bin(n)) — no libm log, which isn't correctly rounded at "
+    "power-of-two edges in every engine. One tiny-key-space aggregation.",
+    oracle=_HISTOGRAM_ORACLE,
+    tags=("ext", "text", "stats"),
+)
+def x45_token_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.token_count_histogram(load_table(spark, sf, "documents"))

@@ -869,3 +869,49 @@ def test_length_band_filter_trims_group_extremes(spark):
     # pr(doc 1)=0 < 0.05 and pr(doc 21)=1 > 0.95 -> both trimmed;
     # doc 2 (pr=0.05) and doc 20 (pr=0.95) sit exactly on the closed band
     assert kept == list(range(2, 21))
+
+
+def test_vocab_coverage_rank_and_cumulative(spark):
+    from taxi_aws_data_pipeline_spark.ext import text as TX2
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b zz")],
+        "doc_id long, text string",
+    )
+    rows = {r.rank: r for r in TX2.vocab_coverage(df, top_n=3).collect()}
+    # counts: a=4, b=3, c=1, zz=1 (total 9); tie c/zz broken lexically
+    assert [rows[i].token for i in (1, 2, 3)] == ["a", "b", "c"]
+    assert rows[1].n == 4 and rows[2].n == 3 and rows[3].n == 1
+    assert abs(rows[2].cum_coverage - 7 / 9) < 1e-15
+    assert abs(rows[3].token_frac - 1 / 9) < 1e-15
+
+
+def test_length_minmax_scaled_handles_constant_group(spark):
+    from taxi_aws_data_pipeline_spark.ext import text as TX2
+
+    df = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 30), (3, "s", 20), (4, "t", 7), (5, "t", 7)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r.doc_id: r.scaled for r in TX2.length_minmax_scaled(df).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0 and out[3] == 0.5
+    # constant group -> midpoint, not division by zero
+    assert out[4] == 0.5 and out[5] == 0.5
+
+
+def test_token_count_histogram_power_of_two_edges(spark):
+    from taxi_aws_data_pipeline_spark.ext import text as TX2
+
+    docs = [
+        (1, "w"),                    # 1 word  -> bucket 0
+        (2, "w x"),                  # 2 words -> bucket 1
+        (3, "a b c"),                # 3 words -> bucket 1
+        (4, "a b c d"),              # 4 words -> bucket 2 (exact edge)
+        (5, " ".join(["t"] * 8)),    # 8 words -> bucket 3 (exact edge)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r.log2_bucket: (r.lo_words, r.n_docs)
+        for r in TX2.token_count_histogram(df).collect()
+    }
+    assert rows == {0: (1, 1), 1: (2, 2), 2: (4, 1), 3: (8, 1)}

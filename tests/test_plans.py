@@ -238,3 +238,20 @@ def test_x42_length_band_single_window_shuffle(spark, sf_dir):
     full = _plan(spark, sf_dir, "x42_length_band_filter")
     read_schema = [l for l in full.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read_schema
+
+
+def test_x44_minmax_single_window_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x44_length_minmax_scaled", "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+    full = _plan(spark, sf_dir, "x44_length_minmax_scaled")
+    read_schema = [l for l in full.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema  # stats only — text pruned at scan
+
+
+def test_x45_histogram_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x45_token_count_histogram", "simple")
+    # partial + final HashAggregate around one tiny-key exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

@@ -84,3 +84,63 @@ def test_fingerprint_is_formatting_invariant(spark, corpus):
     a = {r.doc_id: r.fingerprint for r in TX.add_fingerprint(df).collect()}
     b = {r.doc_id: r.fingerprint for r in TX.add_fingerprint(noisy).collect()}
     assert a == b
+
+
+@given(corpus=_CORPUS, k=st.sampled_from([1, 3, 8]))
+@_SLOW
+def test_chunking_partitions_every_document(spark, corpus, k):
+    """Chunks are a partition of the lowercased word sequence: word
+    counts conserve, every chunk except the last is exactly k words,
+    chunk ids are dense from 0."""
+    from taxi_aws_data_pipeline_spark.ext import packing as PK
+
+    out = PK.chunk_documents(_df(spark, corpus), k=k).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        # \s+ split: newlines count as separators; all-empty text -> [""]
+        words = corpus[doc_id].lower().replace("\n", " ").split()
+        if not words:
+            words = [""]
+        assert sum(r.n_words for r in rows) == len(words)
+        assert all(r.n_words == k for r in rows[:-1])
+        assert " ".join(r.chunk_text for r in rows).split() == [
+            w for w in words if w
+        ]
+
+
+@given(corpus=_CORPUS, budget=st.sampled_from([4, 16, 64]))
+@_SLOW
+def test_packing_conserves_words_and_orders_bins(spark, corpus, budget):
+    """Bin ids are non-decreasing in doc order, every doc appears exactly
+    once, and bin totals sum to the corpus word total."""
+    from taxi_aws_data_pipeline_spark.ext import packing as PK
+
+    df = _df(spark, corpus).withColumn("source", F.lit("s"))
+    bins = PK.contiguous_pack_bins(df, budget=budget).collect()
+    assert sorted(r.doc_id for r in bins) == list(range(len(corpus)))
+    ordered = sorted(bins, key=lambda r: r.doc_id)
+    assert all(
+        a.bin_id <= b.bin_id for a, b in zip(ordered, ordered[1:])
+    )
+    stats = PK.pack_bin_stats(df, budget=budget).collect()
+    assert sum(r.total_words for r in stats) == sum(r.n_words for r in bins)
+
+
+@given(corpus=_CORPUS)
+@_SLOW
+def test_normalization_is_idempotent(spark, corpus):
+    """normalize(normalize(x)) == normalize(x), and the output alphabet
+    is [a-z0-9 ] only with no double spaces."""
+    df = _df(spark, corpus)
+    once = TX.add_normalized_text(df).select(
+        "doc_id", F.col("text_norm").alias("text")
+    )
+    twice = TX.add_normalized_text(once)
+    for r in twice.collect():
+        assert r.text_norm == r.text
+        assert "  " not in r.text_norm
+        assert all(c.islower() or c.isdigit() or c == " " for c in r.text_norm)
