@@ -924,3 +924,46 @@ def near_dup_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid (lexical + semantic) near-dup
+# ---------------------------------------------------------------------------
+
+
+def hybrid_near_dup_pairs(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Ensemble near-dup detection: the union of lexical MinHash-LSH
+    candidate pairs and embedding-cosine near-dup pairs (vec ids are doc
+    ids), with per-method provenance flags. Surface-level edits evade
+    embeddings; paraphrases evade shingles — a curation pipeline reviews
+    the union and trusts the intersection.
+
+    Scale posture: both branches are the already-bucketed plans (band
+    join / sign-bit bucket join — never all-pairs); the ensemble adds
+    one full-outer join on (id, id) pairs, which shuffles only pair keys.
+    Output: (doc_a, doc_b, lexical, semantic), doc_a < doc_b.
+    """
+    from .similarity import embedding_near_dup_pairs
+
+    lex = lsh_candidate_pairs(docs, text_col=text_col, id_col=id_col).select(
+        "doc_a", "doc_b", F.lit(True).alias("lexical")
+    )
+    sem = embedding_near_dup_pairs(
+        embeddings, threshold=cosine_threshold, id_col=vec_id_col
+    ).select("doc_a", "doc_b", F.lit(True).alias("semantic"))
+    return (
+        lex.join(sem.withColumnRenamed("semantic", "_sem"), ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("lexical", F.lit(False)).alias("lexical"),
+            F.coalesce("_sem", F.lit(False)).alias("semantic"),
+        )
+    )

@@ -173,6 +173,77 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     return sum(terms[1:], terms[0]).alias("bucket")
 
 
+#: fixed-point scale for random-projection inputs: float32 components
+#: times 2^20 are exactly representable in double, so floor() is
+#: deterministic in every engine
+RP_SCALE = 1 << 20
+
+
+def int_hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Integer hyperplane components in [-1000, 1000) — the same
+    md5-derived values as ``hyperplanes`` before the /1000 rescale."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2000
+            - 1000
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Signed random projection to ``out_dim`` dimensions — the
+    Johnson-Lindenstrauss dimensionality reduction used to cheapen
+    downstream distance work (and the real-valued stage the sign-bit LSH
+    above quantizes). Projection vectors are the same deterministic
+    md5-derived hyperplanes as the LSH tier: reproducible in any engine,
+    no RNG state, identical across runs and partitions.
+
+    Arithmetic is FIXED-POINT (the x21 centroid pattern): components are
+    quantized by floor(x · 2^20) — exact for float32 inputs — and folded
+    against integer hyperplanes entirely in int64, so the sum is
+    associative and bit-identical at any parallelism and in any engine
+    (a float left-fold is NOT: DuckDB's list_reduce drifts 1 ulp from a
+    strict sequential fold). One final double division by the constant
+    scale rescales to the real-valued projection; quantization error is
+    ≤ dim · |plane|∞ / 2^20 ≈ 6e-2 absolute on unit-scale inputs — far
+    below JL distortion. |qx| ≤ 2^22-ish · 1000 · 64 keeps the fold
+    under 2^40, int64-safe with 2^23 headroom.
+
+    Pure projection — no shuffle at any scale. Output columns
+    rp00..rp{out_dim-1} are scalarized doubles (driver-hashable).
+    """
+    planes = int_hyperplanes(out_dim, dim)
+    vec = F.col(vec_col)
+    cols = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: F.floor(x.cast("double") * F.lit(RP_SCALE))
+                    .cast("long")
+                    * y.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(float(RP_SCALE * 1000))
+        ).alias(f"rp{p:02d}")
+        for p, plane in enumerate(planes)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -1892,3 +1892,109 @@ _HISTOGRAM_ORACLE = f"""
 )
 def x45_token_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return TX.token_count_histogram(load_table(spark, sf, "documents"))
+
+
+_RP_DIM = 8
+
+
+def _sql_random_projection() -> str:
+    cols = []
+    for p, plane in enumerate(S.int_hyperplanes(_RP_DIM, 64)):
+        arr = "[" + ", ".join(str(x) for x in plane) + "]"
+        fold = (
+            f"list_reduce(list_transform(list_zip(v, {arr}), "
+            f"z -> CAST(floor(z[1] * {S.RP_SCALE}) AS BIGINT) * z[2]), "
+            "(acc, x) -> acc + x)"
+        )
+        cols.append(f"{fold} / {float(S.RP_SCALE * 1000)!r} AS rp{p:02d}")
+    return ",\n           ".join(cols)
+
+
+_RANDOM_PROJECTION_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT vec_id,
+           {_sql_random_projection()}
+    FROM c
+"""
+
+
+@register(
+    "x46_random_projection",
+    f"Signed random projection of the 64-dim embeddings to {_RP_DIM} "
+    "dimensions (Johnson-Lindenstrauss reduction; the real-valued stage "
+    "the sign-bit LSH quantizes). Projection vectors are the SAME "
+    "md5-derived hyperplanes as the LSH tier (integer form), inlined "
+    "into the oracle from one source. Arithmetic is fixed-point int64 "
+    "(floor(x·2^20) quantization — exact for float32 — times integer "
+    "planes), so the fold is associative and bit-identical in any "
+    "engine at any parallelism; one constant double division rescales. "
+    "Pure projection, no shuffle at any scale.",
+    oracle=_RANDOM_PROJECTION_ORACLE,
+    tags=("ext", "embedding", "projection"),
+)
+def x46_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    return S.random_projection(
+        load_table(spark, sf, "embeddings"), out_dim=_RP_DIM
+    )
+
+
+_HYBRID_ORACLE = f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform({sql_shingles('text')}, s -> {SQL_H.format(s='s')}) AS hs
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM hashed
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    lex AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    ),
+    c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    eb AS (
+        SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
+    ),
+    sem AS (
+        SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        FROM eb x JOIN eb y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE {sql_cosine('x.v', 'y.v')} >= 0.3
+    )
+    SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+           COALESCE(l.doc_b, s.doc_b) AS doc_b,
+           l.doc_a IS NOT NULL AS lexical,
+           s.doc_a IS NOT NULL AS semantic
+    FROM lex l FULL OUTER JOIN sem s
+      ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+"""
+
+
+@register(
+    "x47_hybrid_near_dup_pairs",
+    "Ensemble near-dup detection: union of lexical MinHash-LSH candidate "
+    "pairs (x8) and embedding-cosine near-dup pairs (x12, vec ids = doc "
+    "ids) with per-method provenance flags — surface edits evade "
+    "embeddings, paraphrases evade shingles; review the union, trust the "
+    "intersection. Both branches stay bucketed (band join / sign-bit "
+    "bucket join, never all-pairs); the ensemble adds one full-outer "
+    "join that shuffles only (id, id) pair keys.",
+    oracle=_HYBRID_ORACLE,
+    tags=("ext", "dedup", "similarity", "ensemble"),
+)
+def x47_hybrid_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return X.hybrid_near_dup_pairs(
+        load_table(spark, sf, "documents"),
+        load_table(spark, sf, "embeddings"),
+        cosine_threshold=0.3,
+    )

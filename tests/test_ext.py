@@ -915,3 +915,59 @@ def test_token_count_histogram_power_of_two_edges(spark):
         for r in TX2.token_count_histogram(df).collect()
     }
     assert rows == {0: (1, 1), 1: (2, 2), 2: (4, 1), 3: (8, 1)}
+
+
+def test_random_projection_matches_manual_fixed_point(spark):
+    import math
+    import struct
+
+    from taxi_aws_data_pipeline_spark.ext import similarity as S2
+
+    vec = [float(i % 7) - 3.0 + 0.125 for i in range(64)]
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = S2.random_projection(df, out_dim=4).collect()[0]
+    planes = S2.int_hyperplanes(4, 64)
+    for p in range(4):
+        acc = 0
+        for x, y in zip(vec, planes[p]):
+            x32 = struct.unpack("f", struct.pack("f", x))[0]
+            acc += math.floor(x32 * S2.RP_SCALE) * y
+        want = acc / float(S2.RP_SCALE * 1000)
+        assert getattr(row, f"rp{p:02d}") == want  # bit-exact, not approx
+    # and the real-valued projection is approximated within quantization
+    for p in range(4):
+        true_dot = sum(
+            struct.unpack("f", struct.pack("f", x))[0] * (y / 1000.0)
+            for x, y in zip(vec, planes[p])
+        )
+        assert abs(getattr(row, f"rp{p:02d}") - true_dot) < 64 / S2.RP_SCALE
+
+
+def test_hybrid_near_dup_flags_union_of_methods(spark):
+    from taxi_aws_data_pipeline_spark.ext import similarity as S2
+
+    # lexical-only pair: near-identical text, orthogonal embeddings
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster during wide operations"),
+            (2, "spark shuffles data across the cluster during wide operations now"),
+            (3, "completely unrelated text about gardening and soil quality here"),
+        ],
+        "doc_id long, text string",
+    )
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0] * 32 + [1.0] + [0.0] * 31
+    # semantic-only pair: docs 1 and 3 share an embedding direction
+    emb = spark.createDataFrame(
+        [(1, e1), (2, e2), (3, e1)],
+        "vec_id long, embedding array<float>",
+    )
+    from taxi_aws_data_pipeline_spark.ext import dedup as X2
+
+    rows = {
+        (r.doc_a, r.doc_b): (r.lexical, r.semantic)
+        for r in X2.hybrid_near_dup_pairs(docs, emb, cosine_threshold=0.9).collect()
+    }
+    assert rows[(1, 2)][0] is True  # lexical catch
+    assert rows[(1, 3)] == (False, True)  # semantic-only catch
+    assert (2, 3) not in rows or rows[(2, 3)] == (False, False)

@@ -255,3 +255,9 @@ def test_x45_histogram_partial_aggregates(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_x46_projection_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x46_random_projection", "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
