@@ -77,6 +77,8 @@ BENCH_QUERIES = (
     "x27_training_data_pipeline",
     "x33_cross_corpus_dedup",
     "x36_dup_ngram_coverage",
+    "x40_chunk_documents",
+    "x43_vocab_coverage",
 )
 
 
