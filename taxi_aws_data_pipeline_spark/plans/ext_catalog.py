@@ -1998,3 +1998,112 @@ def x47_hybrid_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "embeddings"),
         cosine_threshold=0.3,
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted / mixture sampling
+# ---------------------------------------------------------------------------
+
+# deterministic per-doc uniform in [0,1): 32-bit md5 prefix / 2^32 — the
+# division is by a power of two, so the double is exact in any engine
+_SQL_UNIFORM = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+# the x2 composite quality score, as one reusable scalar expression
+_SQL_QSCORE = """least(CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) / 50.0, 1.0)
+             * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1) * 4.0, 1.0))
+             * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1) * 4.0, 1.0))"""
+
+
+def _uniform_col() -> F.Column:
+    return X.base_hash(F.col("doc_id").cast("string")) / F.lit(4294967296.0)
+
+
+_QUALITY_SAMPLE_ORACLE = f"""
+    SELECT doc_id,
+           {_SQL_QSCORE} AS quality_score,
+           {_SQL_UNIFORM} AS u_uniform
+    FROM documents
+    WHERE {_SQL_UNIFORM} < {_SQL_QSCORE}
+"""
+
+
+@register(
+    "x48_quality_weighted_sample",
+    "Quality-weighted rejection sampling (the DCLM/FineWeb-style soft "
+    "filter): keep each document with probability equal to its composite "
+    "quality score, decided by comparing the score against a "
+    "deterministic per-doc uniform (md5 32-bit prefix / 2^32 — exact "
+    "power-of-two division, identical doubles in every engine). "
+    "Reproducible across runs and cluster sizes, strictly monotone in "
+    "quality, pure projection+filter with no shuffle.",
+    oracle=_QUALITY_SAMPLE_ORACLE,
+    tags=("ext", "sampling", "quality", "deterministic"),
+)
+def x48_quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    scored = TX.add_quality_signals(docs)
+    u = _uniform_col()
+    return (
+        scored.withColumn("u_uniform", u)
+        .filter(F.col("u_uniform") < F.col("quality_score"))
+        .select("doc_id", "quality_score", "u_uniform")
+    )
+
+
+_MIX_REBALANCE_ORACLE = f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(cnt) AS total, count(*) AS k FROM c),
+    r AS (
+        SELECT source,
+               least(1.0, (CAST(total AS DOUBLE) / k) / cnt) AS accept_rate
+        FROM c, t
+    )
+    SELECT d.doc_id, d.source, r.accept_rate,
+           {_SQL_UNIFORM} AS u_uniform
+    FROM documents d JOIN r USING (source)
+    WHERE {_SQL_UNIFORM} < r.accept_rate
+"""
+
+
+@register(
+    "x49_source_mix_rebalance",
+    "Training-mixture rebalancing: deterministically downsample each "
+    "source toward an equal-share target — accept_rate(source) = "
+    "min(1, target_count / source_count), decided per doc by the same "
+    "md5-uniform as x48 (reproducible, composable with every other "
+    "hash-sampling op). Over-represented sources shrink, small sources "
+    "pass through whole. The rate table is a tiny per-source aggregate "
+    "that broadcasts; the corpus side filters in place — no corpus "
+    "shuffle at any scale. Division order (total/k)/cnt is pinned so "
+    "doubles agree across engines.",
+    oracle=_MIX_REBALANCE_ORACLE,
+    tags=("ext", "sampling", "mixture", "deterministic"),
+)
+def x49_source_mix_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("k")
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("total").cast("double") / F.col("k")) / F.col("cnt"),
+        ).alias("accept_rate"),
+    )
+    u = _uniform_col()
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("u_uniform", u)
+        .filter(F.col("u_uniform") < F.col("accept_rate"))
+        .select("doc_id", "source", "accept_rate", "u_uniform")
+    )

@@ -971,3 +971,36 @@ def test_hybrid_near_dup_flags_union_of_methods(spark):
     assert rows[(1, 2)][0] is True  # lexical catch
     assert rows[(1, 3)] == (False, True)  # semantic-only catch
     assert (2, 3) not in rows or rows[(2, 3)] == (False, False)
+
+
+def test_quality_weighted_sample_is_monotone_in_quality(spark, sf_dir):
+    """Empirical keep rate must rise with quality: among docs sharing a
+    uniform draw below u, higher-quality docs are kept iff score > u —
+    so the kept set at any score threshold tau contains every kept doc
+    with score >= tau. Verify subset structure on the fixture corpus."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    kept = {
+        r.doc_id: r
+        for r in CATALOG["x48_quality_weighted_sample"].spark(spark, sf_dir).collect()
+    }
+    for r in kept.values():
+        assert r.u_uniform < r.quality_score
+
+
+def test_source_mix_rebalance_caps_and_passes_small_sources(spark):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    import tempfile, os
+
+    # skewed corpus: source A 80 docs, source B 20 docs -> target 50/50;
+    # A accepts at 50/80, B at min(1, 50/20)=1.0 (passes whole)
+    rows = [(i, "A" if i < 80 else "B", f"doc {i} text") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = CATALOG["x49_source_mix_rebalance"].spark(spark, d).collect()
+    rates = {r.source: r.accept_rate for r in out}
+    assert rates.get("B") == 1.0
+    assert abs(rates["A"] - 50 / 80) < 1e-15
+    # every source-B doc survives (rate 1.0, u < 1.0 always)
+    assert sum(1 for r in out if r.source == "B") == 20

@@ -261,3 +261,17 @@ def test_x46_projection_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x46_random_projection", "simple")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_x49_rate_table_broadcast_no_corpus_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x49_source_mix_rebalance", "simple")
+    # corpus side joins the tiny rate table by broadcast; the only
+    # exchanges aggregate per-source counts (tiny key space)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x48_sample_is_pure_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x48_quality_weighted_sample", "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
