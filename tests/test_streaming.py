@@ -273,3 +273,56 @@ def test_streaming_document_curation_gates_and_dedups(spark, tmp_path):
     )
     q.awaitTermination()
     assert seen == []
+
+
+def test_training_prep_ops_run_in_streaming(spark, tmp_path):
+    """The training-prep tier (normalize → chunk) is stateless, so the
+    SAME functions must run unchanged inside a Structured Streaming
+    micro-batch and produce exactly the batch results."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark.ext import packing as PK
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "Alpha, Beta!  gamma DELTA epsilon zeta eta theta",
+                "one two three",
+            ],
+        }
+    ).to_parquet(src / "b1.parquet", index=False)
+
+    def prep(df):
+        normed = TX.add_normalized_text(df).select(
+            "doc_id", F.col("text_norm").alias("text")
+        )
+        return PK.chunk_documents(normed, k=3)
+
+    batch_df = spark.read.parquet(str(src))
+    expected = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_words)
+        for r in prep(batch_df).collect()
+    }
+    assert expected  # sanity: chunks exist
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        prep(stream)
+        .writeStream.format("memory")
+        .queryName("prep_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_words)
+        for r in spark.sql("SELECT * FROM prep_stream").collect()
+    }
+    assert got == expected
