@@ -83,3 +83,46 @@ def write_bucketed_table(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_training_shards(
+    df: DataFrame,
+    base_path: str,
+    budget: int = 256,
+    shard_max_rows: int = 10_000,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Training-shard writer: the output edge of the curation pipeline.
+    Documents get their contiguous-packing bin assignment, are co-located
+    by source (one task per source partition → shards never interleave
+    sources) and laid down ORDERED by (bin_id, id) in size-bounded
+    parquet shards — exactly the layout a sequential data loader wants:
+    read shards in name order, rows arrive in packing order, each shard
+    a bounded unit of work.
+
+    At 100 TB: partition column pruning picks sources, ``shard_max_rows``
+    (``maxRecordsPerFile``) bounds shard size independently of source
+    skew, and the single repartition on source is the only shuffle —
+    the sort is within-partition. For sources too large for one task,
+    pre-split the source label into (source, shard_of(id)) upstream;
+    the layout contract is unchanged.
+    """
+    from .ext.packing import contiguous_pack_bins
+
+    bins = contiguous_pack_bins(
+        df, budget=budget, text_col=text_col, id_col=id_col,
+        partition_col=source_col,
+    ).select(id_col, "bin_id")
+    path = os.path.join(base_path, "training_shards")
+    (
+        df.join(bins, id_col)
+        .repartition(source_col)
+        .sortWithinPartitions("bin_id", id_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", shard_max_rows)
+        .partitionBy(source_col)
+        .parquet(path)
+    )
+    return path

@@ -101,3 +101,51 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS od_bucketed")
+
+
+def test_training_shard_sink_layout_and_roundtrip(spark, tmp_path):
+    """Shards partition by source, respect the row bound, never
+    interleave bins within a shard file, and round-trip all content."""
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark import sinks
+
+    rows = [
+        (i, "A" if i % 3 else "B", f"text number {i} with several words here")
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    path = sinks.write_training_shards(
+        df, str(tmp_path), budget=16, shard_max_rows=20
+    )
+    back = spark.read.parquet(path)
+    # content round-trips exactly (plus the bin assignment)
+    assert back.count() == 90
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == list(range(90))
+    assert set(back.columns) == {"doc_id", "source", "text", "bin_id"}
+    # row bound respected per physical file, and files never mix sources
+    # or interleave bin ranges
+    facts = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("bin_id").alias("lo"),
+            F.max("bin_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert all(r.n <= 20 for r in facts)
+    assert all(r.n_sources == 1 for r in facts)
+    by_file = sorted(
+        ((r.f, r.lo, r.hi) for r in facts), key=lambda t: (t[0].rsplit("/", 1)[0], t[1])
+    )
+    # within a source directory, consecutive shards' bin ranges may touch
+    # at the boundary bin (a bin can straddle a file cut) but never invert
+    from itertools import groupby
+
+    for _, grp in groupby(by_file, key=lambda t: t[0].rsplit("/", 1)[0]):
+        shards = list(grp)
+        for (fa, loa, hia), (fb, lob, hib) in zip(shards, shards[1:]):
+            assert hia <= lob or (hia == lob)
