@@ -967,3 +967,51 @@ def hybrid_near_dup_pairs(
             F.coalesce("_sem", F.lit(False)).alias("semantic"),
         )
     )
+
+
+def benchmark_leak_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The reverse view of ngram_overlap_contamination: per BENCHMARK
+    item, how badly has it leaked into the corpus — the report an eval
+    owner reads to decide which benchmark rows are still trustworthy
+    (x25 answers "which corpus docs to drop"; this answers "which eval
+    items are burned").
+
+    Same scale posture as x25: the benchmark gram set broadcasts, the
+    corpus explodes its grams once and probes it, and only HITS shuffle
+    for the per-item aggregate. Self-matches (a benchmark doc drawn from
+    the corpus matching itself) are excluded. Output: one row per
+    benchmark item — (id, leaking_docs, shared_gram_instances).
+    """
+    bg = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    cg = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        cg.join(F.broadcast(bg), "g")
+        .filter(F.col(id_col) != F.col("bench_id"))
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct(id_col).alias("leaking_docs"),
+            F.count("*").alias("shared_gram_instances"),
+        )
+    )
+    return (
+        benchmark.select(F.col(id_col).alias("bench_id"))
+        .join(hits, "bench_id", "left")
+        .select(
+            F.col("bench_id"),
+            F.coalesce("leaking_docs", F.lit(0)).alias("leaking_docs"),
+            F.coalesce("shared_gram_instances", F.lit(0)).alias(
+                "shared_gram_instances"
+            ),
+        )
+    )

@@ -2107,3 +2107,50 @@ def x49_source_mix_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("u_uniform") < F.col("accept_rate"))
         .select("doc_id", "source", "accept_rate", "u_uniform")
     )
+
+
+_LEAK_REPORT_ORACLE = f"""
+    WITH benchmark AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ORDER BY length(text) DESC, doc_id
+        LIMIT 10
+    ),
+    bg AS (
+        SELECT doc_id AS bench_id, unnest({sql_shingles('text', 5)}) AS g
+        FROM benchmark
+    ),
+    cg AS (
+        SELECT doc_id, unnest({sql_shingles('text', 5)}) AS g
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hits AS (
+        SELECT bg.bench_id,
+               CAST(count(DISTINCT cg.doc_id) AS BIGINT) AS leaking_docs,
+               CAST(count(*) AS BIGINT) AS shared_gram_instances
+        FROM cg JOIN bg USING (g)
+        WHERE cg.doc_id != bg.bench_id
+        GROUP BY bg.bench_id
+    )
+    SELECT b.doc_id AS bench_id,
+           COALESCE(h.leaking_docs, 0) AS leaking_docs,
+           COALESCE(h.shared_gram_instances, 0) AS shared_gram_instances
+    FROM benchmark b LEFT JOIN hits h ON b.doc_id = h.bench_id
+"""
+
+
+@register(
+    "x50_benchmark_leak_report",
+    "Reverse contamination view: per BENCHMARK item (same 10-longest-docs "
+    "convention as x17/x25), how many corpus documents share at least one "
+    "word 5-gram with it and how many gram hits in total — the report an "
+    "eval owner reads to decide which benchmark rows are burned. x25 "
+    "answers 'which corpus docs to drop'; this answers 'which eval items "
+    "to distrust'. Benchmark grams broadcast; only hits shuffle; "
+    "self-matches excluded.",
+    oracle=_LEAK_REPORT_ORACLE,
+    tags=("ext", "decontamination", "ngram", "report"),
+)
+def x50_benchmark_leak_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    benchmark = docs.orderBy(F.length("text").desc(), "doc_id").limit(10)
+    return X.benchmark_leak_report(docs, benchmark, n=5)

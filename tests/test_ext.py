@@ -1004,3 +1004,24 @@ def test_source_mix_rebalance_caps_and_passes_small_sources(spark):
     assert abs(rates["A"] - 50 / 80) < 1e-15
     # every source-B doc survives (rate 1.0, u < 1.0 always)
     assert sum(1 for r in out if r.source == "B") == 20
+
+
+def test_benchmark_leak_report_counts_and_self_exclusion(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains bench gram
+            (2, "alpha beta gamma delta epsilon eta"),    # contains bench gram
+            (3, "totally different words in this doc"),
+            (10, "alpha beta gamma delta epsilon zeta"),  # the bench doc itself
+        ],
+        "doc_id long, text string",
+    )
+    bench = corpus.filter(F.col("doc_id") == 10)
+    rows = X.benchmark_leak_report(corpus, bench, n=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bench_id == 10
+    # docs 1 and 2 leak (doc 1 shares both 5-grams, doc 2 shares one);
+    # the benchmark doc itself is excluded
+    assert r.leaking_docs == 2
+    assert r.shared_gram_instances == 3
