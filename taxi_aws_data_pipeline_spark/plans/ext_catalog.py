@@ -2154,3 +2154,65 @@ def x50_benchmark_leak_report(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
     benchmark = docs.orderBy(F.length("text").desc(), "doc_id").limit(10)
     return X.benchmark_leak_report(docs, benchmark, n=5)
+
+
+_SESSION_SEQ_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS event_seq
+    FROM sessions
+    GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "x51_session_event_sequences",
+    "Behavior-sequence construction: per-user 30-min-gap sessions (the "
+    "w2 gaps-and-islands split) rolled up into ORDERED event-type "
+    "sequences — the step that turns an event log into sequence-model "
+    "training rows. Deterministic order by (ts, event_id); the sequence "
+    "is built with array_sort(collect_list(struct)) ≡ string_agg ORDER "
+    "BY, one shuffle on user_id, sessions never cross partitions.",
+    oracle=_SESSION_SEQ_ORACLE,
+    tags=("ext", "events", "sequence", "sessionization"),
+)
+def x51_session_event_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ordered_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s.event_type,
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.concat_ws(">", ordered_types).alias("event_seq"),
+    )

@@ -1025,3 +1025,39 @@ def test_benchmark_leak_report_counts_and_self_exclusion(spark):
     # the benchmark doc itself is excluded
     assert r.leaking_docs == 2
     assert r.shared_gram_instances == 3
+
+
+def test_session_event_sequences_order_and_split(spark, tmp_path):
+    """Sequence order follows (ts, event_id) and a >30-min gap starts a
+    new session with its own sequence."""
+    import datetime as dt
+    import pandas as pd
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [
+                t0,
+                t0 + dt.timedelta(minutes=5),
+                t0 + dt.timedelta(minutes=50),  # gap > 30 min -> new session
+                t0 + dt.timedelta(minutes=51),
+            ],
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["view", "click", "view", "purchase"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["", "", "", ""],
+        }
+    )
+    import os
+
+    rows.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = {
+        (r.user_id, r.session_seq): r
+        for r in CATALOG["x51_session_event_sequences"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[(7, 1)].event_seq == "view>click"
+    assert out[(7, 2)].event_seq == "view>purchase"
+    assert out[(7, 2)].n_events == 2 and out[(7, 2)].n_event_types == 2
