@@ -330,6 +330,20 @@ def ivf_topk(
         .limit(n_centroids)
         .collect()
     ]
+    if not centroids:
+        # empty corpus: no quantizer exists — return a correctly-typed
+        # empty result instead of an unresolvable zero-width array plan
+        return (
+            probes.select(F.col(id_col).alias("probe_id"))
+            .crossJoin(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.lit(0.0).alias("cos_sim"),
+                    F.lit(0).alias("rank"),
+                )
+            )
+            .select("probe_id", "neighbor_id", "cos_sim", "rank")
+        )
 
     def nearest_cells(vec: Column, n: int) -> Column:
         """Array of the n closest centroid ids by cosine (descending).
@@ -669,6 +683,21 @@ def pq_topk(
 
     Output: (probe_id, neighbor_id, adc_dist, rank).
     """
+    if not codebooks:
+        # empty corpus trains no codebooks (pq_train returns []) — return
+        # a correctly-typed empty result instead of indexing into nothing
+        return (
+            probes.select(F.col(id_col).alias("probe_id"))
+            .crossJoin(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.lit(0.0).alias("adc_dist"),
+                    F.lit(0).alias("rank"),
+                )
+            )
+            .select("probe_id", "neighbor_id", "adc_dist", "rank")
+            .limit(0)
+        )
     sub = len(codebooks[0][0])
     codes = (
         pq_encode(corpus, codebooks, id_col, vec_col)

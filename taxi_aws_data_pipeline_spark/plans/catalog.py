@@ -696,8 +696,12 @@ def c2_mode_impute_batch(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("count"), F.asc("mt"))
         .first()
     )
+    # empty/all-null batch: no mode exists, nulls stay null (matches the
+    # oracle's empty scalar subquery and the reference's notna().any()
+    # guard, dp:100)
+    fill = F.lit(None).cast("string") if mode_row is None else F.lit(mode_row.mt)
     return ev.select(
-        "event_id", F.coalesce(masked, F.lit(mode_row.mt)).alias("type_imputed")
+        "event_id", F.coalesce(masked, fill).alias("type_imputed")
     )
 
 
