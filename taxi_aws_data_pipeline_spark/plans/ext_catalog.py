@@ -2216,3 +2216,61 @@ def x51_session_event_sequences(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_event_types"),
         F.concat_ws(">", ordered_types).alias("event_seq"),
     )
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_LSH_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst
+        FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (
+        SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 10 < 9
+                THEN 'train' ELSE 'val' END AS split
+    FROM assigned
+"""
+
+
+@register(
+    "x52_leakage_safe_split",
+    "Leakage-safe train/val split: documents are assigned to splits by "
+    "hashing their near-dup CLUSTER representative (x18's connected "
+    "components over MinHash-LSH pairs), never the document itself — so "
+    "near-duplicates can never straddle the split and inflate eval "
+    "scores, the failure mode naive per-doc splitting guarantees at "
+    "scale. Singletons cluster as themselves; ~90/10 via md5-uniform "
+    "mod 10. Deterministic, cluster-atomic, reproducible at any "
+    "parallelism.",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    tags=("ext", "sampling", "dedup", "split"),
+)
+def x52_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    clusters = X.near_dup_clusters(docs).select("doc_id", "cluster_id")
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    split = F.when(
+        X.base_hash(F.col("cluster_id").cast("string")) % 10 < 9, "train"
+    ).otherwise("val")
+    return assigned.select("doc_id", "cluster_id", split.alias("split"))

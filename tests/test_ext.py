@@ -1061,3 +1061,22 @@ def test_session_event_sequences_order_and_split(spark, tmp_path):
     assert out[(7, 1)].event_seq == "view>click"
     assert out[(7, 2)].event_seq == "view>purchase"
     assert out[(7, 2)].n_events == 2 and out[(7, 2)].n_event_types == 2
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = CATALOG["x52_leakage_safe_split"].spark(spark, sf_dir).collect()
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # the invariant that defines the operator: a cluster never straddles
+    # the split boundary
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # fixture has injected near-dups, so the invariant is non-vacuous
+    assert any(
+        sum(1 for r in rows if r.cluster_id == c) > 1 for c in by_cluster
+    )
+    # both splits are populated at the corpus level (~90/10)
+    splits = {r.split for r in rows}
+    assert splits == {"train", "val"}
