@@ -2274,3 +2274,57 @@ def x52_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
         X.base_hash(F.col("cluster_id").cast("string")) % 10 < 9, "train"
     ).otherwise("val")
     return assigned.select("doc_id", "cluster_id", split.alias("split"))
+
+
+_DEDUP_WEIGHTS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_LSH_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst
+        FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (
+        SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    )
+    SELECT cluster_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS weight
+    FROM assigned
+    GROUP BY cluster_id
+"""
+
+
+@register(
+    "x53_dedup_with_weights",
+    "Count-preserving near-dup dedup: one surviving row per cluster (the "
+    "min-id representative) carrying the cluster size as a sampling "
+    "weight — train on deduplicated text WITHOUT flattening the natural "
+    "frequency distribution (upweight what was common, the standard "
+    "alternative to hard dedup). Singletons survive with weight 1. The "
+    "weights table is the groupBy of x18's labels; at scale it shuffles "
+    "only (cluster_id) keys.",
+    oracle=_DEDUP_WEIGHTS_ORACLE,
+    tags=("ext", "dedup", "clustering", "weights"),
+)
+def x53_dedup_with_weights(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    clusters = X.near_dup_clusters(docs).select("doc_id", "cluster_id")
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    return assigned.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count("*").alias("weight")
+    )

@@ -1080,3 +1080,17 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     # both splits are populated at the corpus level (~90/10)
     splits = {r.split for r in rows}
     assert splits == {"train", "val"}
+
+
+def test_dedup_weights_conserve_corpus_count(spark, sf_dir):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    rows = CATALOG["x53_dedup_with_weights"].spark(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    # weights partition the corpus: they sum to the doc count, every
+    # representative is its own cluster's min id, and some cluster has
+    # weight > 1 (fixture injects near-dups)
+    assert sum(r.weight for r in rows) == n_docs
+    assert all(r.weight >= 1 for r in rows)
+    assert any(r.weight > 1 for r in rows)
