@@ -2328,3 +2328,117 @@ def x53_dedup_with_weights(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.groupBy(F.col("cluster_id").alias("doc_id")).agg(
         F.count("*").alias("weight")
     )
+
+
+_NOVELTY_ORACLE = f"""
+    WITH g AS (
+        SELECT doc_id, unnest({sql_shingles('text', 5)}) AS gram
+        FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (SELECT doc_id, md5(gram) AS gh FROM g),
+    first_seen AS (
+        SELECT gh, min(doc_id) AS first_doc FROM h GROUP BY gh
+    ),
+    per_doc AS (
+        SELECT h.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel_grams
+        FROM h JOIN first_seen f USING (gh)
+        GROUP BY h.doc_id
+    )
+    SELECT doc_id, n_grams, novel_grams,
+           CAST(novel_grams AS DOUBLE) / n_grams AS novelty_frac
+    FROM per_doc
+"""
+
+
+@register(
+    "x54_ngram_novelty",
+    "Incremental-novelty score: per document (in doc_id ingestion order), "
+    "the fraction of its distinct word 5-grams whose FIRST corpus "
+    "occurrence is this document — 'how much new content does this doc "
+    "contribute', the signal an incremental crawl uses to stop ingesting "
+    "saturated sources. First-occurrence is a min(doc_id) groupBy over "
+    "md5(gram) keys (32-byte hex shuffles, never gram text), then one "
+    "hits-join back; short docs contribute their full text as one "
+    "shingle so n_grams >= 1 and the fraction is always defined.",
+    oracle=_NOVELTY_ORACLE,
+    tags=("ext", "dedup", "ngram", "novelty"),
+)
+def x54_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    h = docs.select(
+        "doc_id",
+        F.explode(X.word_shingles(F.col("text"), 5)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gh"))
+    first_seen = h.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        h.join(first_seen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        (F.col("novel_grams").cast("double") / F.col("n_grams")).alias(
+            "novelty_frac"
+        ),
+    )
+
+
+_DUP_PROVENANCE_ORACLE = """
+    WITH keyed AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS content_hash
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT content_hash,
+           min(doc_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS copies,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           array_to_string(list_sort(list_distinct(list(source))), ',')
+               AS sources_csv
+    FROM keyed
+    GROUP BY content_hash
+    HAVING count(*) >= 2
+"""
+
+
+@register(
+    "x55_dup_provenance_report",
+    "Duplicate-provenance forensics: for every exact-dup cluster (same "
+    "normalized-content md5, >= 2 copies), the keeper, copy count, and "
+    "the SORTED distinct set of sources involved — distinguishes "
+    "intra-source duplication (a crawler re-fetching) from cross-source "
+    "syndication (mirrors), which call for different fixes upstream. "
+    "Same 16-byte-hash shuffle as exact dedup; the source set per "
+    "cluster is bounded by the number of sources.",
+    oracle=_DUP_PROVENANCE_ORACLE,
+    tags=("ext", "dedup", "report", "provenance"),
+)
+def x55_dup_provenance_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    keyed = docs.select(
+        "doc_id", "source", F.md5(normalized).alias("content_hash")
+    )
+    return (
+        keyed.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias(
+                "sources_csv"
+            ),
+        )
+        .filter(F.col("copies") >= 2)
+    )

@@ -1094,3 +1094,55 @@ def test_dedup_weights_conserve_corpus_count(spark, sf_dir):
     assert sum(r.weight for r in rows) == n_docs
     assert all(r.weight >= 1 for r in rows)
     assert any(r.weight > 1 for r in rows)
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    import os, tempfile
+    import pandas as pd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base, "fresh words never seen before anywhere at all"],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [len(base)] * 2 + [44],
+            }
+        ).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        out = {
+            r.doc_id: r
+            for r in CATALOG["x54_ngram_novelty"].spark(spark, d).collect()
+        }
+    assert out[1].novelty_frac == 1.0          # first occurrence of everything
+    assert out[2].novelty_frac == 0.0          # verbatim repeat contributes nothing
+    assert out[3].novelty_frac == 1.0          # disjoint content
+
+
+def test_dup_provenance_separates_intra_and_cross_source(spark):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    import os, tempfile
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["same text here", "same text  here",  # cross-source dup
+                         "other doc body", "other doc body",   # intra-source dup
+                         "unique document"],
+                "lang": ["en"] * 5,
+                "source": ["a", "b", "c", "c", "a"],
+                "n_chars": [14, 15, 14, 14, 15],
+            }
+        ).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        rows = {
+            r.keeper_id: r
+            for r in CATALOG["x55_dup_provenance_report"].spark(spark, d).collect()
+        }
+    assert set(rows) == {1, 3}  # the unique doc never reports
+    assert rows[1].sources_csv == "a,b" and rows[1].n_sources == 2
+    assert rows[3].sources_csv == "c" and rows[3].n_sources == 1
+    assert rows[1].copies == 2 and rows[3].copies == 2
