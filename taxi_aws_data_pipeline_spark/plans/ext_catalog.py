@@ -2442,3 +2442,124 @@ def x55_dup_provenance_report(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("copies") >= 2)
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_PROFILE_ORACLE = "\n    UNION ALL\n".join(
+    f"""    SELECT '{c}' AS column_name,
+           CAST(count({c}) AS BIGINT) AS n_values,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "x56_table_profile",
+    "Column-profiling report over the documents table (the ANALYZE-style "
+    "stats a pipeline collects before planning): per column, non-null "
+    "count, null count, and exact distinct count. One aggregation pass "
+    "computes every column's stats (3 aggregates per column in a single "
+    "agg), then a stack() pivots to one row per column — the scan "
+    "happens once regardless of column count. At 100 TB the exact "
+    "count(DISTINCT) switches to approx_count_distinct per the same "
+    "exactness-vs-sketch policy as quality.py's percentile switch.",
+    oracle=_PROFILE_ORACLE,
+    tags=("ext", "stats", "profiling"),
+)
+def x56_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            (F.count("*") - F.count(c)).alias(f"nul_{c}"),
+            F.countDistinct(c).alias(f"dst_{c}"),
+        ]
+    row = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', cnt_{c}, nul_{c}, dst_{c}" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (column_name, n_values, n_nulls, n_distinct)"
+    )
+
+
+_FUNNEL_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+               AS has_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+               AS has_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+               AS has_purchase,
+           COALESCE(
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   <= min(CASE WHEN event_type = 'click' THEN ts END)
+               AND min(CASE WHEN event_type = 'click' THEN ts END)
+                   <= min(CASE WHEN event_type = 'purchase' THEN ts END),
+               FALSE) AS converted
+    FROM sessions
+    GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "x57_session_funnel",
+    "Funnel analysis over gaps-and-islands sessions: per session, "
+    "presence of each funnel stage (view/click/purchase) and whether the "
+    "ORDERED conversion happened — first view before first click before "
+    "first purchase, all within the session. The canonical product-"
+    "analytics operator, one user_id shuffle; stage timestamps are "
+    "conditional mins inside the same aggregation (no re-scan per "
+    "stage), and the order test NULL-coalesces to false so partial "
+    "funnels never count as conversions.",
+    oracle=_FUNNEL_ORACLE,
+    tags=("ext", "events", "funnel", "sessionization"),
+)
+def x57_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    def stage_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    view_ts, click_ts, buy_ts = stage_ts("view"), stage_ts("click"), stage_ts("purchase")
+    return sessions.groupBy("user_id", "session_seq").agg(
+        view_ts.isNotNull().alias("has_view"),
+        click_ts.isNotNull().alias("has_click"),
+        buy_ts.isNotNull().alias("has_purchase"),
+        F.coalesce(
+            (view_ts <= click_ts) & (click_ts <= buy_ts), F.lit(False)
+        ).alias("converted"),
+    )

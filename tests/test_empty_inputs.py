@@ -25,10 +25,15 @@ def empty_sf_dir(tmp_path_factory):
     return str(d)
 
 
+# fixed-cardinality reports: output rows are per-COLUMN (not per-input-row),
+# so an empty table still yields one row per profiled column
+_FIXED_CARDINALITY = {"x56_table_profile": 5}
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_runs_on_empty_tables(spark, empty_sf_dir, name):
     df = CATALOG[name].spark(spark, empty_sf_dir)
     # global aggregates (a6, k2, ...) legitimately return ONE row of
     # nulls/zeros on empty input; everything else must return zero rows
-    assert df.count() <= 1
+    assert df.count() <= _FIXED_CARDINALITY.get(name, 1)
     assert len(df.schema.fields) > 0

@@ -1146,3 +1146,36 @@ def test_dup_provenance_separates_intra_and_cross_source(spark):
     assert rows[1].sources_csv == "a,b" and rows[1].n_sources == 2
     assert rows[3].sources_csv == "c" and rows[3].n_sources == 1
     assert rows[1].copies == 2 and rows[3].copies == 2
+
+
+def test_session_funnel_orders_stages(spark, tmp_path):
+    """Conversion requires view <= click <= purchase within ONE session;
+    a click-before-view session has the stages but doesn't convert."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+    def ev(i, minutes, user, typ):
+        return {"event_id": i, "ts": t0 + dt.timedelta(minutes=minutes),
+                "user_id": user, "event_type": typ, "value": 1.0, "props": ""}
+
+    rows = pd.DataFrame([
+        ev(1, 0, 1, "view"), ev(2, 1, 1, "click"), ev(3, 2, 1, "purchase"),
+        ev(4, 0, 2, "click"), ev(5, 1, 2, "view"), ev(6, 2, 2, "purchase"),
+        ev(7, 0, 3, "view"), ev(8, 90, 3, "purchase"),  # gap: stages split
+    ])
+    rows.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = {
+        (r.user_id, r.session_seq): r
+        for r in CATALOG["x57_session_funnel"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[(1, 1)].converted is True
+    assert out[(2, 1)].converted is False  # click precedes view
+    assert out[(2, 1)].has_view and out[(2, 1)].has_click
+    assert out[(3, 1)].converted is False  # purchase fell in session 2
+    assert out[(3, 2)].has_purchase and not out[(3, 2)].has_view
