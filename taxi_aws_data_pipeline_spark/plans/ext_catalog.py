@@ -2563,3 +2563,78 @@ def x57_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
             (view_ts <= click_ts) & (click_ts <= buy_ts), F.lit(False)
         ).alias("converted"),
     )
+
+
+_COHORT_ORACLE = """
+    WITH weekly AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+    ),
+    joined AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, w.week) / 7 AS BIGINT)
+                   AS week_offset,
+               w.user_id
+        FROM weekly w JOIN firsts f USING (user_id)
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    )
+    SELECT j.cohort_week, j.week_offset,
+           CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           s.cohort_size,
+           CAST(count(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size
+               AS retention_rate
+    FROM joined j JOIN sizes s USING (cohort_week)
+    GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+"""
+
+
+@register(
+    "x58_cohort_retention",
+    "Weekly cohort retention: users are cohorted by their first active "
+    "ISO week (date_trunc('week') — Monday in both engines), and each "
+    "cohort's share of users still active N weeks later is reported. "
+    "The canonical growth-analytics operator. Week offsets divide "
+    "exactly (both endpoints week-truncated), retention is an exact "
+    "int/int division; the plan is two small groupBys over (user, week) "
+    "distinct pairs — activity reduces before anything joins, so the "
+    "event table is scanned once and never re-shuffled at event "
+    "granularity.",
+    oracle=_COHORT_ORACLE,
+    tags=("ext", "events", "cohort", "retention"),
+)
+def x58_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = weekly.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+    )

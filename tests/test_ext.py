@@ -1179,3 +1179,17 @@ def test_session_funnel_orders_stages(spark, tmp_path):
     assert out[(2, 1)].has_view and out[(2, 1)].has_click
     assert out[(3, 1)].converted is False  # purchase fell in session 2
     assert out[(3, 2)].has_purchase and not out[(3, 2)].has_view
+
+
+def test_cohort_retention_week_zero_is_full(spark, sf_dir):
+    """Week offset 0 always retains 100% of its cohort (the defining
+    week), and retention never exceeds 1.0 or the cohort size."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = CATALOG["x58_cohort_retention"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_active <= r.cohort_size
+        assert 0.0 < r.retention_rate <= 1.0
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size and r.retention_rate == 1.0
