@@ -2638,3 +2638,77 @@ def x58_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+_NEXT_EVENT_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           CAST(row_number() OVER sw - 1 AS INT) AS prefix_len,
+           string_agg(event_type, '>') OVER
+               (PARTITION BY user_id, session_seq ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS context_seq,
+           event_type AS next_event
+    FROM sessions
+    WINDOW sw AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+    QUALIFY prefix_len >= 1
+"""
+
+
+@register(
+    "x59_next_event_training_pairs",
+    "Supervised-pair extraction for next-event prediction: every "
+    "non-initial event in a session becomes one training row "
+    "(context_seq = the '>'-joined events before it, next_event = the "
+    "label) — the step that turns sessionized logs into sequence-model "
+    "supervision. Context is an ordered-window string_agg ≡ Spark "
+    "concat_ws over a collect_list window frame (UNBOUNDED PRECEDING "
+    "to 1 PRECEDING), deterministic by (ts, event_id). One user_id "
+    "shuffle; per-row context length is bounded by session length, "
+    "which the 30-min gap bounds in turn.",
+    oracle=_NEXT_EVENT_ORACLE,
+    tags=("ext", "events", "sequence", "training-pairs"),
+)
+def x59_next_event_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sw = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    prefix = sw.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        sessions.select(
+            "user_id",
+            "session_seq",
+            (F.row_number().over(sw) - 1).alias("prefix_len"),
+            F.concat_ws(">", F.collect_list("event_type").over(prefix)).alias(
+                "context_seq"
+            ),
+            F.col("event_type").alias("next_event"),
+        )
+        .filter(F.col("prefix_len") >= 1)
+    )

@@ -1193,3 +1193,30 @@ def test_cohort_retention_week_zero_is_full(spark, sf_dir):
         assert 0.0 < r.retention_rate <= 1.0
         if r.week_offset == 0:
             assert r.n_active == r.cohort_size and r.retention_rate == 1.0
+
+
+def test_next_event_pairs_grow_prefixes(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    t0 = dt.datetime(2024, 5, 1, 8, 0, 0)
+    rows = pd.DataFrame(
+        [
+            {"event_id": i, "ts": t0 + dt.timedelta(minutes=i), "user_id": 1,
+             "event_type": t, "value": 1.0, "props": ""}
+            for i, t in enumerate(["view", "click", "purchase"], start=1)
+        ]
+    )
+    rows.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = sorted(
+        CATALOG["x59_next_event_training_pairs"].spark(spark, str(tmp_path)).collect(),
+        key=lambda r: r.prefix_len,
+    )
+    assert [(r.prefix_len, r.context_seq, r.next_event) for r in out] == [
+        (1, "view", "click"),
+        (2, "view>click", "purchase"),
+    ]
