@@ -739,3 +739,48 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus: for every vector,
+    its top-k most-cosine-similar neighbors among vectors in the SAME
+    sign-bit LSH bucket. This is the primitive under graph-based
+    clustering and kNN-propagation labeling; unlike lsh_topk (few probes,
+    broadcast) the probe side here IS the corpus, so the plan is a
+    bucket-keyed SELF-join — both sides shuffle once on the bucket id,
+    no broadcast, which is the correct 100 TB shape when every row is a
+    probe. Ranking is total-ordered (cos desc, neighbor id asc).
+
+    Output: (src_id, dst_id, cos_sim, rank), rank 1..k per src — rows
+    exist only for vectors whose bucket holds at least one other vector.
+    """
+    planes = hyperplanes(n_planes, dim)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signature_bits(F.col(vec_col), planes).alias("bucket"),
+    ).persist()
+    x, y = keyed.alias("x"), keyed.alias("y")
+    scored = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("src_id"),
+            F.col("y.id").alias("dst_id"),
+            cosine(F.col("x.v"), F.col("y.v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -2712,3 +2712,41 @@ def x59_next_event_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("prefix_len") >= 1)
     )
+
+
+_KNN_GRAPH_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
+    ),
+    scored AS (
+        SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+               {sql_cosine('x.v', 'y.v')} AS cos_sim
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id != y.vec_id
+    )
+    SELECT src_id, dst_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY src_id
+                                   ORDER BY cos_sim DESC, dst_id ASC) AS INT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 3
+"""
+
+
+@register(
+    "x60_knn_graph",
+    "Approximate k-NN graph (k=3) over the full embedding corpus: top-k "
+    "cosine neighbors within each sign-bit LSH bucket, total-ordered "
+    "ranking (cos desc, id asc). Unlike the probe-broadcast ANN entries, "
+    "every row is a probe here, so the plan is a bucket-keyed SELF-join "
+    "— one shuffle per side, no broadcast, the correct 100 TB shape for "
+    "graph construction; downstream consumers are graph clustering "
+    "(x18/x32's components) and kNN label propagation.",
+    oracle=_KNN_GRAPH_ORACLE,
+    tags=("ext", "embedding", "ann", "graph"),
+)
+def x60_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    return S.knn_graph(load_table(spark, sf, "embeddings"), k=3)

@@ -1220,3 +1220,28 @@ def test_next_event_pairs_grow_prefixes(spark, tmp_path):
         (1, "view", "click"),
         (2, "view>click", "purchase"),
     ]
+
+
+def test_knn_graph_ranks_dense_and_bounded_by_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = S.knn_graph(emb, k=3).collect()
+    assert graph
+    by_src: dict[int, list] = {}
+    for r in graph:
+        by_src.setdefault(r.src_id, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # descending cosine within each src's neighbor list
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+    # bucketed candidates are a subset: the graph's best neighbor can
+    # never beat the exact best neighbor for the same src
+    probes = emb.filter(F.col("vec_id") < 8)
+    brute_best = {
+        r.probe_id: r.cos_sim
+        for r in S.brute_force_topk(emb, probes, k=1).collect()
+    }
+    for src, rows in by_src.items():
+        if src in brute_best:
+            assert rows[0].cos_sim <= brute_best[src] + 1e-12

@@ -275,3 +275,15 @@ def test_x48_sample_is_pure_projection(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x48_quality_weighted_sample", "simple")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_x60_knn_graph_equi_join_on_bucket(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x60_knn_graph", "simple")
+    # the self-join must be an EQUI-join on the bucket key (hash or
+    # sort-merge as the planner sizes it — broadcast is correct at test
+    # scale, SMJ at corpus scale), never a cartesian/nested-loop
+    # fallback, which would mean the bucket equality fell out of the
+    # join condition
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
