@@ -79,6 +79,8 @@ BENCH_QUERIES = (
     "x36_dup_ngram_coverage",
     "x40_chunk_documents",
     "x43_vocab_coverage",
+    "x57_session_funnel",
+    "x58_cohort_retention",
 )
 
 
