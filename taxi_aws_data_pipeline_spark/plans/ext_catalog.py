@@ -2750,3 +2750,59 @@ _KNN_GRAPH_ORACLE = f"""
 )
 def x60_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_graph(load_table(spark, sf, "embeddings"), k=3)
+
+
+_RANK_QUANTILE_ORACLE = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rk = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                    THEN value END) AS p50,
+           max(CASE WHEN rk = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                    THEN value END) AS p95
+    FROM ranked
+    GROUP BY event_type
+"""
+
+
+@register(
+    "x61_exact_quantiles_by_rank",
+    "Exact per-group quantiles by RANK SELECTION: p50/p95 = the value at "
+    "row ceil(q*n) in (value, event_id) order — no interpolation, no "
+    "libm, the value is an actual data point so it hashes identically "
+    "anywhere. This is the scalable exact-quantile formulation: a sort "
+    "shuffle on the group key with O(1) per-row window state, versus "
+    "percentile()'s ObjectHashAggregate which buffers every group value "
+    "in executor memory (the a1 plan's documented cost). Same one-pass "
+    "group-by recovers both quantiles from conditional aggregates.",
+    oracle=_RANK_QUANTILE_ORACLE,
+    tags=("ext", "stats", "quantile", "window"),
+)
+def x61_exact_quantiles_by_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def at(q: float):
+        target = F.greatest(F.ceil(q * F.col("n")).cast("long"), F.lit(1))
+        return F.max(F.when(F.col("rk") == target, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        at(0.5).alias("p50"),
+        at(0.95).alias("p95"),
+    )

@@ -1245,3 +1245,27 @@ def test_knn_graph_ranks_dense_and_bounded_by_bruteforce(spark, sf_dir):
     for src, rows in by_src.items():
         if src in brute_best:
             assert rows[0].cos_sim <= brute_best[src] + 1e-12
+
+
+def test_rank_quantiles_match_exact_percentile_semantics(spark, sf_dir):
+    """Rank-selected p50/p95 are actual data points at positions
+    ceil(q*n), verified against a driver-side sort of the same values."""
+    import math
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    got = {
+        r.event_type: r
+        for r in CATALOG["x61_exact_quantiles_by_rank"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert got[t].n == n
+        assert got[t].p50 == vals[max(math.ceil(0.5 * n), 1) - 1][0]
+        assert got[t].p95 == vals[max(math.ceil(0.95 * n), 1) - 1][0]
