@@ -2806,3 +2806,69 @@ def x61_exact_quantiles_by_rank(spark: SparkSession, sf: str) -> DataFrame:
         at(0.5).alias("p50"),
         at(0.95).alias("p95"),
     )
+
+
+_TRANSITION_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    ),
+    pairs AS (
+        SELECT lag(event_type) OVER sw AS prev_type, event_type AS next_type
+        FROM sessions
+        WINDOW sw AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+    )
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+"""
+
+
+@register(
+    "x62_event_transition_matrix",
+    "Session-scoped event-transition matrix: counts of consecutive "
+    "(prev_type -> next_type) pairs within 30-min-gap sessions — the "
+    "Markov-bigram statistic behind next-event baselines and anomaly "
+    "screens (x59 extracts the training pairs; this is their aggregate "
+    "distribution). lag() inside the session window never crosses a "
+    "session boundary; the final count shuffles a key space of at most "
+    "|event types|^2.",
+    oracle=_TRANSITION_ORACLE,
+    tags=("ext", "events", "sequence", "markov"),
+)
+def x62_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sw = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    return (
+        sessions.select(
+            F.lag("event_type").over(sw).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1269,3 +1269,21 @@ def test_rank_quantiles_match_exact_percentile_semantics(spark, sf_dir):
         assert got[t].n == n
         assert got[t].p50 == vals[max(math.ceil(0.5 * n), 1) - 1][0]
         assert got[t].p95 == vals[max(math.ceil(0.95 * n), 1) - 1][0]
+
+
+def test_transition_matrix_counts_match_extracted_pairs(spark, sf_dir):
+    """The transition matrix is exactly the group-count of x59's
+    (last-context-event, next_event) pairs — the two views must agree."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    pairs = CATALOG["x59_next_event_training_pairs"].spark(spark, sf_dir).collect()
+    from collections import Counter
+
+    want = Counter(
+        (r.context_seq.rsplit(">", 1)[-1], r.next_event) for r in pairs
+    )
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in CATALOG["x62_event_transition_matrix"].spark(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
