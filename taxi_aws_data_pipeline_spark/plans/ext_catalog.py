@@ -2872,3 +2872,93 @@ def x62_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+_PHONE_RE = r"\+?\d[\d\-\s]{7,14}\d"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_SWEEP_ORACLE = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT)
+               AS n_ipv4,
+           md5(regexp_replace(regexp_replace(text, '{_PHONE_RE}', '<PHONE>', 'g'),
+                              '{_IPV4_RE}', '<IP>', 'g')) AS redacted_fp
+    FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register(
+    "x63_pii_numeric_sweep",
+    "Numeric-PII sweep extending x22's email redaction: per doc, counts "
+    "of phone-number-shaped and IPv4-shaped spans plus the md5 of the "
+    "redacted text (spans replaced by <PHONE>/<IP> placeholders — the "
+    "fingerprint proves redaction happened without shipping the "
+    "redacted text through the gate). Pure regexp projection, identical "
+    "patterns in both dialects, no shuffle.",
+    oracle=_PII_SWEEP_ORACLE,
+    tags=("ext", "text", "pii"),
+)
+def x63_pii_numeric_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _PHONE_RE, "<PHONE>"), _IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+_LANG_AUDIT_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, source, lang, text,
+               greatest({", ".join(_sql_stopword_score(lang) for lang in _LANGS)})
+                   AS _best
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id, source, lang,
+               CASE WHEN _best <= 0 THEN 'und' {_LANG_CASE} END AS lang_pred
+        FROM scored
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+           CAST(sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_undetermined,
+           CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS agreement_rate
+    FROM pred
+    GROUP BY source, lang
+"""
+
+
+@register(
+    "x64_language_label_audit",
+    "Label-quality audit: per (source, declared lang), how often the "
+    "stopword-vote language ID (x1) AGREES with the metadata label — "
+    "the check a curation pipeline runs before trusting upstream lang "
+    "tags for mixture decisions. Mislabeled sources surface as low "
+    "agreement; 'und' counts expose docs too short/noisy to verify. "
+    "One projection plus a tiny (source, lang) aggregate; agreement is "
+    "an exact int/int division.",
+    oracle=_LANG_AUDIT_ORACLE,
+    tags=("ext", "text", "audit", "quality"),
+)
+def x64_language_label_audit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pred = TX.add_language_id(docs)
+    agree = F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+    und = F.when(F.col("lang_pred") == "und", 1).otherwise(0)
+    return pred.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(agree).alias("n_agree"),
+        F.sum(und).alias("n_undetermined"),
+        (F.sum(agree).cast("double") / F.count("*")).alias("agreement_rate"),
+    )

@@ -1287,3 +1287,50 @@ def test_transition_matrix_counts_match_extracted_pairs(spark, sf_dir):
         for r in CATALOG["x62_event_transition_matrix"].spark(spark, sf_dir).collect()
     }
     assert got == dict(want)
+
+
+def test_pii_numeric_sweep_counts_and_redacts(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "call +1 555-123-4567 or visit 192.168.1.1 today",
+                "no identifiers in this document at all",
+            ],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [47, 38],
+        }
+    ).to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    out = {
+        r.doc_id: r
+        for r in CATALOG["x63_pii_numeric_sweep"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_phones == 1 and out[1].n_ipv4 == 1
+    assert out[2].n_phones == 0 and out[2].n_ipv4 == 0
+    # clean doc's fingerprint equals md5 of its unmodified text
+    import hashlib
+
+    assert out[2].redacted_fp == hashlib.md5(
+        b"no identifiers in this document at all"
+    ).hexdigest()
+    assert out[1].redacted_fp != hashlib.md5(
+        b"call +1 555-123-4567 or visit 192.168.1.1 today"
+    ).hexdigest()
+
+
+def test_language_audit_agreement_bounds(spark, sf_dir):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = CATALOG["x64_language_label_audit"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_docs
+        assert 0 <= r.n_undetermined <= r.n_docs
+        assert r.agreement_rate == r.n_agree / r.n_docs
