@@ -81,6 +81,10 @@ BENCH_QUERIES = (
     "x43_vocab_coverage",
     "x57_session_funnel",
     "x58_cohort_retention",
+    "j7_sole_late_supplier_blame",
+    "x66_filter_cascade_report",
+    "x69_event_lateness_profile",
+    "x74_daily_active_users",
 )
 
 

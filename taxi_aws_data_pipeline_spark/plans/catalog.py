@@ -1437,6 +1437,142 @@ def j6_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "j7_sole_late_supplier_blame",
+    "TPC-H Q21 shape — the hardest correlated-subquery pattern in the "
+    "suite: for finalized orders, count per supplier the late lineitems "
+    "(shipped >90 days after order date) on multi-supplier orders where "
+    "that supplier was the ONLY late one. The classic form is a double "
+    "correlated EXISTS / NOT EXISTS self-join on lineitem (the oracle "
+    "keeps that form); the Spark plan uses the decorrelated-aggregation "
+    "rewrite instead — ONE groupBy(l_orderkey) computing distinct-supplier "
+    "and distinct-late-supplier counts, joined back — turning two "
+    "self-joins of the 100 TB fact into one reused orderkey exchange. "
+    "Top-20 with a (numwait DESC, s_name) total order.",
+    oracle="""
+        WITH ll AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM ll l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM ll l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM ll l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+    tags=("join", "correlated", "decorrelation", "agg"),
+)
+def j7_sole_late_supplier_blame(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    od = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    su = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    ll = li.join(
+        od.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .alias("late"),
+    )
+    # decorrelated rewrite of EXISTS(other supp) / NOT EXISTS(other late supp)
+    per_order = ll.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    qual = (
+        ll.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qual.join(F.broadcast(su), qual.l_suppkey == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "j9_churned_rich_customers",
+    "TPC-H Q22 shape, churn-flavored: per market segment, customers with "
+    "above-average positive account balance and NO order in the 90 days "
+    "before the corpus's latest order date (two scalar aggregate "
+    "subqueries + anti join). Both global scalars — the exact-decimal "
+    "balance threshold and the max order date — are 1-row broadcasts; "
+    "the above-average test multiplies instead of divides (bal * n_pos > "
+    "total_pos, decimal-exact — no cross-engine float division at the "
+    "boundary), and the recency test is a LEFT ANTI join against the "
+    "distinct recent-orderer keys. Money total via decimal money_sum.",
+    oracle=f"""
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                       AS total_pos,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos
+            FROM customer WHERE c_acctbal > 0.0
+        ),
+        mx AS (SELECT max(o_orderdate) AS max_date FROM orders),
+        recent AS (
+            SELECT DISTINCT o.o_custkey
+            FROM orders o, mx
+            WHERE o.o_orderdate >= mx.max_date - INTERVAL 90 DAY
+        )
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS numcust,
+               {oracle_money_sum('c.c_acctbal')} AS totacctbal
+        FROM customer c, pos
+        WHERE CAST(c.c_acctbal AS DECIMAL(28,6)) * pos.n_pos > pos.total_pos
+          AND NOT EXISTS (SELECT 1 FROM recent r
+                          WHERE r.o_custkey = c.c_custkey)
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "anti-join", "scalar-subquery", "agg"),
+)
+def j9_churned_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    cu = load_table(spark, sf, "customer")
+    od = load_table(spark, sf, "orders")
+    pos = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("total_pos"),
+        F.count("*").alias("n_pos"),
+    )
+    mx = od.agg(F.max("o_orderdate").alias("max_date"))
+    recent = (
+        od.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("o_orderdate")
+            >= F.col("max_date") - F.expr("INTERVAL 90 DAYS")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = cu.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(28,6)") * F.col("n_pos")
+        > F.col("total_pos")
+    )
+    churned = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return churned.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        money_sum("c_acctbal").alias("totacctbal"),
+    )
+
+
+@register(
     "a7_distinct_suppliers_per_part",
     "COUNT(DISTINCT) aggregation through a broadcast dim join (TPC-H Q16 "
     "shape): distinct suppliers per (brand, size). The dim join broadcasts "

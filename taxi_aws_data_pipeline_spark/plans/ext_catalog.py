@@ -2962,3 +2962,758 @@ def x64_language_label_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(und).alias("n_undetermined"),
         (F.sum(agree).cast("double") / F.count("*")).alias("agreement_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline audit / evaluation tier: the reports an operator of a 100 TB
+# curation pipeline runs BEFORE trusting its own knobs — LSH recall vs the
+# exact scorer, per-rule drop attribution, key-skew heavy hitters,
+# referential integrity.
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+    WITH exact AS (
+        SELECT * FROM ({_JACCARD_ORACLE})
+    ),
+    cand AS (
+        SELECT * FROM ({_LSH_ORACLE})
+    ),
+    j AS (
+        SELECT (e.doc_a IS NOT NULL) AS is_exact,
+               (c.doc_a IS NOT NULL) AS is_cand
+        FROM exact e FULL JOIN cand c USING (doc_a, doc_b)
+    )
+    SELECT CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_pairs,
+           CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           CAST(sum(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recalled,
+           CASE WHEN sum(CASE WHEN is_exact THEN 1 ELSE 0 END) > 0 THEN
+               CAST(sum(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+               / sum(CASE WHEN is_exact THEN 1 ELSE 0 END) END AS recall,
+           CASE WHEN sum(CASE WHEN is_cand THEN 1 ELSE 0 END) > 0 THEN
+               CAST(sum(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+               / sum(CASE WHEN is_cand THEN 1 ELSE 0 END) END AS precision
+    FROM j
+"""
+
+
+@register(
+    "x65_lsh_recall_report",
+    "Tuning-audit for the near-dup stack: joins the EXACT Jaccard >= 0.5 "
+    "pairs (x6) against the MinHash-LSH candidates (x8) and reports "
+    "recall (true pairs the bands caught) and precision (candidates that "
+    "are true near-dups) in one row. This is the measurement that decides "
+    "the band/row configuration before a 100 TB run — run it on a sampled "
+    "slice, then ship only the LSH path. Both pair sets are tiny relative "
+    "to the corpus, so the full-outer join on pair keys is the cheap "
+    "final step after the bucketed generators.",
+    oracle=_LSH_RECALL_ORACLE,
+    tags=("ext", "dedup", "lsh", "audit", "evaluation"),
+)
+def x65_lsh_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    exact = X.jaccard_near_dup_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_exact")
+    )
+    cand = X.lsh_candidate_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_cand")
+    )
+    j = exact.join(cand, ["doc_a", "doc_b"], "full_outer")
+    n_true = F.count("is_exact")
+    n_cand = F.count("is_cand")
+    n_hit = F.sum(
+        F.when((F.col("is_exact") == 1) & (F.col("is_cand") == 1), 1).otherwise(0)
+    )
+    return j.agg(
+        n_true.alias("n_true_pairs"),
+        n_cand.alias("n_candidates"),
+        n_hit.cast("long").alias("n_recalled"),
+        F.when(n_true > 0, n_hit.cast("double") / n_true).alias("recall"),
+        F.when(n_cand > 0, n_hit.cast("double") / n_cand).alias("precision"),
+    )
+
+
+_CASCADE_ORACLE = f"""
+    WITH lang AS ({_LANG_ORACLE}),
+    q AS ({_QUALITY_ORACLE}),
+    base AS (
+        SELECT d.doc_id, d.source, d.text, l.lang_pred, q.quality_score,
+               CASE WHEN d.text IS NOT NULL THEN {_SQL_FP} END AS fingerprint,
+               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7') AS in_sample,
+               (d.text IS NOT NULL AND l.lang_pred = 'en'
+                AND q.quality_score >= 0.8) AS pass12
+        FROM documents d
+        LEFT JOIN lang l USING (doc_id)
+        LEFT JOIN q USING (doc_id)
+    ),
+    keepers AS (
+        SELECT fingerprint, min(doc_id) AS keep_id
+        FROM base WHERE pass12 GROUP BY fingerprint
+    ),
+    bench AS (
+        SELECT {_SQL_FP} AS fingerprint
+        FROM documents WHERE text IS NOT NULL
+        ORDER BY length(text) DESC, doc_id
+        LIMIT 10
+    ),
+    reasons AS (
+        SELECT source,
+               CASE WHEN text IS NULL THEN 'null_text'
+                    WHEN lang_pred <> 'en' THEN 'non_english'
+                    WHEN quality_score < 0.8 THEN 'low_quality'
+                    WHEN doc_id <> k.keep_id THEN 'duplicate'
+                    WHEN fingerprint IN (SELECT fingerprint FROM bench)
+                        THEN 'contaminated'
+                    WHEN NOT in_sample THEN 'sampled_out'
+                    ELSE 'kept' END AS reason
+        FROM base b LEFT JOIN keepers k USING (fingerprint)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN reason = 'null_text' THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+           CAST(sum(CASE WHEN reason = 'non_english' THEN 1 ELSE 0 END) AS BIGINT) AS n_non_english,
+           CAST(sum(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+           CAST(sum(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+           CAST(sum(CASE WHEN reason = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN reason = 'sampled_out' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled_out,
+           CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM reasons
+    GROUP BY source
+"""
+
+
+@register(
+    "x66_filter_cascade_report",
+    "Drop-attribution audit of the x27 curation cascade: every document "
+    "is charged to the FIRST rule that rejects it (null text -> language "
+    "-> quality -> exact-dup -> contamination -> hash-sample), and the "
+    "report gives per-source counts for each reason plus the survivors — "
+    "the FineWeb-style ablation table that justifies each filter before "
+    "a full-corpus run. Same thresholds and keeper/benchmark definitions "
+    "as x27, so sum(n_kept) equals the pipeline's output count exactly. "
+    "One fingerprint shuffle (keeper election among rule-1/2 survivors), "
+    "broadcast benchmark probe, then a tiny per-source aggregate.",
+    oracle=_CASCADE_ORACLE,
+    tags=("ext", "pipeline", "audit", "quality", "dedup"),
+)
+def x66_filter_cascade_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    d = TX.add_quality_signals(TX.add_language_id(docs))
+    fp = F.when(
+        F.col("text").isNotNull(),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))),
+    )
+    pass12 = (
+        F.col("text").isNotNull()
+        & (F.col("lang_pred") == "en")
+        & (F.col("quality_score") >= 0.8)
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        "text",
+        "lang_pred",
+        "quality_score",
+        fp.alias("fingerprint"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(*"01234567")
+        .alias("in_sample"),
+        pass12.alias("pass12"),
+    )
+    keepers = (
+        d.filter("pass12")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    bench = (
+        docs.filter(F.col("text").isNotNull())
+        .orderBy(F.length("text").desc(), "doc_id")
+        .limit(10)
+        .select(
+            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
+                "fingerprint"
+            ),
+            F.lit(1).alias("bench_flag"),
+        )
+    )
+    flagged = d.join(keepers, "fingerprint", "left").join(
+        F.broadcast(bench), "fingerprint", "left"
+    )
+    reason = (
+        F.when(F.col("text").isNull(), "null_text")
+        .when(F.col("lang_pred") != "en", "non_english")
+        .when(F.col("quality_score") < 0.8, "low_quality")
+        .when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .when(F.col("bench_flag") == 1, "contaminated")
+        .when(~F.col("in_sample"), "sampled_out")
+        .otherwise("kept")
+    )
+
+    def n(label: str):
+        return F.sum(F.when(F.col("reason") == label, 1).otherwise(0)).alias(
+            f"n_{label}"
+        )
+
+    return (
+        flagged.select("source", reason.alias("reason"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            n("null_text"),
+            n("non_english"),
+            n("low_quality"),
+            n("duplicate"),
+            n("contaminated"),
+            n("sampled_out"),
+            n("kept"),
+        )
+    )
+
+
+_SKEW_ORACLE = """
+    WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(sum(n_events) AS BIGINT) AS total_events,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM counts
+    ),
+    top AS (
+        SELECT user_id, n_events,
+               CAST(row_number() OVER (ORDER BY n_events DESC, user_id)
+                    AS BIGINT) AS rank
+        FROM counts
+        ORDER BY n_events DESC, user_id
+        LIMIT 10
+    )
+    SELECT t.rank, t.user_id, t.n_events,
+           CAST(t.n_events AS DOUBLE) / tot.total_events AS share,
+           CAST(sum(t.n_events) OVER (ORDER BY t.rank ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / tot.total_events AS cum_share,
+           (CAST(t.n_events AS DOUBLE) * tot.n_keys) / tot.total_events
+               AS skew_vs_mean
+    FROM top t, tot
+"""
+
+
+@register(
+    "x67_key_skew_report",
+    "Shuffle-key skew diagnosis: the top-10 heaviest events.user_id keys "
+    "with their absolute counts, share of all rows, cumulative share, and "
+    "ratio to the mean key load — the report that decides whether a "
+    "downstream groupBy/join needs salting (k1) or AQE skew handling "
+    "BEFORE the 100 TB job hits one 400 GB reducer. The per-key count is "
+    "an ordinary partial-agg groupBy; top-10 is a TakeOrdered (no global "
+    "sort shuffle); the rank/cum-share window runs on 10 rows against a "
+    "broadcast 1-row total.",
+    oracle=_SKEW_ORACLE,
+    tags=("ext", "events", "skew", "audit"),
+)
+def x67_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    tot = counts.agg(
+        F.sum("n_events").alias("total_events"),
+        F.count("*").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_events"), "user_id").limit(10)
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "user_id",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("total_events")).alias("share"),
+        (
+            F.sum("n_events").over(wc).cast("double") / F.col("total_events")
+        ).alias("cum_share"),
+        (
+            (F.col("n_events").cast("double") * F.col("n_keys"))
+            / F.col("total_events")
+        ).alias("skew_vs_mean"),
+    )
+
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_FK_ORACLE = "\n    UNION ALL\n".join(
+    f"""    SELECT '{ct}.{ck}->{pt}.{pk}' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_keys,
+           CAST(sum(CASE WHEN {ck} IS NOT NULL AND {ck} NOT IN
+                    (SELECT {pk} FROM {pt} WHERE {pk} IS NOT NULL)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {ct}"""
+    for ct, ck, pt, pk in _FK_EDGES
+)
+
+
+@register(
+    "x68_referential_integrity_audit",
+    "Data-quality audit of every foreign-key edge in the star schema: per "
+    "edge, child row count, null-key count, and ORPHAN count (child keys "
+    "with no parent row) — the pre-flight check that catches partial "
+    "loads and dropped dimension files before a join silently shrinks "
+    "the fact table. Each edge is one left join of child keys against "
+    "distinct parent keys (dimension sides broadcast under AQE; the "
+    "lineitem->orders edge shuffles only the two key columns), reduced "
+    "to a single counters row; the report is their union.",
+    oracle=_FK_ORACLE,
+    tags=("ext", "quality", "audit", "join"),
+)
+def x68_referential_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from functools import reduce
+
+    frames = []
+    for ct, ck, pt, pk in _FK_EDGES:
+        child = load_table(spark, sf, ct).select(F.col(ck).alias("k"))
+        parent = (
+            load_table(spark, sf, pt)
+            .select(F.col(pk).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+            .withColumn("m", F.lit(1))
+        )
+        j = child.join(parent, "k", "left")
+        frames.append(
+            j.agg(
+                F.count("*").alias("n_child"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_keys"),
+                F.sum(
+                    F.when(F.col("k").isNotNull() & F.col("m").isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(
+                F.lit(f"{ct}.{ck}->{pt}.{pk}").alias("fk_edge"),
+                "n_child",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+_LATENESS_ORACLE = """
+    WITH lat AS (
+        SELECT date_diff('second', ts,
+                   max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)) AS lateness_s
+        FROM events WHERE ts IS NOT NULL
+    ),
+    hist AS (
+        SELECT lateness_s, CAST(count(*) AS BIGINT) AS cnt
+        FROM lat GROUP BY lateness_s
+    ),
+    h2 AS (
+        SELECT lateness_s, cnt,
+               CAST(sum(cnt) OVER (ORDER BY lateness_s
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS tot
+        FROM hist
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lateness_s > 0 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(sum(CASE WHEN lateness_s > 600 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_late_over_10m,
+           max(lateness_s) AS max_lateness_s,
+           min(CASE WHEN cum >= CAST(ceil(0.95 * tot) AS BIGINT)
+                    THEN lateness_s END) AS p95_lateness_s
+    FROM h2
+"""
+
+
+@register(
+    "x69_event_lateness_profile",
+    "Watermark-tuning profile: how late do events arrive relative to the "
+    "per-user high-watermark in ingestion (event_id) order? Reports late "
+    "counts, the worst case, and the exact p95 lateness in seconds — the "
+    "number that directly parameterizes withWatermark() so the streaming "
+    "tier (streaming.py) holds just enough state to catch 95% of "
+    "stragglers. Exact p95 WITHOUT a global sort: lateness reduces to an "
+    "integer-seconds histogram first (bounded cardinality), and the "
+    "quantile is read off the cumulative histogram — the scalable "
+    "formulation of a global exact quantile, complementing x61's "
+    "per-group rank selection.",
+    oracle=_LATENESS_ORACLE,
+    tags=("ext", "events", "streaming", "audit", "quantile"),
+)
+def x69_event_lateness_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # TIMESTAMP_NTZ has no direct BIGINT cast in Spark 4; go through
+    # TIMESTAMP_LTZ (identity under load_table's pinned UTC session zone),
+    # whose long cast is floor-epoch-seconds == DuckDB date_diff('second').
+    def epoch_s(c):
+        return c.cast("timestamp").cast("long")
+
+    lat = ev.select(
+        (epoch_s(F.max("ts").over(w)) - epoch_s(F.col("ts"))).alias("lateness_s")
+    )
+    hist = lat.groupBy("lateness_s").agg(F.count("*").alias("cnt"))
+    # windows over the HISTOGRAM (distinct lateness values), not the events
+    cum = F.sum("cnt").over(
+        Window.orderBy("lateness_s").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum("cnt").over(Window.partitionBy())
+    h2 = hist.select(
+        "lateness_s", "cnt", cum.alias("cum"), tot.alias("tot")
+    )
+    target = F.ceil(0.95 * F.col("tot")).cast("long")
+    return h2.agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum(F.when(F.col("lateness_s") > 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.sum(F.when(F.col("lateness_s") > 600, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_late_over_10m"),
+        F.max("lateness_s").alias("max_lateness_s"),
+        F.min(F.when(F.col("cum") >= target, F.col("lateness_s"))).alias(
+            "p95_lateness_s"
+        ),
+    )
+
+
+_MIXTURE_ORACLE = f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({SQL_WORDS.format(t='text')})) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM per_source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST(p.n_tokens AS DOUBLE) / t.total_tokens AS share_now,
+           1.0 / t.n_sources AS target_share,
+           (2.0 * t.total_tokens) / (t.n_sources * p.n_tokens)
+               AS repeat_epochs
+    FROM per_source p, tot t
+"""
+
+
+@register(
+    "x70_mixture_token_budget_plan",
+    "Training-mix planner: per source, token counts, current corpus "
+    "share, the uniform target share, and the repeat factor (epochs) "
+    "each source needs to fill an equal slice of a 2x-corpus token "
+    "budget — the arithmetic behind 'repeat the small high-quality "
+    "sources, subsample the crawl' mixture designs (x49 executes a plan "
+    "like this; this op derives it). One partial-agg groupBy(source) "
+    "whose output is |sources| rows, joined against its own broadcast "
+    "1-row total; divisions are fixed-order over exact integer inputs so "
+    "both engines produce bit-identical doubles.",
+    oracle=_MIXTURE_ORACLE,
+    tags=("ext", "text", "sampling", "planning"),
+)
+def x70_mixture_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TX.words("text"))).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+            "share_now"
+        ),
+        (F.lit(1.0) / F.col("n_sources")).alias("target_share"),
+        (
+            (F.lit(2.0) * F.col("total_tokens"))
+            / (F.col("n_sources") * F.col("n_tokens"))
+        ).alias("repeat_epochs"),
+    )
+
+
+_VOCAB_GROWTH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    first_seen AS (
+        SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
+    ),
+    growth AS (
+        SELECT first_doc // 100 AS doc_bucket,
+               CAST(count(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY doc_bucket
+    )
+    SELECT doc_bucket, new_types,
+           CAST(sum(new_types) OVER (ORDER BY doc_bucket
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS vocab_size
+    FROM growth
+"""
+
+
+@register(
+    "x71_vocab_growth_curve",
+    "Heaps'-law vocabulary growth: distinct-token count as the corpus "
+    "grows in ingestion order, bucketed per 100 documents — the curve "
+    "that says whether a corpus is still contributing new vocabulary or "
+    "has gone repetitive (flattening curve = diminishing data value, the "
+    "signal behind dedup-before-train decisions). Each token's first "
+    "occurrence is a groupBy(token) min — tokens shuffle once as keys — "
+    "then the cumulative curve is a window over the tiny bucket "
+    "histogram, never over rows.",
+    oracle=_VOCAB_GROWTH_ORACLE,
+    tags=("ext", "text", "stats", "corpus"),
+)
+def x71_vocab_growth_curve(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id", F.explode(TX.words("text")).alias("token")
+    )
+    first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    growth = (
+        first_seen.select(F.expr("first_doc DIV 100").alias("doc_bucket"))
+        .groupBy("doc_bucket")
+        .agg(F.count("*").alias("new_types"))
+    )
+    cum = F.sum("new_types").over(
+        Window.orderBy("doc_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return growth.select("doc_bucket", "new_types", cum.alias("vocab_size"))
+
+
+@register(
+    "x72_decontaminate_merge_anti",
+    "The NON-broadcast decontamination path: same semantics as x17 "
+    "(drop corpus docs whose fingerprint appears in the held-out set) "
+    "but executed as a shuffle sort-merge LEFT ANTI join — the plan you "
+    "need when the held-out side is itself huge (every benchmark + "
+    "every eval epoch's prompts, too big to broadcast). Both sides "
+    "reduce to 16-byte fingerprints before the exchange, so the shuffle "
+    "moves keys, not documents; a plan guard pins SortMergeJoin with "
+    "zero broadcast. x17 stays the fast path for small benchmark sets.",
+    oracle="""
+        WITH benchmark AS (
+            SELECT md5(text) AS fp
+            FROM documents WHERE text IS NOT NULL
+            ORDER BY length(text) DESC, doc_id
+            LIMIT 10
+        )
+        SELECT d.doc_id, md5(d.text) AS fp
+        FROM documents d
+        WHERE d.text IS NOT NULL
+          AND md5(d.text) NOT IN (SELECT fp FROM benchmark)
+    """,
+    tags=("ext", "decontamination", "anti-join", "shuffle", "dedup"),
+)
+def x72_decontaminate_merge_anti(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    benchmark = (
+        docs.orderBy(F.length("text").desc(), "doc_id")
+        .limit(10)
+        .select(F.md5("text").alias("fp"))
+    )
+    corpus = docs.select("doc_id", F.md5("text").alias("fp"))
+    return corpus.join(benchmark.hint("merge"), on="fp", how="left_anti").select(
+        "doc_id", "fp"
+    )
+
+
+_SYNDICATION_ORACLE = f"""
+    WITH pairs AS ({_LSH_ORACLE}
+    ),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS src_lo,
+           greatest(a.source, b.source) AS src_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN src a ON p.doc_a = a.doc_id
+    JOIN src b ON p.doc_b = b.doc_id
+    GROUP BY src_lo, src_hi
+"""
+
+
+@register(
+    "x73_cross_source_syndication_matrix",
+    "Duplicate-provenance at the SOURCE level: the MinHash-LSH candidate "
+    "pairs (x8) rolled up into an undirected (source, source) matrix — "
+    "diagonal cells are within-source re-crawls, off-diagonal cells are "
+    "cross-source syndication (mirrors, scrapers, wire copy). This is the "
+    "table that decides which source to drop when two overlap heavily. "
+    "Pairs are tiny relative to the corpus, so the rollup is two "
+    "broadcast-friendly id->source lookups plus a |sources|^2-bounded "
+    "aggregate on top of the one LSH bucket shuffle.",
+    oracle=_SYNDICATION_ORACLE,
+    tags=("ext", "dedup", "lsh", "audit", "provenance"),
+)
+def x73_cross_source_syndication_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pairs = X.lsh_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+_DAU_ORACLE = """
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        FROM events WHERE ts IS NOT NULL
+    ),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY day
+    ),
+    first_day AS (
+        SELECT user_id, min(day) AS day FROM days GROUP BY user_id
+    ),
+    newu AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY day
+    )
+    SELECT d.day, d.dau,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(sum(COALESCE(n.new_users, 0))
+                    OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_users
+    FROM dau d LEFT JOIN newu n USING (day)
+"""
+
+
+@register(
+    "x74_daily_active_users",
+    "Daily active users, new users, and the cumulative distinct-user "
+    "curve — the growth dashboard over the events stream. Cumulative "
+    "DISTINCT is the trap here: a naive running COUNT(DISTINCT) re-scans "
+    "history per day; instead each user contributes once at their FIRST "
+    "active day (groupBy(user) min — one shuffle of user ids), and the "
+    "cumulative curve is a running sum over the tiny per-day histogram, "
+    "never over events. The same first-touch trick powers x58's cohorts.",
+    oracle=_DAU_ORACLE,
+    tags=("ext", "events", "stats", "window"),
+)
+def x74_daily_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    days = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count("*").alias("dau"))
+    first_day = days.groupBy("user_id").agg(F.min("day").alias("day"))
+    newu = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    joined = dau.join(newu, "day", "left").select(
+        "day", "dau", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    cum = F.sum("new_users").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select("day", "dau", "new_users", cum.alias("cum_users"))
+
+
+_CALIBRATION_ORACLE = f"""
+    WITH q AS ({_QUALITY_ORACLE}),
+    base AS (
+        SELECT d.doc_id, d.source,
+               CAST(least(floor(q.quality_score * 10), 9) AS BIGINT)
+                   AS quality_bin,
+               {_SQL_FP} AS fingerprint,
+               len({SQL_WORDS.format(t='d.text')}) AS n_tokens
+        FROM documents d JOIN q USING (doc_id)
+        WHERE d.text IS NOT NULL
+    ),
+    keepers AS (
+        SELECT fingerprint, min(doc_id) AS keep_id
+        FROM base GROUP BY fingerprint
+    )
+    SELECT b.quality_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN b.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN b.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS dup_rate,
+           CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens
+    FROM base b JOIN keepers k USING (fingerprint)
+    GROUP BY b.quality_bin
+"""
+
+
+@register(
+    "x75_quality_dup_calibration",
+    "Cross-signal calibration: exact-duplicate rate per quality-score "
+    "decile bin — the audit that tells you whether the quality filter and "
+    "the dedup stage are redundant (low-quality bins dominated by dups) "
+    "or complementary, before spending a 100 TB pass on both. Binning is "
+    "a fixed-width projection (no global sort/ntile); the dup flag "
+    "reuses the fingerprint keep-min shuffle; output is <=10 rows.",
+    oracle=_CALIBRATION_ORACLE,
+    tags=("ext", "quality", "dedup", "audit"),
+)
+def x75_quality_dup_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = TX.add_quality_signals(docs)
+    base = d.select(
+        "doc_id",
+        F.least(F.floor(F.col("quality_score") * 10), F.lit(9))
+        .cast("long")
+        .alias("quality_bin"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+        F.size(TX.words("text")).alias("n_tokens"),
+    )
+    keepers = base.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    dup = F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+    return (
+        base.join(keepers, "fingerprint")
+        .groupBy("quality_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_dups"),
+            (F.sum(dup).cast("double") / F.count("*")).alias("dup_rate"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

@@ -1,0 +1,310 @@
+"""Behavioral tests for the pipeline-audit tier (x65-x68): cross-entry
+consistency invariants that the per-entry oracle parity sweep can't see —
+the cascade report must reconcile exactly with the pipeline it audits,
+the skew report with the raw counts, the FK audit with hand-planted
+orphans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+
+def test_cascade_report_reconciles_with_pipeline(spark, sf_dir):
+    """x66's funnel must sum to the corpus and its survivors must equal
+    x27's output count — same thresholds, same keeper/benchmark rules."""
+    report = CATALOG["x66_filter_cascade_report"].spark(spark, sf_dir)
+    rows = report.collect()
+    reason_cols = [
+        "n_null_text",
+        "n_non_english",
+        "n_low_quality",
+        "n_duplicate",
+        "n_contaminated",
+        "n_sampled_out",
+        "n_kept",
+    ]
+    for r in rows:
+        assert sum(r[c] for c in reason_cols) == r.n_total, r
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_total for r in rows) == total_docs
+    kept = sum(r.n_kept for r in rows)
+    pipeline_out = CATALOG["x27_training_data_pipeline"].spark(spark, sf_dir)
+    assert kept == pipeline_out.count()
+
+
+def test_lsh_recall_report_matches_set_arithmetic(spark, sf_dir):
+    row = CATALOG["x65_lsh_recall_report"].spark(spark, sf_dir).collect()[0]
+    assert row.n_recalled <= row.n_true_pairs
+    assert row.n_recalled <= row.n_candidates
+    if row.n_true_pairs:
+        assert abs(row.recall - row.n_recalled / row.n_true_pairs) < 1e-12
+        # the fixture plants real near-dups; bands must catch a majority
+        assert row.recall >= 0.5
+    if row.n_candidates:
+        assert abs(row.precision - row.n_recalled / row.n_candidates) < 1e-12
+
+
+def test_skew_report_matches_raw_counts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    top = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    report = (
+        CATALOG["x67_key_skew_report"].spark(spark, sf_dir).orderBy("rank").collect()
+    )
+    assert [(r.user_id, r.n_events) for r in report] == [
+        (r.user_id, r["count"]) for r in top
+    ]
+    # shares are monotone-cumulative and bounded
+    assert all(0.0 < r.share <= 1.0 for r in report)
+    cums = [r.cum_share for r in report]
+    assert cums == sorted(cums)
+    assert cums[-1] <= 1.0 + 1e-12
+
+
+def test_lateness_profile_on_planted_late_events(spark, tmp_path):
+    """Hand-built arrival log: user 7 gets one event 60 s behind its
+    high-watermark; user 8 arrives in order. p95 must land on the late
+    bucket (ceil(.95*5)=5 ⇒ the cumulative histogram's last value)."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.tables import TABLE_NAMES
+
+    d = tmp_path / "sf_late"
+    d.mkdir()
+    src = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        if t != "events":
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    duckdb.sql(
+        f"""
+        COPY (SELECT * FROM (VALUES
+            (1, TIMESTAMP '2026-01-01 00:10:00', 7, 'view', 1.0, 'p'),
+            (2, TIMESTAMP '2026-01-01 00:09:00', 7, 'view', 1.0, 'p'),
+            (3, TIMESTAMP '2026-01-01 00:10:00', 7, 'view', 1.0, 'p'),
+            (4, TIMESTAMP '2026-01-01 00:00:00', 8, 'view', 1.0, 'p'),
+            (5, TIMESTAMP '2026-01-01 00:05:00', 8, 'view', 1.0, 'p')
+        ) t(event_id, ts, user_id, event_type, value, props))
+        TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    row = (
+        CATALOG["x69_event_lateness_profile"].spark(spark, str(d)).collect()[0]
+    )
+    assert row.n_events == 5
+    assert row.n_late == 1
+    assert row.n_late_over_10m == 0
+    assert row.max_lateness_s == 60
+    assert row.p95_lateness_s == 60
+
+
+def test_mixture_plan_fills_budget_exactly(spark, sf_dir):
+    rows = CATALOG["x70_mixture_token_budget_plan"].spark(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    assert abs(sum(r.share_now for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r.target_share - 1.0 / len(rows)) < 1e-12
+        # epochs * tokens = this source's equal slice of the 2x budget
+        assert abs(r.repeat_epochs * r.n_tokens - 2.0 * total / len(rows)) < 1e-6
+
+
+def test_vocab_growth_is_monotone_and_totals_vocab(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    curve = (
+        CATALOG["x71_vocab_growth_curve"]
+        .spark(spark, sf_dir)
+        .orderBy("doc_bucket")
+        .collect()
+    )
+    sizes = [r.vocab_size for r in curve]
+    assert sizes == sorted(sizes)
+    assert sum(r.new_types for r in curve) == sizes[-1]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        SF.col("text").isNotNull()
+    )
+    vocab = (
+        docs.select(SF.explode(TX.words("text")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert sizes[-1] == vocab
+
+
+def test_merge_anti_decontamination_matches_broadcast_path(spark, sf_dir):
+    """x72 is x17 with the broadcast swapped for a shuffle sort-merge
+    anti join — same rows, SortMergeJoin plan, no broadcast."""
+    merge = CATALOG["x72_decontaminate_merge_anti"].spark(spark, sf_dir)
+    bcast = CATALOG["x17_decontaminate_anti_join"].spark(spark, sf_dir)
+    assert sorted(map(tuple, merge.collect())) == sorted(
+        map(tuple, bcast.collect())
+    )
+    plan = merge._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_j7_decorrelated_rewrite_matches_spark_exists_form(spark, sf_dir):
+    """The DataFrame plan replaces Q21's double correlated EXISTS with one
+    per-order aggregate; prove equivalence against Spark's OWN correlated-
+    subquery planner (independent of the DuckDB oracle)."""
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("t_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("t_orders")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("t_supplier")
+    sql = spark.sql(
+        """
+        WITH ll AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS) AS late
+            FROM t_lineitem l JOIN t_orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM ll l1 JOIN t_supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM ll l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM ll l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+        """
+    ).collect()
+    df = (
+        CATALOG["j7_sole_late_supplier_blame"]
+        .spark(spark, sf_dir)
+        .orderBy(F.desc("numwait"), "s_name")
+        .collect()
+    )
+    assert [(r.s_name, r.numwait) for r in df] == [
+        (r.s_name, r.numwait) for r in sql
+    ]
+
+
+def test_j9_matches_spark_not_exists_form(spark, sf_dir):
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("t_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("t_orders")
+    sql = spark.sql(
+        """
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                       AS total_pos, COUNT(*) AS n_pos
+            FROM t_customer WHERE c_acctbal > 0.0
+        ),
+        mx AS (SELECT max(o_orderdate) AS max_date FROM t_orders),
+        recent AS (
+            SELECT DISTINCT o.o_custkey FROM t_orders o, mx
+            WHERE o.o_orderdate >= mx.max_date - INTERVAL 90 DAYS
+        )
+        SELECT c.c_mktsegment, count(*) AS numcust
+        FROM t_customer c, pos
+        WHERE CAST(c.c_acctbal AS DECIMAL(28,6)) * pos.n_pos > pos.total_pos
+          AND NOT EXISTS (SELECT 1 FROM recent r
+                          WHERE r.o_custkey = c.c_custkey)
+        GROUP BY c.c_mktsegment
+        """
+    ).collect()
+    df = CATALOG["j9_churned_rich_customers"].spark(spark, sf_dir).collect()
+    assert {(r.c_mktsegment, r.numcust) for r in df} == {
+        (r.c_mktsegment, r.numcust) for r in sql
+    }
+
+
+def test_syndication_matrix_conserves_pair_count(spark, sf_dir):
+    from taxi_aws_data_pipeline_spark.ext import dedup as X
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_pairs = X.lsh_candidate_pairs(docs).count()
+    matrix = CATALOG["x73_cross_source_syndication_matrix"].spark(spark, sf_dir)
+    rows = matrix.collect()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    assert all(r.src_lo <= r.src_hi for r in rows)
+
+
+def test_dau_first_touch_trick_matches_distinct_counts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    curve = (
+        CATALOG["x74_daily_active_users"].spark(spark, sf_dir).orderBy("day").collect()
+    )
+    assert all(r.new_users <= r.dau for r in curve)
+    total_users = ev.filter(F.col("ts").isNotNull()).select("user_id").distinct().count()
+    assert curve[-1].cum_users == total_users
+    assert sum(r.new_users for r in curve) == total_users
+    # day 1: everyone active is new
+    assert curve[0].new_users == curve[0].dau == curve[0].cum_users
+
+
+def test_quality_dup_calibration_accounts_every_doc(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    rows = CATALOG["x75_quality_dup_calibration"].spark(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(0 <= r.quality_bin <= 9 for r in rows)
+    assert all(0.0 <= r.dup_rate <= 1.0 for r in rows)
+    n_fp = (
+        docs.select(
+            F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_dups for r in rows) == docs.count() - n_fp
+
+
+def test_fk_audit_counts_planted_orphans(spark, tmp_path):
+    """Copy sf0.001 but drop half the orders rows: every lineitem pointing
+    at a dropped order must surface as an orphan on exactly that edge."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.tables import TABLE_NAMES
+
+    d = tmp_path / "sf_broken"
+    d.mkdir()
+    src = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        if t == "orders":
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{src}/orders.parquet' "
+                f"WHERE o_orderkey % 2 = 0) TO '{d}/orders.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    expected_orphans = duckdb.sql(
+        f"SELECT count(*) FROM '{src}/lineitem.parquet' "
+        f"WHERE l_orderkey % 2 = 1"
+    ).fetchone()[0]
+    report = {
+        r.fk_edge: r
+        for r in CATALOG["x68_referential_integrity_audit"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    edge = report["lineitem.l_orderkey->orders.o_orderkey"]
+    assert edge.n_orphans == expected_orphans
+    assert edge.n_null_keys == 0
+    # untouched edges stay clean
+    assert report["nation.n_regionkey->region.r_regionkey"].n_orphans == 0
+    assert report["orders.o_custkey->customer.c_custkey"].n_orphans == 0

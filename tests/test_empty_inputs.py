@@ -27,7 +27,11 @@ def empty_sf_dir(tmp_path_factory):
 
 # fixed-cardinality reports: output rows are per-COLUMN (not per-input-row),
 # so an empty table still yields one row per profiled column
-_FIXED_CARDINALITY = {"x56_table_profile": 5}
+_FIXED_CARDINALITY = {
+    "x56_table_profile": 5,
+    # one row per audited FK edge, even when every table is empty
+    "x68_referential_integrity_audit": 7,
+}
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
