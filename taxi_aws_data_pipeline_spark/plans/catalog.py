@@ -1443,11 +1443,14 @@ def j6_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "(shipped >90 days after order date) on multi-supplier orders where "
     "that supplier was the ONLY late one. The classic form is a double "
     "correlated EXISTS / NOT EXISTS self-join on lineitem (the oracle "
-    "keeps that form); the Spark plan uses the decorrelated-aggregation "
-    "rewrite instead — ONE groupBy(l_orderkey) computing distinct-supplier "
-    "and distinct-late-supplier counts, joined back — turning two "
-    "self-joins of the 100 TB fact into one reused orderkey exchange. "
-    "Top-20 with a (numwait DESC, s_name) total order.",
+    "keeps that form, and a pytest proves equivalence against Spark's own "
+    "EXISTS planner); the Spark plan goes further than the textbook "
+    "decorrelated groupBy-join rewrite: both per-order distinct-supplier "
+    "counts are WINDOW collect_sets over the same l_orderkey partition, "
+    "so the 100 TB fact is scanned ONCE and shuffled ONCE — the agg-join "
+    "rewrite would scan it twice and add an Expand for the two distincts. "
+    "Per-order state is one small supplier set. Top-20 with a "
+    "(numwait DESC, s_name) total order.",
     oracle="""
         WITH ll AS (
             SELECT l.l_orderkey, l.l_suppkey,
@@ -1486,17 +1489,20 @@ def j7_sole_late_supplier_blame(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .alias("late"),
     )
-    # decorrelated rewrite of EXISTS(other supp) / NOT EXISTS(other late supp)
-    per_order = ll.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
-    qual = (
-        ll.filter("late")
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    # single-pass decorrelation: EXISTS(other supp) / NOT EXISTS(other late
+    # supp) become distinct-supplier counts over one l_orderkey window —
+    # no fact self-join, no second scan
+    w = Window.partitionBy("l_orderkey")
+    qual = ll.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    ).filter(
+        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
         qual.join(F.broadcast(su), qual.l_suppkey == su.s_suppkey)

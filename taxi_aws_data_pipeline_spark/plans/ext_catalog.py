@@ -3717,3 +3717,194 @@ def x75_quality_dup_calibration(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+_TVD_ORACLE = f"""
+    WITH tok AS (
+        SELECT source, unnest({SQL_WORDS.format(t='text')}) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    stc AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS n_st
+        FROM tok GROUP BY source, token
+    ),
+    gtc AS (
+        SELECT token, CAST(sum(n_st) AS BIGINT) AS n_gt FROM stc GROUP BY token
+    ),
+    stot AS (
+        SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM stc GROUP BY source
+    ),
+    gtot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n_g FROM stc),
+    terms AS (
+        SELECT s.source,
+               abs(CAST(s.n_st AS DECIMAL(38,0)) * g2.n_g
+                   - CAST(g.n_gt AS DECIMAL(38,0)) * st.n_s) AS term,
+               g.n_gt
+        FROM stc s
+        JOIN gtc g USING (token)
+        JOIN stot st USING (source)
+        CROSS JOIN gtot g2
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(term) AS DECIMAL(38,0)) AS sum_abs,
+               CAST(sum(n_gt) AS BIGINT) AS sum_gpresent
+        FROM terms GROUP BY source
+    )
+    SELECT st.source, st.n_s AS n_tokens, st.n_distinct AS n_distinct_tokens,
+           ((CAST(a.sum_abs
+                  + CAST(st.n_s AS DECIMAL(38,0)) * (g.n_g - a.sum_gpresent)
+              AS DOUBLE) / st.n_s) / g.n_g) / 2 AS tvd_from_corpus
+    FROM stot st
+    JOIN agg a USING (source)
+    CROSS JOIN gtot g
+"""
+
+
+@register(
+    "x76_source_token_divergence",
+    "Domain-shift audit: EXACT total-variation distance between each "
+    "source's token distribution and the whole-corpus distribution — the "
+    "statistic behind 'this source is an outlier, weight it separately' "
+    "mixture decisions. TVD needs no logarithm (unlike KL), so it can be "
+    "computed with zero libm drift: sum |n_st*N_g - n_gt*N_s| over a "
+    "common denominator keeps every term an exact DECIMAL(38,0) integer "
+    "(int64 would overflow at 100 TB token counts), absent tokens fold "
+    "into one algebraic correction N_s*(N_g - sum_present) instead of a "
+    "vocab-sized anti-join, and only the final fixed-order double "
+    "division is inexact. Two token-key shuffles (per-source counts, "
+    "global counts derived from them — the corpus is tokenized once).",
+    oracle=_TVD_ORACLE,
+    tags=("ext", "text", "stats", "audit", "mixture"),
+)
+def x76_source_token_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("source", F.explode(TX.words("text")).alias("token"))
+    stc = tok.groupBy("source", "token").agg(F.count("*").alias("n_st"))
+    gtc = stc.groupBy("token").agg(F.sum("n_st").alias("n_gt"))
+    stot = stc.groupBy("source").agg(
+        F.sum("n_st").alias("n_s"), F.count("*").alias("n_distinct")
+    )
+    gtot = stc.agg(F.sum("n_st").alias("n_g"))
+    d38 = "decimal(38,0)"
+    term = F.abs(
+        F.col("n_st").cast(d38) * F.col("n_g")
+        - F.col("n_gt").cast(d38) * F.col("n_s")
+    )
+    agg = (
+        stc.join(gtc, "token")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            F.sum(term).cast(d38).alias("sum_abs"),
+            F.sum("n_gt").cast("long").alias("sum_gpresent"),
+        )
+    )
+    tvd = (
+        (
+            (
+                F.col("sum_abs")
+                + F.col("n_s").cast(d38) * (F.col("n_g") - F.col("sum_gpresent"))
+            ).cast("double")
+            / F.col("n_s")
+        )
+        / F.col("n_g")
+    ) / 2
+    return (
+        stot.join(agg, "source")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("n_distinct").alias("n_distinct_tokens"),
+            tvd.alias("tvd_from_corpus"),
+        )
+    )
+
+
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_LSH_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst
+        FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (
+        SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    q AS ({_QUALITY_ORACLE}),
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+               q.quality_score
+        FROM documents d
+        LEFT JOIN labels l USING (doc_id)
+        JOIN q USING (doc_id)
+        WHERE d.text IS NOT NULL
+    ),
+    ranked AS (
+        SELECT doc_id, cluster_id, quality_score,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members
+        FROM assigned
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, quality_score AS rep_quality,
+           n_members
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "x77_keep_best_dedup_policy",
+    "Keep-BEST near-dup policy: one representative per x18 cluster chosen "
+    "by highest quality score (doc-id tie-break) instead of min id — what "
+    "curation actually ships, since near-dup clusters usually contain one "
+    "clean original and N mangled scrapes. Singleton docs represent "
+    "themselves via a left join + coalesce (no giant default cluster). "
+    "The argmax is a row_number window over the cluster partition, "
+    "sharing one exchange with the member count. Complements x53 "
+    "(min-id + multiplicity weights) as the quality-aware variant.",
+    oracle=_KEEP_BEST_ORACLE,
+    tags=("ext", "dedup", "clustering", "quality", "policy"),
+)
+def x77_keep_best_dedup_policy(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    clusters = X.near_dup_clusters(docs).select("doc_id", "cluster_id")
+    scored = TX.add_quality_signals(docs).select("doc_id", "quality_score")
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .join(scored, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = assigned.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality_score"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("quality_score").alias("rep_quality"),
+        "n_members",
+    )

@@ -271,6 +271,74 @@ def test_quality_dup_calibration_accounts_every_doc(spark, sf_dir):
     assert sum(r.n_dups for r in rows) == docs.count() - n_fp
 
 
+def test_source_divergence_on_hand_computable_corpus(spark, tmp_path):
+    """Two planted sources: A='a a b' (p=[2/3,1/3]), B='b' (p=[0,1]);
+    global p=[1/2,1/2]. TVD(A)=1/6, TVD(B)=1/2 — exact rationals the
+    integer formulation must hit to the double's precision."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.tables import TABLE_NAMES
+
+    d = tmp_path / "sf_tvd"
+    d.mkdir()
+    src = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        if t != "documents":
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    duckdb.sql(
+        f"""
+        COPY (SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), 'a a b', 'en', 'A', 5),
+            (CAST(1 AS BIGINT), 'b', 'en', 'B', 1)
+        ) t(doc_id, text, lang, source, n_chars))
+        TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    rows = {
+        r.source: r
+        for r in CATALOG["x76_source_token_divergence"].spark(spark, str(d)).collect()
+    }
+    assert rows["A"].n_tokens == 3 and rows["A"].n_distinct_tokens == 2
+    assert rows["B"].n_tokens == 1 and rows["B"].n_distinct_tokens == 1
+    assert abs(rows["A"].tvd_from_corpus - 1 / 6) < 1e-15
+    assert abs(rows["B"].tvd_from_corpus - 1 / 2) < 1e-15
+
+
+def test_keep_best_rep_has_max_quality_in_cluster(spark, sf_dir):
+    from taxi_aws_data_pipeline_spark.ext import dedup as X
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    reps = CATALOG["x77_keep_best_dedup_policy"].spark(spark, sf_dir).collect()
+    n_docs = docs.count()
+    assert sum(r.n_members for r in reps) == n_docs
+    # rebuild (cluster, quality) membership independently
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in X.near_dup_clusters(docs).collect()
+    }
+    quality = {
+        r.doc_id: r.quality_score
+        for r in TX.add_quality_signals(docs).select("doc_id", "quality_score").collect()
+    }
+    best = {}
+    for doc_id, q in quality.items():
+        cid = clusters.get(doc_id, doc_id)
+        cur = best.get(cid)
+        cand = (-q, doc_id)
+        if cur is None or cand < cur:
+            best[cid] = cand
+    assert len(reps) == len(best)
+    for r in reps:
+        bq, bid = best[r.cluster_id]
+        assert r.rep_doc_id == bid
+        assert r.rep_quality == -bq
+
+
 def test_fk_audit_counts_planted_orphans(spark, tmp_path):
     """Copy sf0.001 but drop half the orders rows: every lineitem pointing
     at a dropped order must surface as an orphan on exactly that edge."""
