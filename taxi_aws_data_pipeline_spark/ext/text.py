@@ -254,13 +254,20 @@ def add_top_ngram_fraction(
 
     name = out_col or f"top_{n}gram_char_frac"
     toks = words(text_col)
-    grams_expr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # let-bind the token array: an unbound split reference inside the gram
+    # lambda re-tokenizes once per gram (O(words²) — see word_shingles)
+    grams_expr = bind_once(
+        toks,
+        lambda tt: F.when(
+            F.size(tt) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tt) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tt, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
     def frac(grams: Column) -> Column:
         distinct = F.array_distinct(grams)
