@@ -488,6 +488,100 @@ def dup_ngram_coverage(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-duplicated-span REMOVAL — the transform half of
+    :func:`dup_ngram_coverage`'s report (Lee et al. 2022 substring dedup,
+    reference-free distributed shape): every word position covered by a
+    word n-gram occurring ≥ ``min_count`` times anywhere in the corpus is
+    dropped, and the surviving words are re-joined in original order as
+    ``text_dedup``. Fully-boilerplate documents come out empty (the
+    curation pipeline then drops them on ``kept_words = 0``), untouched
+    documents come out with their whitespace normalized to single spaces
+    (the same canonicalization every fingerprint above applies).
+
+    Scale shape: identical to :func:`dup_ngram_coverage` — the global
+    repeat decision shuffles (md5(gram), doc, pos) keys, never text; the
+    reconstruction is a per-row array filter over the let-bound word
+    array joined with the doc's covered-start list (bounded by words per
+    doc), not an n-fold row explosion. Output: (id, n_words, kept_words,
+    text_dedup).
+    """
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.split(F.lower(F.col(text_col)), r"\s+").alias("w"),
+        )
+        .persist()
+    )
+    gram_structs = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice("w", i, n))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+    exploded = (
+        base.select("doc", F.explode(gram_structs).alias("g"))
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .persist()
+    )
+    dup_keys = (
+        exploded.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("occurrences") >= min_count)
+        .select("gh")
+    )
+    starts = (
+        exploded.join(dup_keys, "gh")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    joined = base.join(starts, "doc", "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (n - 1)),
+            )
+        )
+    )
+    kept_idx = bind_once(
+        covered,
+        lambda cov: F.filter(
+            F.sequence(F.lit(1), F.size("w")),
+            lambda i: ~F.array_contains(cov, i),
+        ),
+    )
+    return joined.select(
+        F.col("doc").alias(id_col),
+        F.size("w").cast("long").alias("n_words"),
+        bind_once(
+            kept_idx,
+            lambda ki: F.struct(
+                F.size(ki).cast("long").alias("k"),
+                F.concat_ws(
+                    " ", F.transform(ki, lambda i: F.element_at("w", i))
+                ).alias("t"),
+            ),
+        ).alias("_kt"),
+    ).select(
+        id_col,
+        "n_words",
+        F.col("_kt.k").alias("kept_words"),
+        F.col("_kt.t").alias("text_dedup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

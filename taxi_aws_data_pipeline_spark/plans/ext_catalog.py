@@ -3908,3 +3908,144 @@ def x77_keep_best_dedup_policy(spark: SparkSession, sf: str) -> DataFrame:
         F.col("quality_score").alias("rep_quality"),
         "n_members",
     )
+
+
+_DUP_SPAN_REMOVAL_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, {_SQL_WS} AS ws FROM documents WHERE text IS NOT NULL
+    ),
+    g0 AS (
+        SELECT doc_id, ws,
+               unnest(CASE WHEN len(ws) >= {_DUP_NGRAM_N} THEN
+                   range(1, len(ws) - {_DUP_NGRAM_N - 2})
+               ELSE CAST([] AS BIGINT[]) END) AS pos
+        FROM w
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(ws[pos:pos+{_DUP_NGRAM_N - 1}], ' ')) AS gh
+        FROM g0
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+    cov0 AS (
+        SELECT doc_id, unnest(range(pos, pos + {_DUP_NGRAM_N})) AS widx
+        FROM hits
+    ),
+    cov AS (
+        SELECT doc_id, list(DISTINCT widx) AS cws FROM cov0 GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT w.doc_id, w.ws,
+               list_filter(range(1, len(w.ws) + 1),
+                   i -> NOT list_contains(
+                       COALESCE(cov.cws, CAST([] AS BIGINT[])), i)) AS ki
+        FROM w LEFT JOIN cov USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(ki) AS BIGINT) AS kept_words,
+           COALESCE(array_to_string(list_transform(ki, i -> ws[i]), ' '),
+                    '') AS text_dedup
+    FROM kept
+"""
+
+
+@register(
+    "x78_remove_dup_spans",
+    "Corpus-duplicated-span REMOVAL (the transform half of x36's report; "
+    "Lee et al. 2022 substring dedup): drop every word position covered "
+    "by a word 5-gram occurring >= 2 times anywhere in the corpus and "
+    "re-join the survivors in original order as text_dedup. "
+    "Fully-boilerplate docs come out empty (downstream drops on "
+    "kept_words = 0). The repeat decision shuffles md5(gram) keys only; "
+    "reconstruction is a per-row array filter over the let-bound word "
+    "array, never an n-fold explosion.",
+    oracle=_DUP_SPAN_REMOVAL_ORACLE,
+    tags=("ext", "dedup", "substring", "lee2022", "transform"),
+)
+def x78_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return X.remove_dup_spans(docs, n=_DUP_NGRAM_N)
+
+
+# fixed-point sqrt weight: floor(sqrt(cnt * 2^20)) — IEEE sqrt of an exact
+# integer double is correctly rounded, so floor of it is deterministic and
+# identical in both engines; the weights are then INTEGERS, so their sum is
+# exact and order-free (a float sum of raw sqrt values is not: different
+# aggregation orders drift in the last ulp). cnt * 2^20 stays under 2^52
+# for per-source counts up to ~4e9 docs.
+_SQL_SQRT_W = "CAST(floor(sqrt(CAST(cnt * 1048576 AS DOUBLE))) AS BIGINT)"
+
+_TEMPERATURE_ORACLE = f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, cnt, {_SQL_SQRT_W} AS q FROM c),
+    t AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(sum(q) AS BIGINT) AS sumq
+        FROM w
+    ),
+    r AS (
+        SELECT source, cnt, q,
+               least(1.0,
+                     ((CAST(total AS DOUBLE) / 2) * q / sumq) / cnt)
+                   AS accept_rate
+        FROM w, t
+    )
+    SELECT d.doc_id, d.source, r.accept_rate,
+           {_SQL_UNIFORM} AS u_uniform
+    FROM documents d JOIN r USING (source)
+    WHERE {_SQL_UNIFORM} < r.accept_rate
+"""
+
+
+@register(
+    "x79_temperature_mixture_sample",
+    "Temperature-based mixture sampling (the alpha=0.5 exponent "
+    "smoothing multilingual corpora train with): per-source keep "
+    "probability proportional to sqrt(count) instead of count, filling a "
+    "half-corpus budget — big sources shrink sub-linearly, small sources "
+    "keep most of their docs, interpolating between x49's equal-share "
+    "(alpha=0) and proportional (alpha=1) mixing. Weights are fixed-point "
+    "floor(sqrt(cnt*2^20)) integers so their sum is exact and order-free "
+    "(IEEE sqrt is correctly rounded -> deterministic in every engine); "
+    "per-doc decisions reuse the x48 md5-uniform. The rate table "
+    "broadcasts; the corpus filters in place with no shuffle.",
+    oracle=_TEMPERATURE_ORACLE,
+    tags=("ext", "sampling", "mixture", "temperature", "deterministic"),
+)
+def x79_temperature_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    weighted = counts.select(
+        "source",
+        "cnt",
+        F.floor(F.sqrt((F.col("cnt") * F.lit(1048576)).cast("double")))
+        .cast("long")
+        .alias("q"),
+    )
+    totals = weighted.agg(
+        F.sum("cnt").alias("total"), F.sum("q").alias("sumq")
+    )
+    rates = weighted.join(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (
+                (F.col("total").cast("double") / F.lit(2))
+                * F.col("q")
+                / F.col("sumq")
+            )
+            / F.col("cnt"),
+        ).alias("accept_rate"),
+    )
+    u = _uniform_col()
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("u_uniform", u)
+        .filter(F.col("u_uniform") < F.col("accept_rate"))
+        .select("doc_id", "source", "accept_rate", "u_uniform")
+    )

@@ -1334,3 +1334,78 @@ def test_language_audit_agreement_bounds(spark, sf_dir):
         assert 0 <= r.n_agree <= r.n_docs
         assert 0 <= r.n_undetermined <= r.n_docs
         assert r.agreement_rate == r.n_agree / r.n_docs
+
+
+def test_remove_dup_spans_trims_only_repeated_spans(spark):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    import tempfile, os
+
+    rows = [
+        (0, "unique words that appear nowhere else at all", "s"),
+        # docs 1/2 share exactly the 5-gram "one two three four five":
+        # its start covers words 2-6, so only the framing words survive
+        (1, "x1 one two three four five y1", "s"),
+        (2, "x2 one two three four five y2", "s"),
+        # docs 3/4 are exact duplicates -> fully covered -> empty output
+        (3, "all of this text is duplicated entirely ok", "s"),
+        (4, "all of this text is duplicated entirely ok", "s"),
+        (5, "tiny doc", "s"),  # < 5 words: no grams, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in CATALOG["x78_remove_dup_spans"].spark(spark, d).collect()
+        }
+    assert out[0].text_dedup == rows[0][1]
+    assert out[0].kept_words == out[0].n_words == 8
+    assert out[1].text_dedup == "x1 y1"
+    assert out[2].text_dedup == "x2 y2"
+    assert out[1].kept_words == 2 and out[1].n_words == 7
+    assert out[3].text_dedup == "" and out[3].kept_words == 0
+    assert out[4].text_dedup == "" and out[4].kept_words == 0
+    assert out[5].text_dedup == "tiny doc" and out[5].kept_words == 2
+
+
+def test_remove_dup_spans_agrees_with_coverage_report(spark, sf_dir):
+    """kept_words must equal n_words - dup_words from x36 on the same
+    corpus — the transform and the report share one definition."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    removed = {
+        r.doc_id: r
+        for r in CATALOG["x78_remove_dup_spans"].spark(spark, sf_dir).collect()
+    }
+    report = {
+        r.doc_id: r
+        for r in CATALOG["x36_dup_ngram_coverage"].spark(spark, sf_dir).collect()
+    }
+    assert set(removed) == set(report)
+    for doc_id, r in removed.items():
+        assert r.kept_words == report[doc_id].n_words - report[doc_id].dup_words
+
+
+def test_temperature_mixture_rates_follow_sqrt_weights(spark):
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    import math
+    import tempfile, os
+
+    rows = [(i, "A" if i < 80 else "B", f"doc {i} text") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = CATALOG["x79_temperature_mixture_sample"].spark(spark, d).collect()
+    rates = {r.source: r.accept_rate for r in out}
+    q = {s: math.floor(math.sqrt(n * 1048576)) for s, n in (("A", 80), ("B", 20))}
+    sumq = q["A"] + q["B"]
+    expect = {
+        s: min(1.0, ((100.0 / 2) * q[s] / sumq) / n)
+        for s, n in (("A", 80), ("B", 20))
+    }
+    assert rates["A"] == expect["A"]
+    assert rates["B"] == expect["B"]
+    # sqrt smoothing: the small source keeps a HIGHER fraction of itself
+    assert rates["B"] > rates["A"]
+    # every surviving row satisfies its own acceptance condition
+    assert all(r.u_uniform < r.accept_rate for r in out)
