@@ -25,70 +25,66 @@ from taxi_aws_data_pipeline_spark.plans import CATALOG  # noqa: E402
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "a1_returnflag_performance"
 
-# The round-1 harness recorded verdicts for exactly the FIRST 50 registered
-# entries, leaving x3-x24 unchecked. Order the registry so the highest-value
-# evidence lands inside any such window: first the 24 training-data operators
-# (never driver-verified), then the 20 entries that errored in r01 (now fixed
-# — green rows prove the fix), then flagship core shapes. Entries beyond the
-# window were all hash-verified green in CORRECTNESS_r01.json.
+# The harness records verdicts for the FIRST 50 registered entries each
+# round. Rounds 1+2 together drove 77 of the 129 catalog entries green;
+# this round's window is exactly the never-driver-verified remainder:
+# j7, j9, x29, x30, and the round-2 additions x33-x79 (minus x35/x38,
+# whose data-dependent Lloyd iteration is documented rows-only — a slot
+# spent on them cannot produce a hash row, so the slots go to
+# oracle-backed entries instead), plus k2 now that it emits an
+# exact-hashable oracle surface. Entries green in r01/r02 stay pinned
+# every session by tests/test_oracle_parity.py + test_vanilla_session.py.
 _PRIORITY = (
-    # x-tier: dedup / similarity / text-analysis operators
-    "x1_lang_id_stopword_vote",
-    "x2_text_quality_signals",
-    "x3_token_counts",
-    "x4_fingerprint_md5",
-    "x5_exact_dedup_groups",
-    "x6_jaccard_near_dup_pairs",
-    "x7_minhash_signatures",
-    "x8_minhash_lsh_candidate_pairs",
-    "x9_simhash_signatures",
-    "x10_cosine_topk_bruteforce",
-    "x11_lsh_ann_topk",
-    "x12_embedding_near_dup_pairs",
-    "x13_rolling_hash_fingerprint",
-    "x14_ivf_ann_topk",
-    "x15_minhash_jaccard_estimate",
-    "x16_deterministic_hash_sample",
-    "x17_decontaminate_anti_join",
-    "x18_near_dup_clusters",
-    "x19_repetition_signals",
-    "x20_stratified_quota_sample",
-    "x21_embedding_label_centroids",
-    "x22_pii_email_redaction",
-    "x23_tfidf_top_terms",
-    "x24_edit_distance_pairs",
-    # r01-red entries, fixed this round (session-conf pin / try_cast / scalars)
-    "s5_keep_newest_per_key",
-    "s6_topk_newest",
-    "p1_typed_cast_enforce",
-    "e2_rate_clip_div_zero",
-    "e3_e4_e5_datetime_parts",
-    "e6_time_of_day_binning",
-    "e10_regex_extract_props",
-    "a2_hourly_demand",
-    "c1_median_impute_batch",
-    "c2_mode_impute_batch",
-    "d5_distinct_sorted",
-    "w1_tumbling_hourly_value",
-    "w2_user_sessionization",
-    "w4_session_window_native",
-    "w5_moving_avg_lag_delta",
-    "w6_sliding_window_halfhour",
-    "j2_asof_join_prior_click",
-    "j3_range_join_value_tiers",
-    "k1_salted_skew_agg",
+    "j7_sole_late_supplier_blame",
+    "j9_churned_rich_customers",
+    "x29_lexical_diversity",
+    "x30_top_ngram_repetition",
+    "x33_cross_corpus_dedup",
+    "x34_bpe_pair_counts",
+    "x36_dup_ngram_coverage",
+    "x37_indoc_dup_ngram_fraction",
+    "x39_text_normalization",
+    "x40_chunk_documents",
+    "x41_pack_bin_stats",
+    "x42_length_band_filter",
+    "x43_vocab_coverage",
+    "x44_length_minmax_scaled",
+    "x45_token_count_histogram",
+    "x46_random_projection",
+    "x47_hybrid_near_dup_pairs",
+    "x48_quality_weighted_sample",
+    "x49_source_mix_rebalance",
+    "x50_benchmark_leak_report",
+    "x51_session_event_sequences",
+    "x52_leakage_safe_split",
+    "x53_dedup_with_weights",
+    "x54_ngram_novelty",
+    "x55_dup_provenance_report",
+    "x56_table_profile",
+    "x57_session_funnel",
+    "x58_cohort_retention",
+    "x59_next_event_training_pairs",
+    "x60_knn_graph",
+    "x61_exact_quantiles_by_rank",
+    "x62_event_transition_matrix",
+    "x63_pii_numeric_sweep",
+    "x64_language_label_audit",
+    "x65_lsh_recall_report",
+    "x66_filter_cascade_report",
+    "x67_key_skew_report",
+    "x68_referential_integrity_audit",
+    "x69_event_lateness_profile",
+    "x70_mixture_token_budget_plan",
+    "x71_vocab_growth_curve",
+    "x72_decontaminate_merge_anti",
+    "x73_cross_source_syndication_matrix",
+    "x74_daily_active_users",
+    "x75_quality_dup_calibration",
+    "x76_source_token_divergence",
+    "x77_keep_best_dedup_policy",
+    "x78_remove_dup_spans",
+    "x79_temperature_mixture_sample",
     "k2_approx_sketches",
-    # round-2 x-tier additions: never driver-verified, so they outrank
-    # the core flagships (a1/s1/j1/d1/g1 were hash-green in r01 and stay
-    # pinned by the pytest parity sweep every round). The 50-entry
-    # window fits exactly 6 of the 8 new entries; x29/x30 (single-scan
-    # projections, parity-pinned) wait outside.
-    "x25_ngram_decontamination_fuzzy",
-    "x26_paragraph_dedup",
-    "x27_training_data_pipeline",
-    "x28_gopher_quality_rules",
-    "x31_corpus_language_stats",
-    "x32_semantic_dedup",
 )
 
 

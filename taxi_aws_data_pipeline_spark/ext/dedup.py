@@ -511,6 +511,16 @@ def remove_dup_spans(
     array joined with the doc's covered-start list (bounded by words per
     doc), not an n-fold row explosion. Output: (id, n_words, kept_words,
     text_dedup).
+
+    Both ``base`` (the tokenized words, read by the explode AND the final
+    reassembly join) and ``exploded`` (read by the duplicate-key agg AND
+    the position join) are persisted and intentionally NOT unpersisted
+    here: the returned frame is lazy and its lineage still references
+    both caches, so an eager unpersist would force the tokenize/explode
+    to run twice per downstream action — the caches are left to Spark's
+    LRU eviction, same as :func:`dup_ngram_coverage`'s ``exploded``.
+    Callers that materialize the result and keep the session hot can
+    release them via ``spark.catalog.clearCache()``.
     """
     base = (
         df.filter(F.col(text_col).isNotNull())
@@ -675,12 +685,56 @@ def lsh_candidate_pairs(
     )
 
 
-def lsh_cross_corpus_matches(
-    new: DataFrame,
-    existing: DataFrame,
+def banded_signature_keys(
+    df: DataFrame,
     bands: int = LSH_BANDS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The materializable LSH state of a corpus: ``(id, band, band_hash)``
+    — one row per (document, band). Everything LSH dedup ever joins on
+    derives from this frame, so writing it once per corpus
+    (:func:`write_signature_table`) and reading it back per increment is
+    the 100 TB posture: each new crawl batch signatures only ITS OWN
+    documents and joins against the stored keys."""
+    sig = minhash_signatures(df, text_col, id_col, n)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(band_hash_array(bands)).alias("band", "band_hash"),
+    )
+
+
+def write_signature_table(
+    df: DataFrame,
+    path: str,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """Materialize :func:`banded_signature_keys` as a parquet table,
+    partitioned by ``band`` so an increment probing a subset of bands
+    prunes whole directories. Appending a new batch's keys after it
+    clears dedup keeps the table current (``mode('append')`` on the same
+    path) — the signature pass over any document happens exactly once in
+    the corpus's lifetime."""
+    (
+        banded_signature_keys(df, bands, text_col, id_col, n)
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+    return path
+
+
+def lsh_cross_corpus_matches(
+    new: DataFrame,
+    existing: DataFrame | None = None,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    existing_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: for every NEW document, does it
     MinHash-LSH-collide with anything in the EXISTING corpus? This is the
@@ -688,23 +742,39 @@ def lsh_cross_corpus_matches(
     already ingested, without re-pairing the existing corpus against
     itself.
 
-    Scale posture: both sides reduce to (id, band, band_hash) keys before
-    the join — one shuffle on (band, band_hash), never on text; in
-    production the existing side's band keys are a precomputed table, so
-    each increment only signatures the new batch. Output keeps EVERY new
-    doc: (id, n_existing_matches, min_existing_match, is_new_unique).
-    """
+    The existing side is given EITHER as raw documents (``existing`` —
+    signatured here) OR as precomputed ``(id, band, band_hash)`` keys
+    (``existing_signatures``, from :func:`write_signature_table` read
+    back) — the production path, where the stored corpus is never
+    re-signatured per increment.
 
-    def banded(df: DataFrame, name: str) -> DataFrame:
-        sig = minhash_signatures(df, text_col, id_col)
-        return sig.select(
-            F.col(id_col).alias(name),
-            F.posexplode(band_hash_array(bands)).alias("band", "band_hash"),
+    Scale posture: both sides reduce to (id, band, band_hash) keys before
+    the join — one shuffle on (band, band_hash), never on text; with
+    ``existing_signatures`` the only signature computation in the whole
+    plan is over the new batch. Output keeps EVERY new doc:
+    (id, n_existing_matches, min_existing_match, is_new_unique).
+    """
+    if (existing is None) == (existing_signatures is None):
+        raise ValueError(
+            "provide exactly one of `existing` (raw documents) or "
+            "`existing_signatures` (precomputed band keys)"
         )
 
+    def banded(df: DataFrame, name: str) -> DataFrame:
+        return banded_signature_keys(df, bands, text_col, id_col).select(
+            F.col(id_col).alias(name), "band", "band_hash"
+        )
+
+    old_keys = (
+        banded(existing, "old_doc")
+        if existing is not None
+        else existing_signatures.select(
+            F.col(id_col).alias("old_doc"), "band", "band_hash"
+        )
+    )
     matches = (
         banded(new, "new_doc")
-        .join(banded(existing, "old_doc"), ["band", "band_hash"])
+        .join(old_keys, ["band", "band_hash"])
         .groupBy("new_doc")
         .agg(
             F.countDistinct("old_doc").alias("n_existing_matches"),

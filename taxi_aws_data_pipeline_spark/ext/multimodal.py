@@ -2,11 +2,15 @@
 as opaque ``binary`` columns with typed metadata, processed through
 Arrow-batched ``mapInPandas`` stages.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio libraries — see ``set_decoder``); everything Spark-side is
-real and tested: schemas, batch iteration, column pass-through,
-partition-parallel execution, and the deterministic fake decoder used by
-tests/test_ext_multimodal.py.
+The DEFAULT feature kernel (``header_decoder``) is real and
+dependency-free: it derives a deterministic 8-dim feature from the
+byte-level container probes below (PNG/GIF/JPEG dims, RIFF/WAVE audio
+meta, ISO-BMFF video meta) plus md5 content components. Sample-level
+decode (pixels/PCM/frames) requires codec libraries this container does
+not ship and stays a documented pluggable stub (``pixel_decoder`` — swap
+in a real kernel via ``set_decoder``). Everything Spark-side is real and
+tested: schemas, batch iteration, column pass-through, and
+partition-parallel execution.
 
 Scale posture: media blobs ride in the same rows as their metadata, so a
 decode/feature stage is a pure ``mapInPandas`` map — no shuffle, scales
@@ -52,10 +56,15 @@ FEATURE_SCHEMA = T.StructType(
 Decoder = Callable[[bytes, str], list[float]]
 
 
-def _real_decoder(content: bytes, media_type: str) -> list[float]:
+def pixel_decoder(content: bytes, media_type: str) -> list[float]:
+    """Placeholder for a sample-level decode kernel (pixel/PCM/frame
+    features). Requires image/audio codec libraries this container does
+    not ship — install one and register a real kernel via
+    :func:`set_decoder`. NOT the default path; the default
+    :func:`header_decoder` below needs no external libraries."""
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; install a decoder and register it via set_decoder()"
+        "sample-level media decode requires codec libraries not present "
+        "in this environment; register a decoder via set_decoder()"
     )
 
 
@@ -68,7 +77,41 @@ def fake_decoder(content: bytes, media_type: str, dim: int = 8) -> list[float]:
     return [digest[i] / 255.0 for i in range(dim)]
 
 
-_DECODER: Decoder = _real_decoder
+def header_decoder(content: bytes, media_type: str) -> list[float]:
+    """Default decoder — dependency-free and fully deterministic: an
+    8-dim feature built from the REAL container-header probes below
+    (format id, probed dimensions / sample rate / duration, byte length)
+    plus two md5-derived content components. Not a perceptual embedding
+    — it is the honest feature a codec-less environment can compute, and
+    it exercises the identical mapInPandas plumbing a real kernel plugs
+    into via :func:`set_decoder`."""
+    if content is None:
+        return None
+    fmt_img, width, height = parse_image_dims(content)
+    fmt_wav = channels = rate = bits = wav_ms = None
+    fmt_mp4 = mp4_ms = None
+    if fmt_img is None:
+        fmt_wav, channels, rate, bits, wav_ms = parse_wav_meta(content)
+        if fmt_wav is None:
+            fmt_mp4, _, mp4_ms, _ = parse_mp4_meta(content)
+    fmt_code = {"png": 1, "gif": 2, "jpeg": 3}.get(fmt_img) or (
+        4 if fmt_wav else 5 if fmt_mp4 else 0
+    )
+    duration_ms = wav_ms if wav_ms is not None else mp4_ms
+    digest = hashlib.md5(content).digest()
+    return [
+        float(fmt_code),
+        float(width or 0),
+        float(height or 0),
+        float(rate or 0) / 1000.0,
+        float(duration_ms or 0) / 1000.0,
+        float(len(content)) / 1024.0,
+        digest[0] / 255.0,
+        digest[1] / 255.0,
+    ]
+
+
+_DECODER: Decoder = header_decoder
 
 
 def set_decoder(decoder: Decoder) -> None:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1300,9 +1300,26 @@ def w6_sliding_window_halfhour(spark: SparkSession, sf: str) -> DataFrame:
     "row-count threshold. Both sketches are constant-memory, single-pass, "
     "mergeable across partitions, so at 100 TB they cost one map-side pass "
     "plus a tiny final merge where exact percentile would need a full sort. "
-    "No SQL oracle: HLL/t-digest internals are engine-specific; accuracy is "
-    "pinned instead by tests/test_plans.py (rel-error vs the exact values).",
-    oracle=None,
+    "HLL/t-digest internals are engine-specific, so the raw approximations "
+    "cannot hash-match a DuckDB twin; instead the entry emits the EXACT "
+    "values (oracle-computable) alongside booleans asserting the sketches "
+    "landed inside their documented error bounds (HLL rsd=0.02 → ±5%, "
+    "percentile_approx accuracy=10k → ±1% here) — the oracle emits the "
+    "same exact values with literal TRUEs, so the driver hash verifies "
+    "both the exact surface and the accuracy contract. Tight rel-error is "
+    "additionally pinned by tests/test_plans.py.",
+    oracle="""
+        SELECT COUNT(*)                      AS n_rows,
+               COUNT(DISTINCT l_partkey)     AS exact_parts,
+               CAST(quantile_cont(l_extendedprice, 0.5)  AS DOUBLE)
+                                             AS exact_price_p50,
+               CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE)
+                                             AS exact_price_p99,
+               TRUE AS hll_within_5pct,
+               TRUE AS p50_within_1pct,
+               TRUE AS p99_within_1pct
+        FROM lineitem
+    """,
     tags=("sketch", "approx", "agg"),
 )
 def k2_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
@@ -1310,15 +1327,37 @@ def k2_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     # Scalar columns, not an array<double>: the driver's order-insensitive
     # value hash cannot canonicalize list-valued cells (r01 k2 TypeError).
     sketched = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx(
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10_000
         ).alias("pcts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99))
+        ).alias("exact_pcts"),
     )
+
+    def within(approx: Column, exact: Column, tol: float) -> Column:
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(tol) * F.abs(exact.cast("double"))
+        ).alias("w")
+
     return sketched.select(
-        "approx_parts",
-        F.element_at("pcts", 1).alias("approx_price_p50"),
-        F.element_at("pcts", 2).alias("approx_price_p99"),
+        "n_rows",
+        "exact_parts",
+        F.element_at("exact_pcts", 1).cast("double").alias("exact_price_p50"),
+        F.element_at("exact_pcts", 2).cast("double").alias("exact_price_p99"),
+        within(F.col("approx_parts"), F.col("exact_parts"), 0.05).alias(
+            "hll_within_5pct"
+        ),
+        within(
+            F.element_at("pcts", 1), F.element_at("exact_pcts", 1), 0.01
+        ).alias("p50_within_1pct"),
+        within(
+            F.element_at("pcts", 2), F.element_at("exact_pcts", 2), 0.01
+        ).alias("p99_within_1pct"),
     )
 
 

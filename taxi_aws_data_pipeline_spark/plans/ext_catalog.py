@@ -1458,6 +1458,34 @@ def x33_cross_corpus_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return X.lsh_cross_corpus_matches(new, existing)
 
 
+@register(
+    "x80_incremental_dedup_precomputed",
+    "x33's incremental-crawl dedup on the PRODUCTION path: the existing "
+    "corpus's (id, band, band_hash) LSH keys are materialized to a "
+    "band-partitioned parquet signature table (write_signature_table) "
+    "and read back, so the only MinHash computation in the matching plan "
+    "is over the new batch — the existing side is a pure parquet scan of "
+    "16-byte keys, never re-signatured per increment. Same verdict "
+    "columns and oracle as x33 (the stored keys are byte-identical to "
+    "recomputed ones); tests/test_plans.py guards that the existing side "
+    "of the join plan contains a parquet scan and no md5 signature "
+    "expressions.",
+    oracle=_CROSS_CORPUS_ORACLE,
+    tags=("ext", "dedup", "minhash", "lsh", "incremental", "materialized"),
+)
+def x80_incremental_dedup_precomputed(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    path = X.write_signature_table(
+        existing, tempfile.mkdtemp(prefix="lsh_sig_") + "/signatures"
+    )
+    stored = spark.read.parquet(path)
+    return X.lsh_cross_corpus_matches(new, existing_signatures=stored)
+
+
 _BPE_PAIR_ORACLE = f"""
     WITH toks AS (
         SELECT unnest({SQL_WORDS.format(t='text')}) AS t
@@ -4030,7 +4058,9 @@ def x79_temperature_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     totals = weighted.agg(
         F.sum("cnt").alias("total"), F.sum("q").alias("sumq")
     )
-    rates = weighted.join(F.broadcast(totals)).select(
+    # explicit crossJoin: a condition-less join() is an implicit cartesian
+    # product that fails when spark.sql.crossJoin.enabled is pinned off
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
         "source",
         F.least(
             F.lit(1.0),

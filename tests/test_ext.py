@@ -146,15 +146,50 @@ def test_multimodal_feature_extraction_with_fake_decoder(spark):
         again = {r.asset_id: r for r in MM.extract_media_features(assets).collect()}
         assert again[1].feature == feats[1].feature
     finally:
-        MM.set_decoder(MM._real_decoder)
+        MM.set_decoder(MM.header_decoder)
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+def test_multimodal_default_header_decoder_works_out_of_the_box(spark):
+    """The DEFAULT decode path needs no codec libraries: header_decoder
+    derives its feature from the real container probes + md5, so
+    extract_media_features works on a fresh session with no set_decoder
+    call."""
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"IHDR" + (640).to_bytes(
+        4, "big"
+    ) + (480).to_bytes(4, "big")
     assets = spark.createDataFrame(
-        [(1, "image", bytearray(b"x"), None, None, None)], MM.MEDIA_SCHEMA
+        [
+            (1, "image", bytearray(png), None, None, None),
+            (2, "audio", bytearray(_wav_bytes()), None, None, None),
+            (3, "image", bytearray(b"not a container"), None, None, None),
+            (4, "image", None, None, None, None),
+        ],
+        MM.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception):  # NotImplementedError inside executor
-        MM.extract_media_features(assets).collect()
+    feats = {r.asset_id: r for r in MM.extract_media_features(assets).collect()}
+    assert feats[1].feature[:3] == [1.0, 640.0, 480.0]  # png + probed dims
+    assert feats[2].feature[0] == 4.0  # wav
+    assert feats[2].feature[3] == pytest.approx(44.1)  # kHz
+    assert feats[2].feature[4] == pytest.approx(1.0)  # 1 s of samples
+    assert feats[3].feature[0] == 0.0  # unknown container, still a feature
+    assert feats[4].feature is None  # missing blob passes through as null
+    # deterministic across invocations
+    again = {r.asset_id: r for r in MM.extract_media_features(assets).collect()}
+    assert all(again[i].feature == feats[i].feature for i in (1, 2, 3))
+
+
+def test_multimodal_pixel_decoder_is_stubbed(spark):
+    """Sample-level decode stays a documented pluggable stub — opting into
+    it without codec libs raises inside the executor."""
+    MM.set_decoder(MM.pixel_decoder)
+    try:
+        assets = spark.createDataFrame(
+            [(1, "image", bytearray(b"x"), None, None, None)], MM.MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception):  # NotImplementedError inside executor
+            MM.extract_media_features(assets).collect()
+    finally:
+        MM.set_decoder(MM.header_decoder)
 
 
 def test_frame_sample_plan(spark):
