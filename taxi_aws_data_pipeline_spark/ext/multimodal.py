@@ -23,6 +23,7 @@ at the parquet scan.
 from __future__ import annotations
 
 import hashlib
+import sys
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -388,6 +389,82 @@ def parse_mp4_meta(
     return "mp4", major, duration_ms, n_boxes
 
 
+MEDIA_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("detected_format", T.StringType(), True),
+        T.StructField("probe_width", T.IntegerType(), True),
+        T.StructField("probe_height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("major_brand", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+)
+
+
+def probe_media(
+    b: bytes | None,
+) -> tuple:
+    """Single-pass dispatch over all three modality probes: (format, width,
+    height, channels, sample_rate, bits, duration_ms, major_brand). Tries
+    image containers first (cheapest magic check), then RIFF/WAVE, then
+    ISO-BMFF; all fields None for unrecognized or null bytes."""
+    none = (None,) * 8
+    if not b:
+        return none
+    fmt, w, h = parse_image_dims(b)
+    if fmt is not None:
+        return fmt, w, h, None, None, None, None, None
+    fmt, ch, rate, bits, ms = parse_wav_meta(b)
+    if fmt is not None:
+        return fmt, None, None, ch, rate, bits, ms, None
+    fmt, brand, ms, _ = parse_mp4_meta(b)
+    if fmt is not None:
+        return fmt, None, None, None, None, None, ms, brand
+    return none
+
+
+def probe_media_metadata(assets: DataFrame) -> DataFrame:
+    """Arrow-batched combined probe: ONE mapInPandas pass classifies each
+    blob (PNG/GIF/JPEG/WAV/MP4) and extracts its container metadata —
+    the single-scan ingest-validation stage, vs. three modality-specific
+    passes + joins. Pure map, no shuffle; scales with input partitions
+    like the per-modality probes above."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [probe_media(c) for c in pdf["content"]]
+
+            def icol(idx: int):
+                return pd.array([p[idx] for p in parsed], dtype="Int32")
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "detected_format": [p[0] for p in parsed],
+                    "probe_width": icol(1),
+                    "probe_height": icol(2),
+                    "channels": icol(3),
+                    "sample_rate": icol(4),
+                    "bits_per_sample": icol(5),
+                    "duration_ms": icol(6),
+                    "major_brand": [p[7] for p in parsed],
+                    "n_bytes": pd.array(
+                        [len(c) if c is not None else None
+                         for c in pdf["content"]],
+                        dtype="Int32",
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(run, MEDIA_PROBE_SCHEMA)
+
+
 def probe_video_metadata(assets: DataFrame) -> DataFrame:
     """Arrow-batched video container probe (brand, duration, box count)
     parsed from raw ISO-BMFF bytes — completes the real-probe tier for
@@ -410,3 +487,19 @@ def probe_video_metadata(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, VIDEO_SCHEMA)
+
+
+# The mapInPandas closures above reference this module's probe functions.
+# Cloudpickle serializes importable-module functions BY REFERENCE, so a
+# Python worker whose sys.path lacks the repo root (e.g. a driver harness
+# running from another cwd — sys.path edits don't propagate to workers)
+# would fail the import. Registering the module for by-value serialization
+# ships the functions inside the closure instead — no worker-side install
+# or PYTHONPATH needed, which is also the right posture on a real cluster
+# where executors may not have the package deployed.
+try:  # pragma: no cover - depends on the vendored cloudpickle version
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; cwd-run sessions still work
+    pass

@@ -596,6 +596,74 @@ def kmeans_lloyd(
     return assignments, centroids, rounds
 
 
+def kmeans_fixed_rounds(
+    df: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash-verifiable twin of :func:`kmeans_lloyd`: seeds are the ``k``
+    lowest-id vectors (no farthest-point greedy) and EXACTLY ``rounds``
+    Lloyd iterations run (no data-dependent convergence test), so an
+    external engine can replay the whole computation — every step is
+    closed-form. Vectors are cast to double up front so both engines do
+    identical IEEE arithmetic; updates use the same fixed-point
+    floor(val*1e6) integer sums as kmeans_lloyd (order-free, exact),
+    assignment tie-breaks on the lower cell index.
+
+    Same scale posture as kmeans_lloyd: literal-centroid assignment
+    projection + one partial-aggregated (cell, pos) shuffle per round;
+    per-round collect is k x dim rows. Returns (id, cell) after a final
+    assignment against the round-``rounds`` centroids.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    seed_rows = vecs.orderBy("vid").limit(k).collect()
+    if not seed_rows:
+        out = vecs.select(
+            F.col("vid").alias(id_col), F.lit(0).cast("int").alias("cell")
+        )
+        vecs.unpersist()
+        return out
+    centroids = [[float(x) for x in r.v] for r in seed_rows]
+    k = len(centroids)
+    dim = len(centroids[0])
+    for _ in range(rounds):
+        assigned = vecs.withColumn(
+            "cell", _nearest_centroid_cell(F.col("v"), centroids)
+        )
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.floor(F.col("val") * 1_000_000)).alias("qsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            by_cell.setdefault(r.cell, [0.0] * dim)[r.pos] = float(r.qsum)
+            counts[r.cell] = r.n
+        centroids = [
+            [q / (1_000_000.0 * counts[i]) for q in by_cell[i]]
+            if i in by_cell
+            else centroids[i]  # empty cell keeps its centroid
+            for i in range(k)
+        ]
+    out = (
+        vecs.withColumn("cell", _nearest_centroid_cell(F.col("v"), centroids))
+        .select(F.col("vid").alias(id_col), F.col("cell").cast("int").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    vecs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # product quantization (PQ) — compressed-vector ANN
 # ---------------------------------------------------------------------------

