@@ -25,7 +25,7 @@ universal hashes ``(a·H + b) mod p``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Universal-hash constants for MinHash: k=16 fixed (a, b) pairs drawn once,
@@ -273,6 +273,94 @@ def jaccard_near_dup_pairs(
         scored = scored.withColumn("common", F.col("common_rare"))
     return (
         scored.withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs via PREFIX FILTERING (the
+    AllPairs / SSJoin family): provably complete candidate pruning for a
+    similarity threshold, vs :func:`jaccard_near_dup_pairs`'s
+    share-any-shingle blocking.
+
+    Shingles get a global total order (ascending doc-frequency, shingle
+    as tie-break); a doc of set size m only indexes its first
+    m - ceil(t*m) + 1 shingles in that order. Any pair with J >= t has
+    |A∩B| >= ceil(t*max(|A|,|B|)) and therefore — pigeonhole over the
+    sorted sets — shares at least one PREFIX shingle, so joining on
+    prefix shingles alone loses no qualifying pair. Because prefixes are
+    the RAREST shingles of each doc, candidate volume collapses: the
+    hot boilerplate shingles that explode share-any blocking sort to the
+    suffix and never generate candidates. Verification then ships full
+    shingle arrays only for surviving candidate pairs.
+
+    Scale posture: two shuffles ((shingle) for df-ranking + the prefix
+    self-join) and one window sort per doc; the quadratic term is
+    sum over prefix shingles of df_prefix^2 — bounded by construction
+    since prefixes prefer low-df shingles. The higher the threshold,
+    the shorter the prefixes (p ~ (1-t)m+1) and the cheaper the join;
+    x6's frequent-shingle cap is the complementary tool when t must be
+    low. Output: (doc_a, doc_b, jaccard), doc_a < doc_b — identical
+    semantics/values to jaccard_near_dup_pairs at the same threshold.
+    """
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), n).alias("shs"),
+        )
+        .withColumn("n_sh", F.size("shs"))
+        .persist()
+    )
+    sh = docs.select("doc", "n_sh", F.explode("shs").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df_s"))
+    w = Window.partitionBy("doc").orderBy("df_s", "s")
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh"))
+            + 1
+        )
+        .select("doc", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    x = docs.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    y = docs.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("common", common)
+        .withColumn(
             "jaccard",
             F.col("common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("common")),

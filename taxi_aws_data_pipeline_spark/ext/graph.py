@@ -1,0 +1,99 @@
+"""Graph analytics over DataFrames (driver extension tier): PageRank on
+entity graphs derived from the relational tables.
+
+Connected components (the other iterative graph op) lives in
+``ext/dedup.py`` next to its LSH consumers; this module holds the
+rank-propagation family.
+
+Determinism is the design center, as in the k-means tier: a naive
+PageRank sums double contributions in shuffle order, so two runs of the
+same job can disagree in the last ulps. Here the WHOLE iteration is
+integer arithmetic — ranks are fixed-point integers (SCALE = 1e12), a
+node's contribution is ``rank div out_degree`` (integer division), the
+damping is ``(sum * 85) div 100`` (integer), and the teleport term is
+``(SCALE * 15 div 100) div N`` — so the result is bit-identical at any
+parallelism AND replayable by any engine with 64-bit integers (the
+oracle unrolls the rounds in SQL). The deliberate rounding mass-loss is
+< N * rounds ulps of SCALE — noise at rank scale, zero at verification
+scale.
+
+Scale posture: each round is one (src) equi-join of the edge table with
+the rank table plus one partial-aggregated (dst) shuffle — the textbook
+distributed PageRank shape; ranks are (node, long) pairs, never
+adjacency lists. Plan depth grows linearly with rounds, so for large
+round counts truncate lineage every few rounds (``localCheckpoint``)
+exactly as ``ext/dedup.connected_components`` documents; the fixed
+2-round catalog entry doesn't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # fixed-point: 1.0 of rank mass = 1e12
+
+
+def pagerank_fixed_rounds(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round integer PageRank over a directed edge list (distinct
+    edges; every node must appear as a source — symmetric graphs satisfy
+    this trivially, otherwise pre-add self-loops for dangling nodes).
+
+    Returns (node, rank_scaled, rank): the fixed-point integer rank and
+    its double rendering rank_scaled / SCALE.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = out_deg.select(F.col("src").alias("node"), "out_deg").persist()
+    n_nodes = nodes.count()  # one scalar — bounded driver data
+    if n_nodes == 0:
+        empty = nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"),
+        )
+        e.unpersist()
+        nodes.unpersist()
+        return empty
+    teleport = (PR_SCALE * 15 // 100) // n_nodes
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n_nodes).cast("long").alias("r")
+    )
+    for _ in range(rounds):
+        contribs = (
+            e.join(
+                ranks.join(nodes, "node").select(
+                    F.col("node").alias("src"), "r", "out_deg"
+                ),
+                "src",
+            )
+            .select("dst", F.expr("r div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr("coalesce(s, 0L) * 85 div 100")
+            ).cast("long").alias("r"),
+        )
+    # materialize before releasing the caches (the caller consumes the
+    # result lazily; checkpoint severs the lineage from e/nodes)
+    out = ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -4364,3 +4364,193 @@ def x83_kmeans_fixed_rounds(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     return S.kmeans_fixed_rounds(emb, k=4, rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered similarity join, fixed-rounds PageRank, SCD-2 merge
+# ---------------------------------------------------------------------------
+
+from ..dims import scd2_initial, scd2_merge  # noqa: E402
+from ..ext import graph as G  # noqa: E402
+
+# Prefix filtering is COMPLETE for the threshold (no qualifying pair can
+# be pruned), so the oracle is simply "every pair with exact Jaccard >=
+# t" — algorithm-independent, brute-forced over all shingle-sharing
+# pairs. A hash match therefore proves both the pruning's completeness
+# and the verification's exactness.
+_PREFIX_JACCARD_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, {sql_shingles('text')} AS shs
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(shs) AS s FROM docs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+               / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+                   AS jaccard
+        FROM cand
+        JOIN docs x ON cand.doc_a = x.doc_id
+        JOIN docs y ON cand.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "x85_prefix_filtered_jaccard",
+    "Exact Jaccard >= 0.5 pairs via PREFIX FILTERING (AllPairs/SSJoin): "
+    "shingles get a global rarest-first order and each doc indexes only "
+    "its first m - ceil(t*m) + 1 shingles — pigeonhole-complete for the "
+    "threshold, so hot boilerplate shingles sort to the suffix and never "
+    "generate candidates (the skew that share-any blocking must cap "
+    "away). Full arrays ship only to surviving candidates for exact "
+    "verification. Same output contract as x6; the oracle brute-forces "
+    "all qualifying pairs, so the hash proves pruning completeness.",
+    oracle=_PREFIX_JACCARD_ORACLE,
+    tags=("ext", "dedup", "join", "prefix-filter"),
+)
+def x85_prefix_filtered_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return X.prefix_filtered_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=0.5
+    )
+
+
+_PR_TELEPORT = "(1000000000000 * 15 // 100) // n_nodes"
+
+
+def _pr_round(prev: str, s: str, cur: str) -> str:
+    """One unrolled integer-PageRank round: contributions are
+    rank // out_degree summed per destination, then damped 85//100 and
+    re-based on the teleport share."""
+    return f"""
+    {s} AS (
+        SELECT e.dst, sum(r.r // r.out_deg) AS s
+        FROM e JOIN {prev} r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    {cur} AS (
+        SELECT d.src AS node, d.out_deg,
+               {_PR_TELEPORT} + COALESCE(s.s, 0) * 85 // 100 AS r
+        FROM deg d CROSS JOIN n LEFT JOIN {s} s ON d.src = s.dst
+    )"""
+
+
+_PAGERANK_ORACLE = f"""
+    WITH e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (
+        SELECT d.src AS node, d.out_deg,
+               1000000000000 // n_nodes AS r
+        FROM deg d CROSS JOIN n
+    ),{_pr_round('r0', 's1', 'r1')},{_pr_round('r1', 's2', 'r2')}
+    SELECT node AS supplier,
+           CAST(r AS BIGINT) AS rank_scaled,
+           r / 1000000000000.0 AS rank
+    FROM r2
+"""
+
+
+@register(
+    "x84_supplier_pagerank",
+    "Fixed-rounds PageRank (d=0.85, 2 rounds) over the supplier "
+    "co-supply graph (suppliers sharing an order, both directions — so "
+    "no dangling nodes). The whole iteration is 64-bit INTEGER "
+    "arithmetic (fixed-point 1e12 ranks, rank div out_degree "
+    "contributions, sum*85 div 100 damping), so the result is "
+    "bit-identical at any parallelism and the oracle REPLAYS both "
+    "rounds in SQL — the rank-propagation analogue of x83's verified "
+    "Lloyd iteration. Per round: one (src) equi-join of (node, long) "
+    "rank pairs + one partial-aggregated (dst) shuffle — the textbook "
+    "distributed PageRank shape; adjacency never ships.",
+    oracle=_PAGERANK_ORACLE,
+    tags=("ext", "graph", "pagerank", "iterative"),
+)
+def x84_supplier_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return G.pagerank_fixed_rounds(edges, rounds=2).select(
+        F.col("node").alias("supplier"), "rank_scaled", "rank"
+    )
+
+
+_SCD2_ORACLE = """
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment,
+               '2024-01-01' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                    ELSE 'UPDATED' END AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    changed AS (
+        SELECT u.c_custkey, u.c_mktsegment
+        FROM upd u JOIN dim d USING (c_custkey)
+        WHERE u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+    )
+    SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+           CASE WHEN c.c_custkey IS NULL THEN NULL
+                ELSE '2024-07-01' END AS valid_to,
+           c.c_custkey IS NULL AS is_current
+    FROM dim d LEFT JOIN changed c USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '2024-07-01', NULL, TRUE FROM changed
+"""
+
+
+@register(
+    "x86_scd2_dimension_merge",
+    "Slowly-changing-dimension Type-2 merge (dims.scd2_merge): an "
+    "update snapshot (every 7th customer, segment rewritten — except "
+    "every 14th, a deliberate NO-OP update) closes the current version "
+    "of each genuinely-changed key (valid_to = effective date) and "
+    "opens a new current version; unchanged keys and no-op updates pass "
+    "through untouched. Change detection is null-safe; dates ride as "
+    "ISO strings for engine portability. One equi-join of the update "
+    "batch vs the current slice (broadcast-sized in practice), three "
+    "output branches reusing it — the canonical warehouse MERGE as "
+    "pure DataFrame algebra.",
+    oracle=_SCD2_ORACLE,
+    tags=("ext", "warehouse", "scd2", "merge"),
+)
+def x86_scd2_dimension_merge(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    dim = scd2_initial(
+        cust, "c_custkey", ("c_mktsegment",), "2024-01-01"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("UPDATED"))
+        .alias("c_mktsegment"),
+    )
+    return scd2_merge(
+        dim, updates, "c_custkey", ("c_mktsegment",), "2024-07-01"
+    )
