@@ -130,3 +130,61 @@ def pack_bin_stats(
         F.sum("n_words").alias("total_words"),
         (F.sum("n_words") / F.lit(float(budget))).alias("fill_fraction"),
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: tuple,
+    n_partitions: int = 32,
+    out_col: str = "global_idx",
+) -> DataFrame:
+    """Contiguous 1-based global row numbers in a total order WITHOUT the
+    scale-killer: ``row_number() OVER (ORDER BY ...)`` with no partition
+    key collapses the whole dataset into ONE task. The distributed
+    pattern instead: range-repartition on the order columns (each
+    partition owns a contiguous key range), number rows within each
+    partition in parallel, then add per-partition offsets computed from
+    the partition COUNTS — a driver-side prefix sum over n_partitions
+    integers, never data-sized.
+
+    ``order_cols`` must be a total order (include a unique tie-break
+    column) or numbering among ties is partition-placement-dependent.
+    Two passes over the repartitioned data (count per partition, then
+    number) — the price of contiguity; when gaps are acceptable use
+    ``monotonically_increasing_id`` (one pass, non-contiguous) instead.
+
+    The training-data uses: stable example ids for shuffled corpora,
+    contiguous sample indexing for epoch-order curricula, resumable
+    cursor positions.
+    """
+    ranged = (
+        df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r._pid: r.n
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # n_partitions rows — bounded driver data
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        ranged.withColumn(
+            out_col, (offset_col + F.row_number().over(w)).cast("long")
+        )
+        .drop("_pid")
+        .localCheckpoint(eager=True)
+    )
+    ranged.unpersist()
+    return out

@@ -4554,3 +4554,29 @@ def x86_scd2_dimension_merge(spark: SparkSession, sf: str) -> DataFrame:
     return scd2_merge(
         dim, updates, "c_custkey", ("c_mktsegment",), "2024-07-01"
     )
+
+
+_GLOBAL_IDX_ORACLE = """
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS global_idx
+    FROM documents
+"""
+
+
+@register(
+    "x87_global_row_number",
+    "Contiguous global row numbering in a total order WITHOUT the "
+    "single-partition window (row_number() OVER (ORDER BY ...) with no "
+    "partition key funnels the whole dataset through ONE task — the "
+    "classic zipWithIndex scale trap): range-repartition on the order "
+    "key, number within partitions in parallel, add per-partition "
+    "offsets from a driver-side prefix sum over n_partitions counts. "
+    "The oracle is the naive total-order row_number, so the hash proves "
+    "the two-phase distributed numbering equals the sequential "
+    "semantics. Plan guard asserts no SinglePartition exchange.",
+    oracle=_GLOBAL_IDX_ORACLE,
+    tags=("ext", "index", "ordering", "scale-pattern"),
+)
+def x87_global_row_number(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return PK.global_row_number(docs, ("n_chars", "doc_id"))

@@ -1600,3 +1600,33 @@ def test_scd2_merge_versions_only_genuine_changes(spark):
     # idempotence: re-applying the same snapshot produces only no-ops
     again = scd2_merge(merged, updates, "k", ("seg",), "2024-12-01")
     assert snap(again) == rows
+
+
+def test_global_row_number_contiguous_and_partition_invariant(spark, sf_dir):
+    """Two-phase distributed numbering equals the sequential total-order
+    rank: contiguous 1..N, identical under any input partitioning, and
+    ties are broken by the unique tie-break column."""
+    from taxi_aws_data_pipeline_spark.ext import packing as PK
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = {
+        r.doc_id: r.global_idx
+        for r in PK.global_row_number(docs, ("n_chars", "doc_id")).collect()
+    }
+    n = docs.count()
+    assert sorted(a.values()) == list(range(1, n + 1))
+    b = {
+        r.doc_id: r.global_idx
+        for r in PK.global_row_number(
+            docs.repartition(7), ("n_chars", "doc_id"), n_partitions=5
+        ).collect()
+    }
+    assert a == b
+    # agrees with the naive single-task formulation
+    naive = {
+        r.doc_id: r.rn
+        for r in docs.selectExpr(
+            "doc_id", "row_number() OVER (ORDER BY n_chars, doc_id) AS rn"
+        ).collect()
+    }
+    assert a == naive
