@@ -1699,3 +1699,50 @@ def w7_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+@register(
+    "k3_salted_skew_join",
+    "Salted SHUFFLE JOIN: the fact side's join key is widened to "
+    "(key, salt) with salt = hash(row) mod 8 and the dimension side is "
+    "replicated once per salt (explode over 0..7), so a hot key's rows "
+    "spread across 8 reducers instead of one — the manual skew-join "
+    "pattern for when the dimension is too big to broadcast and one key "
+    "dominates (AQE's skewJoin is the adaptive alternative; at 100 TB "
+    "salt only the detected hot keys and union the unsalted rest to "
+    "avoid the x8 dimension replication for uniform keys). A "
+    "shuffle-hash hint pins the shuffled join so the pattern is "
+    "actually exercised (Catalyst would otherwise broadcast the small "
+    "test dimension). Provably identical to the plain join — the salt "
+    "is a bijection-preserving refinement of the key — which the "
+    "plain-join oracle verifies.",
+    oracle=f"""
+        SELECT c_mktsegment,
+               COUNT(o_orderkey)                  AS order_count,
+               {oracle_money_sum('o_totalprice')} AS total_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    tags=("skew", "salt", "join"),
+)
+def k3_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    n_salt = 8
+    od = load_table(spark, sf, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    cust = (
+        load_table(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+    )
+    joined = od.join(
+        cust.hint("shuffle_hash"),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (od["salt"] == cust["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("o_orderkey").alias("order_count"),
+        money_sum("o_totalprice").alias("total_revenue"),
+    )

@@ -292,3 +292,22 @@ def test_x60_knn_graph_equi_join_on_bucket(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_k3_salted_join_shuffles_on_widened_key(spark, sf_dir):
+    # the salted pattern must actually exercise a shuffled join (the
+    # hint defeats Catalyst's broadcast of the small test dimension) and
+    # join on the (key, salt) pair so a hot key spreads across reducers
+    plan = _plan(spark, sf_dir, "k3_salted_skew_join", "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan
+
+
+def test_x85_prefix_filter_plan_shape(spark, sf_dir):
+    # candidate generation must run over the window-ranked prefix frame
+    # (df-rank sort per doc), not the raw exploded shingles: the Window
+    # node and the row_number filter are what bound the self-join
+    plan = _plan(spark, sf_dir, "x85_prefix_filtered_jaccard", "simple")
+    assert "Window" in plan
+    assert "row_number" in plan
