@@ -1746,3 +1746,78 @@ def k3_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count("o_orderkey").alias("order_count"),
         money_sum("o_totalprice").alias("total_revenue"),
     )
+
+
+@register(
+    "j10_small_quantity_revenue",
+    "TPC-H Q17 shape — correlated scalar subquery decorrelated into an "
+    "aggregate-join: revenue of line items below 20% of their part's "
+    "average quantity. The per-part threshold is an exact-decimal "
+    "average (order-free, so the < comparison cannot flip on summation "
+    "order) joined back to the fact; at 100 TB both sides shuffle ONCE "
+    "on l_partkey (AQE broadcasts the aggregated side when it fits). "
+    "The naive correlated form re-scans lineitem per part.",
+    oracle=f"""
+        WITH cap AS (
+            SELECT l_partkey,
+                   0.2 * ({oracle_money_avg('l_quantity')}) AS qty_cap
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {oracle_money_sum('l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem JOIN cap USING (l_partkey)
+        WHERE l_quantity < qty_cap
+    """,
+    tags=("join", "Q17", "decorrelation", "agg"),
+)
+def j10_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    cap = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * money_avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(cap, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg((money_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "j11_large_volume_orders",
+    "TPC-H Q18 shape — HAVING-filtered aggregate driving a semi join: "
+    "orders whose line items total more than 300 units, with customer "
+    "attribution, top-20 by order value (total order via the unique "
+    "orderkey tie-break, so the LIMIT is deterministic). The qualifying "
+    "set aggregates FIRST (exact decimal sums) and only then joins — "
+    "orders/customer never see unqualified rows; one l_orderkey shuffle "
+    "for the aggregate, qualifying keys broadcast into the fact joins.",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, {oracle_money_sum('l_quantity')} AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {oracle_money_sum('l_quantity')} > 300
+        )
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, b.total_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    tags=("join", "Q18", "having", "topk"),
+)
+def j11_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    od = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(od, big["l_orderkey"] == od["o_orderkey"])
+        .join(cust, od["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
