@@ -1821,3 +1821,77 @@ def j11_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "w8_time_grid_forward_fill",
+    "Time-series resampling with gap fill: hourly per-type value totals "
+    "are re-indexed onto the COMPLETE hour grid (cross join of the type "
+    "set with a sequence() spanning the observed min..max hour — the "
+    "grid bounds ride a broadcast 1-row aggregate) and missing hours "
+    "forward-fill from the last observed value (last() IGNORE NULLS "
+    "over an unbounded-preceding frame — O(1) window state). Leading "
+    "hours before a type's first observation stay NULL. The operator "
+    "every downstream chart/model needs between sparse events and a "
+    "dense series; one event_type shuffle, grid rows are (type, hour) "
+    "pairs — never event-sized.",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, value
+            FROM events
+        ),
+        hourly AS (
+            SELECT event_type, h, {oracle_money_sum('value')} AS observed
+            FROM ev GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM ev) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    (SELECT min(h) FROM ev), (SELECT max(h) FROM ev),
+                    INTERVAL '1 hour')) AS h
+            ) g
+        )
+        SELECT grid.event_type, grid.h AS hour, hourly.observed,
+               last_value(hourly.observed IGNORE NULLS) OVER (
+                   PARTITION BY grid.event_type ORDER BY grid.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled
+        FROM grid LEFT JOIN hourly USING (event_type, h)
+    """,
+    tags=("window", "resample", "forward-fill", "time-series"),
+)
+def w8_time_grid_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        money_sum("value").alias("observed")
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            "observed",
+            F.last("observed", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
