@@ -1895,3 +1895,129 @@ def w8_time_grid_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
             F.last("observed", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+@register(
+    "w9_time_grid_interpolate",
+    "w8's grid with LINEAR INTERPOLATION for interior gaps: each missing "
+    "hour takes v_prev + (v_next - v_prev) * elapsed_fraction, where the "
+    "bracketing observations come from four O(1)-state window passes "
+    "over ONE (type, hour) sort — last/first IGNORE NULLS over "
+    "preceding/following frames for both the values and their hours. "
+    "Leading gaps (no prev) stay NULL, trailing gaps (no next) hold the "
+    "last value — the resampling semantics a feature pipeline wants. "
+    "Fraction arithmetic runs on epoch seconds (bigint) so both engines "
+    "compute identical doubles.",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, value
+            FROM events
+        ),
+        hourly AS (
+            SELECT event_type, h, {oracle_money_sum('value')} AS observed
+            FROM ev GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM ev) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    (SELECT min(h) FROM ev), (SELECT max(h) FROM ev),
+                    INTERVAL '1 hour')) AS h
+            ) g
+        ),
+        j AS (
+            SELECT grid.event_type, grid.h, hourly.observed
+            FROM grid LEFT JOIN hourly USING (event_type, h)
+        ),
+        b AS (
+            SELECT event_type, h, observed,
+                   last_value(observed IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS v_prev,
+                   first_value(observed IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS v_next,
+                   last_value(CASE WHEN observed IS NOT NULL THEN h END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS h_prev,
+                   first_value(CASE WHEN observed IS NOT NULL THEN h END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS h_next
+            FROM j
+        )
+        SELECT event_type, h AS hour, observed,
+               CASE
+                   WHEN observed IS NOT NULL THEN observed
+                   WHEN v_prev IS NULL THEN NULL
+                   WHEN v_next IS NULL THEN v_prev
+                   ELSE v_prev + (v_next - v_prev)
+                        * (CAST(epoch(h) - epoch(h_prev) AS DOUBLE)
+                           / (epoch(h_next) - epoch(h_prev)))
+               END AS interpolated
+        FROM b
+    """,
+    tags=("window", "resample", "interpolation", "time-series"),
+)
+def w9_time_grid_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        money_sum("value").alias("observed")
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("observed").isNotNull(), F.col("h"))
+    b = j.select(
+        "event_type",
+        "h",
+        "observed",
+        F.last("observed", ignorenulls=True).over(back).alias("v_prev"),
+        F.first("observed", ignorenulls=True).over(fwd).alias("v_next"),
+        F.last(obs_h, ignorenulls=True).over(back).alias("h_prev"),
+        F.first(obs_h, ignorenulls=True).over(fwd).alias("h_next"),
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("h_prev")).cast("double")
+        / (F.unix_timestamp("h_next") - F.unix_timestamp("h_prev"))
+    )
+    return b.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        "observed",
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(F.col("v_prev").isNull(), F.lit(None))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac
+        )
+        .alias("interpolated"),
+    )
