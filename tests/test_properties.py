@@ -144,3 +144,54 @@ def test_normalization_is_idempotent(spark, corpus):
         assert r.text_norm == r.text
         assert "  " not in r.text_norm
         assert all(c.islower() or c.isdigit() or c == " " for c in r.text_norm)
+
+
+@given(corpus=_CORPUS, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+@_SLOW
+def test_prefix_filter_complete_vs_bruteforce(spark, corpus, threshold):
+    """Prefix filtering's completeness theorem, property-checked: for any
+    corpus and threshold, the prefix-filtered pairs equal the brute-force
+    exact-Jaccard pairs (share-any blocking with the cap disabled)."""
+    df = _df(spark, corpus)
+    via_prefix = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 12)
+        for r in X.prefix_filtered_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 12)
+        for r in X.jaccard_near_dup_pairs(
+            df, threshold=threshold, max_shingle_df=None
+        ).collect()
+    }
+    assert via_prefix == brute
+
+
+_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6)
+).filter(lambda e: e[0] != e[1])
+
+
+@given(edges=st.lists(_EDGE, min_size=1, max_size=15))
+@_SLOW
+def test_pagerank_invariants_on_random_graphs(spark, edges):
+    """For any symmetrized edge set: ranks are positive, total mass is
+    SCALE minus bounded integer-rounding loss, and results are invariant
+    to input partitioning."""
+    from taxi_aws_data_pipeline_spark.ext import graph as G
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    out = {r.node: r.rank_scaled for r in G.pagerank_fixed_rounds(df, 2).collect()}
+    n = len({x for e in sym for x in e})
+    assert len(out) == n
+    assert all(v > 0 for v in out.values())
+    total = sum(out.values())
+    # each div loses < 1 unit per node per round (+ teleport floor)
+    loss_bound = n * (2 + 1) * max(n, 100)
+    assert G.PR_SCALE - total <= loss_bound + n
+    assert total <= G.PR_SCALE
+    again = {
+        r.node: r.rank_scaled
+        for r in G.pagerank_fixed_rounds(df.repartition(5), 2).collect()
+    }
+    assert out == again
