@@ -86,6 +86,18 @@ BENCH_QUERIES = (
     "x66_filter_cascade_report",
     "x69_event_lateness_profile",
     "x74_daily_active_users",
+    # round-3 additions: Arrow probe path, verified iterative tiers,
+    # prefix-filtered similarity join, distributed numbering, resampling,
+    # the Q17/Q18 join shapes, and the salted shuffle join
+    "x81_media_header_probe",
+    "x83_kmeans_fixed_rounds",
+    "x84_supplier_pagerank",
+    "x85_prefix_filtered_jaccard",
+    "x87_global_row_number",
+    "w8_time_grid_forward_fill",
+    "j10_small_quantity_revenue",
+    "j11_large_volume_orders",
+    "k3_salted_skew_join",
 )
 
 
