@@ -4112,41 +4112,49 @@ def _le16(c: F.Column) -> F.Column:
     return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
 
 
+def _be16(c: F.Column) -> F.Column:
+    return F.lpad(F.hex(c.cast("bigint")), 4, "0")
+
+
 _MEDIA_PROBE_ORACLE = """
     WITH d AS (
-        SELECT doc_id, doc_id % 4 AS m, doc_id % 29 = 0 AS no_blob
+        SELECT doc_id, doc_id % 5 AS m, doc_id % 29 = 0 AS no_blob
         FROM documents
     )
     SELECT doc_id AS asset_id,
-           CASE WHEN m IN (0, 1) THEN 'image'
+           CASE WHEN m IN (0, 1, 4) THEN 'image'
                 WHEN m = 2 THEN 'audio' ELSE 'video' END AS media_type,
            CASE WHEN no_blob THEN NULL
                 WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif'
-                WHEN m = 2 THEN 'wav' ELSE 'mp4' END AS detected_format,
+                WHEN m = 2 THEN 'wav' WHEN m = 3 THEN 'mp4'
+                ELSE 'jpeg' END AS detected_format,
            CAST(CASE WHEN no_blob THEN NULL
                      WHEN m = 0 THEN 1 + doc_id % 2033
-                     WHEN m = 1 THEN 1 + doc_id % 499 END
+                     WHEN m = 1 THEN 1 + doc_id % 499
+                     WHEN m = 4 THEN 1 + doc_id % 1999 END
                 AS INTEGER) AS probe_width,
            CAST(CASE WHEN no_blob THEN NULL
                      WHEN m = 0 THEN 1 + (doc_id // 7) % 1021
-                     WHEN m = 1 THEN 1 + (doc_id // 3) % 307 END
+                     WHEN m = 1 THEN 1 + (doc_id // 3) % 307
+                     WHEN m = 4 THEN 1 + (doc_id // 11) % 1499 END
                 AS INTEGER) AS probe_height,
            CAST(CASE WHEN NOT no_blob AND m = 2
                      THEN 1 + doc_id % 2 END AS INTEGER) AS channels,
            CAST(CASE WHEN NOT no_blob AND m = 2
-                     THEN 8000 * (1 + doc_id % 5) END AS INTEGER)
+                     THEN 8000 * (1 + doc_id % 4) END AS INTEGER)
                AS sample_rate,
            CAST(CASE WHEN NOT no_blob AND m = 2 THEN 16 END AS INTEGER)
                AS bits_per_sample,
            CAST(CASE WHEN no_blob THEN NULL
                      WHEN m = 2 THEN ((1000 + doc_id % 9000) * 1000)
-                          // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+                          // (8000 * (1 + doc_id % 4) * (1 + doc_id % 2) * 2)
                      WHEN m = 3 THEN ((1 + doc_id % 100000) * 1000) // 600
                 END AS INTEGER) AS duration_ms,
            CASE WHEN NOT no_blob AND m = 3 THEN 'isom' END AS major_brand,
            CAST(CASE WHEN no_blob THEN NULL
                      WHEN m = 0 THEN 24 WHEN m = 1 THEN 10
-                     WHEN m = 2 THEN 44 ELSE 52 END AS INTEGER) AS n_bytes
+                     WHEN m = 2 THEN 44 WHEN m = 3 THEN 52
+                     ELSE 11 END AS INTEGER) AS n_bytes
     FROM d
 """
 
@@ -4154,7 +4162,8 @@ _MEDIA_PROBE_ORACLE = """
 @register(
     "x81_media_header_probe",
     "End-to-end multimodal metadata probe: deterministic PNG / GIF / "
-    "RIFF-WAVE / ISO-BMFF containers are CONSTRUCTED byte-for-byte in "
+    "RIFF-WAVE / ISO-BMFF / JPEG (SOF0 marker walk) containers are "
+    "CONSTRUCTED byte-for-byte in "
     "native SQL (hex assembly + unhex, widths/rates/durations derived "
     "from doc_id), then PARSED BACK by the real dependency-free header "
     "probes (ext/multimodal.py) in one Arrow mapInPandas pass. The "
@@ -4169,7 +4178,7 @@ _MEDIA_PROBE_ORACLE = """
 )
 def x81_media_header_probe(spark: SparkSession, sf: str) -> DataFrame:
     d = F.col("doc_id")
-    m = d % 4
+    m = d % 5
     png = F.concat(
         F.lit("89504E470D0A1A0A0000000D49484452"),
         _be32(F.lit(1) + d % 2033),
@@ -4181,7 +4190,7 @@ def x81_media_header_probe(spark: SparkSession, sf: str) -> DataFrame:
         _le16(F.lit(1) + F.floor(d / 3) % 307),
     )
     ch = F.lit(1) + d % 2
-    rate = F.lit(8000) * (F.lit(1) + d % 5)
+    rate = F.lit(8000) * (F.lit(1) + d % 4)
     byte_rate = rate * ch * 2
     data_size = F.lit(1000) + d % 9000
     wav = F.concat(
@@ -4201,12 +4210,22 @@ def x81_media_header_probe(spark: SparkSession, sf: str) -> DataFrame:
         _be32(F.lit(600)),                       # timescale
         _be32(F.lit(1) + d % 100000),            # duration units
     )
+    jpeg = F.concat(
+        F.lit("FFD8FFC0"),                       # SOI + SOF0 marker
+        F.lit("000B"), F.lit("08"),              # segment length, precision
+        _be16(F.lit(1) + F.floor(d / 11) % 1499),  # height
+        _be16(F.lit(1) + d % 1999),              # width
+    )
     hexstr = (
-        F.when(m == 0, png).when(m == 1, gif).when(m == 2, wav).otherwise(mp4)
+        F.when(m == 0, png)
+        .when(m == 1, gif)
+        .when(m == 2, wav)
+        .when(m == 3, mp4)
+        .otherwise(jpeg)
     )
     assets = load_table(spark, sf, "documents").select(
         d.alias("asset_id"),
-        F.when(m.isin(0, 1), "image")
+        F.when(m.isin(0, 1, 4), "image")
         .when(m == 2, "audio")
         .otherwise("video")
         .alias("media_type"),
@@ -4580,3 +4599,70 @@ _GLOBAL_IDX_ORACLE = """
 def x87_global_row_number(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
     return PK.global_row_number(docs, ("n_chars", "doc_id"))
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+_DOCS_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+@register(
+    "x88_json_source_roundtrip",
+    "JSON-lines source connector, verified end-to-end: the documents "
+    "table is written as newline-delimited JSON and read back with an "
+    "explicit schema (a known table is never schema-inferred — "
+    "inference costs an extra full scan AND types drift on empty/skewed "
+    "partitions), then hash-compared against the original rows, proving "
+    "the write-escape/read-parse round trip is lossless. At 100 TB the "
+    "same reader streams splittable .json.gz/.zstd shards; JSON scans "
+    "cannot prune columns or push filters like parquet, which is why "
+    "the engine's canonical storage stays parquet (S1) and JSON is an "
+    "ingest-edge format.",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "json", "roundtrip"),
+)
+def x88_json_source_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="json_src_") + "/documents"
+    load_table(spark, sf, "documents").write.mode("overwrite").json(path)
+    return spark.read.schema(_DOCS_SCHEMA).json(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "x89_csv_source_roundtrip",
+    "CSV source connector (the reference's actual ingest format — its "
+    "taxi trips arrive as CSV), verified end-to-end: documents written "
+    "as quoted, headered CSV and read back with an explicit schema — "
+    "quoting protects embedded commas/quotes, the explicit schema "
+    "avoids the inference scan and its type drift. Same lossless-round-"
+    "trip hash as x88. Scale note: uncompressed CSV is splittable so "
+    "reads parallelize by 128 MB ranges, but no pruning/pushdown exists "
+    "— ingest converts to parquet in the first pass (S7) and everything "
+    "downstream scans columnar.",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "csv", "roundtrip"),
+)
+def x89_csv_source_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="csv_src_") + "/documents"
+    (
+        load_table(spark, sf, "documents")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(path)
+    )
+    return (
+        spark.read.schema(_DOCS_SCHEMA)
+        .option("header", True)
+        .csv(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
