@@ -137,6 +137,7 @@ def global_row_number(
     order_cols: tuple,
     n_partitions: int = 32,
     out_col: str = "global_idx",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Contiguous 1-based global row numbers in a total order WITHOUT the
     scale-killer: ``row_number() OVER (ORDER BY ...)`` with no partition
@@ -179,12 +180,13 @@ def global_row_number(
         F.lit(0),
     ) if offsets else F.lit(0)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = (
-        ranged.withColumn(
-            out_col, (offset_col + F.row_number().over(w)).cast("long")
-        )
-        .drop("_pid")
-        .localCheckpoint(eager=True)
-    )
-    ranged.unpersist()
+    out = ranged.withColumn(
+        out_col, (offset_col + F.row_number().over(w)).cast("long")
+    ).drop("_pid")
+    if checkpoint:
+        # sever lineage from the cache before releasing it (the caller
+        # consumes lazily); checkpoint=False exposes the raw plan so
+        # tests can assert no SinglePartition exchange exists
+        out = out.localCheckpoint(eager=True)
+        ranged.unpersist()
     return out

@@ -311,3 +311,28 @@ def test_x85_prefix_filter_plan_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x85_prefix_filtered_jaccard", "simple")
     assert "Window" in plan
     assert "row_number" in plan
+
+
+def test_x87_numbering_has_no_single_partition_exchange(spark, sf_dir):
+    # the whole point of the two-phase numbering: the naive global
+    # row_number funnels everything through Exchange SinglePartition;
+    # the distributed form must never contain one (checkpoint=False
+    # exposes the raw plan — the catalog entry checkpoints the result)
+    from taxi_aws_data_pipeline_spark.ext import packing as PK
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    df = PK.global_row_number(docs, ("n_chars", "doc_id"), checkpoint=False)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # per-partition numbering is a real window
+    # and the naive formulation DOES have one — the trap is real
+    naive = docs.selectExpr(
+        "doc_id", "row_number() OVER (ORDER BY n_chars, doc_id) AS rn"
+    )
+    naive_plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        naive._jdf.queryExecution(), "simple"
+    )
+    assert "SinglePartition" in naive_plan
