@@ -540,3 +540,84 @@ def token_count_histogram(
             "n_docs",
         )
     )
+
+
+FLUENCY_SCALE = 1_000_000
+
+
+def bigram_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score — the
+    LM-quality-filter family (CCNet/DCLM filter on LM perplexity; this
+    is the engine-portable exact variant): every document is scored by
+    the mean conditional probability of its word bigrams under the
+    corpus's own bigram counts, P(w2|w1) = c(w1,w2) / c(w1,·).
+    Boilerplate and fluent prose score high; shuffled or noisy text
+    scores low.
+
+    Determinism at scale, the usual trap, is handled the x21/x83 way:
+    probabilities become fixed-point integers floor(c12 * SCALE / c1)
+    BEFORE the per-doc sum, so accumulation is exact integer arithmetic
+    in any partition order; the single closing division renders the
+    mean as a double. (True log-perplexity needs libm `log`, whose last
+    ulp differs across engines — the mean-probability form keeps the
+    ranking signal hash-verifiable.)
+
+    Plan shape: one bigram explode, one (w1,w2) count shuffle + one w1
+    rollup of those counts (vocab²-sized, tiny next to the corpus), one
+    (w1,w2) join of bigram positions against the count table, one
+    per-doc aggregate. No driver-side state.
+
+    Output: (id, n_bigrams, fluency) — fluency NULL for docs with < 2
+    words.
+    """
+    from .dedup import bind_once
+
+    ws = words(F.col(text_col))
+
+    def pair_structs(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.element_at(w, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(bind_once(ws, pair_structs)).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    big = base.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    table = big.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.expr(f"c12 * {FLUENCY_SCALE} div c1").alias("q"),
+    )
+    scored = (
+        base.join(table, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("qsum"),
+        )
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (
+                F.col("qsum").cast("double")
+                / (F.lit(float(FLUENCY_SCALE)) * F.col("n_bigrams"))
+            ).alias("fluency"),
+        )
+    )

@@ -4666,3 +4666,49 @@ def x89_csv_source_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .csv(path)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+_FLUENCY_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM w, unnest(range(1, len(ws))) AS t(i)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+    tab AS (
+        SELECT w1, w2, (c12 * {TX.FLUENCY_SCALE}) // c1 AS q
+        FROM big JOIN uni USING (w1)
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS n_bigrams, sum(q) AS qsum
+        FROM pairs JOIN tab USING (w1, w2)
+        GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(s.qsum AS DOUBLE) / ({TX.FLUENCY_SCALE}.0 * s.n_bigrams)
+               AS fluency
+    FROM w LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register(
+    "x90_bigram_lm_fluency",
+    "Corpus-trained bigram LM fluency score (the CCNet/DCLM LM-quality-"
+    "filter family, engine-portable): each doc scored by the mean "
+    "P(w2|w1) of its word bigrams under the corpus's own counts. "
+    "Probabilities become fixed-point integers floor(c12*1e6/c1) "
+    "BEFORE the per-doc sum — exact in any partition order (true log-"
+    "perplexity needs libm log, whose last ulp differs across engines; "
+    "the mean-probability form keeps the ranking hash-verifiable). One "
+    "bigram explode, one (w1,w2) count shuffle + w1 rollup, one count-"
+    "table join, one per-doc aggregate; docs with <2 words score NULL.",
+    oracle=_FLUENCY_ORACLE,
+    tags=("ext", "text", "quality", "language-model"),
+)
+def x90_bigram_lm_fluency(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.bigram_fluency(load_table(spark, sf, "documents"))

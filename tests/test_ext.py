@@ -1630,3 +1630,26 @@ def test_global_row_number_contiguous_and_partition_invariant(spark, sf_dir):
         ).collect()
     }
     assert a == naive
+
+
+def test_bigram_fluency_scores_conditional_probability_exactly(spark):
+    """Fluency = mean P(w2|w1) under the corpus's own bigram counts:
+    the dominant continuation scores near 1, a rare continuation scores
+    its exact conditional probability, and docs with < 2 words score
+    NULL with n_bigrams = 0."""
+    from taxi_aws_data_pipeline_spark.ext import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),  # c(a,b)=4 of c(a,.)=5; c(b,a)=3/3
+            (2, "a c"),              # c(a,c)=1 of c(a,.)=5 -> P = 0.2
+            (3, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TX.bigram_fluency(df).collect()}
+    # doc 1: bigrams a->b x4 (P=4/5) and b->a x3 (P=1) -> mean 27/35
+    assert abs(rows[1].fluency - (4 * (4 / 5) + 3 * 1.0) / 7) < 1e-5
+    assert abs(rows[2].fluency - 0.2) < 1e-6
+    assert rows[2].fluency < rows[1].fluency
+    assert rows[3].fluency is None and rows[3].n_bigrams == 0
