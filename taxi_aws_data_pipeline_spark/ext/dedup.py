@@ -314,6 +314,9 @@ def prefix_filtered_jaccard_pairs(
     low. Output: (doc_a, doc_b, jaccard), doc_a < doc_b — identical
     semantics/values to jaccard_near_dup_pairs at the same threshold.
     """
+    # docs feeds prefix ranking AND the verification joins; the returned
+    # frame consumes it lazily, so the cache is intentionally left to LRU
+    # eviction (same lifetime posture as remove_dup_spans)
     docs = (
         df.select(
             F.col(id_col).alias("doc"),

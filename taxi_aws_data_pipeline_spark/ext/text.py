@@ -590,6 +590,9 @@ def bigram_fluency(
             ),
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
+    # base is read twice (count pass + scoring join) and deliberately NOT
+    # cached: at 100 TB the exploded bigram frame dwarfs memory, and its
+    # recompute is a cheap projection — recompute beats spill here
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(bind_once(ws, pair_structs)).alias("p")
     ).select(id_col, "p.w1", "p.w2")

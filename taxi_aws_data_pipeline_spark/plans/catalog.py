@@ -1863,37 +1863,14 @@ def j11_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
     tags=("window", "resample", "forward-fill", "time-series"),
 )
 def w8_time_grid_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
-    )
-    hourly = ev.groupBy("event_type", "h").agg(
-        money_sum("value").alias("observed")
-    )
-    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(hourly, ["event_type", "h"], "left")
-        .select(
-            "event_type",
-            F.col("h").alias("hour"),
-            "observed",
-            F.last("observed", ignorenulls=True).over(w).alias("filled"),
-        )
+    from ..resample import hourly_grid_fill
+
+    return hourly_grid_fill(
+        load_table(spark, sf, "events"),
+        key_col="event_type",
+        ts_col="ts",
+        value_agg=money_sum("value"),
+        mode="ffill",
     )
 
 
@@ -1966,58 +1943,12 @@ def w8_time_grid_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
     tags=("window", "resample", "interpolation", "time-series"),
 )
 def w9_time_grid_interpolate(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
-    )
-    hourly = ev.groupBy("event_type", "h").agg(
-        money_sum("value").alias("observed")
-    )
-    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
-    )
-    j = grid.join(hourly, ["event_type", "h"], "left")
-    back = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fwd = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_h = F.when(F.col("observed").isNotNull(), F.col("h"))
-    b = j.select(
-        "event_type",
-        "h",
-        "observed",
-        F.last("observed", ignorenulls=True).over(back).alias("v_prev"),
-        F.first("observed", ignorenulls=True).over(fwd).alias("v_next"),
-        F.last(obs_h, ignorenulls=True).over(back).alias("h_prev"),
-        F.first(obs_h, ignorenulls=True).over(fwd).alias("h_next"),
-    )
-    frac = (
-        (F.unix_timestamp("h") - F.unix_timestamp("h_prev")).cast("double")
-        / (F.unix_timestamp("h_next") - F.unix_timestamp("h_prev"))
-    )
-    return b.select(
-        "event_type",
-        F.col("h").alias("hour"),
-        "observed",
-        F.when(F.col("observed").isNotNull(), F.col("observed"))
-        .when(F.col("v_prev").isNull(), F.lit(None))
-        .when(F.col("v_next").isNull(), F.col("v_prev"))
-        .otherwise(
-            F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac
-        )
-        .alias("interpolated"),
+    from ..resample import hourly_grid_fill
+
+    return hourly_grid_fill(
+        load_table(spark, sf, "events"),
+        key_col="event_type",
+        ts_col="ts",
+        value_agg=money_sum("value"),
+        mode="interpolate",
     )

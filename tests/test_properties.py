@@ -195,3 +195,64 @@ def test_pagerank_invariants_on_random_graphs(spark, edges):
         for r in G.pagerank_fixed_rounds(df.repartition(5), 2).collect()
     }
     assert out == again
+
+
+_OBS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=30),  # hour offset
+        st.integers(min_value=-5, max_value=5),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(obs=_OBS)
+@_SLOW
+def test_hourly_grid_fill_invariants(spark, obs):
+    """For any sparse observation set: every key gets the full global
+    hour span; observed hours pass through unchanged in both modes;
+    forward fill is NULL exactly before a key's first observation;
+    interpolated values lie within the bracketing observations."""
+    import datetime
+
+    from taxi_aws_data_pipeline_spark.resample import hourly_grid_fill
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(hours=h), float(v)) for k, h, v in obs
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    span = max(h for _, h, _ in obs) - min(h for _, h, _ in obs) + 1
+    keys = {k for k, _, _ in obs}
+
+    ff = hourly_grid_fill(df, "k", "ts", F.sum("value"), "ffill").collect()
+    per_key = {}
+    for r in ff:
+        per_key.setdefault(r.k, []).append(r)
+    assert set(per_key) == keys
+    for k, rs in per_key.items():
+        rs.sort(key=lambda r: r.hour)
+        assert len(rs) == span
+        seen = False
+        for r in rs:
+            if r.observed is not None:
+                seen = True
+                assert r.filled == r.observed
+            assert (r.filled is None) == (not seen)
+
+    ip = hourly_grid_fill(df, "k", "ts", F.sum("value"), "interpolate").collect()
+    by_key = {}
+    for r in ip:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.hour)
+        obs_vals = [r.observed for r in rs if r.observed is not None]
+        lo, hi = min(obs_vals), max(obs_vals)
+        for r in rs:
+            if r.observed is not None:
+                assert r.interpolated == r.observed
+            elif r.interpolated is not None:
+                assert lo - 1e-9 <= r.interpolated <= hi + 1e-9
