@@ -98,6 +98,10 @@ BENCH_QUERIES = (
     "j10_small_quantity_revenue",
     "j11_large_volume_orders",
     "k3_salted_skew_join",
+    "x86_scd2_dimension_merge",
+    "x89_csv_source_roundtrip",
+    "x90_bigram_lm_fluency",
+    "w9_time_grid_interpolate",
 )
 
 
