@@ -1952,3 +1952,70 @@ def w9_time_grid_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         value_agg=money_sum("value"),
         mode="interpolate",
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "g3_pivot_daily_event_values",
+    "PIVOT reshape: daily exact value totals spread into one column per "
+    "event type. The pivot value set is a LITERAL list — required for a "
+    "stable schema (and it keeps the pivot a single partial-aggregated "
+    "shuffle: Spark's values-free pivot runs an extra distinct pass "
+    "first); at scale you pass the known dimension vocabulary or "
+    "two-phase discover it once. Oracle is the portable CASE-per-column "
+    "aggregation, proving the reshape is just grouped conditional sums.",
+    oracle=f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
+               {", ".join(
+                   f"CAST(ROUND(SUM(CASE WHEN event_type = '{t}' THEN "
+                   f"CAST(value AS DECIMAL(28,6)) END), 2) AS DOUBLE) AS {t}"
+                   for t in _EVENT_TYPES
+               )}
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("pivot", "reshape", "agg"),
+)
+def g3_pivot_daily_event_values(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day")
+        )
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(money_sum("value"))
+    )
+
+
+@register(
+    "g4_unpivot_lineitem_measures",
+    "UNPIVOT (melt) reshape: the four lineitem money measures fold into "
+    "long-form (key, metric, value) rows — the wide-to-long step before "
+    "per-metric windowing/profiling. Spark's native unpivot is a pure "
+    "projection + generator (no shuffle, output = 4x input rows but "
+    "each row carries ONE value); the oracle is the portable UNION ALL "
+    "formulation.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    tags=("unpivot", "melt", "reshape"),
+)
+def g4_unpivot_lineitem_measures(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
