@@ -2019,3 +2019,54 @@ def g4_unpivot_lineitem_measures(spark: SparkSession, sf: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "k4_grouped_approx_percentiles",
+    "k2's verified-sketch contract PER GROUP: each return-flag group "
+    "carries its exact p50/p99 (oracle-computable) plus booleans "
+    "asserting the percentile_approx sketch landed inside its "
+    "documented 1% error — so the driver hash verifies both the exact "
+    "surface and the per-group accuracy contract. At 100 TB this is "
+    "the shape that matters: grouped exact percentiles sort every "
+    "group's values, while the approx sketch stays one constant-memory "
+    "mergeable pass per group.",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)
+                   AS exact_p50,
+               CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE)
+                   AS exact_p99,
+               TRUE AS p50_within_1pct,
+               TRUE AS p99_within_1pct
+        FROM lineitem
+        GROUP BY 1
+    """,
+    tags=("sketch", "approx", "agg", "grouped"),
+)
+def k4_grouped_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99))
+        ).alias("exact"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), 10_000
+        ).alias("approx"),
+    )
+
+    def within(i: int) -> Column:
+        e = F.element_at("exact", i).cast("double")
+        a = F.element_at("approx", i).cast("double")
+        return F.abs(a - e) <= F.lit(0.01) * F.abs(e)
+
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        F.element_at("exact", 1).cast("double").alias("exact_p50"),
+        F.element_at("exact", 2).cast("double").alias("exact_p99"),
+        within(1).alias("p50_within_1pct"),
+        within(2).alias("p99_within_1pct"),
+    )
