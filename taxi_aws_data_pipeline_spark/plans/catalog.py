@@ -2070,3 +2070,74 @@ def k4_grouped_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         within(1).alias("p50_within_1pct"),
         within(2).alias("p99_within_1pct"),
     )
+
+
+def _morton_spark(x: Column, y: Column, bits: int = 16) -> Column:
+    """Bit-interleaved Z-order (Morton) key: x's bit i lands at 2i, y's at
+    2i+1. Unrolled at plan-build time (shift amounts must be literals),
+    so the key is one codegen'd integer expression — no UDF, no loop."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    key = terms[0]
+    for t in terms[1:]:
+        key = key + t
+    return key
+
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)] + [
+        f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "z1_zorder_locality_report",
+    "Z-ORDER layout key + its pruning property, demonstrated in-query: "
+    "rows get a bit-interleaved Morton key over (partkey, suppkey) and "
+    "are bucketed by 2^10-wide key ranges; the report shows each "
+    "bucket's partkey AND suppkey ranges are simultaneously narrow — "
+    "the reason Z-ordered parquet files prune on EITHER predicate "
+    "column, where a single-column sort only prunes its leading key. "
+    "At 100 TB: sortWithinPartitions(z_key) before the write gives "
+    "min/max file statistics this report simulates; the key is one "
+    "codegen'd integer expression (shift/mask unrolled at plan build), "
+    "zero UDFs. The oracle replays the identical bit arithmetic.",
+    oracle=f"""
+        WITH z AS (
+            SELECT l_partkey, l_suppkey,
+                   {_morton_sql('(l_partkey & 65535)', '(l_suppkey & 65535)')}
+                       AS z_key
+            FROM lineitem
+        )
+        SELECT z_key >> 10 AS z_bucket,
+               COUNT(*) AS n_rows,
+               MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+               MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+        FROM z GROUP BY 1
+    """,
+    tags=("layout", "zorder", "data-skipping"),
+)
+def z1_zorder_locality_report(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    zkey = _morton_spark(
+        F.col("l_partkey").bitwiseAND(F.lit(65535)),
+        F.col("l_suppkey").bitwiseAND(F.lit(65535)),
+    )
+    return (
+        li.withColumn("z_key", zkey)
+        .groupBy(F.shiftright("z_key", 10).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+        )
+    )

@@ -336,3 +336,18 @@ def test_x87_numbering_has_no_single_partition_exchange(spark, sf_dir):
         naive._jdf.queryExecution(), "simple"
     )
     assert "SinglePartition" in naive_plan
+
+
+def test_z1_zorder_bounds_both_dimensions(spark, sf_dir):
+    # the point of the Morton key: every bucket's range is narrow in
+    # BOTH interleaved columns, so min/max file stats prune on either
+    # predicate — a single-column sort can only bound its leading key
+    import pandas as pd
+
+    got = CATALOG["z1_zorder_locality_report"].spark(spark, sf_dir).toPandas()
+    # a 2^10-wide z-key range covers a 32x32 cell of the interleaved
+    # plane, so (for keys below the 2^16 mask) every bucket's span is
+    # AT MOST 31 in each dimension — sharp, not statistical
+    assert (got["part_hi"] - got["part_lo"]).max() <= 31
+    assert (got["supp_hi"] - got["supp_lo"]).max() <= 31
+    assert len(got) > 1
