@@ -328,15 +328,16 @@ def prefix_filtered_jaccard_pairs(
     sh = docs.select("doc", "n_sh", F.explode("shs").alias("s"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df_s"))
     w = Window.partitionBy("doc").orderBy("df_s", "s")
+    # epsilon-nudged ceil: IEEE t*m can land just ABOVE the exact
+    # rational (0.07*100 = 7.000000000000001 -> ceil 8, not 7), which
+    # would shorten the prefix below the completeness bound and silently
+    # DROP boundary pairs. Nudging down before ceil can only lengthen
+    # the prefix (safe direction: a longer prefix is still complete).
+    alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
     prefix = (
         sh.join(dfreq, "s")
         .withColumn("pos", F.row_number().over(w))
-        .filter(
-            F.col("pos")
-            <= F.col("n_sh")
-            - F.ceil(F.lit(threshold) * F.col("n_sh"))
-            + 1
-        )
+        .filter(F.col("pos") <= F.col("n_sh") - alpha + 1)
         .select("doc", "s")
     )
     a, b = prefix.alias("a"), prefix.alias("b")

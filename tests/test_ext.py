@@ -1653,3 +1653,21 @@ def test_bigram_fluency_scores_conditional_probability_exactly(spark):
     assert abs(rows[2].fluency - 0.2) < 1e-6
     assert rows[2].fluency < rows[1].fluency
     assert rows[3].fluency is None and rows[3].n_bigrams == 0
+
+
+def test_prefix_filter_ceil_is_exact_at_float_boundaries(spark):
+    """IEEE t*m can exceed the exact rational (0.07*100 ->
+    7.000000000000001 -> naive ceil 8), which would shorten the prefix
+    below the completeness bound. Build a 100-word doc and a 7-word doc
+    sharing exactly the 7 words that sort LAST in the rarest-first
+    order (shared words have df=2): with the boundary J = 7/100 = 0.07
+    the pair must be found at threshold 0.07 — the naive ceil drops it."""
+    shared = [f"s{i}" for i in range(7)]
+    others = [f"a{i:03d}" for i in range(93)]
+    df = spark.createDataFrame(
+        [(1, " ".join(others + shared)), (2, " ".join(shared))],
+        "doc_id long, text string",
+    )
+    got = X.prefix_filtered_jaccard_pairs(df, threshold=0.07, n=1).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+    assert abs(got[0].jaccard - 0.07) < 1e-12
