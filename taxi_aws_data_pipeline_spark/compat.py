@@ -22,6 +22,16 @@ accumulation-based, so plain doubles are already deterministic; Spark 3.4+
 ``median``/``quantile_cont`` (SURVEY.md §2.4 notes; never use
 ``percentile_approx`` at oracle scale — see ``approx switch`` in
 quality.py for the 100 TB posture).
+
+Cross-engine decimal→double caveat (found via a8): Spark's cast uses
+Java ``BigDecimal.doubleValue`` (correctly rounded), but DuckDB's direct
+``CAST(DECIMAL AS DOUBLE)`` divides the int128 payload by 10^scale in
+floating point and can be off by an ulp for wide decimals — oracle SQL
+must route through VARCHAR (``CAST(CAST(x AS VARCHAR) AS DOUBLE)``,
+strtod is correctly rounded) whenever the decimal has many digits.
+Decimal MULTIPLICATION is exact in both engines only while the result
+stays ≤ 38 digits: Spark needs p1+p2+1 ≤ 38 and DuckDB w1+w2 ≤ 38, so
+cross products use asymmetric casts like (24,6)×(13,6).
 """
 
 from __future__ import annotations

@@ -2141,3 +2141,72 @@ def z1_zorder_locality_report(spark: SparkSession, sf: str) -> DataFrame:
             F.max("l_suppkey").alias("supp_hi"),
         )
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "a8_measure_correlations",
+    "Pearson correlation matrix over the four lineitem measures in ONE "
+    "pass — and deterministic, which the builtin corr() is not (its "
+    "float accumulation is partition-order-dependent): all Σx, Σx², "
+    "Σxy moments accumulate as exact decimals (order-free), and the "
+    "closing corr formula runs on the exact sums as doubles. The "
+    "textbook one-pass moment method; 14 decimal aggregates, zero "
+    "extra shuffles vs a single sum.",
+    oracle=f"""
+        WITH m AS (
+            SELECT
+                COUNT(*) AS n,
+                {", ".join(f"CAST(CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s_{c}" for c in _CORR_COLS)},
+                {", ".join(f"CAST(CAST(SUM(CAST({c} AS DECIMAL(24,6)) * CAST({c} AS DECIMAL(13,6))) AS VARCHAR) AS DOUBLE) AS q_{c}" for c in _CORR_COLS)},
+                {", ".join(f"CAST(CAST(SUM(CAST({a} AS DECIMAL(24,6)) * CAST({b} AS DECIMAL(13,6))) AS VARCHAR) AS DOUBLE) AS p_{a}_{b}" for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:])}
+            FROM lineitem
+        )
+        SELECT {", ".join(
+            f"(n * p_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * q_{a} - s_{a} * s_{a}) * (n * q_{b} - s_{b} * s_{b}))"
+            f" AS corr_{a}_{b}"
+            for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+        )}
+        FROM m
+    """,
+    tags=("agg", "statistics", "correlation"),
+)
+def a8_measure_correlations(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    # asymmetric product casts: (24,6) x (13,6) -> decimal(38,12) in
+    # BOTH engines with zero truncation (Spark needs p1+p2+1 <= 38,
+    # DuckDB needs w1+w2 <= 38 with int128 storage) — measures fit 13
+    # digits comfortably, sums get the full 38
+    wide = lambda c: F.col(c).cast("decimal(24,6)")  # noqa: E731
+    slim = lambda c: F.col(c).cast("decimal(13,6)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(F.col(c).cast("decimal(28,6)")).cast("double").alias(f"s_{c}")
+        for c in _CORR_COLS
+    ]
+    aggs += [
+        F.sum(wide(c) * slim(c)).cast("double").alias(f"q_{c}")
+        for c in _CORR_COLS
+    ]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    aggs += [
+        F.sum(wide(a) * slim(b)).cast("double").alias(f"p_{a}_{b}")
+        for a, b in pairs
+    ]
+    m = li.agg(*aggs)
+
+    def corr(a: str, b: str) -> Column:
+        n = F.col("n")
+        cov = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return (cov / F.sqrt(va * vb)).alias(f"corr_{a}_{b}")
+
+    return m.select(*[corr(a, b) for a, b in pairs])
