@@ -2210,3 +2210,88 @@ def a8_measure_correlations(spark: SparkSession, sf: str) -> DataFrame:
         return (cov / F.sqrt(va * vb)).alias(f"corr_{a}_{b}")
 
     return m.select(*[corr(a, b) for a, b in pairs])
+
+
+@register(
+    "j12_interval_overlap_join",
+    "INTERVAL OVERLAP join (the temporal-join shape j3's point-in-range "
+    "doesn't cover): events become [ts, ts + minutes] intervals (odd "
+    "event_ids vs even), and each odd interval reports how many even "
+    "intervals it overlaps plus the smallest such id. Scale algorithm: "
+    "a naive overlap join is an inequality predicate (cartesian at "
+    "worst); here both sides EXPLODE into the hourly buckets their "
+    "interval spans (bounded: intervals are < 2 h, so <= 3 buckets "
+    "each), equi-join on the bucket, dedupe pairs that share several "
+    "buckets, then apply the exact overlap predicate — the classic "
+    "binned overlap join, one equi-shuffle instead of a range scan. "
+    "Minutes derive via floor() in BOTH engines (Spark's double->int "
+    "cast truncates, DuckDB's rounds — floor removes the ambiguity).",
+    oracle="""
+        WITH iv AS (
+            SELECT event_id, ts AS s,
+                   ts + to_minutes(CAST(floor(value) AS BIGINT) % 120) AS e
+            FROM events
+        ),
+        l AS (SELECT * FROM iv WHERE event_id % 2 = 1),
+        r AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+        m AS (
+            SELECT l.event_id,
+                   CAST(count(*) AS BIGINT) AS n_overlaps,
+                   min(r.event_id) AS min_overlap_id
+            FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+            GROUP BY 1
+        )
+        SELECT l.event_id,
+               COALESCE(m.n_overlaps, 0) AS n_overlaps,
+               m.min_overlap_id
+        FROM l LEFT JOIN m USING (event_id)
+    """,
+    tags=("join", "interval", "overlap", "temporal"),
+)
+def j12_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    iv = load_table(spark, sf, "events").select(
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_dt_interval(0, 0, CAST(floor(value) AS INT) % 120, 0)"
+        ).alias("e"),
+    )
+    left = iv.filter(F.col("event_id") % 2 == 1)
+    right = iv.filter(F.col("event_id") % 2 == 0)
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("s").alias(f"{prefix}_s"),
+            F.col("e").alias(f"{prefix}_e"),
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", "s"),
+                    F.date_trunc("hour", "e"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("bucket"),
+        )
+
+    pairs = (
+        bucketed(left, "l")
+        .join(bucketed(right, "r"), "bucket")
+        .filter(
+            (F.col("l_s") <= F.col("r_e")) & (F.col("r_s") <= F.col("l_e"))
+        )
+        .select("l_id", "r_id")
+        .distinct()
+    )
+    m = pairs.groupBy("l_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("r_id").alias("min_overlap_id"),
+    )
+    return (
+        left.select(F.col("event_id"))
+        .join(m, left["event_id"] == m["l_id"], "left")
+        .select(
+            "event_id",
+            F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+            "min_overlap_id",
+        )
+    )
