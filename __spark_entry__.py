@@ -36,11 +36,11 @@ _FLAGSHIP = "a1_returnflag_performance"
 # every session by tests/test_oracle_parity.py + test_vanilla_session.py.
 #
 # NEXT ROTATION (round 4): lead with the round-3 additions — a8, g3,
-# g4, j10, j11, k3, k4, w8, w9, x80-x90, z1 (21 oracle-backed entries,
-# all already green on the local parity replica and the fresh-process
-# driver simulation) — after which every SQL-expressible entry in the
-# catalog has a driver correctness row and the window can return to
-# re-pinning earlier tiers.
+# g4, j10, j11, j12, k3, k4, w8, w9, x80-x90, z1 (22 oracle-backed
+# entries, all already green on the local parity replica and the
+# fresh-process driver simulation) — after which every SQL-expressible
+# entry in the catalog has a driver correctness row and the window can
+# return to re-pinning earlier tiers.
 _PRIORITY = (
     "j7_sole_late_supplier_blame",
     "j9_churned_rich_customers",
