@@ -26,73 +26,79 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "a1_returnflag_performance"
 
 # The harness records verdicts for the FIRST 50 registered entries each
-# round. Rounds 1+2 together drove 77 of the 129 catalog entries green;
-# this round's window is exactly the never-driver-verified remainder:
-# j7, j9, x29, x30, and the round-2 additions x33-x79 (minus x35/x38,
-# whose data-dependent Lloyd iteration is documented rows-only — a slot
-# spent on them cannot produce a hash row, so the slots go to
-# oracle-backed entries instead), plus k2 now that it emits an
-# exact-hashable oracle surface. Entries green in r01/r02 stay pinned
-# every session by tests/test_oracle_parity.py + test_vanilla_session.py.
+# round. Rounds 1-3 drove 127 of the 151 catalog entries green; this
+# round's window leads with the 24 entries that have never been inside
+# a driver verification window — the round-3 additions (a8, g5/g6
+# [renamed from the colliding g3_pivot/g4_unpivot ids], j10-j12, k3/k4,
+# w8/w9, x80-x90, z1) plus x35/x38, which this round moved from
+# rows-only to full SQL-replay oracles (fixed-rounds Lloyd / PQ-ADC on
+# the x83 pattern). The remaining 26 slots re-pin representative
+# entries from every r1/r2-verified tier so driver evidence stays fresh
+# against regressions rather than resting on the local replica alone.
 #
-# NEXT ROTATION (round 4): lead with the round-3 additions — a8, g3,
-# g4, j10, j11, j12, k3, k4, w8, w9, x80-x90, z1 (22 oracle-backed
-# entries, all already green on the local parity replica and the
-# fresh-process driver simulation) — after which every SQL-expressible
-# entry in the catalog has a driver correctness row and the window can
-# return to re-pinning earlier tiers.
-_PRIORITY = (
-    "j7_sole_late_supplier_blame",
-    "j9_churned_rich_customers",
-    "x29_lexical_diversity",
-    "x30_top_ngram_repetition",
-    "x33_cross_corpus_dedup",
-    "x34_bpe_pair_counts",
-    "x36_dup_ngram_coverage",
-    "x37_indoc_dup_ngram_fraction",
-    "x39_text_normalization",
-    "x40_chunk_documents",
-    "x41_pack_bin_stats",
-    "x42_length_band_filter",
-    "x43_vocab_coverage",
-    "x44_length_minmax_scaled",
-    "x45_token_count_histogram",
-    "x46_random_projection",
-    "x47_hybrid_near_dup_pairs",
-    "x48_quality_weighted_sample",
-    "x49_source_mix_rebalance",
-    "x50_benchmark_leak_report",
-    "x51_session_event_sequences",
-    "x52_leakage_safe_split",
-    "x53_dedup_with_weights",
-    "x54_ngram_novelty",
-    "x55_dup_provenance_report",
-    "x56_table_profile",
-    "x57_session_funnel",
-    "x58_cohort_retention",
-    "x59_next_event_training_pairs",
-    "x60_knn_graph",
-    "x61_exact_quantiles_by_rank",
-    "x62_event_transition_matrix",
-    "x63_pii_numeric_sweep",
-    "x64_language_label_audit",
-    "x65_lsh_recall_report",
-    "x66_filter_cascade_report",
-    "x67_key_skew_report",
-    "x68_referential_integrity_audit",
-    "x69_event_lateness_profile",
-    "x70_mixture_token_budget_plan",
-    "x71_vocab_growth_curve",
-    "x72_decontaminate_merge_anti",
-    "x73_cross_source_syndication_matrix",
-    "x74_daily_active_users",
-    "x75_quality_dup_calibration",
-    "x76_source_token_divergence",
-    "x77_keep_best_dedup_policy",
-    "x78_remove_dup_spans",
-    "x79_temperature_mixture_sample",
-    "k2_approx_sketches",
+# WINDOW SCHEDULE (documented per VERDICT r3 item 6): once round 4
+# lands, every oracle-backed entry has a driver correctness row.
+# Subsequent rounds keep the first ~24 slots on whatever is newest /
+# changed and rotate the re-pin block through the tiers round-robin:
+# r5 = a/c/d/e families + x1-x27 odds, r6 = j/w/g/k families + x28-x60
+# evens, r7 = s/p families + x61-x90, then repeat. Entries outside the
+# window stay pinned every session by tests/test_oracle_parity.py +
+# test_vanilla_session.py (the 151-entry local replica).
+_NEVER_WINDOWED = (
+    "a8_measure_correlations",
+    "g5_pivot_daily_event_values",
+    "g6_unpivot_lineitem_measures",
+    "j10_small_quantity_revenue",
+    "j11_large_volume_orders",
+    "j12_interval_overlap_join",
+    "k3_salted_skew_join",
+    "k4_grouped_approx_percentiles",
+    "w8_time_grid_forward_fill",
+    "w9_time_grid_interpolate",
+    "x80_incremental_dedup_precomputed",
+    "x81_media_header_probe",
+    "x82_training_shard_layout",
+    "x83_kmeans_fixed_rounds",
+    "x84_supplier_pagerank",
+    "x85_prefix_filtered_jaccard",
+    "x86_scd2_dimension_merge",
+    "x87_global_row_number",
+    "x88_json_source_roundtrip",
+    "x89_csv_source_roundtrip",
+    "x90_bigram_lm_fluency",
+    "z1_zorder_locality_report",
+    "x35_kmeans_cells",
+    "x38_pq_ann_topk",
 )
+_REPINS = (
+    "a1_returnflag_performance",
+    "a2_hourly_demand",
+    "a5_monthly_summary",
+    "a6_scalar_statistics",
+    "c1_median_impute_batch",
+    "c4_p99_outlier_cap",
+    "d1_exact_row_dedup",
+    "d6_manifest_anti_join",
+    "e2_rate_clip_div_zero",
+    "e6_time_of_day_binning",
+    "s1_parquet_scan_pruned",
+    "p1_typed_cast_enforce",
+    "j1_region_revenue_star_join",
+    "j2_asof_join_prior_click",
+    "j3_range_join_value_tiers",
+    "j5_exists_semi_join",
+    "w1_tumbling_hourly_value",
+    "w2_user_sessionization",
+    "w4_session_window_native",
+    "g1_rollup_year_priority",
+    "k1_salted_skew_agg",
+    "x5_exact_dedup_groups",
+    "x6_jaccard_near_dup_pairs",
+    "x8_minhash_lsh_candidate_pairs",
+    "x14_ivf_ann_topk",
+    "x27_training_data_pipeline",
+)
+_PRIORITY = _NEVER_WINDOWED + _REPINS
 
 
 def _ordered() -> dict[str, object]:

@@ -596,38 +596,20 @@ def kmeans_lloyd(
     return assignments, centroids, rounds
 
 
-def kmeans_fixed_rounds(
-    df: DataFrame,
-    k: int = 4,
-    rounds: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Hash-verifiable twin of :func:`kmeans_lloyd`: seeds are the ``k``
-    lowest-id vectors (no farthest-point greedy) and EXACTLY ``rounds``
-    Lloyd iterations run (no data-dependent convergence test), so an
-    external engine can replay the whole computation — every step is
-    closed-form. Vectors are cast to double up front so both engines do
-    identical IEEE arithmetic; updates use the same fixed-point
-    floor(val*1e6) integer sums as kmeans_lloyd (order-free, exact),
-    assignment tie-breaks on the lower cell index.
-
-    Same scale posture as kmeans_lloyd: literal-centroid assignment
-    projection + one partial-aggregated (cell, pos) shuffle per round;
-    per-round collect is k x dim rows. Returns (id, cell) after a final
-    assignment against the round-``rounds`` centroids.
-    """
-    vecs = df.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).persist()
+def _fixed_rounds_centroids(
+    vecs: DataFrame, k: int, rounds: int
+) -> list[list[float]]:
+    """Closed-form Lloyd trainer shared by :func:`kmeans_fixed_rounds`
+    and :func:`pq_train_fixed`: ``vecs`` is a pre-persisted
+    (vid, v double-array) frame; seeds are the ``k`` lowest-vid vectors
+    and EXACTLY ``rounds`` update iterations run — no data-dependent
+    convergence test, so an external engine can replay every step.
+    Updates use the fixed-point floor(val*1e6) integer sums (order-free,
+    exact at any parallelism); assignment tie-breaks on the lower cell
+    index. Returns the final centroids ([] on an empty input)."""
     seed_rows = vecs.orderBy("vid").limit(k).collect()
     if not seed_rows:
-        out = vecs.select(
-            F.col("vid").alias(id_col), F.lit(0).cast("int").alias("cell")
-        )
-        vecs.unpersist()
-        return out
+        return []
     centroids = [[float(x) for x in r.v] for r in seed_rows]
     k = len(centroids)
     dim = len(centroids[0])
@@ -655,6 +637,41 @@ def kmeans_fixed_rounds(
             else centroids[i]  # empty cell keeps its centroid
             for i in range(k)
         ]
+    return centroids
+
+
+def kmeans_fixed_rounds(
+    df: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash-verifiable twin of :func:`kmeans_lloyd`: seeds are the ``k``
+    lowest-id vectors (no farthest-point greedy) and EXACTLY ``rounds``
+    Lloyd iterations run (no data-dependent convergence test), so an
+    external engine can replay the whole computation — every step is
+    closed-form. Vectors are cast to double up front so both engines do
+    identical IEEE arithmetic; updates use the same fixed-point
+    floor(val*1e6) integer sums as kmeans_lloyd (order-free, exact),
+    assignment tie-breaks on the lower cell index.
+
+    Same scale posture as kmeans_lloyd: literal-centroid assignment
+    projection + one partial-aggregated (cell, pos) shuffle per round;
+    per-round collect is k x dim rows. Returns (id, cell) after a final
+    assignment against the round-``rounds`` centroids.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    centroids = _fixed_rounds_centroids(vecs, k, rounds)
+    if not centroids:
+        out = vecs.select(
+            F.col("vid").alias(id_col), F.lit(0).cast("int").alias("cell")
+        )
+        vecs.unpersist()
+        return out
     out = (
         vecs.withColumn("cell", _nearest_centroid_cell(F.col("v"), centroids))
         .select(F.col("vid").alias(id_col), F.col("cell").cast("int").alias("cell"))
@@ -706,6 +723,43 @@ def pq_train(
         )
         _, centroids, _ = kmeans_lloyd(piece, k=k, max_iterations=max_iterations)
         books.append(centroids)
+    return books
+
+
+def pq_train_fixed(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Hash-verifiable twin of :func:`pq_train`: per subspace, the
+    closed-form :func:`_fixed_rounds_centroids` trainer (k lowest-id
+    subvector seeds, exactly ``rounds`` Lloyd updates) instead of
+    convergence-based :func:`kmeans_lloyd` — every arithmetic step is
+    replayable by an external SQL engine, which is what lets the x38
+    catalog entry carry a full ADC-ranking oracle. Same scale posture:
+    m bounded Lloyd runs, per-round shuffle is (cell, pos) partial
+    aggregates, collects are k x sub_dim rows."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return []
+    dim = int(first.d)
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        piece = df.select(
+            F.col(id_col).alias("vid"),
+            F.transform(
+                F.slice(F.col(vec_col), j * sub + 1, sub),
+                lambda x: x.cast("double"),
+            ).alias("v"),
+        ).persist()
+        books.append(_fixed_rounds_centroids(piece, k, rounds))
+        piece.unpersist()
     return books
 
 

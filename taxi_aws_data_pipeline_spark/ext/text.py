@@ -483,7 +483,7 @@ def vocab_coverage(
     total = counts.agg(F.sum("n").alias("_total"))
     w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        top.join(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .withColumn("cum_n", F.sum("n").over(w_cum))
         .select(
             "rank",

@@ -1958,7 +1958,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 @register(
-    "g3_pivot_daily_event_values",
+    "g5_pivot_daily_event_values",
     "PIVOT reshape: daily exact value totals spread into one column per "
     "event type. The pivot value set is a LITERAL list — required for a "
     "stable schema (and it keeps the pivot a single partial-aggregated "
@@ -1978,7 +1978,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     """,
     tags=("pivot", "reshape", "agg"),
 )
-def g3_pivot_daily_event_values(spark: SparkSession, sf: str) -> DataFrame:
+def g5_pivot_daily_event_values(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy(
@@ -1990,7 +1990,7 @@ def g3_pivot_daily_event_values(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "g4_unpivot_lineitem_measures",
+    "g6_unpivot_lineitem_measures",
     "UNPIVOT (melt) reshape: the four lineitem money measures fold into "
     "long-form (key, metric, value) rows — the wide-to-long step before "
     "per-metric windowing/profiling. Spark's native unpivot is a pure "
@@ -2011,7 +2011,7 @@ def g3_pivot_daily_event_values(spark: SparkSession, sf: str) -> DataFrame:
     """,
     tags=("unpivot", "melt", "reshape"),
 )
-def g4_unpivot_lineitem_measures(spark: SparkSession, sf: str) -> DataFrame:
+def g6_unpivot_lineitem_measures(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return li.unpivot(
         ["l_orderkey", "l_linenumber"],

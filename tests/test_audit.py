@@ -376,3 +376,24 @@ def test_fk_audit_counts_planted_orphans(spark, tmp_path):
     # untouched edges stay clean
     assert report["nation.n_regionkey->region.r_regionkey"].n_orphans == 0
     assert report["orders.o_custkey->customer.c_custkey"].n_orphans == 0
+
+
+def test_no_conditionless_broadcast_joins_in_tree():
+    """Every cartesian-on-purpose must say so: a condition-less
+    ``.join(F.broadcast(x))`` is an implicit cross join that breaks on
+    deployments pinning ``spark.sql.crossJoin.enabled=false``; one-row
+    scalar attachment must use ``.crossJoin`` explicitly (the x79/x49
+    fix, VERDICT r3 item 4)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "taxi_aws_data_pipeline_spark"
+    )
+    offenders = []
+    pat = re.compile(r"\.join\(F\.broadcast\([A-Za-z_][\w.]*\)\)\s*($|[.)])")
+    for path in pkg.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
