@@ -38,8 +38,11 @@ def scd2_merge(
     ``current`` carries (key, attrs..., valid_from, valid_to,
     is_current); ``updates`` carries (key, attrs...). Updates whose
     attributes null-safe-equal the current version are no-ops (no new
-    version row). Returns the merged dimension with the same schema as
-    ``current``; ``valid_from``/``valid_to`` are ISO date strings (the
+    version row); updates whose key is ABSENT from the dimension are
+    inserts (a brand-new current version opens at ``effective_date`` —
+    the MERGE ... WHEN NOT MATCHED THEN INSERT branch). Returns the
+    merged dimension with the same schema as ``current``;
+    ``valid_from``/``valid_to`` are ISO date strings (the
     engine-portable rendering; cast at a typed sink if desired).
     """
     cur = current.filter(F.col("is_current"))
@@ -64,19 +67,27 @@ def scd2_merge(
         .withColumn("is_current", F.lit(False))
     )
     untouched = cur.join(changed_keys, key_col, "left_anti")
-    opened = changed.select(
-        key_col,
-        *attr_cols,
-        F.lit(effective_date).alias("valid_from"),
-        F.lit(None).cast("string").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
+    def _open(df: DataFrame) -> DataFrame:
+        return df.select(
+            key_col,
+            *attr_cols,
+            F.lit(effective_date).alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    opened = _open(changed)
+    # WHEN NOT MATCHED THEN INSERT: keys the dimension has never seen
+    # open a first current version (same anti-join side as `untouched`,
+    # so the branch reuses the broadcast of the update batch)
+    inserted = _open(updates.join(cur.select(key_col), key_col, "left_anti"))
     cols = [key_col, *attr_cols, "valid_from", "valid_to", "is_current"]
     return (
         hist.select(cols)
         .unionByName(untouched.select(cols))
         .unionByName(closed.select(cols))
         .unionByName(opened.select(cols))
+        .unionByName(inserted.select(cols))
     )
 
 

@@ -39,10 +39,19 @@ def pagerank_fixed_rounds(
     rounds: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    check_dangling: bool = True,
 ) -> DataFrame:
     """Fixed-round integer PageRank over a directed edge list (distinct
     edges; every node must appear as a source — symmetric graphs satisfy
     this trivially, otherwise pre-add self-loops for dangling nodes).
+
+    The precondition is CHECKED, not trusted: a destination-only
+    (dangling) node would silently leak its rank mass out of the system
+    and skew every other rank, so by default a violating edge list
+    raises ValueError naming the count (one anti-join count over the
+    distinct key sets — far smaller than the edge table; pass
+    ``check_dangling=False`` only when the caller constructs the graph
+    symmetric by construction, as the x84 co-supply entry does).
 
     Returns (node, rank_scaled, rank): the fixed-point integer rank and
     its double rendering rank_scaled / SCALE.
@@ -50,6 +59,21 @@ def pagerank_fixed_rounds(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
+    if check_dangling:
+        n_dangling = (
+            e.select(F.col("dst").alias("k"))
+            .distinct()
+            .join(e.select(F.col("src").alias("k")).distinct(), "k", "left_anti")
+            .count()
+        )
+        if n_dangling:
+            e.unpersist()
+            raise ValueError(
+                f"pagerank_fixed_rounds: {n_dangling} dangling node(s) "
+                "appear only as destinations — their rank mass would "
+                "silently leak; add self-loops (or make the graph "
+                "symmetric) before calling"
+            )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     nodes = out_deg.select(F.col("src").alias("node"), "out_deg").persist()
     n_nodes = nodes.count()  # one scalar — bounded driver data

@@ -2225,11 +2225,18 @@ def a8_measure_correlations(spark: SparkSession, sf: str) -> DataFrame:
     "buckets, then apply the exact overlap predicate — the classic "
     "binned overlap join, one equi-shuffle instead of a range scan. "
     "Minutes derive via floor() in BOTH engines (Spark's double->int "
-    "cast truncates, DuckDB's rounds — floor removes the ambiguity).",
+    "cast truncates, DuckDB's rounds — floor removes the ambiguity) "
+    "and pmod forces a non-negative count (plain % takes the dividend's "
+    "sign in both engines, and a negative count would put the interval "
+    "end before its start — Spark's bucket sequence() then throws at "
+    "runtime; fixture values are >= 0 but data drift must degrade to "
+    "a zero-length interval, not a crash).",
     oracle="""
         WITH iv AS (
             SELECT event_id, ts AS s,
-                   ts + to_minutes(CAST(floor(value) AS BIGINT) % 120) AS e
+                   ts + to_minutes(
+                       ((CAST(floor(value) AS BIGINT) % 120) + 120) % 120
+                   ) AS e
             FROM events
         ),
         l AS (SELECT * FROM iv WHERE event_id % 2 = 1),
@@ -2253,7 +2260,8 @@ def j12_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.col("ts").alias("s"),
         F.expr(
-            "ts + make_dt_interval(0, 0, CAST(floor(value) AS INT) % 120, 0)"
+            "ts + make_dt_interval(0, 0, "
+            "CAST(pmod(CAST(floor(value) AS BIGINT), 120) AS INT), 0)"
         ).alias("e"),
     )
     left = iv.filter(F.col("event_id") % 2 == 1)

@@ -4608,9 +4608,12 @@ def x84_supplier_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    return G.pagerank_fixed_rounds(edges, rounds=2).select(
-        F.col("node").alias("supplier"), "rank_scaled", "rank"
-    )
+    # co-supply edges are symmetric by construction (a<->b both emitted),
+    # so the dangling-node precondition holds structurally — skip the
+    # guard's extra anti-join count on this hot bench path
+    return G.pagerank_fixed_rounds(
+        edges, rounds=2, check_dangling=False
+    ).select(F.col("node").alias("supplier"), "rank_scaled", "rank")
 
 
 _SCD2_ORACLE = """
@@ -4626,11 +4629,19 @@ _SCD2_ORACLE = """
                CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
                     ELSE 'UPDATED' END AS c_mktsegment
         FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'INSERTED'
+        FROM customer WHERE c_custkey % 50 = 0
     ),
     changed AS (
         SELECT u.c_custkey, u.c_mktsegment
         FROM upd u JOIN dim d USING (c_custkey)
         WHERE u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+    ),
+    ins AS (
+        SELECT u.c_custkey, u.c_mktsegment
+        FROM upd u LEFT JOIN dim d USING (c_custkey)
+        WHERE d.c_custkey IS NULL
     )
     SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
            CASE WHEN c.c_custkey IS NULL THEN NULL
@@ -4639,6 +4650,8 @@ _SCD2_ORACLE = """
     FROM dim d LEFT JOIN changed c USING (c_custkey)
     UNION ALL
     SELECT c_custkey, c_mktsegment, '2024-07-01', NULL, TRUE FROM changed
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '2024-07-01', NULL, TRUE FROM ins
 """
 
 
@@ -4646,14 +4659,16 @@ _SCD2_ORACLE = """
     "x86_scd2_dimension_merge",
     "Slowly-changing-dimension Type-2 merge (dims.scd2_merge): an "
     "update snapshot (every 7th customer, segment rewritten — except "
-    "every 14th, a deliberate NO-OP update) closes the current version "
-    "of each genuinely-changed key (valid_to = effective date) and "
-    "opens a new current version; unchanged keys and no-op updates pass "
-    "through untouched. Change detection is null-safe; dates ride as "
-    "ISO strings for engine portability. One equi-join of the update "
-    "batch vs the current slice (broadcast-sized in practice), three "
-    "output branches reusing it — the canonical warehouse MERGE as "
-    "pure DataFrame algebra.",
+    "every 14th, a deliberate NO-OP update — plus every 50th shifted "
+    "to a brand-new key, exercising WHEN NOT MATCHED) closes the "
+    "current version of each genuinely-changed key (valid_to = "
+    "effective date) and opens a new current version; unchanged keys "
+    "and no-op updates pass through untouched; never-seen keys INSERT "
+    "a first current version. Change detection is null-safe; dates "
+    "ride as ISO strings for engine portability. One equi-join of the "
+    "update batch vs the current slice (broadcast-sized in practice), "
+    "four output branches reusing it — the canonical warehouse MERGE "
+    "as pure DataFrame algebra.",
     oracle=_SCD2_ORACLE,
     tags=("ext", "warehouse", "scd2", "merge"),
 )
@@ -4662,11 +4677,20 @@ def x86_scd2_dimension_merge(spark: SparkSession, sf: str) -> DataFrame:
     dim = scd2_initial(
         cust, "c_custkey", ("c_mktsegment",), "2024-01-01"
     )
-    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
-        "c_custkey",
-        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
-        .otherwise(F.lit("UPDATED"))
-        .alias("c_mktsegment"),
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
+            .otherwise(F.lit("UPDATED"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit("INSERTED").alias("c_mktsegment"),
+            )
+        )
     )
     return scd2_merge(
         dim, updates, "c_custkey", ("c_mktsegment",), "2024-07-01"
@@ -4740,10 +4764,17 @@ def x88_json_source_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     "as quoted, headered CSV and read back with an explicit schema — "
     "quoting protects embedded commas/quotes, the explicit schema "
     "avoids the inference scan and its type drift. Same lossless-round-"
-    "trip hash as x88. Scale note: uncompressed CSV is splittable so "
-    "reads parallelize by 128 MB ranges, but no pruning/pushdown exists "
-    "— ingest converts to parquet in the first pass (S7) and everything "
-    "downstream scans columnar.",
+    "trip hash as x88. PRECONDITION: no embedded newlines in field "
+    "values — the default line-splittable reader (multiLine=false) "
+    "cuts records at raw newlines even inside quotes, which is exactly "
+    "what makes CSV byte-range parallelizable; data with embedded "
+    "newlines must either pre-escape them or pay the non-splittable "
+    "multiLine=true reader (both paths pinned by "
+    "tests/test_sources.py::test_csv_embedded_newline_paths). Scale "
+    "note: uncompressed CSV is splittable so reads parallelize by "
+    "128 MB ranges, but no pruning/pushdown exists — ingest converts "
+    "to parquet in the first pass (S7) and everything downstream scans "
+    "columnar.",
     oracle=_ROUNDTRIP_ORACLE,
     tags=("source", "csv", "roundtrip"),
 )

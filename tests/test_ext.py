@@ -1558,6 +1558,25 @@ def test_pagerank_mass_determinism_and_star_graph(spark):
     assert r == r2
 
 
+def test_pagerank_rejects_dangling_nodes(spark):
+    """A destination-only node would silently leak rank mass; the guard
+    must raise (naming the count) instead of returning skewed ranks —
+    and check_dangling=False restores the unchecked fast path for
+    symmetric-by-construction callers."""
+    import pytest as _pytest
+
+    from taxi_aws_data_pipeline_spark.ext import graph as G
+
+    dangling = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "src long, dst long"
+    )  # node 3 never appears as a source
+    with _pytest.raises(ValueError, match="1 dangling"):
+        G.pagerank_fixed_rounds(dangling, 2)
+    # unchecked path still runs (documented caller responsibility)
+    out = G.pagerank_fixed_rounds(dangling, 2, check_dangling=False)
+    assert out.count() == 2
+
+
 def test_scd2_merge_versions_only_genuine_changes(spark):
     """Changed key -> closed old version + open new one; no-op update and
     untouched key -> single current row; history rows pass through."""
@@ -1573,8 +1592,9 @@ def test_scd2_merge_versions_only_genuine_changes(spark):
         "2024-01-01",
     )
     updates = spark.createDataFrame(
-        [(1, "A2"), (2, "B"), (4, "D")], "k long, seg string"
-    )  # 1: real change, 2: no-op, 4: NULL -> value (null-safe change)
+        [(1, "A2"), (2, "B"), (4, "D"), (9, "NEW")], "k long, seg string"
+    )  # 1: real change, 2: no-op, 4: NULL -> value (null-safe change),
+    # 9: never-seen key -> insert branch
     def snap(df):
         return sorted(
             (
@@ -1593,6 +1613,7 @@ def test_scd2_merge_versions_only_genuine_changes(spark):
         (3, "C", "2024-01-01", None, True),
         (4, None, "2024-01-01", "2024-07-01", False),
         (4, "D", "2024-07-01", None, True),
+        (9, "NEW", "2024-07-01", None, True),
     ]
     assert rows == sorted(
         expected, key=lambda t: tuple(repr(x) for x in t)

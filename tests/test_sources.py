@@ -149,3 +149,33 @@ def test_training_shard_sink_layout_and_roundtrip(spark, tmp_path):
         shards = list(grp)
         for (fa, loa, hia), (fb, lob, hib) in zip(shards, shards[1:]):
             assert hia <= lob or (hia == lob)
+
+
+def test_csv_embedded_newline_paths(spark, tmp_path):
+    """The x89 roundtrip's documented precondition, pinned both ways:
+    the default splittable reader (multiLine=false) SPLITS a quoted
+    field at an embedded newline (records corrupt — the failure mode
+    the precondition excludes), while the non-splittable
+    multiLine=true reader recovers the rows exactly. Data with
+    embedded newlines must pick one: pre-escape, or pay multiLine."""
+    rows = [(1, "plain text"), (2, "line one\nline two"), (3, "tail")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "csv_nl")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(path)
+    )
+    schema = "id long, text string"
+    fast = spark.read.schema(schema).option("header", True).csv(path)
+    # splittable reader cut the quoted field: row count drifts
+    assert fast.count() != len(rows)
+    slow = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
+    assert sorted((r.id, r.text) for r in slow.collect()) == sorted(rows)
