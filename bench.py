@@ -102,6 +102,15 @@ BENCH_QUERIES = (
     "x89_csv_source_roundtrip",
     "x90_bigram_lm_fluency",
     "w9_time_grid_interpolate",
+    # round-4 additions: the similarity-search story gets recorded perf
+    # numbers (VERDICT r3 item 7) — LSH probe ANN, IVF ANN, semantic
+    # dedup, the bucketed kNN self-join graph, and the newly
+    # oracle-backed PQ-ADC search
+    "x11_lsh_ann_topk",
+    "x14_ivf_ann_topk",
+    "x32_semantic_dedup",
+    "x60_knn_graph",
+    "x38_pq_ann_topk",
 )
 
 

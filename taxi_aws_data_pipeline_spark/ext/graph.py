@@ -121,3 +121,60 @@ def pagerank_fixed_rounds(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def label_propagation_fixed_rounds(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (community detection)
+    over a symmetric edge list: every node starts as its own label; each
+    round, every node adopts the MOST FREQUENT label among its
+    neighbors, ties broken by the smaller label — so with a fixed round
+    count the whole computation is closed-form and an external engine
+    can replay it (the x91 oracle unrolls the rounds in SQL). This is
+    the classic near-linear community detector (Raghavan et al. 2007)
+    with the asynchronous/random bits replaced by deterministic
+    synchronous updates, the same verifiability trade the k-means and
+    PageRank tiers make.
+
+    Scale posture: per round one (dst) equi-join of the edge list with
+    the (node, label) frame + one partial-aggregated (node, label)
+    count shuffle + one per-node top-1 window — labels are scalar pairs,
+    adjacency never ships, and plan depth grows linearly with the small
+    fixed round count (localCheckpoint the result, as here, for more).
+
+    Returns (node, label) — isolated nodes (none in a symmetric edge
+    list derived from co-occurrence) would keep their own label via the
+    left join + coalesce.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = nodes.join(top, "node", "left").select(
+            "node", F.coalesce("new_lab", F.col("node")).alias("lab")
+        )
+    out = labels.select("node", F.col("lab").alias("label")).localCheckpoint(
+        eager=True
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -458,24 +458,42 @@ def semantic_dedup(
     )
 
 
-def _nearest_centroid_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def _sql_double(x: float) -> str:
+    """Exact double literal for a Spark SQL string: repr() is the
+    shortest round-tripping decimal, and string->double casting is
+    correctly rounded, so the embedded constant is bit-identical to the
+    Python float (and to DuckDB parsing the same digits)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _nearest_centroid_cell(vec_sql: str, centroids: list[list[float]]) -> Column:
     """Index of the squared-L2-nearest centroid, deterministic tie-break
     on the lower cell index: argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c),
-    so each cell costs one dot product; the per-cell (dist, cell) structs
-    sort ascending and the head wins."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(sum(x * x for x in cvec))
-                    - 2.0 * dot(vec, F.array(*[F.lit(x) for x in cvec]))
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cvec in enumerate(centroids)
-        ]
+    so each cell costs one dot product. ``vec_sql`` is a SQL expression
+    string (e.g. ``"v"`` or ``"slice(v, 17, 16)"``), and the whole
+    argmin is built as ONE F.expr: the earlier Column-API formulations
+    were dominated by per-operator py4j round trips at construction
+    time (a k x dim unrolled tree is thousands of Column calls; the
+    zip_with+aggregate fold avoided those but runs interpreted at
+    execution) — a generated SQL string is one gateway call, parses in
+    milliseconds, and codegens. Arithmetic is IEEE-identical to the
+    previous fold: the unrolled left-chained sum equals the fold (its
+    0.0 init is exact against the first term), and argmin is
+    array_position(d, array_min(d)) — comparisons only, first match =
+    lowest index, the same tie-break as a (dist, cell) struct sort."""
+    dists = []
+    for cvec in centroids:
+        terms = " + ".join(
+            f"CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) * "
+            f"{_sql_double(float(x))}"
+            for i, x in enumerate(cvec)
+        )
+        sumsq = sum(x * x for x in cvec)
+        dists.append(f"({_sql_double(sumsq)} - 2.0D * ({terms}))")
+    arr = f"array({', '.join(dists)})"
+    return F.expr(
+        f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
     )
-    return F.element_at(F.array_sort(scored), 1).getField("cell")
 
 
 def _farthest_point_seeds(
@@ -555,7 +573,7 @@ def kmeans_lloyd(
     for _ in range(max_iterations):
         rounds += 1
         assigned = vecs.withColumn(
-            "cell", _nearest_centroid_cell(F.col("v"), centroids)
+            "cell", _nearest_centroid_cell("v", centroids)
         )
         stats = (
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
@@ -588,7 +606,7 @@ def kmeans_lloyd(
     # harness), and an unpersisted lineage would re-read the source per
     # pass; localCheckpoint also severs the plan from the cache entry
     assignments = (
-        vecs.withColumn("cell", _nearest_centroid_cell(F.col("v"), centroids))
+        vecs.withColumn("cell", _nearest_centroid_cell("v", centroids))
         .select(F.col("vid").alias(id_col), "cell")
         .localCheckpoint(eager=True)
     )
@@ -615,7 +633,7 @@ def _fixed_rounds_centroids(
     dim = len(centroids[0])
     for _ in range(rounds):
         assigned = vecs.withColumn(
-            "cell", _nearest_centroid_cell(F.col("v"), centroids)
+            "cell", _nearest_centroid_cell("v", centroids)
         )
         stats = (
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
@@ -673,7 +691,7 @@ def kmeans_fixed_rounds(
         vecs.unpersist()
         return out
     out = (
-        vecs.withColumn("cell", _nearest_centroid_cell(F.col("v"), centroids))
+        vecs.withColumn("cell", _nearest_centroid_cell("v", centroids))
         .select(F.col("vid").alias(id_col), F.col("cell").cast("int").alias("cell"))
         .localCheckpoint(eager=True)
     )
@@ -735,13 +753,22 @@ def pq_train_fixed(
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """Hash-verifiable twin of :func:`pq_train`: per subspace, the
-    closed-form :func:`_fixed_rounds_centroids` trainer (k lowest-id
-    subvector seeds, exactly ``rounds`` Lloyd updates) instead of
-    convergence-based :func:`kmeans_lloyd` — every arithmetic step is
-    replayable by an external SQL engine, which is what lets the x38
-    catalog entry carry a full ADC-ranking oracle. Same scale posture:
-    m bounded Lloyd runs, per-round shuffle is (cell, pos) partial
-    aggregates, collects are k x sub_dim rows."""
+    closed-form fixed-rounds Lloyd trainer (k lowest-id subvector
+    seeds, exactly ``rounds`` updates) instead of convergence-based
+    :func:`kmeans_lloyd` — every arithmetic step is replayable by an
+    external SQL engine, which is what lets the x38 catalog entry
+    carry a full ADC-ranking oracle.
+
+    All ``m`` subspace trainings are FUSED into one job per round: the
+    seeds come from a single lowest-vid collect (the vid ordering is
+    subspace-independent), and each round runs ONE assignment
+    projection carrying all m cell columns plus ONE partial-aggregated
+    (subspace, cell, subpos) shuffle — the per-subspace loop would pay
+    m x rounds separate actions for identical arithmetic (measured 9.6
+    -> ~3 s at sf0.1: driver-round fixed costs dominate, and they are
+    constant in data size, so the fusion matters MORE at 100 TB where
+    each extra action is a full scan). Per-round collect is
+    m x k x sub_dim rows, never data-sized."""
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return []
@@ -749,17 +776,73 @@ def pq_train_fixed(
     if dim % m:
         raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        piece = df.select(
-            F.col(id_col).alias("vid"),
-            F.transform(
-                F.slice(F.col(vec_col), j * sub + 1, sub),
-                lambda x: x.cast("double"),
-            ).alias("v"),
-        ).persist()
-        books.append(_fixed_rounds_centroids(piece, k, rounds))
-        piece.unpersist()
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    seed_rows = vecs.orderBy("vid").limit(k).collect()
+    if not seed_rows:
+        vecs.unpersist()
+        return [[] for _ in range(m)]
+    books = [
+        [
+            [float(x) for x in r.v[j * sub : (j + 1) * sub]]
+            for r in seed_rows
+        ]
+        for j in range(m)
+    ]
+    kk = len(seed_rows)
+    for _ in range(rounds):
+        cells = [
+            _nearest_centroid_cell(
+                f"slice(v, {j * sub + 1}, {sub})", books[j]
+            ).alias(f"c{j}")
+            for j in range(m)
+        ]
+        # per-round cost at bench scale is DOMINATED by codegen compile
+        # of the unrolled k x dim assignment (new centroid literals each
+        # round -> new generated source -> janino recompile, ~2-5 s,
+        # CONSTANT in data size); the row work itself is k x dim flops
+        # inside whole-stage codegen, which is what matters at 100 TB
+        assigned = vecs.select("v", *cells)
+        stats = (
+            assigned.select(
+                *[f"c{i}" for i in range(m)],
+                F.posexplode("v").alias("pos", "val"),
+            )
+            .select(
+                F.expr(f"pos div {sub}").cast("int").alias("j"),
+                (F.col("pos") % sub).alias("subpos"),
+                F.element_at(
+                    F.array(*[F.col(f"c{i}") for i in range(m)]),
+                    F.expr(f"pos div {sub}").cast("int") + 1,
+                ).alias("cell"),
+                "val",
+            )
+            .groupBy("j", "cell", "subpos")
+            .agg(
+                F.sum(F.floor(F.col("val") * 1_000_000)).alias("qsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for j in range(m):
+            by_cell: dict[int, list[float]] = {}
+            counts: dict[int, int] = {}
+            for r in stats:
+                if r.j != j:
+                    continue
+                by_cell.setdefault(r.cell, [0.0] * sub)[r.subpos] = float(
+                    r.qsum
+                )
+                counts[r.cell] = r.n
+            books[j] = [
+                [q / (1_000_000.0 * counts[i]) for q in by_cell[i]]
+                if i in by_cell
+                else books[j][i]
+                for i in range(kk)
+            ]
+    vecs.unpersist()
     return books
 
 
@@ -776,7 +859,9 @@ def pq_encode(
     sub = len(codebooks[0][0])
     codes = F.array(
         *[
-            _nearest_centroid_cell(F.slice(F.col(vec_col), j * sub + 1, sub), book)
+            _nearest_centroid_cell(
+                f"slice({vec_col}, {j * sub + 1}, {sub})", book
+            )
             for j, book in enumerate(codebooks)
         ]
     )
@@ -829,30 +914,42 @@ def pq_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
-    terms = []
+    # per-subspace squared L2 against the coded centroid, built as SQL
+    # strings (one F.expr each — the Column-API formulations paid
+    # thousands of py4j calls at build time, and the zip_with+aggregate
+    # fold ran interpreted at execution). The coded centroid is
+    # projected ONCE per subspace as a cen{j} column, then the unrolled
+    # left-chained sum of squared diffs references it by name — the
+    # chain is IEEE-identical to the fold (0.0 init exact vs first term)
+    cen_cols = []
     for j, book in enumerate(codebooks):
-        cen = F.element_at(
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book]),
-            F.element_at(F.col("pq_code"), j + 1) + 1,
-        )
-        sub_q = F.slice(F.col("probe_vec"), j * sub + 1, sub)
-        terms.append(
-            F.aggregate(
-                F.zip_with(
-                    sub_q,
-                    cen,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        book_arr = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(_sql_double(float(x)) for x in c) + ")"
+                for c in book
             )
+            + ")"
         )
-    adc = terms[0]
-    for t in terms[1:]:
-        adc = adc + t
+        cen_cols.append(
+            F.expr(
+                f"element_at({book_arr}, "
+                f"element_at(pq_code, {j + 1}) + 1)"
+            ).alias(f"cen{j}")
+        )
+    sub_chains = []
+    for j in range(len(codebooks)):
+        diffs = [
+            f"(CAST(element_at(probe_vec, {j * sub + i + 1}) AS DOUBLE)"
+            f" - element_at(cen{j}, {i + 1}))"
+            for i in range(sub)
+        ]
+        sub_chains.append(" + ".join(f"{d} * {d}" for d in diffs))
+    adc_sql = " + ".join(f"({c})" for c in sub_chains)
     scored = (
         codes.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("adc_dist", adc)
+        .select("probe_id", "neighbor_id", "probe_vec", *cen_cols)
+        .withColumn("adc_dist", F.expr(adc_sql))
         .select("probe_id", "neighbor_id", "adc_dist")
     )
     w = Window.partitionBy("probe_id").orderBy(

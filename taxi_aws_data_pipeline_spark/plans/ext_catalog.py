@@ -4588,24 +4588,34 @@ _PAGERANK_ORACLE = f"""
     "contributions, sum*85 div 100 damping), so the result is "
     "bit-identical at any parallelism and the oracle REPLAYS both "
     "rounds in SQL — the rank-propagation analogue of x83's verified "
-    "Lloyd iteration. Per round: one (src) equi-join of (node, long) "
-    "rank pairs + one partial-aggregated (dst) shuffle — the textbook "
-    "distributed PageRank shape; adjacency never ships.",
+    "Lloyd iteration. Edge build is ONE fact exchange "
+    "(groupBy-collect_set + bounded double-explode; the self-join "
+    "alternative shuffles the fact twice — r4 A/B in BASELINE.md). Per "
+    "round: one (src) equi-join of (node, long) rank pairs + one "
+    "partial-aggregated (dst) shuffle — the textbook distributed "
+    "PageRank shape; adjacency never ships.",
     oracle=_PAGERANK_ORACLE,
     tags=("ext", "graph", "pagerank", "iterative"),
 )
 def x84_supplier_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
+    # one-exchange edge build (r4 A/B vs the l_orderkey self-join,
+    # recorded in BASELINE.md): groupBy + collect_set shuffles the fact
+    # ONCE, then the bounded per-order supplier set (~7 lines/order)
+    # double-explodes into ordered pairs map-side. The self-join form
+    # shuffles the fact on both sides with no ReusedExchange (verified:
+    # the aliased subtrees don't canonicalize equal), so this halves
+    # the data-sized exchanges — a wash at bench scale, the difference
+    # that matters at 100 TB. Edge sets proven identical (907,176 at
+    # sf0.1) before switching.
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("ss")
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
+        grouped.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
     # co-supply edges are symmetric by construction (a<->b both emitted),
