@@ -1003,3 +1003,93 @@ def knn_graph(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-rounds power iteration for the top principal direction of
+    the (uncentered) Gram operator A = Σ xᵢxᵢᵀ — the PCA primitive,
+    computed WITHOUT materializing the d x d matrix: each round is one
+    distributed pass evaluating Av = Σ xᵢ (xᵢ·v), with v riding the
+    plan as literals. The replayability recipe is the x83/x84 one:
+    start vector 1/sqrt(dim) per component, per-component matvec sums
+    accumulate as floor((val*dot)*1e6) fixed-point integers (order-free
+    at any parallelism), the squared norm is an exact decimal sum of
+    squared qsums, and normalization is the pinned expression
+    (q/1e6) / (sqrt(double(nsq))/1e6) — every step closed-form, so the
+    x92 oracle unrolls the whole iteration in SQL. Sign is
+    deterministic (no RNG anywhere).
+
+    Scale: per round one codegen'd projection + one partial-aggregated
+    (pos) shuffle of dim-sized groups; collects are dim rows. The
+    per-round dot is an unrolled SQL-string chain (IEEE-equal to the
+    aggregate fold — see _nearest_centroid_cell).
+
+    Output: (pos, loading, lambda_est) — dim rows, loading the
+    normalized component, lambda_est = ||Av|| (the Rayleigh estimate
+    under the normalized input v).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    first = vecs.select(F.size("v").alias("d")).first()
+    if first is None:
+        vecs.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "pos int, loading double, lambda_est double"
+        )
+    dim = int(first.d)
+    v = [1.0 / math.sqrt(dim)] * dim
+
+    def matvec_qsums(vlist: list[float]) -> DataFrame:
+        d_sql = " + ".join(
+            f"CAST(element_at(v, {i + 1}) AS DOUBLE) * {_sql_double(float(x))}"
+            for i, x in enumerate(vlist)
+        )
+        return (
+            vecs.withColumn("d", F.expr(d_sql))
+            .select("d", F.posexplode("v").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * F.col("d") * F.lit(1000000))
+                ).alias("qsum")
+            )
+        )
+
+    for _ in range(rounds - 1):
+        rows = matvec_qsums(v).collect()
+        qs = {r.pos: int(r.qsum) for r in rows}
+        nsq = sum(q * q for q in qs.values())
+        norm_c = math.sqrt(float(nsq)) / 1e6
+        v = [(qs[p] / 1e6) / norm_c for p in range(dim)]
+    qsf = matvec_qsums(v)
+    nsqf = qsf.agg(
+        F.sum(F.col("qsum").cast("decimal(19,0)") * F.col("qsum")).alias(
+            "nsq"
+        )
+    )
+    # decimal -> string -> double mirrors the oracle's
+    # CAST(CAST(nsq AS VARCHAR) AS DOUBLE): the string parse is
+    # correctly rounded in both engines by spec (the a8 idiom)
+    norm_col = F.sqrt(F.col("nsq").cast("string").cast("double")) / F.lit(
+        1000000.0
+    )
+    out = (
+        qsf.crossJoin(F.broadcast(nsqf))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            (
+                (F.col("qsum").cast("double") / F.lit(1000000.0)) / norm_col
+            ).alias("loading"),
+            norm_col.alias("lambda_est"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs.unpersist()
+    return out

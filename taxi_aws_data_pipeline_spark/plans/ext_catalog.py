@@ -4608,21 +4608,11 @@ def x84_supplier_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # the data-sized exchanges — a wash at bench scale, the difference
     # that matters at 100 TB. Edge sets proven identical (907,176 at
     # sf0.1) before switching.
-    grouped = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_suppkey").alias("ss")
-    )
-    edges = (
-        grouped.select(F.explode("ss").alias("src"), "ss")
-        .select("src", F.explode("ss").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
     # co-supply edges are symmetric by construction (a<->b both emitted),
     # so the dangling-node precondition holds structurally — skip the
     # guard's extra anti-join count on this hot bench path
     return G.pagerank_fixed_rounds(
-        edges, rounds=2, check_dangling=False
+        _cosupply_edges(li), rounds=2, check_dangling=False
     ).select(F.col("node").alias("supplier"), "rank_scaled", "rank")
 
 
@@ -4851,3 +4841,360 @@ _FLUENCY_ORACLE = f"""
 )
 def x90_bigram_lm_fluency(spark: SparkSession, sf: str) -> DataFrame:
     return TX.bigram_fluency(load_table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 tier: community detection, PCA direction, simhash pairing,
+# equi-depth histogram, inter-arrival profile, exact stratified holdout
+# ---------------------------------------------------------------------------
+
+from ..compat import oracle_money_sum as _omoney  # noqa: E402
+from ..compat import money_sum as _money  # noqa: E402
+from pyspark.sql.window import Window as _W  # noqa: E402
+
+_COSUPPLY_EDGES_SQL = """
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    )"""
+
+
+def _cosupply_edges(li: DataFrame) -> DataFrame:
+    """One-exchange co-supply edge build shared by x84/x91 (see the x84
+    A/B in BASELINE.md): groupBy-collect_set + bounded double-explode,
+    symmetric by construction."""
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("ss")
+    )
+    return (
+        grouped.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _lp_round(prev: str, cnt: str, cur: str) -> str:
+    """One synchronous label-propagation round: most frequent neighbor
+    label, ties to the smaller label."""
+    return f"""
+    {cnt} AS (
+        SELECT e.src AS node, l.lab, count(*) AS c
+        FROM e JOIN {prev} l ON l.node = e.dst
+        GROUP BY 1, 2
+    ),
+    {cur} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) AS rn
+            FROM {cnt}
+        ) WHERE rn = 1
+    )"""
+
+
+_LABEL_PROP_ORACLE = f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),{_lp_round('l0', 'c1', 'l1')},{_lp_round('l1', 'c2', 'l2')}
+    SELECT node AS supplier, lab AS label FROM l2
+"""
+
+
+@register(
+    "x91_label_propagation_communities",
+    "Fixed-round synchronous label propagation (Raghavan et al. 2007 "
+    "community detection, determinized) over the supplier co-supply "
+    "graph: every node starts as its own label; each of TWO rounds "
+    "every node adopts the most frequent neighbor label (ties -> "
+    "smaller label), and the oracle replays both rounds in SQL — the "
+    "community-structure sibling of x84's verified PageRank and x18's "
+    "connected components (which answers reachability, not density). "
+    "Per round: one (dst) equi-join of scalar (node, label) pairs + "
+    "one partial-aggregated (node, label) count shuffle + a per-node "
+    "top-1 window; adjacency never ships; edge build is the x84 "
+    "one-exchange form.",
+    oracle=_LABEL_PROP_ORACLE,
+    tags=("ext", "graph", "community", "iterative"),
+)
+def x91_label_propagation_communities(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    return G.label_propagation_fixed_rounds(_cosupply_edges(li), rounds=2).select(
+        F.col("node").alias("supplier"), "label"
+    )
+
+
+_PI_DOT_V0 = (
+    "list_reduce(list_transform(list_zip(v, ["
+    + ", ".join("CAST('0.125' AS DOUBLE)" for _ in range(64))
+    + "]), z -> z[1]*z[2]), (acc, x) -> acc + x)"
+)
+
+_PI_V1_LIST = "(SELECT list(vc ORDER BY pos) FROM v1)"
+
+_POWER_ITER_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    q1 AS (
+        SELECT t.pos,
+               sum(CAST(floor(t.val * t.d * 1000000) AS BIGINT)) AS q
+        FROM (
+            SELECT unnest(v) AS val, unnest(range(0, len(v))) AS pos,
+                   {_PI_DOT_V0} AS d
+            FROM e
+        ) t
+        GROUP BY t.pos
+    ),
+    n1 AS (SELECT sum(CAST(q AS HUGEINT) * q) AS nsq FROM q1),
+    v1 AS (
+        SELECT pos,
+               (CAST(q AS DOUBLE) / 1000000.0)
+               / (sqrt(CAST(CAST(nsq AS VARCHAR) AS DOUBLE)) / 1000000.0)
+                   AS vc
+        FROM q1 CROSS JOIN n1
+    ),
+    q2 AS (
+        SELECT t.pos,
+               sum(CAST(floor(t.val * t.d * 1000000) AS BIGINT)) AS q
+        FROM (
+            SELECT unnest(v) AS val, unnest(range(0, len(v))) AS pos,
+                   list_reduce(list_transform(list_zip(v, {_PI_V1_LIST}),
+                       z -> z[1]*z[2]), (acc, x) -> acc + x) AS d
+            FROM e
+        ) t
+        GROUP BY t.pos
+    ),
+    n2 AS (SELECT sum(CAST(q AS HUGEINT) * q) AS nsq FROM q2)
+    SELECT CAST(pos AS INT) AS pos,
+           (CAST(q AS DOUBLE) / 1000000.0)
+           / (sqrt(CAST(CAST(nsq AS VARCHAR) AS DOUBLE)) / 1000000.0)
+               AS loading,
+           sqrt(CAST(CAST(nsq AS VARCHAR) AS DOUBLE)) / 1000000.0
+               AS lambda_est
+    FROM q2 CROSS JOIN n2
+"""
+
+
+@register(
+    "x92_power_iteration_top_pc",
+    "Fixed-rounds power iteration for the top principal direction of "
+    "the uncentered Gram operator A = sum(x xT) over the embeddings — "
+    "the PCA primitive without ever materializing the d x d matrix: "
+    "each round evaluates Av = sum(x (x.v)) in ONE distributed pass "
+    "(v rides as literals), with floor((val*dot)*1e6) fixed-point "
+    "integer component sums (order-free at any parallelism), an exact "
+    "decimal sum of squared qsums for the norm, and the pinned "
+    "normalization (q/1e6)/(sqrt(double(nsq))/1e6). TWO rounds from "
+    "the 1/sqrt(64) start vector, every step closed-form — the oracle "
+    "replays the full iteration in SQL (the x83/x84 recipe applied to "
+    "spectral methods). Per round: codegen'd projection + one "
+    "partial-aggregated (pos) shuffle; collects are dim rows.",
+    oracle=_POWER_ITER_ORACLE,
+    tags=("ext", "embedding", "pca", "iterative", "ml"),
+)
+def x92_power_iteration_top_pc(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    return S.power_iteration_top_component(emb, rounds=2)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH s AS (
+        SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS sig
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@register(
+    "x93_simhash_hamming_pairs",
+    "SimHash near-dup PAIRING (completes the x9 signature entry into a "
+    "join): pairs within Hamming distance <= 3 of the 16-bit signature, "
+    "found by nibble-LSH blocking — 4 bands of 4 bits; by pigeonhole a "
+    "pair with <= 3 differing bits shares at least one exact band, so "
+    "the band-equality self-join is COMPLETE for the threshold and the "
+    "oracle can be the algorithm-independent brute force over all "
+    "id-ordered pairs. The scale shape is one shuffle on (band, value) "
+    "keys with popcount verification only inside blocks — never "
+    "all-pairs; the frequent-band skew bound is 2^4 bands x nibble "
+    "collision rate, the same regime x8's MinHash bands occupy.",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    tags=("ext", "dedup", "simhash", "lsh"),
+)
+def x93_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return X.simhash_near_dup_pairs(docs, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+_EQUIDEPTH_ORACLE = f"""
+    WITH r AS (
+        SELECT l_extendedprice,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT CAST((rn - 1) * 10 // n AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi,
+           {_omoney('l_extendedprice')} AS total
+    FROM r GROUP BY 1
+"""
+
+
+@register(
+    "x94_equidepth_histogram",
+    "EQUI-DEPTH histogram (10 equal-count buckets of lineitem price) — "
+    "the complement of x45's fixed-width bins, and the shape query "
+    "optimizers and drift monitors actually want. Bucket = "
+    "(global_rank-1)*10 div N, integer-exact in both engines. The rank "
+    "comes from packing.global_row_number (range-repartition + "
+    "in-partition numbering + driver prefix-sum over partition counts), "
+    "NOT a partition-less row_number window, so no SinglePartition "
+    "funnel exists at any scale; the oracle uses the naive total-order "
+    "window, proving the distributed numbering equals sequential "
+    "semantics (the x87 contract, now load-bearing inside an operator).",
+    oracle=_EQUIDEPTH_ORACLE,
+    tags=("ext", "histogram", "quantile", "scale-pattern"),
+)
+def x94_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    numbered = PK.global_row_number(
+        li, ("l_extendedprice", "l_orderkey", "l_linenumber")
+    )
+    n = numbered.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        numbered.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("CAST((global_idx - 1) * 10 div n AS INT)").alias(
+                "bucket"
+            ),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            _money("l_extendedprice").alias("total"),
+        )
+    )
+
+
+_GAP_BUCKET_SQL = """
+    CASE WHEN ts < prev_ts + INTERVAL 10 SECOND THEN 'lt_10s'
+         WHEN ts < prev_ts + INTERVAL 1 MINUTE THEN '10s_1m'
+         WHEN ts < prev_ts + INTERVAL 10 MINUTE THEN '1m_10m'
+         WHEN ts < prev_ts + INTERVAL 1 HOUR THEN '10m_1h'
+         ELSE 'ge_1h' END
+"""
+
+_INTERARRIVAL_ORACLE = f"""
+    WITH g AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT {_GAP_BUCKET_SQL} AS gap_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM g WHERE prev_ts IS NOT NULL
+    GROUP BY 1
+"""
+
+
+@register(
+    "x95_interarrival_profile",
+    "Per-user inter-arrival-time profile: consecutive event gaps "
+    "(lag over the user timeline) bucketed into banded ranges with "
+    "gap counts and distinct affected users — the profile that sizes "
+    "streaming watermarks (x69's lateness sibling for THROUGHPUT "
+    "shape) and sessionization thresholds (w2's 30-min cut, made "
+    "visible). Gap banding is INTERVAL comparisons on the raw "
+    "timestamps — microsecond-exact in both engines, no epoch/double "
+    "conversion anywhere. One shuffle on user_id (the window), then a "
+    "5-group aggregate.",
+    oracle=_INTERARRIVAL_ORACLE,
+    tags=("ext", "events", "profile", "streaming-adjacent"),
+)
+def x95_interarrival_profile(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn("prev_ts", F.lag("ts").over(w)).filter(
+        F.col("prev_ts").isNotNull()
+    )
+    return g.select(F.expr(_GAP_BUCKET_SQL).alias("gap_bucket"), "user_id").groupBy(
+        "gap_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_HOLDOUT_ORACLE = """
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rn <= (n + 9) // 10 THEN 'test'
+                WHEN rn <= 2 * ((n + 9) // 10) THEN 'val'
+                ELSE 'train' END AS split
+    FROM r
+"""
+
+
+@register(
+    "x96_stratified_holdout_split",
+    "Three-way train/val/test split with EXACT per-stratum counts "
+    "(ceil(10%) test, next ceil(10%) val, rest train, per source): "
+    "docs rank by md5(doc_id) within their stratum — deterministic, "
+    "reshuffle-proof, and unlike x16/x48's independent-acceptance "
+    "sampling the realized split sizes are exact integers, which is "
+    "what evaluation-set contracts require. Complements x52, which "
+    "assigns whole CLUSTERS to splits for leakage safety but only "
+    "approximates proportions; this entry is the exact-proportion tool "
+    "when leakage grouping is not needed. One shuffle on source (the "
+    "ranking window); the md5 rank order is the x16 hash-sampling "
+    "trick, so the two samplers compose without correlation.",
+    oracle=_HOLDOUT_ORACLE,
+    tags=("ext", "sampling", "split", "deterministic"),
+)
+def x96_stratified_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    w = _W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(_W.partitionBy("source")).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CASE WHEN rn <= (n + 9) div 10 THEN 'test' "
+            "WHEN rn <= 2 * ((n + 9) div 10) THEN 'val' "
+            "ELSE 'train' END"
+        ).alias("split"),
+    )
