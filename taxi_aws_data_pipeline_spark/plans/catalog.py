@@ -2303,3 +2303,204 @@ def j12_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
             "min_overlap_id",
         )
     )
+
+
+@register(
+    "j13_bi_national_volume",
+    "TPC-H Q7 shape (volume shipping): revenue flowing between two "
+    "specific nations in either direction, by supplier nation, customer "
+    "nation, and ship year. Two INDEPENDENT dimension paths off the "
+    "fact — lineitem->supplier->nation on one side, "
+    "lineitem->orders->customer->nation on the other — with the "
+    "cross-pair predicate ((A,B) or (B,A)) applied after both resolve. "
+    "Scale: nation/supplier/customer broadcast; orders is the one "
+    "co-shuffled join (orderkey), and the nation filters push into the "
+    "dimension scans BEFORE the fact join so the fact rows that ship "
+    "through the join are pre-pruned.",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS ship_year,
+               COUNT(*) AS n_items,
+               {oracle_money_sum('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS volume
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    tags=("join", "tpch-q7", "multi-path", "agg"),
+)
+def j13_bi_national_volume(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier")
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s_side = supp.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c_side = cust.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(s_side), li["l_suppkey"] == s_side["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(c_side), orders["o_custkey"] == c_side["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+    )
+
+
+@register(
+    "w10_percent_rank_cume_dist",
+    "Distribution-position analytics: percent_rank and cume_dist of "
+    "each lineitem price within its return-flag group — the window "
+    "family (rank-ratio functions) the w1-w9 tier doesn't cover. Both "
+    "are VALUE-based (ties share a position), so the result is "
+    "deterministic without a unique tie-break, and the closing "
+    "divisions are single IEEE ops on exact integer counts — "
+    "hash-portable. The window is computed over the FULL group, then "
+    "the output samples every 997th orderkey (the window must see all "
+    "rows; the sample only bounds the verified surface). One shuffle "
+    "on the partition key.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+               pr, cd
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   l_extendedprice,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice)
+        )
+        WHERE l_orderkey % 997 = 0
+    """,
+    tags=("window", "rank", "distribution"),
+)
+def w10_percent_rank_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("l_orderkey") % 997 == 0)
+    )
+
+
+@register(
+    "a9_mergeable_rollup_maintenance",
+    "Algebraic-aggregate MERGEABILITY, verified: monthly event metrics "
+    "computed by MERGING daily partial aggregates (sum of counts, sum "
+    "of exact decimal sums, min of mins, max of maxes — never touching "
+    "raw rows again) hash-equal the oracle's direct monthly aggregation "
+    "over raw events. This is the hypertable-rollup / incremental-"
+    "materialized-view contract: daily partials are what a streaming "
+    "job checkpoints, and month-end reads merge partials instead of "
+    "rescanning the month. Works BECAUSE every aggregate here is "
+    "algebraic (decimal sums are associative; double sums would drift); "
+    "avg derives from merged sum/count at the end. Two partial-"
+    "aggregated shuffles (day then month), the second over ~30x fewer "
+    "rows.",
+    oracle=f"""
+        SELECT strftime(date_trunc('month', ts), '%Y-%m') AS event_month,
+               event_type,
+               COUNT(*) AS n_events,
+               {oracle_money_sum('value')} AS total_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "rollup", "incremental", "mergeable"),
+)
+def a9_mergeable_rollup_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("value").alias("dec_sum"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return (
+        daily.groupBy(
+            F.substring("event_day", 1, 7).alias("event_month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("dec_sum"), 2).cast("double").alias("total_value"),
+            F.min("lo").alias("min_value"),
+            F.max("hi").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "g7_grouped_mode",
+    "Grouped MODE without collecting values: each user's most frequent "
+    "event type (count desc, event_type asc tie-break) via count + "
+    "per-group top-1 window — the scale-correct mode shape (Spark's "
+    "mode() and a collect_list UDF both materialize the group; this "
+    "form is two partial-aggregated shuffles over scalar rows). The "
+    "c2-family taxi imputation uses the same pattern globally; this is "
+    "the per-entity version an activity-segmentation pipeline needs.",
+    oracle="""
+        SELECT user_id, event_type AS modal_event,
+               CAST(c AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id, event_type, count(*) AS c,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC,
+                                               event_type) AS rn
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        WHERE rn = 1
+    """,
+    tags=("agg", "mode", "grouped", "window"),
+)
+def g7_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_event"), F.col("c").alias("n_events"))
+    )
