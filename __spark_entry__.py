@@ -37,13 +37,15 @@ _FLAGSHIP = "a1_returnflag_performance"
 # against regressions rather than resting on the local replica alone.
 #
 # WINDOW SCHEDULE (documented per VERDICT r3 item 6): once round 4
-# lands, every oracle-backed entry has a driver correctness row.
+# lands, every pre-r4 oracle-backed entry has a driver correctness row.
 # Subsequent rounds keep the first ~24 slots on whatever is newest /
 # changed and rotate the re-pin block through the tiers round-robin:
-# r5 = a/c/d/e families + x1-x27 odds, r6 = j/w/g/k families + x28-x60
-# evens, r7 = s/p families + x61-x90, then repeat. Entries outside the
-# window stay pinned every session by tests/test_oracle_parity.py +
-# test_vanilla_session.py (the 151-entry local replica).
+# r5 = the round-4 additions (x91-x96, j13, w10, a9, g7 — all
+# local-green this session) + a/c/d/e families + x1-x27 odds,
+# r6 = j/w/g/k families + x28-x60 evens, r7 = s/p families + x61-x90,
+# then repeat. Entries outside the window stay pinned every session by
+# tests/test_oracle_parity.py + test_vanilla_session.py (the
+# 161-entry local replica).
 _NEVER_WINDOWED = (
     "a8_measure_correlations",
     "g5_pivot_daily_event_values",

@@ -351,3 +351,51 @@ def test_z1_zorder_bounds_both_dimensions(spark, sf_dir):
     assert (got["part_hi"] - got["part_lo"]).max() <= 31
     assert (got["supp_hi"] - got["supp_lo"]).max() <= 31
     assert len(got) > 1
+
+
+def test_x93_simhash_pairing_equi_join_on_band(spark, sf_dir):
+    # the nibble-band blocking must surface as an EQUI-join (hash/SMJ),
+    # never a cartesian/nested-loop fallback — that would mean the band
+    # equality fell out of the condition and the join went all-pairs
+    plan = _plan(spark, sf_dir, "x93_simhash_hamming_pairs", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_x94_equidepth_has_no_single_partition_exchange(spark, sf_dir):
+    # the equi-depth histogram rides global_row_number: the x87
+    # no-SinglePartition contract must hold INSIDE a consuming operator
+    # too (localCheckpoint severs the numbering subplan, so assert on
+    # the un-checkpointed building blocks)
+    from taxi_aws_data_pipeline_spark.ext import packing as PK
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    df = PK.global_row_number(
+        li, ("l_extendedprice", "l_orderkey", "l_linenumber"), checkpoint=False
+    )
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_x91_label_propagation_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x91_label_propagation_communities", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_j13_dimension_filters_push_before_fact_join(spark, sf_dir):
+    # the two-nation filter must prune the DIMENSION scans (supplier /
+    # customer sides resolve against a 2-row nation slice), and the
+    # dims must broadcast — the fact table itself never broadcast
+    plan = _plan(spark, sf_dir, "j13_bi_national_volume")
+    assert "BroadcastHashJoin" in plan
+    # nation name filter reached a scan as a pushed/partial filter
+    assert "NATION_1" in plan
