@@ -111,6 +111,14 @@ BENCH_QUERIES = (
     "x32_semantic_dedup",
     "x60_knn_graph",
     "x38_pq_ann_topk",
+    # round-4 operator additions: community detection, PCA direction,
+    # equi-depth histogram, the Q7/Q19 join shapes, range-frame window
+    "x91_label_propagation_communities",
+    "x92_power_iteration_top_pc",
+    "x94_equidepth_histogram",
+    "j13_bi_national_volume",
+    "j14_disjunctive_pred_join",
+    "w11_range_frame_rolling_count",
 )
 
 

@@ -2504,3 +2504,155 @@ def g7_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_event"), F.col("c").alias("n_events"))
     )
+
+
+@register(
+    "j14_disjunctive_pred_join",
+    "TPC-H Q19 shape: a join whose filter is an OR of per-branch "
+    "conjunctions SPANNING BOTH tables (brand x size-range x quantity-"
+    "range). The scale lesson is predicate normalization: Catalyst "
+    "CNF-converts the disjunction and pushes the single-table residues "
+    "(brand IN set, size <= max, quantity <= max) into BOTH scans "
+    "before the join, so the join sees pre-pruned inputs even though "
+    "no single disjunct is a pure scan filter; part broadcasts. "
+    "Grouped by brand so the verified surface shows each branch "
+    "matched.",
+    oracle=f"""
+        SELECT p.p_brand,
+               COUNT(*) AS n_items,
+               {oracle_money_sum('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+        GROUP BY 1
+    """,
+    tags=("join", "tpch-q19", "disjunction", "pushdown"),
+)
+def j14_disjunctive_pred_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        joined.filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j15_null_tolerant_anti_join",
+    "The NOT IN null trap, made explicit: customers with no 1996 order, "
+    "where the subquery side deliberately contains a NULL key (planted "
+    "via UNION ALL). Under SQL three-valued logic `c NOT IN (..., NULL)` "
+    "is never TRUE — a NOT IN formulation returns ZERO rows and "
+    "silently drops the whole result; the correct operator is the "
+    "NOT EXISTS / left-anti equi-join, where the NULL probe matches "
+    "nothing and is harmless. The engine's left_anti IS that operator "
+    "(both engines agree, which is exactly what the hash verifies). "
+    "Scale: the key set reduces to distinct keys before the anti join "
+    "and broadcasts when small.",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orderless_1996
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM (
+                SELECT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1996
+                UNION ALL SELECT CAST(NULL AS BIGINT)
+            ) o
+            WHERE o.o_custkey = c.c_custkey
+        )
+        GROUP BY 1
+    """,
+    tags=("join", "anti", "null-semantics"),
+)
+def j15_null_tolerant_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    keys_1996 = (
+        load_table(spark, sf, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .unionByName(
+            cust.limit(1).select(
+                F.lit(None).cast("long").alias("o_custkey")
+            )
+        )
+    )
+    return (
+        cust.join(
+            keys_1996, cust["c_custkey"] == keys_1996["o_custkey"], "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orderless_1996"))
+    )
+
+
+@register(
+    "w11_range_frame_rolling_count",
+    "TIME-RANGE window frame (the frame type w1-w10 don't cover): per "
+    "event, how many of the same user's events fall in the trailing "
+    "hour — RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW, a "
+    "VALUE-based frame, so timestamp ties share a frame and the result "
+    "is deterministic without a unique tie-break (a ROWS frame would "
+    "be placement-dependent under ties). Microsecond-exact interval "
+    "arithmetic in both engines; count-only output, no float. The "
+    "window is computed over every row (one user_id shuffle), the "
+    "verified surface samples every 7th event.",
+    oracle="""
+        SELECT event_id, user_id, ts, n_last_hour
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_last_hour
+            FROM events
+        )
+        WHERE event_id % 7 = 0
+    """,
+    tags=("window", "range-frame", "rolling"),
+)
+def w11_range_frame_rolling_count(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr(
+                "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+                "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+            ).alias("n_last_hour"),
+        )
+        .filter(F.col("event_id") % 7 == 0)
+    )

@@ -5198,3 +5198,71 @@ def x96_stratified_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
             "ELSE 'train' END"
         ).alias("split"),
     )
+
+
+_TOPIC_LEXICON: tuple[tuple[str, str], ...] = tuple(
+    (topic, w)
+    for topic, words in (
+        ("storage", ("table", "row", "column", "scan", "part")),
+        ("execution", ("hash", "merge", "sort", "join", "agg")),
+        ("streaming", ("stream", "window", "batch", "order")),
+    )
+    for w in words
+)
+
+_TOPIC_TAG_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    lex(topic, word) AS (
+        VALUES {", ".join(f"('{t}', '{w}')" for t, w in _TOPIC_LEXICON)}
+    ),
+    c AS (
+        SELECT doc_id, topic, count(*) AS n_hits
+        FROM toks JOIN lex ON toks.w = lex.word
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, topic, CAST(n_hits AS BIGINT) AS n_hits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_hits DESC, topic) = 1
+               AS is_dominant
+    FROM c
+"""
+
+
+@register(
+    "x97_topic_lexicon_tagging",
+    "Multi-lexicon topic tagging: per (doc, topic) hit counts against "
+    "keyword lexicons plus a dominant-topic flag (count desc, topic "
+    "asc ties) — the classifier-free corpus labeling step under "
+    "domain-mixture decisions. The lexicon is a broadcast TABLE (not "
+    "literal arrays), so the same plan serves thousand-topic "
+    "taxonomies: one token explode, a broadcast equi-join, a "
+    "partial-aggregated (doc, topic) count, and a per-doc top-1 "
+    "window; docs with zero hits produce no rows (sparse long form, "
+    "never a doc x topic grid).",
+    oracle=_TOPIC_TAG_ORACLE,
+    tags=("ext", "text", "tagging", "mixture"),
+)
+def x97_topic_lexicon_tagging(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    lex = docs.sparkSession.createDataFrame(
+        list(_TOPIC_LEXICON), "topic string, word string"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    )
+    counts = (
+        toks.join(F.broadcast(lex), toks["w"] == lex["word"])
+        .groupBy("doc_id", "topic")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = _W.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("topic"))
+    return counts.select(
+        "doc_id",
+        "topic",
+        "n_hits",
+        (F.row_number().over(w) == 1).alias("is_dominant"),
+    )

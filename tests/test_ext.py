@@ -1692,3 +1692,57 @@ def test_prefix_filter_ceil_is_exact_at_float_boundaries(spark):
     got = X.prefix_filtered_jaccard_pairs(df, threshold=0.07, n=1).collect()
     assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
     assert abs(got[0].jaccard - 0.07) < 1e-12
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint 3-cliques: after two rounds every member carries its
+    clique's minimum id (round 1: each node ties across its two
+    neighbors -> min; round 2: unanimous). A bridged variant must stay
+    deterministic and invariant to input partitioning."""
+    from taxi_aws_data_pipeline_spark.ext import graph as G
+
+    cliques = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    cliques += [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a != b]
+    df = spark.createDataFrame(cliques, "src long, dst long")
+    out = {r.node: r.label for r in G.label_propagation_fixed_rounds(df, 2).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12] == 10
+    bridged = spark.createDataFrame(
+        cliques + [(3, 10), (10, 3)], "src long, dst long"
+    )
+    b1 = {
+        r.node: r.label
+        for r in G.label_propagation_fixed_rounds(bridged, 2).collect()
+    }
+    b2 = {
+        r.node: r.label
+        for r in G.label_propagation_fixed_rounds(bridged.repartition(7), 2).collect()
+    }
+    assert b1 == b2
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """A corpus whose vectors all lie near one axis must yield a top
+    component concentrated on that axis, unit-norm loadings, and
+    partition-invariant output."""
+    import math
+
+    from taxi_aws_data_pipeline_spark.ext import similarity as S
+
+    rows = []
+    for i in range(40):
+        v = [0.0] * 16
+        v[3] = 10.0 + (i % 5)  # dominant axis
+        v[7] = 0.5 * ((i % 3) - 1)  # small noise axis
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.pos: (r.loading, r.lambda_est) for r in
+           S.power_iteration_top_component(df, rounds=2).collect()}
+    loadings = [out[p][0] for p in range(16)]
+    norm = math.sqrt(sum(x * x for x in loadings))
+    assert abs(norm - 1.0) < 1e-9
+    assert abs(abs(loadings[3]) - 1.0) < 0.01  # concentrated on axis 3
+    assert out[0][1] > 0  # positive Rayleigh estimate
+    again = {r.pos: (r.loading, r.lambda_est) for r in
+             S.power_iteration_top_component(df.repartition(9), rounds=2).collect()}
+    assert out == again
