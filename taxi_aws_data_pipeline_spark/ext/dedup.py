@@ -1286,3 +1286,80 @@ def benchmark_leak_report(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs where containment
+    C(A->B) = |A∩B| / |A| >= threshold — A's shingles mostly inside B,
+    the excerpt/quotation/derived-copy relation that symmetric Jaccard
+    systematically underrates (a 50-shingle excerpt of a 5000-shingle
+    page has J ~ 0.01 but C = 1.0).
+
+    Candidate pruning is ONE-SIDED prefix filtering (the
+    :func:`prefix_filtered_jaccard_pairs` machinery adapted to the
+    containment bound): a qualifying pair shares >= ceil(t*|A|)
+    shingles, so by pigeonhole over A's global rarest-first order at
+    least one shared shingle sits in A's first |A| - ceil(t*|A|) + 1
+    shingles — only the CONTAINED side needs a prefix; the containing
+    side is probed over its full shingle postings. Complete for the
+    threshold, so the oracle can brute-force all shingle-sharing pairs.
+    Same epsilon-nudged ceil as the Jaccard variant (IEEE t*m can land
+    above the exact rational; nudging down only lengthens the prefix —
+    the safe direction).
+
+    Scale posture: the prefix side is ~(1-t)|A|+1 rare shingles per doc
+    (tiny at high thresholds); the postings side is the full exploded
+    shingle table, which is what any inverted-index join scans.
+    Verification ships arrays only to surviving candidates. Output:
+    (doc_small, doc_big, containment), directional.
+    """
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), n).alias("shs"),
+        )
+        .withColumn("n_sh", F.size("shs"))
+        .persist()
+    )
+    sh = docs.select("doc", "n_sh", F.explode("shs").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df_s"))
+    w = Window.partitionBy("doc").orderBy("df_s", "s")
+    alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("n_sh") - alpha + 1)
+        .select(F.col("doc").alias("doc_small"), "s")
+    )
+    postings = sh.select(F.col("doc").alias("doc_big"), "s")
+    cand = (
+        prefix.join(postings, "s")
+        .filter(F.col("doc_small") != F.col("doc_big"))
+        .select("doc_small", "doc_big")
+        .distinct()
+    )
+    x = docs.select(
+        F.col("doc").alias("doc_small"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    y = docs.select(
+        F.col("doc").alias("doc_big"), F.col("shs").alias("shs_b")
+    )
+    return (
+        cand.join(x, "doc_small")
+        .join(y, "doc_big")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+            / F.col("n_a"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_small", "doc_big", "containment")
+    )

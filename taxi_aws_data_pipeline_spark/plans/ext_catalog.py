@@ -5266,3 +5266,133 @@ def x97_topic_lexicon_tagging(spark: SparkSession, sf: str) -> DataFrame:
         "n_hits",
         (F.row_number().over(w) == 1).alias("is_dominant"),
     )
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, {sql_shingles('text')} AS shs
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(shs) AS s FROM docs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_big
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+    )
+    SELECT doc_small, doc_big, containment
+    FROM (
+        SELECT doc_small, doc_big,
+               CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+                   / len(x.shs) AS containment
+        FROM cand
+        JOIN docs x ON cand.doc_small = x.doc_id
+        JOIN docs y ON cand.doc_big = y.doc_id
+    )
+    WHERE containment >= 0.8
+"""
+
+
+@register(
+    "x98_containment_pairs",
+    "ASYMMETRIC dedup: ordered pairs with containment |A∩B|/|A| >= 0.8 "
+    "— the excerpt/quotation/derived-copy relation symmetric Jaccard "
+    "underrates (a short excerpt of a long page has J ~ 0 but C = 1). "
+    "Candidates via ONE-SIDED prefix filtering: only the contained "
+    "side indexes its ~(1-t)m+1 rarest shingles (pigeonhole-complete "
+    "for the containment bound), probed against the full shingle "
+    "postings of the containing side; verification ships arrays only "
+    "to survivors, so the oracle is the algorithm-independent brute "
+    "force over shingle-sharing pairs. Epsilon-nudged ceil guards the "
+    "IEEE t*m boundary (lengthening-only, the safe direction).",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("ext", "dedup", "containment", "prefix-filter"),
+)
+def x98_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return X.containment_pairs(
+        load_table(spark, sf, "documents"), threshold=0.8
+    )
+
+
+_SPAN_LEXICON = ("table", "row", "column", "scan", "part")
+
+_SPAN_MERGE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (
+            SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws
+            FROM documents WHERE text IS NOT NULL
+        ), unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    hits AS (
+        SELECT doc_id,
+               CAST(greatest(pos - 1, 0) AS BIGINT) AS s,
+               CAST(pos + 1 AS BIGINT) AS e
+        FROM toks
+        WHERE w IN ({", ".join(f"'{w}'" for w in _SPAN_LEXICON)})
+    ),
+    flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= s - 1
+                    THEN 0 ELSE 1 END AS is_new
+        FROM hits
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               sum(is_new) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+           min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM islands
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "x99_token_span_merge",
+    "Interval-union span merging (gaps-and-islands over SPANS, not "
+    "events — w2's pattern lifted to overlapping intervals): lexicon "
+    "hits expand to +-1-word context windows, and overlapping or "
+    "adjacent windows merge into maximal islands per doc — the span "
+    "algebra under snippet extraction, redaction-region merging, and "
+    "context-window construction. The island cut uses a running MAX of "
+    "prior span ends (not lag: a long span can swallow several "
+    "successors, where lag(e) would wrongly re-open), all integer "
+    "word positions. One shuffle on doc_id; spans per doc are "
+    "window-local.",
+    oracle=_SPAN_MERGE_ORACLE,
+    tags=("ext", "text", "spans", "islands"),
+)
+def x99_token_span_merge(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+    )
+    hits = toks.filter(F.col("w").isin(*_SPAN_LEXICON)).select(
+        "doc_id",
+        F.greatest(F.col("pos") - 1, F.lit(0)).cast("long").alias("s"),
+        (F.col("pos") + 1).cast("long").alias("e"),
+    )
+    w_order = _W.partitionBy("doc_id").orderBy("s", "e")
+    prior_max_e = F.max("e").over(
+        w_order.rowsBetween(_W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(prior_max_e >= F.col("s") - 1, F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(w_order.rowsBetween(_W.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", F.col("island").alias("span_id")).agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )

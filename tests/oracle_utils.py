@@ -82,10 +82,30 @@ def compare_frames(
     a = _normalize(spark_pdf)
     b = _normalize(oracle_pdf)
     max_diff = 0.0
+    def _kind(v) -> str:
+        # bool before int (bool subclasses int); int-vs-float matters
+        # because the DRIVER hashes repr()s — `3` and `3.0` are equal
+        # under Python == but hash differently there (the x99 lesson:
+        # DuckDB window sums come back HUGEINT -> pandas float64)
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, int):
+            return "int"
+        return type(v).__name__
+
     for i, (ra, rb) in enumerate(zip(a, b)):
         for va, vb in zip(ra, rb):
             if va is None and vb is None:
                 continue
+            if va is not None and vb is not None and _kind(va) != _kind(vb):
+                return CompareResult(
+                    False, False, len(a), len(b), max_diff,
+                    f"row {i}: type kind {_kind(va)} != {_kind(vb)} "
+                    f"for {va!r} vs {vb!r} — repr-hash would diverge\n"
+                    f"  spark row:  {ra}\n  oracle row: {rb}",
+                )
             if isinstance(va, float) and isinstance(vb, float):
                 if va == vb:
                     continue

@@ -1746,3 +1746,28 @@ def test_power_iteration_finds_planted_direction(spark):
     again = {r.pos: (r.loading, r.lambda_est) for r in
              S.power_iteration_top_component(df.repartition(9), rounds=2).collect()}
     assert out == again
+
+
+def test_containment_detects_exact_excerpt(spark):
+    """A doc whose text is a verbatim excerpt of a longer doc must show
+    containment 1.0 toward the long doc, while the symmetric Jaccard of
+    the same pair is far below the containment threshold."""
+    from taxi_aws_data_pipeline_spark.ext import dedup as X
+
+    long_words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 18))
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, excerpt), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_small, r.doc_big): r.containment
+        for r in X.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(2, 1): 1.0}
+    # symmetric Jaccard of the same pair is tiny: 6 shared 3-shingles
+    # over 58 + 6 distinct ones
+    jac = X.jaccard_near_dup_pairs(docs, threshold=0.05).collect()
+    jmap = {(r.doc_a, r.doc_b): r.jaccard for r in jac}
+    assert jmap.get((1, 2), 0.0) < 0.2
