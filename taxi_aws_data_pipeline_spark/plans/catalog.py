@@ -2656,3 +2656,127 @@ def w11_range_frame_rolling_count(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("event_id") % 7 == 0)
     )
+
+
+@register(
+    "e15_json_props_parse",
+    "Semi-structured column parsing: events.props is a JSON string; "
+    "from_json with an EXPLICIT schema (never schema_of_json inference "
+    "— an extra scan, type drift on skew) projects the typed field "
+    "k, and per-type aggregates run over it with a parse-failure "
+    "count (from_json yields NULL rows for corrupt input rather than "
+    "failing the job — the PERMISSIVE contract an ingest edge needs). "
+    "Scale: parsing is a codegen'd projection fused into the scan; the "
+    "oracle derives the same field via regex so the hash is "
+    "parser-implementation-independent.",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (
+                   WHERE props IS NULL
+                      OR regexp_extract(props, '"k":\\s*(-?\\d+)', 1) = ''
+               ) AS BIGINT) AS n_unparsed,
+               CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                        AS BIGINT)) AS BIGINT) AS k_sum,
+               MIN(CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1),
+                        '') AS BIGINT)) AS k_min,
+               MAX(CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1),
+                        '') AS BIGINT)) AS k_max
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("expression", "json", "semi-structured"),
+)
+def e15_json_props_parse(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k BIGINT").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
+    "j16_recursive_cte_ancestry",
+    "WITH RECURSIVE (Spark 4 finally has it): every event user walks "
+    "its binary-tree ancestry (parent = id div 2) up to the root, and "
+    "the result folds into users-per-depth. The recursion is the "
+    "declarative form of the iterate-until-done loops x18/x84 hand-"
+    "roll with localCheckpoint; depth here is provably "
+    "floor(log2(user_id)), so the oracle checks the recursive engine "
+    "against CLOSED-FORM integer arithmetic (binary length, no libm) — "
+    "a genuinely algorithm-independent truth. Scale note: each "
+    "recursive step is one self-referencing union pass; Spark executes "
+    "it as an iterative union plan, depth-bounded by log2(max id).",
+    oracle="""
+        SELECT CAST(length(bin(user_id)) - 1 AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id >= 1)
+        GROUP BY 1
+    """,
+    tags=("recursive-cte", "hierarchy", "iterative"),
+)
+def j16_recursive_cte_ancestry(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "events").createOrReplaceTempView("ev_j16")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(user_id, cur, depth) AS (
+            SELECT user_id, user_id, 0
+            FROM (SELECT DISTINCT user_id FROM ev_j16 WHERE user_id >= 1)
+            UNION ALL
+            SELECT user_id, cur div 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               count(*) AS n_users
+        FROM walk WHERE cur = 1
+        GROUP BY depth
+        """
+    )
+
+
+@register(
+    "d7_intersect_except_all",
+    "BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL — the "
+    "multiplicity-aware forms DISTINCT-based set ops silently "
+    "approximate): comparing the multiset of (returnflag, linestatus, "
+    "quantity) rows between early and late ship years. INTERSECT ALL "
+    "keeps min(multiplicity), EXCEPT ALL subtracts multiplicities — "
+    "semantics Spark implements via a counted anti/semi rewrite, one "
+    "shuffle per side on the full row key. The entry folds both "
+    "results into labeled counts so one surface verifies both "
+    "operators.",
+    oracle="""
+        WITH early AS (
+            SELECT l_returnflag, l_linestatus, l_quantity
+            FROM lineitem WHERE year(l_shipdate) <= 2000
+        ),
+        late AS (
+            SELECT l_returnflag, l_linestatus, l_quantity
+            FROM lineitem WHERE year(l_shipdate) > 2000
+        )
+        SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows
+        FROM (SELECT * FROM early INTERSECT ALL SELECT * FROM late)
+        UNION ALL
+        SELECT 'except_all', CAST(count(*) AS BIGINT)
+        FROM (SELECT * FROM early EXCEPT ALL SELECT * FROM late)
+    """,
+    tags=("set-ops", "bag-semantics"),
+)
+def d7_intersect_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"
+    )
+    early = li.filter(F.year("l_shipdate") <= 2000).drop("l_shipdate")
+    late = li.filter(F.year("l_shipdate") > 2000).drop("l_shipdate")
+    inter = early.intersectAll(late).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(F.lit("intersect_all").alias("op"), "n_rows")
+    exc = early.exceptAll(late).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("except_all").alias("op"), "n_rows"
+    )
+    return inter.unionByName(exc)
