@@ -31,6 +31,8 @@ _FIXED_CARDINALITY = {
     "x56_table_profile": 5,
     # one row per audited FK edge, even when every table is empty
     "x68_referential_integrity_audit": 7,
+    # one labeled zero-count row per set operator
+    "d7_intersect_except_all": 2,
 }
 
 
