@@ -329,3 +329,114 @@ def streaming_document_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EVENTS_READ_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def streaming_enrichment_join(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    dim: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    glob_filter: str = "*.parquet",
+):
+    """STREAM-STATIC enrichment join: events stream in, a (small) static
+    dimension broadcasts onto every micro-batch — the at-ingest enrich
+    step (user segment, device class, geo) every event pipeline runs.
+    The static side is planned per micro-batch, so a dimension REFRESH
+    is just re-creating the DataFrame between runs; no state is kept
+    because stream-static inner joins need none (each batch row either
+    matches the current dim or doesn't).
+
+    Scale: the stream side never shuffles — the dim broadcasts; at
+    dimension sizes above the broadcast threshold Spark falls back to a
+    per-batch shuffled join, at which point pre-bucketing the landed
+    table (sinks.write_bucketed_table) is the better shape.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        .option("pathGlobFilter", glob_filter)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    return (
+        enriched.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_attribution_join(
+    spark: SparkSession,
+    views_dir: str,
+    purchases_dir: str,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """STREAM-STREAM time-interval join (the last Structured Streaming
+    join shape): purchases attribute to a prior view by the same user
+    within ``horizon`` — purchase.ts in [view.ts, view.ts + horizon].
+    BOTH sides carry watermarks and the join condition bounds event
+    time in both directions, which is exactly what lets Spark evict
+    buffered state: a view older than watermark + horizon can never
+    match a future purchase and is dropped, so state is
+    horizon-bounded instead of unbounded (the naive stream-stream join
+    trap). Inner join: late unmatched rows simply never emit.
+
+    Scale: both streams shuffle once on user_id (the equi-key); the
+    time predicate prunes within matched key groups.
+    """
+    views = (
+        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        .parquet(views_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        .parquet(purchases_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (views["user_id"] == purchases["user_id"])
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        views["user_id"].alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "value",
+    )
+    return (
+        joined.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -326,3 +326,86 @@ def test_training_prep_ops_run_in_streaming(spark, tmp_path):
         for r in spark.sql("SELECT * FROM prep_stream").collect()
     }
     assert got == expected
+
+
+def _land_events(spark, dirpath, rows):
+    spark.createDataFrame(
+        rows, streaming.EVENTS_READ_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(dirpath))
+
+
+def test_streaming_enrichment_join_broadcasts_dim(spark, tmp_path):
+    """Stream-static join: every streamed event picks up its user's
+    segment from the static dimension; users absent from the dim drop
+    (inner join) — results equal the batch join over the same files."""
+    import datetime as dt
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "view", 1.0, None),
+        (2, t0, 11, "click", 2.0, None),
+        (3, t0, 99, "view", 3.0, None),  # user 99 not in dim
+    ]
+    _land_events(spark, src, rows)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "basic")], "user_id long, segment string"
+    )
+    got = []
+    q = streaming.streaming_enrichment_join(
+        spark,
+        str(src),
+        str(tmp_path / "ck"),
+        dim,
+        lambda df, _id: got.extend(
+            (r.event_id, r.segment) for r in df.collect()
+        ),
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(1, "gold"), (2, "basic")]
+
+
+def test_streaming_attribution_join_matches_batch_and_bounds(spark, tmp_path):
+    """Stream-stream interval join: purchases attribute only to views of
+    the same user within the horizon (inclusive bounds); outside-horizon
+    and cross-user purchases never emit. Equal to the batch formulation
+    over the same files."""
+    import datetime as dt
+
+    views_dir = tmp_path / "views"
+    buys_dir = tmp_path / "buys"
+    views_dir.mkdir()
+    buys_dir.mkdir()
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m, 0)  # noqa: E731
+    _land_events(
+        spark,
+        views_dir,
+        [
+            (1, t(0), 10, "view", 0.0, None),
+            (2, t(5), 11, "view", 0.0, None),
+            (3, t(0), 12, "view", 0.0, None),
+        ],
+    )
+    _land_events(
+        spark,
+        buys_dir,
+        [
+            (101, t(10), 10, "purchase", 9.99, None),  # in horizon
+            (102, t(40), 11, "purchase", 5.00, None),  # outside (35 min)
+            (103, t(30), 10, "purchase", 1.00, None),  # exactly at bound
+            (104, t(10), 77, "purchase", 2.00, None),  # user with no view
+        ],
+    )
+    got = []
+    q = streaming.streaming_attribution_join(
+        spark,
+        str(views_dir),
+        str(buys_dir),
+        str(tmp_path / "ck2"),
+        lambda df, _id: got.extend(
+            (r.view_id, r.purchase_id) for r in df.collect()
+        ),
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(1, 101), (1, 103)]
