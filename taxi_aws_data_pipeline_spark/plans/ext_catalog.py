@@ -5396,3 +5396,82 @@ def x99_token_span_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.max("e").alias("span_end"),
         F.count(F.lit(1)).alias("n_hits"),
     )
+
+
+@register(
+    "x100_orc_source_roundtrip",
+    "ORC source connector (the other in-core columnar format — the "
+    "interop target when upstream systems are Hive/Trino-centric): "
+    "documents written as ORC (zstd) and read back with an explicit "
+    "schema, hash-compared against the original rows — same lossless "
+    "round-trip contract as x88/x89. DuckDB cannot read ORC, so the "
+    "oracle is the identity SELECT over the source table: the hash "
+    "equality IS the round-trip proof. Scale: ORC stripes are "
+    "splittable and carry min/max indexes like parquet; the engine's "
+    "canonical storage stays parquet (S1) and ORC is an edge format.",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "orc", "roundtrip"),
+)
+def x100_orc_source_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="orc_src_") + "/documents"
+    (
+        load_table(spark, sf, "documents")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .orc(path)
+    )
+    return spark.read.schema(_DOCS_SCHEMA).orc(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_QUARANTINE_ORACLE = """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN 'not-a-number'
+                    ELSE CAST(n_chars AS VARCHAR) END AS n_chars_raw
+        FROM documents
+    )
+    SELECT
+        CAST(count(*) FILTER (WHERE n_chars_raw ~ '^[0-9]+$') AS BIGINT)
+            AS n_clean,
+        CAST(count(*) FILTER (WHERE NOT n_chars_raw ~ '^[0-9]+$') AS BIGINT)
+            AS n_quarantined,
+        CAST(sum(CASE WHEN n_chars_raw ~ '^[0-9]+$'
+                      THEN CAST(n_chars_raw AS BIGINT) END) AS BIGINT)
+            AS clean_chars_total
+    FROM raw
+"""
+
+
+@register(
+    "x101_corrupt_record_quarantine",
+    "Ingest-edge quarantine: a typed load where malformed values (a "
+    "planted 'not-a-number' in every 13th row's numeric field) must "
+    "NOT fail the job and must NOT silently vanish — try_cast splits "
+    "the batch into clean rows (typed) and a counted quarantine "
+    "(ANSI mode makes a bare CAST throw on the first bad record, "
+    "try_cast is the per-row PERMISSIVE form; the reference's pandas "
+    "to_numeric(errors='coerce') is the same contract, "
+    "data_processing.py's type coercion). One aggregation pass; at "
+    "100 TB the quarantined rows would additionally sink to a "
+    "dead-letter table (S7 shape) for replay.",
+    oracle=_QUARANTINE_ORACLE,
+    tags=("ext", "ingest", "quarantine", "try-cast"),
+)
+def x101_corrupt_record_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars_raw"),
+    )
+    typed = raw.select(F.expr("try_cast(n_chars_raw AS BIGINT)").alias("v"))
+    return typed.agg(
+        F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_clean"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_quarantined"),
+        F.sum("v").alias("clean_chars_total"),
+    )
