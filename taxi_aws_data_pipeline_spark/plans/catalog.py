@@ -2780,3 +2780,93 @@ def d7_intersect_except_all(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("except_all").alias("op"), "n_rows"
     )
     return inter.unionByName(exc)
+
+
+@register(
+    "g8_two_phase_dynamic_pivot",
+    "The DYNAMIC-pivot scale pattern g5's docstring prescribes, made "
+    "real: phase 1 discovers the pivot vocabulary (a distinct over the "
+    "dimension column — bounded driver data, collected SORTED so the "
+    "column order is deterministic), phase 2 runs the literal-values "
+    "pivot with that vocabulary — Spark's values-free pivot would "
+    "otherwise run the same distinct pass hidden inside the operator, "
+    "with a nondeterministic column order and no chance to cap or "
+    "validate the vocabulary (a runaway-cardinality dimension OOMs the "
+    "schema). Rows = day-of-week, columns = discovered event types, "
+    "cells = exact counts. (Cross-engine trap pinned here: Spark's "
+    "dayofweek is 1-based Sunday, DuckDB's 0-based — the oracle "
+    "shifts +1.)",
+    oracle=f"""
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               {", ".join(
+                   f"CAST(count(*) FILTER (WHERE event_type = '{t}') "
+                   f"AS BIGINT) AS {t}"
+                   for t in _EVENT_TYPES
+               )}
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("pivot", "dynamic", "two-phase"),
+)
+def g8_two_phase_dynamic_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    # phase 1: vocabulary discovery — tiny distinct, deterministic order
+    values = sorted(
+        r.event_type
+        for r in ev.select("event_type").distinct().collect()
+        if r.event_type is not None
+    )
+    # phase 2: literal pivot (single partial-aggregated shuffle)
+    out = (
+        ev.groupBy(F.dayofweek("ts").cast("int").alias("dow"))
+        .pivot("event_type", values)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves absent cells NULL; the count contract is 0
+    return out.select(
+        "dow", *[F.coalesce(F.col(v), F.lit(0)).alias(v) for v in values]
+    )
+
+
+@register(
+    "e16_map_column_ops",
+    "MAP-typed column algebra: per user the event-type histogram folds "
+    "into a map (map_from_entries over collected (type, count) "
+    "structs), map_filter keeps types seen >= 2 times, "
+    "transform_values doubles the counts, and explode unpacks the "
+    "result back to rows — the collection-type workhorses "
+    "(map_from_entries / map_filter / transform_values / explode) on "
+    "one surface. Maps stay INTERNAL: the verified output is rows, "
+    "because order-insensitive hashing of map cells is "
+    "engine-ambiguous (the r01 k2 lesson for arrays). The oracle "
+    "computes the same result relationally (HAVING + *2), proving the "
+    "map pipeline is just grouped arithmetic.",
+    oracle="""
+        SELECT user_id, event_type,
+               CAST(count(*) * 2 AS BIGINT) AS doubled_count
+        FROM events
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """,
+    tags=("expression", "map-type", "collection"),
+)
+def e16_map_column_ops(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "c")))
+        ).alias("hist")
+    )
+    transformed = mapped.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("hist", lambda _k, v: v >= 2),
+            lambda _k, v: v * 2,
+        ).alias("boosted"),
+    )
+    return transformed.select(
+        "user_id", F.explode("boosted").alias("event_type", "doubled_count")
+    )

@@ -5475,3 +5475,188 @@ def x101_corrupt_record_quarantine(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.when(F.col("v").isNull(), 1)).alias("n_quarantined"),
         F.sum("v").alias("clean_chars_total"),
     )
+
+
+_TOP_PATHS_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    seqs AS (
+        SELECT user_id, session_seq,
+               string_agg(event_type, '>' ORDER BY ts, event_id)
+                   AS event_seq
+        FROM sessions
+        GROUP BY 1, 2
+    )
+    SELECT event_seq,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, event_seq)
+                AS INT) AS rank
+    FROM seqs
+    GROUP BY event_seq
+    ORDER BY rank
+    LIMIT 20
+"""
+
+
+@register(
+    "x102_top_event_paths",
+    "Top-20 most frequent session PATHS (the path-analysis rollup of "
+    "x51's sequence construction): full ordered event-type sequences "
+    "counted across all sessions, ranked with a deterministic "
+    "(count desc, path asc) total order. Funnels (x57) check ONE "
+    "hypothesized order; this surfaces what orders actually happen. "
+    "Scale: sequences are bounded by session length (30-min gap cut), "
+    "the path-count shuffle keys on the sequence string, and the "
+    "top-20 cut is TakeOrdered — no global sort materializes.",
+    oracle=_TOP_PATHS_ORACLE,
+    tags=("ext", "events", "paths", "sequence"),
+)
+def x102_top_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ordered_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s.event_type,
+    )
+    seqs = sessions.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(">", ordered_types).alias("event_seq")
+    )
+    counted = seqs.groupBy("event_seq").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    # TakeOrderedAndProject cut FIRST (orderBy+limit never materializes
+    # a global sort), then the rank window runs over only the 20
+    # surviving rows — a global row_number over the full path table
+    # would funnel it through one partition
+    top = counted.orderBy(F.desc("n_sessions"), F.asc("event_seq")).limit(20)
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("event_seq"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+_DRIFT_ORACLE = """
+    WITH halves AS (
+        SELECT event_type, event_id, value,
+               CASE WHEN day(ts) <= 15 THEN 'h1' ELSE 'h2' END AS half
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, half, value,
+               row_number() OVER (PARTITION BY event_type, half
+                                  ORDER BY value, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type, half) AS n
+        FROM halves
+    ),
+    q AS (
+        SELECT event_type, half,
+               CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rk = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                        THEN value END) AS p50,
+               max(CASE WHEN rk = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                        THEN value END) AS p95
+        FROM ranked
+        GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           a.n AS n_h1, b.n AS n_h2,
+           a.p50 AS p50_h1, b.p50 AS p50_h2,
+           a.p95 AS p95_h1, b.p95 AS p95_h2,
+           b.p50 - a.p50 AS p50_shift,
+           b.p95 - a.p95 AS p95_shift
+    FROM q a JOIN q b
+      ON a.event_type = b.event_type AND a.half = 'h1' AND b.half = 'h2'
+"""
+
+
+@register(
+    "x103_quantile_drift_monitor",
+    "Distribution-drift monitoring: exact rank-selected p50/p95 of "
+    "event value per type, computed for two time slices (month halves) "
+    "and joined into per-type shift columns — the data-quality gate a "
+    "training pipeline runs before trusting a new ingest window "
+    "(feature drift, upstream schema rot, unit changes). Quantiles are "
+    "the x61 rank-selection form (actual data points, no "
+    "interpolation/libm, hash-identical anywhere); shifts are single "
+    "IEEE subtractions of those points. One sort shuffle on "
+    "(type, slice); the final join is over |types| rows.",
+    oracle=_DRIFT_ORACLE,
+    tags=("ext", "monitoring", "quantile", "drift"),
+)
+def x103_quantile_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, F.lit("h1"))
+        .otherwise(F.lit("h2"))
+        .alias("half"),
+    )
+    w = Window.partitionBy("event_type", "half").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type", "half")
+    ranked = ev.select(
+        "event_type",
+        "half",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def at(q: float):
+        target = F.greatest(F.ceil(q * F.col("n")).cast("long"), F.lit(1))
+        return F.max(F.when(F.col("rk") == target, F.col("value")))
+
+    qf = ranked.groupBy("event_type", "half").agg(
+        F.max("n").alias("n"),
+        at(0.5).alias("p50"),
+        at(0.95).alias("p95"),
+    )
+    a = qf.filter(F.col("half") == "h1").select(
+        "event_type",
+        F.col("n").alias("n_h1"),
+        F.col("p50").alias("p50_h1"),
+        F.col("p95").alias("p95_h1"),
+    )
+    b = qf.filter(F.col("half") == "h2").select(
+        "event_type",
+        F.col("n").alias("n_h2"),
+        F.col("p50").alias("p50_h2"),
+        F.col("p95").alias("p95_h2"),
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_h1",
+        "n_h2",
+        "p50_h1",
+        "p50_h2",
+        "p95_h1",
+        "p95_h2",
+        (F.col("p50_h2") - F.col("p50_h1")).alias("p50_shift"),
+        (F.col("p95_h2") - F.col("p95_h1")).alias("p95_shift"),
+    )
