@@ -5660,3 +5660,55 @@ def x103_quantile_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p50_h2") - F.col("p50_h1")).alias("p50_shift"),
         (F.col("p95_h2") - F.col("p95_h1")).alias("p95_shift"),
     )
+
+
+from ..ext import stats as ST  # noqa: E402  (grouped with its tier)
+
+_MANN_KENDALL_ORACLE = """
+    WITH s AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS i
+        FROM events WHERE value IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               count(*) FILTER (WHERE a.value < b.value) AS conc,
+               count(*) FILTER (WHERE a.value > b.value) AS disc
+        FROM s a JOIN s b
+          ON a.event_type = b.event_type AND a.i < b.i
+        GROUP BY 1
+    ),
+    n_rows AS (
+        SELECT event_type, count(*) AS n FROM s GROUP BY 1
+    )
+    SELECT n_rows.event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS n_concordant,
+           CAST(disc AS BIGINT) AS n_discordant,
+           CAST(conc - disc AS BIGINT) AS s,
+           CAST(conc - disc AS BIGINT)
+               / CAST(n * (n - 1) // 2 AS DOUBLE) AS tau_a
+    FROM n_rows JOIN pairs USING (event_type)
+"""
+
+
+@register(
+    "x104_mann_kendall_trend",
+    "Mann-Kendall trend statistic per event type (S = sum of "
+    "sign(v_j - v_i) over time-ordered pairs, tau_a normalized) — the "
+    "nonparametric is-this-metric-drifting test behind monitoring "
+    "alerts, and THE showcase for the grouped-map Arrow path "
+    "(applyInPandas): the efficient algorithm is merge-sort pair "
+    "counting, O(n log n) and inherently sequential, while the "
+    "relational formulation is an O(n^2) self-join — which is exactly "
+    "what the oracle brute-forces, so the hash proves the imperative "
+    "kernel against quadratic truth. All counts exact integers; tau_a "
+    "one IEEE division. One group-key shuffle; group size is the "
+    "documented worker-memory bound (per-entity series, not "
+    "whole-corpus groups).",
+    oracle=_MANN_KENDALL_ORACLE,
+    tags=("ext", "stats", "trend", "applyInPandas"),
+)
+def x104_mann_kendall_trend(spark: SparkSession, sf: str) -> DataFrame:
+    return ST.mann_kendall_trend(load_table(spark, sf, "events"))

@@ -256,3 +256,35 @@ def test_hourly_grid_fill_invariants(spark, obs):
                 assert r.interpolated == r.observed
             elif r.interpolated is not None:
                 assert lo - 1e-9 <= r.interpolated <= hi + 1e-9
+
+
+@st.composite
+def _float_series(draw):
+    return draw(
+        st.lists(
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=2,
+            max_size=60,
+        )
+    )
+
+
+@given(_float_series())
+@settings(max_examples=200, deadline=None)
+def test_merge_count_matches_bruteforce(vals):
+    """The O(n log n) inversion counter equals the O(n^2) definition,
+    including duplicate values (ties are not inversions)."""
+    from taxi_aws_data_pipeline_spark.ext.stats import _merge_count
+
+    brute = sum(
+        1
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if vals[i] > vals[j]
+    )
+    assert _merge_count(vals) == brute
