@@ -41,12 +41,11 @@ _FLAGSHIP = "a1_returnflag_performance"
 # Subsequent rounds keep the first ~24 slots on whatever is newest /
 # changed and rotate the re-pin block through the tiers round-robin:
 # r5 = the round-4 additions (x91-x104, j13-j16, w10, w11, a9, g7,
-# g8, e15, e16, d7 —
-# all local-green this session) + a/c/d/e families + x1-x27 odds,
-# r6 = j/w/g/k families + x28-x60 evens, r7 = s/p families + x61-x90,
-# then repeat. Entries outside the window stay pinned every session by
-# tests/test_oracle_parity.py + test_vanilla_session.py (the
-# 161-entry local replica).
+# g8, e15, e16, d7 — all local-green this session) + a/c/d/e families
+# + x1-x27 odds, r6 = j/w/g/k families + x28-x60 evens, r7 = s/p
+# families + x61-x90, then repeat. Entries outside the window stay
+# pinned every session by tests/test_oracle_parity.py +
+# test_vanilla_session.py (the full-catalog local replica).
 _NEVER_WINDOWED = (
     "a8_measure_correlations",
     "g5_pivot_daily_event_values",
