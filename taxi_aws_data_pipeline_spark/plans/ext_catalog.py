@@ -5712,3 +5712,108 @@ _MANN_KENDALL_ORACLE = """
 )
 def x104_mann_kendall_trend(spark: SparkSession, sf: str) -> DataFrame:
     return ST.mann_kendall_trend(load_table(spark, sf, "events"))
+
+
+_BITMAP_ROLLUP_ORACLE = """
+    SELECT event_type,
+           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+               AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register(
+    "x105_bitmap_distinct_rollup",
+    "EXACT mergeable distinct counts via bitmaps (a9's contract "
+    "extended to the non-algebraic aggregate): per (type, day, "
+    "id-bucket) user bitmaps (bitmap_construct_agg over "
+    "bitmap_bit_position, bucketed by bitmap_bucket_number — one "
+    "bitmap spans one fixed id range, which is what keeps each bitmap "
+    "bounded), OR-merged up to per-type totals whose bitmap_count is "
+    "EXACT — so daily bitmap partials give exact monthly distincts "
+    "without rescanning raw events, where a naive daily "
+    "COUNT(DISTINCT) is NOT re-aggregable at all and HLL merges are "
+    "approximate (x106). The oracle is the direct COUNT(DISTINCT); "
+    "hash equality proves merge exactness. Scale: shuffle keys are "
+    "(type, day, bucket); bitmap payloads are range-bounded blobs.",
+    oracle=_BITMAP_ROLLUP_ORACLE,
+    tags=("ext", "sketch", "bitmap", "mergeable", "rollup"),
+)
+def x105_bitmap_distinct_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm"),
+        F.countDistinct("day").alias("n_days_b"),
+    )
+    return merged.groupBy("event_type").agg(
+        F.max("n_days_b").alias("n_days"),
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users"),
+    )
+
+
+_HLL_MERGE_ORACLE = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_5pct,
+           TRUE AS direct_within_5pct
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register(
+    "x106_hll_sketch_merge",
+    "Mergeable APPROXIMATE distinct rollup (the k2 verified-sketch "
+    "contract applied to Datasketches HLL): per (type, day) "
+    "hll_sketch_agg partials union up to per-type estimates — the "
+    "constant-memory path when x105's exact bitmaps are too wide "
+    "(unbounded id domains). Sketch registers are engine-specific, so "
+    "the verified surface is the EXACT count plus booleans asserting "
+    "both the merged-union estimate and a direct single-pass estimate "
+    "land within 5% — the driver hash covers the accuracy contract of "
+    "the MERGE path, which is the property incremental rollups rely "
+    "on.",
+    oracle=_HLL_MERGE_ORACLE,
+    tags=("ext", "sketch", "hll", "mergeable", "rollup"),
+)
+def x106_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+            "direct_est"
+        ),
+    )
+
+    def within(est: str) -> Column:
+        return (
+            F.abs(F.col(est) - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            within("merged_est").alias("merged_within_5pct"),
+            within("direct_est").alias("direct_within_5pct"),
+        )
+    )
