@@ -398,14 +398,34 @@ def test_streaming_attribution_join_matches_batch_and_bounds(spark, tmp_path):
         ],
     )
     got = []
+    sink = lambda df, _id: got.extend(  # noqa: E731
+        (r.view_id, r.purchase_id) for r in df.collect()
+    )
     q = streaming.streaming_attribution_join(
         spark,
         str(views_dir),
         str(buys_dir),
         str(tmp_path / "ck2"),
-        lambda df, _id: got.extend(
-            (r.view_id, r.purchase_id) for r in df.collect()
-        ),
+        sink,
     )
     q.awaitTermination(120)
     assert sorted(got) == [(1, 101), (1, 103)]
+    # second wave + restart: a NEW purchase file lands, the query
+    # restarts from the checkpoint — buffered view state must survive
+    # (105 joins to view 2 landed in wave 1) and already-emitted matches
+    # must NOT replay (exactly-once over the join output)
+    _land_events(
+        spark, buys_dir, [(105, t(20), 11, "purchase", 7.0, None)]
+    )
+    got2 = []
+    q2 = streaming.streaming_attribution_join(
+        spark,
+        str(views_dir),
+        str(buys_dir),
+        str(tmp_path / "ck2"),
+        lambda df, _id: got2.extend(
+            (r.view_id, r.purchase_id) for r in df.collect()
+        ),
+    )
+    q2.awaitTermination(120)
+    assert sorted(got2) == [(2, 105)]
