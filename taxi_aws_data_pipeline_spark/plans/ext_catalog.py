@@ -5637,28 +5637,23 @@ def x103_quantile_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
         at(0.5).alias("p50"),
         at(0.95).alias("p95"),
     )
-    a = qf.filter(F.col("half") == "h1").select(
-        "event_type",
-        F.col("n").alias("n_h1"),
-        F.col("p50").alias("p50_h1"),
-        F.col("p95").alias("p95_h1"),
-    )
-    b = qf.filter(F.col("half") == "h2").select(
-        "event_type",
-        F.col("n").alias("n_h2"),
-        F.col("p50").alias("p50_h2"),
-        F.col("p95").alias("p95_h2"),
-    )
-    return a.join(b, "event_type").select(
-        "event_type",
-        "n_h1",
-        "n_h2",
-        "p50_h1",
-        "p50_h2",
-        "p95_h1",
-        "p95_h2",
-        (F.col("p50_h2") - F.col("p50_h1")).alias("p50_shift"),
-        (F.col("p95_h2") - F.col("p95_h1")).alias("p95_shift"),
+
+    # one conditional-aggregation pass folds the two slices side by
+    # side — a filter-twice-and-join formulation would embed the ranked
+    # subtree twice in the plan and rescan events if exchange reuse
+    # doesn't canonicalize (the x84 ReusedExchange lesson)
+    def side(col: str, half: str):
+        return F.max(F.when(F.col("half") == half, F.col(col)))
+
+    return qf.groupBy("event_type").agg(
+        side("n", "h1").alias("n_h1"),
+        side("n", "h2").alias("n_h2"),
+        side("p50", "h1").alias("p50_h1"),
+        side("p50", "h2").alias("p50_h2"),
+        side("p95", "h1").alias("p95_h1"),
+        side("p95", "h2").alias("p95_h2"),
+        (side("p50", "h2") - side("p50", "h1")).alias("p50_shift"),
+        (side("p95", "h2") - side("p95", "h1")).alias("p95_shift"),
     )
 
 
