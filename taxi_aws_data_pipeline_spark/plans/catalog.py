@@ -2870,3 +2870,107 @@ def e16_map_column_ops(spark: SparkSession, sf: str) -> DataFrame:
     return transformed.select(
         "user_id", F.explode("boosted").alias("event_type", "doubled_count")
     )
+
+
+@register(
+    "j17_top_supplier_by_revenue",
+    "TPC-H Q15 shape: a revenue VIEW (per-supplier decimal-exact "
+    "revenue over a one-quarter ship window) consumed twice — once to "
+    "find the scalar MAX, once to return the supplier(s) achieving it "
+    "— the classic aggregate-of-aggregate with a scalar-subquery "
+    "threshold. The Spark side computes the view ONCE, broadcasts the "
+    "1-row max, and joins on decimal equality (no double rounding in "
+    "the comparison — the revenue stays DECIMAL end to end and only "
+    "renders to double in the output). Ties all return (ORDER BY-free "
+    "semantics), so the result is deterministic.",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,6))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= DATE '2000-01-01'
+              AND l_shipdate < DATE '2000-04-01'
+            GROUP BY 1
+        )
+        SELECT r.l_suppkey AS s_suppkey, s.s_name,
+               CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_rev
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    tags=("join", "tpch-q15", "scalar-subquery", "view"),
+)
+def j17_top_supplier_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "2000-01-01")
+            & (F.col("l_shipdate") < "2000-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+@register(
+    "w12_ratio_to_report",
+    "Percent-of-total window (ratio_to_report): each event type's "
+    "share of its hour's total value and of the grand total — the "
+    "denominator is a windowed sum over the ALREADY-AGGREGATED "
+    "(hour, type) table, so the second pass costs |hours x types| "
+    "rows, never a rescan. Shares divide a decimal-exact numerator by "
+    "a decimal-exact denominator cast to double at the last step — "
+    "single IEEE division, portable. The grand-total denominator is a "
+    "1-row broadcast (no partition-less window over data-sized input).",
+    oracle=f"""
+        WITH ht AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   SUM(CAST(value AS DECIMAL(28,6))) AS v
+            FROM events
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT SUM(v) AS g FROM ht)
+        SELECT h AS hour_start, event_type,
+               CAST(ROUND(v, 2) AS DOUBLE) AS hour_type_value,
+               CAST(v AS DOUBLE) / CAST(SUM(v) OVER (PARTITION BY h)
+                                        AS DOUBLE) AS share_of_hour,
+               CAST(v AS DOUBLE) / CAST(g AS DOUBLE) AS share_of_total
+        FROM ht CROSS JOIN tot
+    """,
+    tags=("window", "ratio", "share"),
+)
+def w12_ratio_to_report(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    ht = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(exact_sum("value").alias("v"))
+    tot = ht.agg(F.sum("v").alias("g"))
+    w = Window.partitionBy("hour_start")
+    return ht.crossJoin(F.broadcast(tot)).select(
+        "hour_start",
+        "event_type",
+        F.round("v", 2).cast("double").alias("hour_type_value"),
+        (
+            F.col("v").cast("double")
+            / F.sum("v").over(w).cast("double")
+        ).alias("share_of_hour"),
+        (F.col("v").cast("double") / F.col("g").cast("double")).alias(
+            "share_of_total"
+        ),
+    )
