@@ -2974,3 +2974,93 @@ def w12_ratio_to_report(spark: SparkSession, sf: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@register(
+    "a10_retractable_rollup",
+    "Incremental-view maintenance with RETRACTIONS — the distinction "
+    "a9's insert-only merge hides: a late correction batch (every 17th "
+    "event, values negated as reversals) applies to monthly metrics "
+    "WITHOUT a full rescan. Algebraic aggregates retract by "
+    "arithmetic: counts add, decimal sums add the (negative) "
+    "correction sums. Non-retractable aggregates (min/max) cannot "
+    "subtract — a removed extremum leaves no way back — so they "
+    "recompute by rescanning ONLY the affected (day, type) partitions "
+    "(the correction batch names them; partition pruning makes that "
+    "cheap), then min/max-merge with the untouched days' partials. "
+    "The oracle computes the corrected month directly over the full "
+    "union, so the hash proves the partial-maintenance path equals "
+    "recomputation.",
+    oracle=f"""
+        WITH all_rows AS (
+            SELECT ts, event_type, value FROM events
+            WHERE event_id % 17 <> 0
+            UNION ALL
+            SELECT ts, event_type, -value FROM events
+            WHERE event_id % 17 = 0
+        )
+        SELECT strftime(date_trunc('month', ts), '%Y-%m') AS event_month,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {oracle_money_sum('value')} AS total_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM all_rows
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "rollup", "incremental", "retraction"),
+)
+def a10_retractable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    base = ev.filter(F.col("event_id") % 17 != 0).select(
+        "ts", "event_type", "value"
+    )
+    corr = ev.filter(F.col("event_id") % 17 == 0).select(
+        "ts", "event_type", (-F.col("value")).alias("value")
+    )
+    day = F.date_format("ts", "yyyy-MM-dd").alias("event_day")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").alias("dec_sum"),
+        )
+
+    base_p = partials(base)
+    corr_p = partials(corr)
+    # algebraic merge: counts and decimal sums ADD (corrections carry
+    # negative values); outer union keeps days present on one side only
+    merged = (
+        base_p.unionByName(corr_p)
+        .groupBy("event_day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("dec_sum").alias("dec_sum"),
+        )
+    )
+    # non-retractable min/max: rescan ONLY the (day, type) partitions
+    # the correction batch touched, merge with untouched days' extremes
+    affected = corr.select(day, "event_type").distinct()
+    touched_minmax = (
+        base.select(day, "event_type", "value")
+        .unionByName(corr.select(day, "event_type", "value"))
+        .join(F.broadcast(affected), ["event_day", "event_type"])
+        .groupBy("event_day", "event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    untouched_minmax = (
+        base.select(day, "event_type", "value")
+        .join(F.broadcast(affected), ["event_day", "event_type"], "left_anti")
+        .groupBy("event_day", "event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    minmax = touched_minmax.unionByName(untouched_minmax)
+    daily = merged.join(minmax, ["event_day", "event_type"])
+    return daily.groupBy(
+        F.substring("event_day", 1, 7).alias("event_month"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("dec_sum"), 2).cast("double").alias("total_value"),
+        F.min("lo").alias("min_value"),
+        F.max("hi").alias("max_value"),
+    )
