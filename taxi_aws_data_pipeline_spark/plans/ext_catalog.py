@@ -5812,3 +5812,172 @@ def x106_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
             within("direct_est").alias("direct_within_5pct"),
         )
     )
+
+
+_TIME_TO_CONVERT_ORACLE = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT p.user_id,
+               CAST(floor(epoch(p.first_purchase - v.first_view))
+                    AS BIGINT) AS secs
+        FROM p JOIN v ON p.user_id = v.user_id
+    ),
+    ranked AS (
+        SELECT secs,
+               row_number() OVER (ORDER BY secs, user_id) AS rk,
+               count(*) OVER () AS n
+        FROM d
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converters,
+           max(CASE WHEN rk = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                    THEN secs END) AS median_secs,
+           max(CASE WHEN rk = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                    THEN secs END) AS p90_secs
+    FROM ranked
+"""
+
+
+@register(
+    "x107_time_to_convert",
+    "Funnel LATENCY (the time dimension x57's stage-order funnel "
+    "drops): per user, whole seconds from first view to first "
+    "subsequent purchase, reduced to exact rank-selected median and "
+    "p90 — the conversion-latency numbers an attribution horizon "
+    "(w11/streaming_attribution_join's 30-min choice) is tuned from. "
+    "Latencies are integer floor-seconds via INTERVAL DIVISION — "
+    "timezone-free on ntz timestamps where unix_timestamp would "
+    "reinterpret them in the session zone, and verified equal to "
+    "DuckDB's floor(epoch(interval)) — and the quantiles are actual "
+    "data points (x61 rank selection) over the DISTRIBUTED global "
+    "rank (x87 primitive: the converter table is user-cardinality, so "
+    "no partition-less window). The >= first-view guard keeps "
+    "purchase-before-any-view users out.",
+    oracle=_TIME_TO_CONVERT_ORACLE,
+    tags=("ext", "events", "funnel", "latency"),
+)
+def x107_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.min("first_view").alias("first_view"),
+        )
+    )
+    # interval division is timezone-free on ntz timestamps (unlike
+    # unix_timestamp, which reinterprets ntz in the session zone) and
+    # floors the full microsecond difference in one step — semantics
+    # verified equal to DuckDB's floor(epoch(interval))
+    d = p.select(
+        "user_id",
+        F.expr(
+            "(first_purchase - first_view) div INTERVAL 1 SECOND"
+        ).alias("secs"),
+    )
+    # global quantiles WITHOUT a partition-less window: the converter
+    # table is user-cardinality (billions at 100 TB), so the rank comes
+    # from the distributed two-phase numbering (x87/x94 primitive)
+    numbered = PK.global_row_number(d, ("secs", "user_id"), out_col="rk")
+    nf = numbered.agg(F.count(F.lit(1)).alias("n"))
+    ranked = numbered.crossJoin(F.broadcast(nf))
+
+    def at(q: float):
+        target = F.greatest(F.ceil(q * F.col("n")).cast("long"), F.lit(1))
+        return F.max(F.when(F.col("rk") == target, F.col("secs")))
+
+    return ranked.agg(
+        F.max("n").alias("n_converters"),
+        at(0.5).alias("median_secs"),
+        at(0.9).alias("p90_secs"),
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+    WITH snap_a AS (
+        SELECT doc_id, source, md5(text) AS fp FROM documents
+        WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+    ),
+    snap_b AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                    ELSE md5(text) END AS fp
+        FROM documents
+        WHERE doc_id % 3 <> 1 AND text IS NOT NULL
+    ),
+    diff AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               COALESCE(a.source, b.source) AS source,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.fp = b.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    )
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM diff GROUP BY 1, 2
+"""
+
+
+@register(
+    "x108_corpus_snapshot_diff",
+    "Dataset-version DIFF (the audit between two corpus snapshots "
+    "before a training re-run): a FULL OUTER join on doc id classifies "
+    "every document added / removed / changed / unchanged — change "
+    "detection compares 16-byte content fingerprints, never text, so "
+    "the shuffle ships (id, fp) pairs only. The fixture derives both "
+    "snapshots from the documents table (disjoint %3 slices dropped "
+    "from each side, every 5th doc rewritten), making added/removed/"
+    "changed all non-empty. The rolled-up (source, status) counts are "
+    "the refresh report a dataset card cites; the full outer join is "
+    "the one shape the j-family's inner/semi/anti tiers don't cover.",
+    oracle=_SNAPSHOT_DIFF_ORACLE,
+    tags=("ext", "versioning", "diff", "full-outer"),
+)
+def x108_corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    snap_a = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    snap_b = docs.filter(F.col("doc_id") % 3 != 1).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    diff = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") == F.col("b.fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+    return diff.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
