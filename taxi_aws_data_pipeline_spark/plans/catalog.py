@@ -3064,3 +3064,179 @@ def a10_retractable_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.min("lo").alias("min_value"),
         F.max("hi").alias("max_value"),
     )
+
+
+@register(
+    "w13_dynamic_gap_sessions",
+    "session_window with a DYNAMIC per-event gap (the capability w2/w4's "
+    "fixed 30 minutes doesn't show): error events extend their session "
+    "by a 60-minute timeout, everything else by 15 — the "
+    "per-event-class inactivity policy real products ship. Spark's "
+    "session_window(ts, gap_expr) merges events whose windows overlap "
+    "under their OWN gaps; the oracle replays exactly that semantics "
+    "as gaps-and-islands where the cut compares against the running "
+    "MAX of prior per-event expiries (ts + own gap) — lag alone would "
+    "re-open sessions a long-gap event already covered (the x99 "
+    "running-max lesson on the time axis).",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'error'
+                        THEN INTERVAL 60 MINUTE
+                        ELSE INTERVAL 15 MINUTE END AS gap
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN max(ts + gap) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) > ts
+                        THEN 0 ELSE 1 END AS is_new
+            FROM g
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM sessions
+        GROUP BY 1, 2
+    """,
+    tags=("window", "sessionization", "dynamic-gap"),
+)
+def w13_dynamic_gap_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", gap).alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    # session_window yields (start, end]-style bounds, not an ordinal;
+    # number sessions per user in start order to match the oracle's
+    # gaps-and-islands surface
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+@register(
+    "a11_weighted_median",
+    "Exact WEIGHTED median (the statistic x53's dedup-with-weights "
+    "tier needs downstream): per return flag, the lower weighted "
+    "median of price under quantity weights — the smallest value whose "
+    "running weight reaches half the group total. Weights accumulate "
+    "as exact decimals in (value, tie-break) order, the threshold "
+    "compare is decimal-exact (2*cum >= total avoids any division), "
+    "and the selected value is an actual data point — hash-portable "
+    "by construction. One sort shuffle per group + O(1) window state; "
+    "the group totals ride a broadcast join.",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_extendedprice,
+                   SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cum_w,
+                   SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                       PARTITION BY l_returnflag) AS tot_w
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(tot_w AS DOUBLE) AS total_weight,
+               min(l_extendedprice) FILTER (WHERE 2 * cum_w >= tot_w)
+                   AS weighted_median
+        FROM ranked
+        GROUP BY l_returnflag, tot_w
+    """,
+    tags=("agg", "weighted", "median"),
+)
+def a11_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(wo).alias(
+            "cum_w"
+        ),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(wt).alias(
+            "tot_w"
+        ),
+    )
+    return ranked.groupBy("l_returnflag", "tot_w").agg(
+        F.min(
+            F.when(2 * F.col("cum_w") >= F.col("tot_w"), F.col("l_extendedprice"))
+        ).alias("weighted_median"),
+    ).select(
+        "l_returnflag",
+        F.col("tot_w").cast("double").alias("total_weight"),
+        "weighted_median",
+    )
+
+
+@register(
+    "j18_lateral_topn",
+    "LATERAL correlated subquery (Spark 4): for each region, its top-2 "
+    "customers by account balance through the nation dimension — the "
+    "declarative per-row-subquery form of w3's window top-k. Catalyst "
+    "DECORRELATES the lateral into a ranked join (it cannot execute a "
+    "per-row subquery at scale), so the physical plan is the same "
+    "window-rank shape w3 builds by hand — which is exactly the "
+    "equivalence the oracle pins by computing the window formulation "
+    "directly. Deterministic tie-break on custkey.",
+    oracle="""
+        SELECT region_name, c_custkey, c_acctbal, rnk FROM (
+            SELECT r.r_name AS region_name, c.c_custkey, c.c_acctbal,
+                   CAST(row_number() OVER (
+                       PARTITION BY r.r_name
+                       ORDER BY c.c_acctbal DESC, c.c_custkey) AS INT)
+                       AS rnk
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        )
+        WHERE rnk <= 2
+    """,
+    tags=("join", "lateral", "correlated", "topn"),
+)
+def j18_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "customer").createOrReplaceTempView("cust_j18")
+    load_table(spark, sf, "nation").createOrReplaceTempView("nat_j18")
+    load_table(spark, sf, "region").createOrReplaceTempView("reg_j18")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name, l.c_custkey, l.c_acctbal,
+               CAST(l.rnk AS INT) AS rnk
+        FROM reg_j18 r,
+        LATERAL (
+            SELECT c.c_custkey, c.c_acctbal,
+                   row_number() OVER (ORDER BY c.c_acctbal DESC,
+                                      c.c_custkey) AS rnk
+            FROM cust_j18 c JOIN nat_j18 n
+              ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY c.c_acctbal DESC, c.c_custkey
+            LIMIT 2
+        ) l
+        """
+    )
