@@ -5981,3 +5981,141 @@ def x108_corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     return diff.groupBy("source", "status").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_ANOMALY_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS n_hours,
+               sum(n) AS s1,
+               sum(n * n) AS s2
+        FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.h AS hour_start, h.n AS n_events,
+           CAST(s1 AS DOUBLE) / n_hours AS mean_n,
+           (h.n - CAST(s1 AS DOUBLE) / n_hours)
+           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)
+                  / (n_hours - 1))
+               AS z_score
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE abs((h.n - CAST(s1 AS DOUBLE) / n_hours)
+          / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)
+                 / (n_hours - 1))) >= 2.0
+"""
+
+
+@register(
+    "x109_hourly_anomaly_zscores",
+    "Volume-anomaly detection: per event type, hours whose event count "
+    "sits >= 2 sample standard deviations from that type's hourly mean "
+    "— the alert rule behind ingest-volume monitoring. Moments are "
+    "EXACT integer sums (counts and squared counts never touch "
+    "doubles until the closing formula), so mean/std/z replay as "
+    "identical IEEE expressions in both engines — the a8 "
+    "one-pass-moments recipe applied to anomaly scoring. Two "
+    "aggregations (hour roll-up, then per-type moments over the tiny "
+    "hourly table) + a broadcast join back.",
+    oracle=_ANOMALY_ORACLE,
+    tags=("ext", "monitoring", "anomaly", "zscore"),
+)
+def x109_hourly_anomaly_zscores(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour_start",
+            "n_events",
+            mean.alias("mean_n"),
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= 2.0)
+    )
+
+
+_CONTINGENCY_ORACLE = """
+    WITH cell AS (
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT c.event_type, c.dow, c.observed,
+               sum(c.observed) OVER (PARTITION BY c.event_type) AS row_tot,
+               sum(c.observed) OVER (PARTITION BY c.dow) AS col_tot,
+               sum(c.observed) OVER () AS grand_tot
+        FROM cell c
+    )
+    SELECT event_type, dow, observed,
+           CAST(row_tot AS DOUBLE) * col_tot / grand_tot AS expected,
+           (observed - CAST(row_tot AS DOUBLE) * col_tot / grand_tot)
+           / sqrt(CAST(row_tot AS DOUBLE) * col_tot / grand_tot)
+               AS pearson_residual
+    FROM margins
+"""
+
+
+@register(
+    "x110_contingency_residuals",
+    "Association audit between two categoricals (event type x day of "
+    "week): per-cell observed counts, expected counts under "
+    "independence (row_total * col_total / grand_total), and Pearson "
+    "residuals — the per-cell decomposition of the chi-square test "
+    "(emitting cells, not the summed statistic, keeps every value a "
+    "per-row IEEE expression over exact integers — a shuffle-order "
+    "double sum of contributions would not hash). The margins come "
+    "from windows over the ALREADY-AGGREGATED |types x 7| cell table, "
+    "so the data-sized work is one count shuffle. Spark/DuckDB "
+    "dayofweek conventions reconciled as in g8.",
+    oracle=_CONTINGENCY_ORACLE,
+    tags=("ext", "stats", "contingency", "chi-square"),
+)
+def x110_contingency_residuals(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    cell = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wg = Window.partitionBy()
+    m = cell.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.sum("observed").over(wr).alias("row_tot"),
+        F.sum("observed").over(wc).alias("col_tot"),
+        F.sum("observed").over(wg).alias("grand_tot"),
+    )
+    expected = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand_tot")
+    )
+    return m.select(
+        "event_type",
+        "dow",
+        "observed",
+        expected.alias("expected"),
+        ((F.col("observed") - expected) / F.sqrt(expected)).alias(
+            "pearson_residual"
+        ),
+    )
