@@ -6119,3 +6119,168 @@ def x110_contingency_residuals(spark: SparkSession, sf: str) -> DataFrame:
             "pearson_residual"
         ),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (shared literals — both engines
+# compare the same decimal constants, no libm exp() at query time)
+_POISSON1_CDF: tuple[str, ...] = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+)
+_BOOT_B = 16
+
+
+def _poisson_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POISSON1_CDF)} END"
+
+
+def _boot_se_exprs(mcols: list[str]) -> tuple[str, str]:
+    """(mean, se) SQL over the B replicate-mean columns as explicit
+    left-associative chains — deterministic, engine-identical."""
+    b = len(mcols)
+    mbar = f"({' + '.join(mcols)}) / {b}.0"
+    dev = " + ".join(f"({c} - mbar) * ({c} - mbar)" for c in mcols)
+    return mbar, f"sqrt(({dev}) / {b - 1}.0)"
+
+
+# the f-string above got unwieldy — build the oracle programmatically
+def _build_boot_oracle() -> str:
+    u = (
+        "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+        "|| CAST(b AS VARCHAR)), 1, 8) AS BIGINT)) / 4294967296.0"
+    )
+    w = _poisson_w_sql(f"({u})")
+    mcols = [f"m{i}" for i in range(_BOOT_B)]
+    msel = ", ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN w * n_chars END) AS DOUBLE)"
+        f" / sum(CASE WHEN b = {i} THEN w END) AS m{i}"
+        for i in range(_BOOT_B)
+    )
+    mbar, se = _boot_se_exprs(mcols)
+    return f"""
+    WITH reps AS (
+        SELECT d.doc_id, d.n_chars, t.b, {w} AS w
+        FROM documents d, unnest(range(0, {_BOOT_B})) AS t(b)
+        WHERE d.text IS NOT NULL
+    ),
+    means AS (
+        SELECT count(DISTINCT doc_id) AS n_docs, {msel} FROM reps
+    )
+    SELECT n_docs, mbar AS boot_mean, {se} AS boot_se
+    FROM (SELECT *, {mbar} AS mbar FROM means)
+    """
+
+
+_BOOT_ORACLE = _build_boot_oracle()
+
+
+@register(
+    "x111_bootstrap_se_deterministic",
+    f"DETERMINISTIC bootstrap standard error of the mean document "
+    f"length: {_BOOT_B} Poisson(1)-weighted replicates (the scalable "
+    "Poisson bootstrap — per-row independent weights, no resampling "
+    "shuffle) whose randomness is md5(doc_id:b) uniforms inverted "
+    "through LITERAL Poisson CDF thresholds, so every engine draws "
+    "identical weights and the whole procedure replays — the "
+    "hash-sampling recipe (x16/x48) extended to resampling inference. "
+    "Replicate means use exact integer weight*value sums; the "
+    "across-replicate SE folds the B mean columns in one explicit "
+    "left-associative chain (no shuffle-order double sums). One "
+    "explode-by-B pass + one aggregation.",
+    oracle=_BOOT_ORACLE,
+    tags=("ext", "stats", "bootstrap", "deterministic"),
+)
+def x111_bootstrap_se_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "w",
+        F.expr(
+            _poisson_w_sql(
+                "((CAST(conv(substr(md5(CAST(doc_id AS STRING) || ':' || "
+                "CAST(b AS STRING)), 1, 8), 16, 10) AS BIGINT))"
+                " / 4294967296.0)"
+            )
+        ),
+    )
+    aggs = [F.countDistinct("doc_id").alias("n_docs")]
+    for i in range(_BOOT_B):
+        aggs.append(
+            (
+                F.sum(
+                    F.when(F.col("b") == i, F.col("w") * F.col("n_chars"))
+                ).cast("double")
+                / F.sum(F.when(F.col("b") == i, F.col("w")))
+            ).alias(f"m{i}")
+        )
+    means = reps.agg(*aggs)
+    mcols = [f"m{i}" for i in range(_BOOT_B)]
+    mbar_sql, se_sql = _boot_se_exprs(mcols)
+    return means.withColumn("mbar", F.expr(mbar_sql)).select(
+        "n_docs",
+        F.col("mbar").alias("boot_mean"),
+        F.expr(se_sql).alias("boot_se"),
+    )
+
+
+@register(
+    "x112_partition_pruned_read",
+    "Hive-style partition PRUNING, written and read back: events land "
+    "as parquet partitioned by event_type (partitionBy — the S7 sink "
+    "shape), and the read filters to ONE partition value, so the scan "
+    "lists a single directory instead of the table (PartitionFilters "
+    "in the plan, asserted by tests/test_plans.py). The per-hour "
+    "aggregate over the surviving partition hash-matches the oracle's "
+    "filtered aggregation over the raw table, proving the "
+    "write-partition/read-prune cycle is lossless — including the "
+    "partition column's round trip through directory names (type "
+    "widening/escaping is where naive layouts corrupt; the explicit "
+    "read schema pins it).",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("source", "partitioning", "pruning", "sink"),
+)
+def x112_partition_pruned_read(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="part_ev_") + "/events"
+    (
+        load_table(spark, sf, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "value DOUBLE, props STRING, event_type STRING"
+    ).parquet(path)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -399,3 +399,61 @@ def test_j13_dimension_filters_push_before_fact_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # nation name filter reached a scan as a pushed/partial filter
     assert "NATION_1" in plan
+
+
+def test_x112_scan_has_partition_filters(spark, sf_dir):
+    # the partitioned read must prune at the DIRECTORY level: the scan
+    # carries a PartitionFilters entry on event_type and reads only the
+    # matching partition; a data-filter-only plan would list every file
+    plan = _plan(spark, sf_dir, "x112_partition_pruned_read")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "no PartitionFilters in scan"
+    assert any("event_type" in l and "purchase" in l for l in pf), pf
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE's runtime skew-join mitigation — the safety net under every
+    shuffled join in this catalog: a fact with one pathological hot key
+    joined to a large-enough dim (broadcast disabled) must show
+    skew-split sort-merge join partitions in the FINAL adaptive plan.
+    This is the behavior k1/k3's explicit salting complements: salting
+    is the plannable form, AQE the runtime backstop — both are part of
+    the engine's documented skew posture."""
+    import pyspark.sql.functions as F
+
+    fact = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k")
+        # execute the join's OWN QueryExecution (count() builds a new
+        # one over an aggregate, leaving this plan un-finalized — AQE
+        # only marks skew splits in the plan it actually ran)
+        rows = joined.collect()
+        # hot key 7 matches once; ids ≡ 0 (mod 10) keep their own key
+        # and only those < 50_000 find a dim row
+        assert len(rows) == 180_000 + 5_000
+        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple"
+        )
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
