@@ -3240,3 +3240,52 @@ def j18_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
         ) l
         """
     )
+
+
+@register(
+    "e17_calendar_dimension",
+    "Date-dimension GENERATOR (every warehouse's first conformed dim): "
+    "a 2024 day spine built by sequence() — no source table at all — "
+    "with the calendar attributes joins hang off: ISO week, quarter, "
+    "month-end flag, weekday/weekend, day-of-year. Spark and DuckDB "
+    "agree on weekofyear (both ISO-8601) but not dayofweek (g8's "
+    "1-based/0-based trap, shifted in the oracle again; the date "
+    "itself renders as an ISO string — pandas maps Spark DATE to "
+    "datetime.date but DuckDB DATE to datetime64, so a raw date "
+    "column can never repr-hash equal). Generated "
+    "dimensions broadcast by construction; at scale the spine is "
+    "regenerated per query rather than stored — cheaper than a scan.",
+    oracle="""
+        SELECT strftime(d, '%Y-%m-%d') AS cal_date,
+               CAST(year(d) AS INT) AS y,
+               CAST(quarter(d) AS INT) AS q,
+               CAST(month(d) AS INT) AS m,
+               CAST(weekofyear(d) AS INT) AS iso_week,
+               CAST(dayofweek(d) + 1 AS INT) AS dow,
+               dayofweek(d) + 1 IN (1, 7) AS is_weekend,
+               d = last_day(d) AS is_month_end,
+               CAST(dayofyear(d) AS INT) AS doy
+        FROM (
+            SELECT unnest(generate_series(DATE '2024-01-01',
+                                          DATE '2024-12-31',
+                                          INTERVAL 1 DAY))::DATE AS d
+        )
+    """,
+    tags=("expression", "calendar", "dimension", "generator"),
+)
+def e17_calendar_dimension(spark: SparkSession, sf: str) -> DataFrame:
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-12-31', "
+        "INTERVAL 1 DAY)) AS cal_date"
+    )
+    return spine.select(
+        F.date_format("cal_date", "yyyy-MM-dd").alias("cal_date"),
+        F.year("cal_date").cast("int").alias("y"),
+        F.quarter("cal_date").cast("int").alias("q"),
+        F.month("cal_date").cast("int").alias("m"),
+        F.weekofyear("cal_date").cast("int").alias("iso_week"),
+        F.dayofweek("cal_date").cast("int").alias("dow"),
+        F.dayofweek("cal_date").isin(1, 7).alias("is_weekend"),
+        (F.col("cal_date") == F.last_day("cal_date")).alias("is_month_end"),
+        F.dayofyear("cal_date").cast("int").alias("doy"),
+    )

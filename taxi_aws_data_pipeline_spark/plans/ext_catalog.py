@@ -6284,3 +6284,51 @@ def x112_partition_pruned_read(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+_URL_PARSE_ORACLE = """
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+    FROM documents
+"""
+
+
+@register(
+    "x113_url_parsing",
+    "URL decomposition with parse_url (HOST / PATH / QUERY param "
+    "extraction — the provenance-normalization step under per-domain "
+    "dedup, robots filtering, and source attribution): synthetic "
+    "crawl-style URLs are constructed from the document columns, then "
+    "parse_url takes them BACK apart, and the oracle derives the "
+    "expected host/path/param directly from the raw columns — so the "
+    "hash proves the parser inverts the construction exactly (query-"
+    "string param extraction included). parse_url is a codegen'd "
+    "projection; per-domain rollups downstream shuffle the parsed "
+    "host, never the full URL.",
+    oracle=_URL_PARSE_ORACLE,
+    tags=("ext", "url", "parsing", "provenance"),
+)
+def x113_url_parsing(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=1"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    )
