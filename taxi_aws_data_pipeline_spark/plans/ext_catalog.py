@@ -6332,3 +6332,76 @@ def x113_url_parsing(spark: SparkSession, sf: str) -> DataFrame:
             "lang_param"
         ),
     )
+
+
+_BOILERPLATE_ORACLE = """
+    WITH doc_lines AS (
+        SELECT DISTINCT doc_id, source,
+               trim(unnest(string_split(text, chr(10)))) AS line
+        FROM documents WHERE text IS NOT NULL
+    ),
+    src_docs AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
+    ),
+    line_df AS (
+        SELECT dl.source, md5(dl.line) AS lh,
+               count(DISTINCT dl.doc_id) AS df
+        FROM doc_lines dl
+        WHERE dl.line <> ''
+        GROUP BY 1, 2
+    )
+    SELECT l.source,
+           CAST(count(*) AS BIGINT) AS n_boilerplate_lines,
+           CAST(max(l.df) AS BIGINT) AS max_df,
+           CAST(s.n_docs AS BIGINT) AS n_docs
+    FROM line_df l JOIN src_docs s ON l.source = s.source
+    WHERE 2 * l.df > s.n_docs
+    GROUP BY l.source, s.n_docs
+"""
+
+
+@register(
+    "x114_boilerplate_line_report",
+    "Frequency-based BOILERPLATE detection (the C4/CCNet header-footer "
+    "strip, as a report): per source, distinct lines whose document "
+    "frequency exceeds half the source's docs — navigation chrome, "
+    "legal footers, cookie banners — the lines a cleaning pass would "
+    "strip by df-threshold rather than x26's global first-occurrence "
+    "dedup (which keeps one copy; boilerplate wants zero). Lines "
+    "reduce to (source, md5) keys before the df count — text never "
+    "shuffles; per-doc DISTINCT first so a line repeated within one "
+    "doc counts once toward df. Integer threshold compare (2*df > n), "
+    "no ratios.",
+    oracle=_BOILERPLATE_ORACLE,
+    tags=("ext", "text", "boilerplate", "cleaning"),
+)
+def x114_boilerplate_line_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    doc_lines = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", "\n")).alias("raw_line"),
+        )
+        .select("doc_id", "source", F.trim("raw_line").alias("line"))
+        .filter(F.col("line") != "")
+        .select("doc_id", "source", F.md5("line").alias("lh"))
+        .distinct()
+    )
+    src_docs = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    line_df = doc_lines.groupBy("source", "lh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        line_df.join(F.broadcast(src_docs), "source")
+        .filter(2 * F.col("df") > F.col("n_docs"))
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_boilerplate_lines"),
+            F.max("df").alias("max_df"),
+        )
+        .select("source", "n_boilerplate_lines", "max_df", "n_docs")
+    )

@@ -1771,3 +1771,50 @@ def test_containment_detects_exact_excerpt(spark):
     jac = X.jaccard_near_dup_pairs(docs, threshold=0.05).collect()
     jmap = {(r.doc_a, r.doc_b): r.jaccard for r in jac}
     assert jmap.get((1, 2), 0.0) < 0.2
+
+
+def test_boilerplate_report_catches_planted_footer(spark, tmp_path):
+    """x114's driver surface is 0-row on the newline-free fixture, so the
+    operator's behavior is pinned here: a footer line present in most of
+    a source's docs is reported; an infrequent line and within-one-doc
+    repetition are not."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from tests.oracle_utils import TABLE_NAMES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        if t == "documents":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet') "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    footer = "all rights reserved contact us"
+    rows = []
+    for i in range(10):
+        body = f"unique body text number {i}"
+        text = body + "\n" + footer if i < 8 else body
+        rows.append((i, text))
+    # one doc repeats a line internally — must count ONCE toward df
+    rows.append((10, "rare line\nrare line\nrare line"))
+    con.execute(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', 'en', 'siteA', {len(t)})" for i, t in rows
+        )
+        + ") v(doc_id, text, lang, source, n_chars)) "
+        f"TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    out = CATALOG["x114_boilerplate_line_report"].spark(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # only the footer crosses df > n/2 (8 of 11 docs); 'rare line' has
+    # df=1 despite appearing three times in its doc
+    assert (r.source, r.n_boilerplate_lines, r.max_df, r.n_docs) == (
+        "siteA", 1, 8, 11
+    )
