@@ -6405,3 +6405,86 @@ def x114_boilerplate_line_report(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("source", "n_boilerplate_lines", "max_df", "n_docs")
     )
+
+
+_ROBUST_SCALE_ORACLE = """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    q AS (
+        SELECT source,
+               max(CASE WHEN rk = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+                        THEN n_chars END) AS q1,
+               max(CASE WHEN rk = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                        THEN n_chars END) AS med,
+               max(CASE WHEN rk = greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)
+                        THEN n_chars END) AS q3
+        FROM ranked GROUP BY 1
+    )
+    SELECT r.doc_id, r.source, r.n_chars,
+           q.med AS source_median,
+           CAST(q.q3 - q.q1 AS BIGINT) AS iqr,
+           CASE WHEN q.q3 > q.q1
+                THEN CAST(r.n_chars - q.med AS DOUBLE) / (q.q3 - q.q1)
+           END AS robust_z
+    FROM ranked r JOIN q ON r.source = q.source
+"""
+
+
+@register(
+    "x115_robust_scaling",
+    "Outlier-resistant feature scaling: per-document robust z = "
+    "(x - source_median) / source_IQR — the normalization x44's "
+    "min-max cannot give when a source has length outliers (one 500k-"
+    "char doc flattens min-max to ~0; median/IQR ignore it). Quartiles "
+    "are exact rank-selected data points (x61 machinery, integer "
+    "n_chars), the IQR an integer difference, and the z one IEEE "
+    "division — hash-portable with zero interpolation. Degenerate "
+    "constant-spread groups (IQR 0) yield NULL rather than a "
+    "divide-by-zero. One sort shuffle on source + a broadcast "
+    "quartile join back.",
+    oracle=_ROBUST_SCALE_ORACLE,
+    tags=("ext", "normalization", "robust", "quantile"),
+)
+def x115_robust_scaling(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def at(q: float):
+        target = F.greatest(F.ceil(q * F.col("n")).cast("long"), F.lit(1))
+        return F.max(F.when(F.col("rk") == target, F.col("n_chars")))
+
+    quart = ranked.groupBy("source").agg(
+        at(0.25).alias("q1"), at(0.5).alias("med"), at(0.75).alias("q3")
+    )
+    return (
+        ranked.join(F.broadcast(quart), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("med").alias("source_median"),
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            F.when(
+                F.col("q3") > F.col("q1"),
+                (F.col("n_chars") - F.col("med")).cast("double")
+                / (F.col("q3") - F.col("q1")),
+            ).alias("robust_z"),
+        )
+    )
