@@ -119,6 +119,13 @@ BENCH_QUERIES = (
     "j13_bi_national_volume",
     "j14_disjunctive_pred_join",
     "w11_range_frame_rolling_count",
+    # late round-4 additions: mergeable distinct rollups, weighted
+    # median, deterministic bootstrap, boilerplate report, Mann-Kendall
+    "x105_bitmap_distinct_rollup",
+    "a11_weighted_median",
+    "x111_bootstrap_se_deterministic",
+    "x114_boilerplate_line_report",
+    "x104_mann_kendall_trend",
 )
 
 

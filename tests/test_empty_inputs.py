@@ -33,6 +33,8 @@ _FIXED_CARDINALITY = {
     "x68_referential_integrity_audit": 7,
     # one labeled zero-count row per set operator
     "d7_intersect_except_all": 2,
+    # pure generator — the 2024 day spine reads no table at all
+    "e17_calendar_dimension": 366,
 }
 
 
