@@ -6488,3 +6488,148 @@ def x115_robust_scaling(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+_DISTMATCH_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(length(bin(greatest(n_chars, 1))) - 1 AS INT)
+                   AS bucket
+        FROM documents
+    ),
+    src AS (
+        SELECT source, bucket, count(*) AS n_sb FROM b GROUP BY 1, 2
+    ),
+    src_tot AS (SELECT source, count(*) AS n_s FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, count(*) AS n_b FROM b GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM b),
+    rates AS (
+        SELECT s.source, s.bucket,
+               least(1.0,
+                   (CAST(t.n_b AS DOUBLE) / tot.n)
+                   / (CAST(s.n_sb AS DOUBLE) / st.n_s)) AS accept_rate
+        FROM src s
+        JOIN src_tot st ON s.source = st.source
+        JOIN tgt t ON s.bucket = t.bucket
+        CROSS JOIN tot
+    )
+    SELECT b.doc_id, b.source, b.bucket, r.accept_rate
+    FROM b JOIN rates r ON b.source = r.source AND b.bucket = r.bucket
+    WHERE ({SQL_H.format(s='CAST(b.doc_id AS VARCHAR)')}) / 4294967296.0
+          < r.accept_rate
+"""
+
+
+@register(
+    "x116_distribution_matched_sample",
+    "IMPORTANCE RESAMPLING to a target length distribution (the "
+    "DataComp/DoReMi-style distribution-matching step x49's equal-"
+    "share rebalancer can't express): every source is downsampled so "
+    "its log2-length histogram matches the CORPUS-WIDE histogram — "
+    "accept_rate(source, bucket) = min(1, target_share / "
+    "source_share), decided per doc by the same md5-uniform as "
+    "x16/x48 (composable, reshuffle-proof). Buckets are exact binary-"
+    "length integers (x45, no libm); the rate table is |sources x "
+    "buckets| and broadcasts; the corpus filters in place with no "
+    "data shuffle. Division order pinned (share ratios, not cross-"
+    "multiplied) so doubles agree across engines.",
+    oracle=_DISTMATCH_ORACLE,
+    tags=("ext", "sampling", "distribution-matching", "deterministic"),
+)
+def x116_distribution_matched_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    b = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.length(
+                F.conv(F.greatest("n_chars", F.lit(1)).cast("string"), 10, 2)
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    src = b.groupBy("source", "bucket").agg(F.count("*").alias("n_sb"))
+    src_tot = b.groupBy("source").agg(F.count("*").alias("n_s"))
+    tgt = b.groupBy("bucket").agg(F.count("*").alias("n_b"))
+    tot = b.agg(F.count("*").alias("n"))
+    rates = (
+        src.join(src_tot, "source")
+        .join(tgt, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "bucket",
+            F.least(
+                F.lit(1.0),
+                (F.col("n_b").cast("double") / F.col("n"))
+                / (F.col("n_sb").cast("double") / F.col("n_s")),
+            ).alias("accept_rate"),
+        )
+    )
+    u = X.base_hash(F.col("doc_id").cast("string")) / F.lit(4294967296.0)
+    return (
+        b.join(F.broadcast(rates), ["source", "bucket"])
+        .filter(u < F.col("accept_rate"))
+        .select("doc_id", "source", "bucket", "accept_rate")
+    )
+
+
+_DECAY_SHIFT = 31
+
+_DECAYED_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS v_int,
+               date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+                   AS age_days
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(v_int AS HUGEINT)
+                 * (CAST(1 AS HUGEINT) << ({_DECAY_SHIFT} - age_days)))
+                 AS VARCHAR) AS DOUBLE)
+           / (1000000.0 * {1 << _DECAY_SHIFT}) AS decayed_value
+    FROM base
+    GROUP BY 1
+"""
+
+
+@register(
+    "x117_time_decayed_user_value",
+    "EXACT exponential time decay (half-life 1 day, anchor 2024-02-01): "
+    "per user, sum of value * 2^-age_days — the recency-weighted "
+    "engagement score under feature stores and ranking signals — "
+    "computed with ZERO floating-point accumulation: values quantize "
+    "to integer micro-units, decay weights are integer POWERS OF TWO "
+    "(weight = 1 << (31 - age), ages bounded by the data window), and "
+    "the weighted sum accumulates as an exact decimal — order-free at "
+    "any parallelism, where the naive double sum of pow(2,-age) terms "
+    "is partition-order-dependent. One closing division renders the "
+    "score. The a8/x83 fixed-point recipe applied to decay kernels.",
+    oracle=_DECAYED_ORACLE,
+    tags=("ext", "decay", "feature", "fixed-point"),
+)
+def x117_time_decayed_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_int"),
+        F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")).alias(
+            "age_days"
+        ),
+    )
+    term = F.col("v_int").cast("decimal(38,0)") * F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {_DECAY_SHIFT} - age_days) AS DECIMAL(38,0))"
+    )
+    return base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(term).cast("string").cast("double")
+            / F.lit(1_000_000.0 * (1 << _DECAY_SHIFT))
+        ).alias("decayed_value"),
+    )
