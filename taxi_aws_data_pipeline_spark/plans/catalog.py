@@ -3289,3 +3289,71 @@ def e17_calendar_dimension(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("cal_date") == F.last_day("cal_date")).alias("is_month_end"),
         F.dayofyear("cal_date").cast("int").alias("doy"),
     )
+
+
+@register(
+    "a12_ols_trend_per_group",
+    "Per-group ORDINARY LEAST SQUARES trend (value vs day index): "
+    "slope and intercept per event type from exact one-pass moments — "
+    "x = integer day-of-month, y quantizes to integer micro-units, so "
+    "n, Σx, Σx², Σy, Σxy all accumulate as exact integers/decimals "
+    "(the builtin regr_slope aggregates doubles in shuffle order and "
+    "cannot hash) and the closing slope/intercept formulas are "
+    "identical IEEE expressions — a8's correlation recipe extended to "
+    "regression, x104's Mann-Kendall gets its parametric sibling. One "
+    "partial-aggregated pass; the per-group moment row is all that "
+    "shuffles.",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(day(ts)) AS sx,
+                   sum(day(ts) * day(ts)) AS sxx,
+                   sum(CAST(floor(value * 1000000) AS BIGINT)) AS sy,
+                   sum(day(ts) * CAST(floor(value * 1000000) AS BIGINT))
+                       AS sxy
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               / 1000000.0 AS slope_per_day,
+               (CAST(sy AS DOUBLE)
+                - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                  * sx)
+               / n / 1000000.0 AS intercept
+        FROM m
+    """,
+    tags=("agg", "regression", "trend", "statistics"),
+)
+def a12_ols_trend_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    x = F.dayofmonth("ts")
+    y = F.floor(F.col("value") * 1_000_000).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    slope_scaled = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (slope_scaled / F.lit(1_000_000.0)).alias("slope_per_day"),
+        (
+            (F.col("sy").cast("double") - slope_scaled * F.col("sx"))
+            / F.col("n")
+            / F.lit(1_000_000.0)
+        ).alias("intercept"),
+    )

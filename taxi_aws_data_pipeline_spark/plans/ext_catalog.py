@@ -6633,3 +6633,53 @@ def x117_time_decayed_user_value(spark: SparkSession, sf: str) -> DataFrame:
             / F.lit(1_000_000.0 * (1 << _DECAY_SHIFT))
         ).alias("decayed_value"),
     )
+
+
+_MERGESCHEMA_ORACLE = """
+    SELECT doc_id, source, n_chars,
+           CAST(NULL AS VARCHAR) AS batch_tag
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars,
+           'b2' AS batch_tag
+    FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+@register(
+    "x118_mergeschema_evolution_read",
+    "FILE-level schema evolution (d2's union-drift semantics at the "
+    "storage layer): two parquet batches land with different schemas — "
+    "batch 1 carries n_chars, batch 2 drops it and adds batch_tag — "
+    "and one mergeSchema read reconciles them, absent columns NULL per "
+    "batch. The oracle is the explicit NULL-padded UNION ALL, so the "
+    "hash proves footer-schema merging loses nothing and invents "
+    "nothing. Scale note: mergeSchema reads every footer — fine per "
+    "ingest batch, wrong as a steady-state table setting; promote the "
+    "reconciled schema into the catalog (the explicit-schema reads "
+    "everywhere else in this repo) once evolution settles.",
+    oracle=_MERGESCHEMA_ORACLE,
+    tags=("source", "schema-evolution", "mergeschema"),
+)
+def x118_mergeschema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="evo_") + "/docs"
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "source", F.lit("b2").alias("batch_tag"))
+        .write.mode("append")
+        .parquet(path)
+    )
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("doc_id", "source", "n_chars", "batch_tag")
+    )
