@@ -6683,3 +6683,122 @@ def x118_mergeschema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(path)
         .select("doc_id", "source", "n_chars", "batch_tag")
     )
+
+
+_REFRESH_ORACLE = f"""
+    WITH snap_a AS (
+        SELECT doc_id, md5(text) AS fp FROM documents
+        WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+    ),
+    snap_b AS (
+        SELECT doc_id, text, source,
+               CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                    ELSE md5(text) END AS fp
+        FROM documents
+        WHERE doc_id % 3 <> 1 AND text IS NOT NULL
+    ),
+    fresh AS (
+        SELECT b.doc_id, b.text, b.source, b.fp
+        FROM snap_b b LEFT JOIN snap_a a ON b.doc_id = a.doc_id
+        WHERE a.doc_id IS NULL OR a.fp <> b.fp
+    ),
+    gated AS (
+        SELECT doc_id, source, fp FROM fresh
+        WHERE {_SQL_QSCORE} >= 0.5
+    ),
+    deduped AS (
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    split AS (
+        SELECT doc_id, source,
+               CASE WHEN rn <= (n + 9) // 10 THEN 'test'
+                    WHEN rn <= 2 * ((n + 9) // 10) THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM deduped
+        )
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM split GROUP BY 1, 2
+"""
+
+
+@register(
+    "x119_incremental_refresh_pipeline",
+    "The round-4 CAPSTONE composition — an incremental corpus REFRESH "
+    "as one declarative plan: snapshot diff keeps only added/changed "
+    "docs (x108's fingerprint full-outer, as a left-join-or-changed "
+    "filter), the quality gate drops low scorers (x48's composite "
+    "score), exact dedup keeps the min-id representative per surviving "
+    "fingerprint (x5), and the exact stratified holdout (x96) assigns "
+    "train/val/test — so only NEW work flows through curation while "
+    "split proportions stay exact, the x27 composed-pipeline pattern "
+    "extended across the incremental tier. Catalyst fuses the gate "
+    "into the diff's scan; shuffles: the diff join, the fp dedup, the "
+    "per-source split window.",
+    oracle=_REFRESH_ORACLE,
+    tags=("ext", "pipeline", "incremental", "composed"),
+)
+def x119_incremental_refresh_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    snap_a = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("a_fp")
+    )
+    snap_b = docs.filter(F.col("doc_id") % 3 != 1).select(
+        "doc_id",
+        "text",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    )
+    fresh = (
+        snap_b.join(snap_a, snap_b["doc_id"] == snap_a["a_id"], "left")
+        .filter(F.col("a_id").isNull() | (F.col("a_fp") != F.col("fp")))
+        .select("doc_id", "text", "source", "fp")
+    )
+    gated = TX.add_quality_signals(fresh).filter(
+        F.col("quality_score") >= 0.5
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
+    w_split = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    split = deduped.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_split).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    ).select(
+        "source",
+        F.expr(
+            "CASE WHEN rn <= (n + 9) div 10 THEN 'test' "
+            "WHEN rn <= 2 * ((n + 9) div 10) THEN 'val' "
+            "ELSE 'train' END"
+        ).alias("split"),
+    )
+    return split.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
