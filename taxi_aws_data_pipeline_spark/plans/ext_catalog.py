@@ -6802,3 +6802,126 @@ def x119_incremental_refresh_pipeline(spark: SparkSession, sf: str) -> DataFrame
     return split.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_LIFT_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    st AS (
+        SELECT DISTINCT user_id, session_seq, event_type FROM sess
+    ),
+    n_sessions AS (
+        SELECT count(DISTINCT (user_id, session_seq)) AS ns FROM st
+    ),
+    singles AS (
+        SELECT event_type, count(*) AS n1 FROM st GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_ab
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_ab AS BIGINT) AS n_both,
+           CAST(sa.n1 AS BIGINT) AS n_a,
+           CAST(sb.n1 AS BIGINT) AS n_b,
+           CAST(p.n_ab AS DOUBLE) * ns.ns / (CAST(sa.n1 AS DOUBLE) * sb.n1)
+               AS lift
+    FROM pairs p
+    JOIN singles sa ON p.type_a = sa.event_type
+    JOIN singles sb ON p.type_b = sb.event_type
+    CROSS JOIN n_sessions ns
+"""
+
+
+@register(
+    "x120_event_cooccurrence_lift",
+    "Association mining over sessions: LIFT for every event-type pair "
+    "— P(a,b) / (P(a)P(b)) computed as the exact integer ratio "
+    "(n_ab * N) / (n_a * n_b), the log-free form of PMI (libm log "
+    "isn't correctly-rounded-portable; the RATIO carries the same "
+    "ordering information and hashes exactly). Sessions come from the "
+    "w2 30-min cut; co-occurrence is session-distinct types "
+    "self-joined on the session key — the join fans out by types-per-"
+    "session (bounded by |event types|), never by events. The "
+    "market-basket primitive under 'users who error also churn' "
+    "analyses.",
+    oracle=_LIFT_ORACLE,
+    tags=("ext", "association", "lift", "sessions"),
+)
+def x120_event_cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    st = (
+        ev.withColumn(
+            "session_seq",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+        .persist()
+    )
+    ns = st.select("user_id", "session_seq").distinct().count()
+    singles = st.groupBy("event_type").agg(F.count("*").alias("n1"))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n1").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n1").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                * F.lit(ns)
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    st.unpersist()
+    return out
