@@ -3357,3 +3357,225 @@ def a12_ols_trend_per_group(spark: SparkSession, sf: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: interval analytics + tolerance-bounded as-of
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j19_interval_concurrency",
+    "Sweep-line maximum concurrency: each event opens an interval "
+    "[ts, ts + floor(value*60) seconds] and the question is the peak "
+    "number of simultaneously-open intervals per event_type (peak "
+    "concurrent trips / sessions / connections — the capacity-planning "
+    "primitive). The classic sweep: every interval emits a (+1 at "
+    "start, -1 at end) delta, a per-type running sum over (t, delta, "
+    "event_id) order walks the timeline, and max(running) is the "
+    "answer. Ends sort before starts at the same instant (delta -1 < "
+    "+1), so touching intervals do NOT count as concurrent — pinned "
+    "identically in both dialects by the composite sort key. One "
+    "shuffle on event_type; the timeline walk is window-local. At "
+    "100 TB the partition key would widen to (type, day-bucket) with "
+    "per-bucket boundary carry-in — the same plan shape.",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type, event_id, ts AS s,
+                   ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
+            FROM events WHERE value IS NOT NULL
+        ), pts AS (
+            SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+            UNION ALL
+            SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+        ), walked AS (
+            SELECT event_type, delta,
+                   sum(delta) OVER (PARTITION BY event_type
+                                    ORDER BY t, delta, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS running
+            FROM pts
+        )
+        SELECT event_type,
+               CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_intervals,
+               CAST(max(running) AS BIGINT) AS max_concurrent
+        FROM walked
+        GROUP BY event_type
+    """,
+    tags=("interval", "sweep-line", "window", "capacity"),
+)
+def j19_interval_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_dt_interval(0, 0, 0, CAST(floor(value * 60) AS DOUBLE))"
+        ).alias("e"),
+    )
+    starts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = iv.select(
+        "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = starts.unionByName(ends).withColumn(
+        "running", F.sum("delta").over(w)
+    )
+    return walked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_intervals"),
+        F.max("running").cast("long").alias("max_concurrent"),
+    )
+
+
+@register(
+    "j20_asof_tolerance_bidi",
+    "Tolerance-bounded bidirectional as-of enrichment (the feature-store "
+    "point-in-time join with a staleness cap): every 'purchase' is "
+    "enriched with (a) seconds since the user's most recent prior "
+    "'click', kept only if within 30 min — a stale feature is worse "
+    "than a missing one — and (b) seconds until the user's NEXT "
+    "'error', kept only if within 60 min (the forward as-of used for "
+    "outcome labeling). Same union-sort shape as j2 — one scan tags "
+    "all three streams, one shuffle on user_id, last/first IGNORE "
+    "NULLS over preceding/following frames — the tolerance is a "
+    "post-window projection, so bounding staleness costs nothing "
+    "extra. Gaps are measured on second-truncated timestamps so both dialects count identical whole seconds (Spark timestampdiff floors the exact diff, DuckDB date_diff counts boundary crossings — truncation makes them agree by construction). No range join, no per-key collect; linear in rows and "
+    "100 TB-safe on the user_id shuffle alone.",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+                   CASE WHEN event_type = 'error' THEN ts END AS err_ts
+            FROM events WHERE event_type IN ('purchase', 'click', 'error')
+        ), filled AS (
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(click_ts IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prior_click_ts,
+                   first_value(err_ts IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_err_ts
+            FROM tagged
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN date_diff('second', date_trunc('second', prior_click_ts),
+                              date_trunc('second', ts)) <= 1800
+                    THEN CAST(date_diff('second',
+                              date_trunc('second', prior_click_ts),
+                              date_trunc('second', ts))
+                              AS BIGINT) END AS click_secs_back,
+               CASE WHEN date_diff('second', date_trunc('second', ts),
+                              date_trunc('second', next_err_ts)) <= 3600
+                    THEN CAST(date_diff('second',
+                              date_trunc('second', ts),
+                              date_trunc('second', next_err_ts))
+                              AS BIGINT) END AS error_secs_fwd
+        FROM filled WHERE event_type = 'purchase'
+    """,
+    tags=("join", "asof", "tolerance", "feature-store"),
+)
+def j20_asof_tolerance_bidi(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click", "error")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    filled = tagged.withColumn(
+        "prior_click_ts", F.last("click_ts", ignorenulls=True).over(wb)
+    ).withColumn("next_err_ts", F.first("err_ts", ignorenulls=True).over(wf))
+    back = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', prior_click_ts), "
+        "date_trunc('second', ts))"
+    )
+    fwd = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', ts), "
+        "date_trunc('second', next_err_ts))"
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(back <= 1800, back.cast("long")).alias("click_secs_back"),
+        F.when(fwd <= 3600, fwd.cast("long")).alias("error_secs_fwd"),
+    )
+
+
+@register(
+    "k5_join_cardinality_estimate",
+    "Join-cardinality estimation from per-key histograms — the "
+    "optimizer-statistics primitive: the output size of an equi-join "
+    "is sum over keys of n_left(k) * n_right(k), computable from two "
+    "tiny aggregated count tables WITHOUT materializing a single "
+    "joined row. The entry also computes the actual join count and "
+    "returns both, so the hash proves the estimator is EXACT for "
+    "equi-joins (it is — the formula is the join's definition), plus "
+    "max_key_pairs, the skew headline: the largest single-key output "
+    "is what decides salting (k1/k3) vs a plain shuffle. At 100 TB "
+    "this is how you price a shuffle before paying for it: two "
+    "partial-aggregated key scans instead of the join itself.",
+    oracle="""
+        WITH a AS (SELECT o_orderkey AS k, count(*) AS n
+                   FROM orders GROUP BY 1),
+             b AS (SELECT l_orderkey AS k, count(*) AS n
+                   FROM lineitem GROUP BY 1),
+             prod AS (SELECT a.n * b.n AS p FROM a JOIN b ON a.k = b.k)
+        SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_left,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_right,
+               CAST(sum(p) AS BIGINT) AS predicted_pairs,
+               CAST(max(p) AS BIGINT) AS max_key_pairs,
+               CAST((SELECT count(*)
+                     FROM orders JOIN lineitem
+                     ON o_orderkey = l_orderkey) AS BIGINT) AS actual_pairs
+        FROM prod
+    """,
+    tags=("stats", "cardinality", "skew", "planning"),
+)
+def k5_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    a = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    prod = a.join(b, "k").select((F.col("na") * F.col("nb")).alias("p"))
+    est = prod.agg(
+        F.sum("p").cast("long").alias("predicted_pairs"),
+        F.max("p").cast("long").alias("max_key_pairs"),
+    )
+    n_left = o.agg(F.count(F.lit(1)).alias("n_left"))
+    n_right = li.agg(F.count(F.lit(1)).alias("n_right"))
+    actual = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("actual_pairs"))
+    )
+    return n_left.crossJoin(n_right).crossJoin(est).crossJoin(actual)

@@ -6925,3 +6925,406 @@ def x120_event_cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     st.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: bucketed storage joins, CDC apply, graph triangles,
+# seasonality profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x121_bucketed_colocated_join",
+    "Bucketed-storage co-located join: orders and lineitem are written "
+    "as bucketed tables (bucketBy(8, orderkey) + sortBy, the Spark "
+    "analogue of Hive bucketing), and the fact-fact join then runs as "
+    "a SortMergeJoin with ZERO join-side Exchanges — both scans "
+    "already satisfy the join's hashpartitioning requirement from the "
+    "storage layout, so the only shuffle left in the whole query is "
+    "the final small groupBy (plan-guarded by tests/test_plans.py: "
+    "exactly one Exchange, on o_orderpriority, vs three for the "
+    "unbucketed form). The merge hint pins the SMJ at test scale "
+    "where AQE would broadcast; at 100 TB neither side broadcasts and "
+    "this IS the plan. This is the storage-level answer to the "
+    "repeated-join workload: pay the bucketing shuffle once at write "
+    "time, then every subsequent orderkey join on either table is "
+    "shuffle-free.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    tags=("storage", "bucketing", "join", "colocated"),
+)
+def x121_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="bkt_")
+    spark.sql("DROP TABLE IF EXISTS x121_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS x121_bkt_lineitem")
+    (
+        load_table(spark, sf, "orders")
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", base + "/orders")
+        .mode("overwrite")
+        .saveAsTable("x121_bkt_orders")
+    )
+    (
+        load_table(spark, sf, "lineitem")
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", base + "/lineitem")
+        .mode("overwrite")
+        .saveAsTable("x121_bkt_lineitem")
+    )
+    ob = spark.table("x121_bkt_orders")
+    lb = spark.table("x121_bkt_lineitem")
+    return (
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_CDC_ORACLE = """
+    WITH log AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN event_id % 10 = 0 THEN 'D'
+                    WHEN event_id % 3 = 0 THEN 'I'
+                    ELSE 'U' END AS op
+        FROM events
+    ), latest AS (
+        SELECT user_id, event_id, value, op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, event_id AS last_seq, op AS last_op,
+           value AS current_value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "x122_cdc_apply_changes",
+    "CDC apply-changes (the MERGE/upsert-with-deletes snapshot "
+    "reconstruction): the events table is read as a change log — a "
+    "deterministic op column tags every row I/U/D and event_id is the "
+    "total-order sequence number — and the current snapshot is "
+    "latest-wins per key with tombstoned keys REMOVED (a key whose "
+    "newest change is a delete must vanish, not linger with stale "
+    "values — the half that naive last() implementations get wrong). "
+    "row_number over (key ORDER BY seq DESC) = 1, then filter the "
+    "tombstones: one shuffle on the key, no join against the prior "
+    "snapshot needed when the log is complete. At 100 TB the same "
+    "plan applies per incremental batch against a bucketed snapshot "
+    "(x121's layout) — shuffle only the delta, merge bucket-local. "
+    "Complements x86's SCD2 (which keeps history; this keeps state).",
+    oracle=_CDC_ORACLE,
+    tags=("cdc", "merge", "upsert", "tombstone"),
+)
+def x122_cdc_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .when(F.col("event_id") % 3 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    latest = log.withColumn("rn", F.row_number().over(w))
+    return latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("event_id").alias("last_seq"),
+        F.col("op").alias("last_op"),
+        F.col("value").alias("current_value"),
+    )
+
+
+_TRIANGLE_ORACLE = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_suppkey AS sa, b.l_suppkey AS sb
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e1.sb = e2.sa
+        JOIN pairs e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+    ), nodes AS (
+        SELECT count(DISTINCT l_suppkey) AS n_nodes FROM lineitem
+    ), edges AS (
+        SELECT count(*) AS n_edges FROM pairs
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nodes, edges, tri
+"""
+
+
+@register(
+    "x123_triangle_count",
+    "Distributed triangle counting over the co-supply graph (suppliers "
+    "that appear in the same order share an edge): triangles are "
+    "closed wedges — canonical a<b edges joined edge(a,b)+edge(b,c) "
+    "into wedges, then closed against edge(a,c), so each triangle "
+    "a<b<c is found exactly once with equi-joins only (no cartesian, "
+    "no per-node adjacency collection). The graph-health metric under "
+    "clustering-coefficient / community-density monitoring, and the "
+    "classic MapReduce graph benchmark. Edge derivation is the x84 "
+    "shape: per-order fanout bounded by lines-per-order, so the edge "
+    "build survives 100×; at 100 TB the wedge join would additionally "
+    "orient edges low-degree→high-degree (halves the wedge count on "
+    "skewed graphs) — same plan, one extra degree join. The edge set "
+    "is localCheckpointed once and reused by all three self-joins.",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "triangles", "self-join"),
+)
+def x123_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.sb") == F.col("e2.sa"))
+        .join(
+            e3,
+            (F.col("e3.sa") == F.col("e1.sa"))
+            & (F.col("e3.sb") == F.col("e2.sb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = li.agg(F.countDistinct("l_suppkey").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+_SEASONALITY_ORACLE = """
+    WITH cells AS (
+        SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+               CAST(extract(hour FROM ts) AS INT) AS hour,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ), total AS (SELECT sum(n_events) AS n_total FROM cells)
+    SELECT dow, hour,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST((n_events * 168 * 1000000) // n_total AS BIGINT)
+               AS ppm_of_uniform
+    FROM cells, total
+"""
+
+
+@register(
+    "x124_hour_of_week_seasonality",
+    "Hour-of-week seasonality index: event volume per (weekday, hour) "
+    "cell against the uniform expectation — the 168-cell traffic "
+    "fingerprint under load forecasting, anomaly baselines (x109's "
+    "z-scores assume this profile is known), and demand-curve "
+    "scheduling. The index is reported as exact parts-per-million of "
+    "uniform via integer arithmetic (n_cell * 168e6 DIV total) — the "
+    "x120 log-free trick, so the hash is platform-exact with no "
+    "float division. Weekday is ISO (0=Monday), pinned cross-dialect "
+    "as Spark weekday() ≡ DuckDB isodow-1. One partial-aggregated "
+    "shuffle to 168 cells, then a broadcast of the one-row total: "
+    "scale-invariant output size.",
+    oracle=_SEASONALITY_ORACLE,
+    tags=("ext", "seasonality", "profile", "time"),
+)
+def x124_hour_of_week_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    cells = ev.groupBy(
+        F.weekday("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("(n_events * 168 * 1000000) DIV n_total")
+        .cast("long")
+        .alias("ppm_of_uniform"),
+    )
+
+
+_CHI2_ORACLE = """
+    WITH toks0 AS (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ), toks AS (
+        SELECT source, term FROM toks0 WHERE term <> ''
+    ), obs AS (
+        SELECT source, term, count(*) AS n_st FROM toks GROUP BY 1, 2
+    ), rows_ AS (
+        SELECT source, sum(n_st) AS n_s FROM obs GROUP BY 1
+    ), cols_ AS (
+        SELECT term, sum(n_st) AS n_t FROM obs GROUP BY 1
+    ), tot AS (SELECT sum(n_st) AS n FROM obs),
+    scored AS (
+        SELECT o.source, o.term,
+               CAST(o.n_st AS BIGINT) AS n_st,
+               (CAST(o.n_st * n.n - r.n_s * c.n_t AS DOUBLE)
+                * CAST(o.n_st * n.n - r.n_s * c.n_t AS DOUBLE))
+               / (CAST(r.n_s AS DOUBLE) * c.n_t) AS chi2_score
+        FROM obs o
+        JOIN rows_ r ON o.source = r.source
+        JOIN cols_ c ON o.term = c.term
+        CROSS JOIN tot n
+        WHERE c.n_t >= 5
+    )
+    SELECT source, term, n_st, chi2_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY chi2_score DESC, term)
+                 AS rn
+          FROM scored)
+    WHERE rn <= 5
+"""
+
+
+@register(
+    "x125_chi2_term_selection",
+    "Per-class discriminative-term selection (the feature-selection "
+    "step under quality/domain classifiers): for each source, the 5 "
+    "terms whose token counts deviate most from source-independence, "
+    "ranked by the chi-square cell numerator (obs*N - row*col)^2 / "
+    "(row*col). The deviation is computed EXACTLY in int64 (token "
+    "counts are small enough that obs*N fits with headroom), then "
+    "squared and divided in two mirrored IEEE double ops — same "
+    "operation sequence in both dialects, so the scores hash exactly "
+    "(the x120/a12 discipline: floats only in a fixed-shape closing "
+    "formula over exact integers, never in accumulation order). "
+    "Rare terms (corpus count < 5) are excluded identically. Plan: "
+    "tokenize-explode, three partial-aggregated shuffles (cell, row, "
+    "column margins), margins broadcast back onto cells, window "
+    "top-5 per source — no full-text shuffle anywhere.",
+    oracle=_CHI2_ORACLE,
+    tags=("ext", "text", "feature-selection", "chi2"),
+)
+def x125_chi2_term_selection(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    obs = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st"))
+    rows_ = obs.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    cols_ = obs.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    tot = obs.agg(F.sum("n_st").alias("n"))
+    dev = F.col("n_st") * F.col("n") - F.col("n_s") * F.col("n_t")
+    scored = (
+        obs.join(F.broadcast(rows_), "source")
+        .join(cols_, "term")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_t") >= 5)
+        .select(
+            "source",
+            "term",
+            F.col("n_st").cast("long").alias("n_st"),
+            (
+                (dev.cast("double") * dev.cast("double"))
+                / (F.col("n_s").cast("double") * F.col("n_t"))
+            ).alias("chi2_score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("chi2_score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+_GINI_ORACLE = """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i,
+               count(*) OVER (PARTITION BY source) AS n,
+               sum(n_chars) OVER (PARTITION BY source) AS s
+        FROM documents
+    ), sums AS (
+        SELECT source,
+               max(n) AS n, max(s) AS s,
+               sum(i * n_chars) AS weighted
+        FROM ranked GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(s AS BIGINT) AS total_chars,
+           CAST(2 * weighted - (n + 1) * s AS BIGINT) AS gini_num,
+           CAST(n * s AS BIGINT) AS gini_den
+    FROM sums
+"""
+
+
+@register(
+    "x126_length_gini_by_source",
+    "Corpus concentration report: the exact Gini coefficient of "
+    "document lengths per source, from the rank formulation "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending "
+    "ranks — the inequality metric that flags a source whose token "
+    "mass is concentrated in a few giant documents (sharding hazard: "
+    "x82's packer degrades when G -> 1) or suspiciously uniform "
+    "(synthetic/boilerplate signal). Reported as the exact integer "
+    "numerator/denominator pair — no division at all, so the hash is "
+    "trivially exact and downstream consumers pick their precision. "
+    "Ranks are per-source windows (partition-local, no global "
+    "SinglePartition — the x87 lesson), ties broken by doc_id "
+    "identically in both dialects.",
+    oracle=_GINI_ORACLE,
+    tags=("ext", "profile", "gini", "concentration"),
+)
+def x126_length_gini_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("i", F.row_number().over(wr))
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("weighted"),
+    )
+    return sums.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("s").cast("long").alias("total_chars"),
+        (F.lit(2) * F.col("weighted") - (F.col("n") + 1) * F.col("s"))
+        .cast("long")
+        .alias("gini_num"),
+        (F.col("n") * F.col("s")).cast("long").alias("gini_den"),
+    )

@@ -457,3 +457,49 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_x121_bucketed_join_is_shuffle_free(spark, sf_dir):
+    # the whole point of bucketing: both scans already satisfy the
+    # join's hashpartitioning requirement from the storage layout, so
+    # the SMJ has NO join-side Exchange — the only shuffle in the whole
+    # query is the final tiny groupBy on o_orderpriority
+    plan = _plan(spark, sf_dir, "x121_bucketed_colocated_join", "simple")
+    assert "SortMergeJoin" in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+    assert "o_orderpriority" in exchanges[0]
+    # and the unbucketed form of the SAME query pays three
+    from taxi_aws_data_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    naive = (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    naive_plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        naive._jdf.queryExecution(), "simple"
+    )
+    assert naive_plan.count("Exchange") == 3
+
+
+def test_x123_triangle_joins_are_equi(spark, sf_dir):
+    # wedge closing must stay equi-join (hash/SMJ); a cartesian or
+    # nested-loop fallback would mean the canonical-order equalities
+    # fell out of the condition and the count went all-pairs
+    plan = _plan(spark, sf_dir, "x123_triangle_count", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", ""
+    )  # the three one-row scalar frames combine via explicit crossJoin
+
+
+def test_x124_total_is_broadcast(spark, sf_dir):
+    # the one-row total joins the 168-cell frame via broadcast — no
+    # shuffle of the cells against the scalar
+    plan = _plan(spark, sf_dir, "x124_hour_of_week_seasonality", "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
