@@ -126,6 +126,12 @@ BENCH_QUERIES = (
     "x111_bootstrap_se_deterministic",
     "x114_boilerplate_line_report",
     "x104_mann_kendall_trend",
+    # round-4 continuation: the bucketed-storage shuffle-free join (write
+    # cost included — the honest price of the layout), the sweep-line
+    # concurrency walk, and the CDC snapshot reconstruction
+    "x121_bucketed_colocated_join",
+    "j19_interval_concurrency",
+    "x122_cdc_apply_changes",
 )
 
 

@@ -3579,3 +3579,106 @@ def k5_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("actual_pairs"))
     )
     return n_left.crossJoin(n_right).crossJoin(est).crossJoin(actual)
+
+
+@register(
+    "j21_part_supplier_variety",
+    "TPC-H Q16 shape: supplier-variety count per (p_brand, p_size) for "
+    "parts OUTSIDE a brand/type predicate, excluding a computed "
+    "bad-supplier set (negative account balance) via NOT-IN-style "
+    "anti semantics — the three-way composition of dimension "
+    "filtering, set exclusion, and DISTINCT aggregation. The "
+    "exclusion is a left_anti against the (small, aggregated) "
+    "bad-supplier keys — broadcastable, and immune to the NOT IN "
+    "null trap j15 documents. partsupp doesn't exist in this star "
+    "schema, so lineitem's (partkey, suppkey) pairs stand in as the "
+    "supply relation, distinct-ed BEFORE the dimension join so the "
+    "join input is the small pair set, not the fact table.",
+    oracle="""
+        WITH supply AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), bad AS (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        SELECT p.p_brand, p.p_size,
+               CAST(count(DISTINCT s.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM supply s
+        JOIN part p ON p.p_partkey = s.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT LIKE 'STANDARD%'
+          AND s.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        GROUP BY p.p_brand, p.p_size
+    """,
+    tags=("join", "q16", "anti", "distinct-agg"),
+)
+def j21_part_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier")
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = supply.join(
+        F.broadcast(bad),
+        supply.l_suppkey == bad.s_suppkey,
+        "left_anti",
+    )
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("STANDARD")
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "w14_active_day_streaks",
+    "Gaps-and-islands over calendar days: per user, consecutive-day "
+    "activity streaks via the classic date-minus-dense_rank constant "
+    "(all days of one streak share day - rank days; any gap shifts "
+    "the constant) — the engagement-streak metric under retention "
+    "scoring, habit features, and 'n-day streak' product mechanics. "
+    "Distinct active days first (one shuffle, collapses events to "
+    "<= users x days rows), then two window passes over the tiny "
+    "per-user day lists. Output: days active, number of streaks, and "
+    "the longest streak, all exact integers (dates appear only as the "
+    "internal streak key, so the e17 DATE-repr trap never reaches the "
+    "hashed surface).",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), keyed AS (
+            SELECT user_id, d,
+                   d - CAST(dense_rank() OVER (PARTITION BY user_id
+                                               ORDER BY d) AS INT)
+                       AS streak_key
+            FROM days
+        ), streaks AS (
+            SELECT user_id, streak_key, count(*) AS len
+            FROM keyed GROUP BY user_id, streak_key
+        )
+        SELECT user_id,
+               CAST(sum(len) AS BIGINT) AS active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(max(len) AS BIGINT) AS longest_streak
+        FROM streaks GROUP BY user_id
+    """,
+    tags=("window", "islands", "streaks", "retention"),
+)
+def w14_active_day_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    keyed = days.withColumn(
+        "streak_key", F.date_sub("d", F.dense_rank().over(w))
+    )
+    streaks = keyed.groupBy("user_id", "streak_key").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )

@@ -7328,3 +7328,360 @@ def x126_length_gini_by_source(spark: SparkSession, sf: str) -> DataFrame:
         .alias("gini_num"),
         (F.col("n") * F.col("s")).cast("long").alias("gini_den"),
     )
+
+
+_BALANCE_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value) AS BIGINT)
+                    ELSE -CAST(floor(value) AS BIGINT) END AS delta
+        FROM events
+        WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+    ), n AS (
+        SELECT user_id, max(pos) AS n_deltas FROM d GROUP BY user_id
+    ), walk AS (
+        SELECT user_id, 0 AS pos, CAST(0 AS BIGINT) AS b,
+               CAST(0 AS BIGINT) AS h
+        FROM n
+        UNION ALL
+        SELECT w.user_id, w.pos + 1,
+               greatest(w.b + d.delta, CAST(0 AS BIGINT)),
+               w.h + CASE WHEN w.b + d.delta < 0 THEN 1 ELSE 0 END
+        FROM walk w
+        JOIN d ON d.user_id = w.user_id AND d.pos = w.pos + 1
+    )
+    SELECT w.user_id,
+           CAST(n.n_deltas AS BIGINT) AS n_deltas,
+           w.b AS final_balance,
+           w.h AS n_clamps
+    FROM walk w JOIN n ON n.user_id = w.user_id AND w.pos = n.n_deltas
+"""
+
+
+@register(
+    "x127_clamped_running_balance",
+    "Floor-clamped running balance (inventory / credit-ledger "
+    "semantics: balance_t = max(0, balance_{t-1} + delta_t)) — the "
+    "textbook NON-linear recurrence that plain window cumsum cannot "
+    "express (the clamp makes each step depend on the clamped "
+    "previous state, not the raw prefix sum). Purchases credit "
+    "floor(value), errors debit it, per user in (ts, event_id) order; "
+    "output is the final balance plus how often the floor engaged. "
+    "Implemented ENTIRELY JVM-side: sort_array(collect_list(struct)) "
+    "per key, then a single F.aggregate fold with a struct "
+    "accumulator — sequential state without leaving codegen'd "
+    "expressions (no applyInPandas needed when the per-key series "
+    "fits an array, the same bound the Arrow path has anyway; x104 "
+    "stays the template for kernels too big for one expression). "
+    "One shuffle on user_id; the oracle replays the fold as a "
+    "recursive-CTE step walk — NOT list_reduce, whose struct-"
+    "accumulator fold miscounts in DuckDB 1.0.0 (observed: clamp "
+    "counts off by 1-2 with correct balances; the j16 recursion is "
+    "the trustworthy replay). Exact int64 end to end.",
+    oracle=_BALANCE_ORACLE,
+    tags=("ext", "stateful-fold", "ledger", "hof"),
+)
+def x127_clamped_running_balance(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+        & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        "user_id",
+        F.struct(
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor("value").cast("long"),
+            )
+            .otherwise(-F.floor("value").cast("long"))
+            .alias("delta"),
+        ).alias("step"),
+    )
+    agg = d.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("step")).alias("steps")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("b"), F.lit(0).cast("long").alias("h")
+    )
+    folded = agg.select(
+        "user_id",
+        F.size("steps").cast("long").alias("n_deltas"),
+        F.aggregate(
+            "steps",
+            init,
+            lambda acc, x: F.struct(
+                F.greatest(acc["b"] + x["delta"], F.lit(0).cast("long"))
+                .alias("b"),
+                (
+                    acc["h"]
+                    + F.when(acc["b"] + x["delta"] < 0, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("h"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_deltas",
+        F.col("st.b").alias("final_balance"),
+        F.col("st.h").alias("n_clamps"),
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN event_type IN ('click', 'view') THEN ts END
+                   AS mkt_ts,
+               CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                   AS mkt_type
+        FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    ), filled AS (
+        SELECT user_id, ts, event_type, value,
+               last_value(mkt_ts IGNORE NULLS) OVER w AS prior_mkt_ts,
+               last_value(mkt_type IGNORE NULLS) OVER w AS prior_mkt_type
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), attributed AS (
+        SELECT CASE WHEN prior_mkt_ts >= ts - INTERVAL 30 MINUTE
+                    THEN prior_mkt_type ELSE 'direct' END AS channel,
+               value
+        FROM filled WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           {rev} AS attributed_revenue
+    FROM attributed
+    GROUP BY channel
+"""
+
+
+from ..compat import oracle_money_sum as _oracle_money_sum  # noqa: E402
+
+_ATTRIBUTION_ORACLE_FULL = _ATTRIBUTION_ORACLE.format(
+    rev=_oracle_money_sum("value")
+)
+
+
+@register(
+    "x128_last_touch_attribution",
+    "Last-touch revenue attribution: each purchase's value is credited "
+    "to the user's most recent prior marketing touch (click or view) "
+    "within a 30-minute window, else to 'direct' — the marketing-"
+    "analytics allocation every growth dashboard starts from. Same "
+    "union-sort as-of shape as j2/j20 (one scan tags all streams, one "
+    "user_id shuffle, IGNORE-NULLS forward fill; ts and type fill "
+    "from the same last non-null row so the pair is consistent), then "
+    "a 3-row channel rollup with order-free decimal revenue sums "
+    "(compat.money_sum). The staleness cap compares raw microsecond "
+    "timestamps — no gap arithmetic, so no truncation reconciliation "
+    "needed. Linear in rows; 'direct' fallback keeps the output "
+    "total equal to total purchase revenue (conservation check "
+    "downstream dashboards rely on).",
+    oracle=_ATTRIBUTION_ORACLE_FULL,
+    tags=("ext", "attribution", "asof", "revenue"),
+)
+def x128_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..compat import money_sum
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("ts")
+        ).alias("mkt_ts"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("mkt_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn(
+        "prior_mkt_ts", F.last("mkt_ts", ignorenulls=True).over(w)
+    ).withColumn("prior_mkt_type", F.last("mkt_type", ignorenulls=True).over(w))
+    attributed = filled.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("prior_mkt_ts")
+            >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"),
+            F.col("prior_mkt_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        money_sum("value").alias("attributed_revenue"),
+    )
+
+
+
+_CLUSTER_FP_ORACLE = """
+    WITH groups AS (
+        SELECT md5(array_to_string(
+                   (string_split_regex(lower(text), '\\s+'))[1:5], ' '))
+                   AS block_hash,
+               list(doc_id ORDER BY doc_id) AS members
+        FROM documents
+        GROUP BY 1
+    )
+    SELECT block_hash,
+           CAST(len(members) AS BIGINT) AS n_members,
+           md5(array_to_string(members, ',')) AS member_fp
+    FROM groups WHERE len(members) >= 2
+"""
+
+
+@register(
+    "x129_cluster_canonical_fingerprint",
+    "Canonical cluster identity over prefix-blocking groups (the "
+    "cheap dedup blocking key: docs sharing their first 5 normalized "
+    "words — the corpus's near-dup families share openings, where "
+    "exact content hashes group nothing): every block with >= 2 "
+    "members gets a deterministic MEMBER fingerprint — md5 of the "
+    "comma-joined ascending member ids — the stable cluster id "
+    "provenance systems key on across corpus versions (block_hash "
+    "identifies the blocking key; member_fp identifies the SET, so "
+    "any membership change flips the fingerprint and x108's snapshot "
+    "diff localizes it). The "
+    "ordered concat is the portability trap here: Spark "
+    "array_join(sort_array(collect_list)) ≡ DuckDB "
+    "array_to_string(list(... ORDER BY)) only because the order is "
+    "pinned on both sides — an unordered string_agg would be "
+    "partition-order-dependent and could never hash. Shuffle key is "
+    "the 16-byte block hash; member lists are group-local.",
+    oracle=_CLUSTER_FP_ORACLE,
+    tags=("ext", "dedup", "provenance", "fingerprint"),
+)
+def x129_cluster_canonical_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    groups = docs.groupBy(
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.lower("text"), r"\s+"), 1, 5), " "
+            )
+        ).alias("block_hash")
+    ).agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+    return groups.filter(F.size("members") >= 2).select(
+        "block_hash",
+        F.size("members").cast("long").alias("n_members"),
+        F.md5(F.array_join("members", ",")).alias("member_fp"),
+    )
+
+
+_NEG_SAMPLE_ORACLE = """
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), bounds AS (
+        SELECT max(p_partkey) AS max_part FROM part
+    ), cand AS (
+        SELECT p.custkey, p.partkey AS pos_partkey, j.j,
+               1 + CAST('0x' || substr(md5(
+                       CAST(p.custkey AS VARCHAR) || ':' ||
+                       CAST(p.partkey AS VARCHAR) || ':' ||
+                       CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+                   % b.max_part AS neg_partkey
+        FROM pos p
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+        CROSS JOIN bounds b
+    ), verified AS (
+        SELECT c.custkey, c.pos_partkey, c.j, c.neg_partkey
+        FROM cand c
+        LEFT JOIN pos q ON q.custkey = c.custkey
+                       AND q.partkey = c.neg_partkey
+        WHERE q.custkey IS NULL
+    )
+    SELECT custkey, pos_partkey, j AS draw, neg_partkey
+    FROM verified
+"""
+
+
+@register(
+    "x130_negative_sampling",
+    "Deterministic negative sampling for contrastive training pairs: "
+    "every observed (customer, part) purchase is a positive; for each, "
+    "3 candidate negatives are drawn by hashing (custkey:partkey:j) "
+    "onto the part-key ring (md5-uniform — the x16 determinism "
+    "recipe, so resamples are stable across runs and engines with no "
+    "RNG), then candidates that collide with ANY true positive of "
+    "that customer are discarded by an anti join — the verification "
+    "step naive samplers skip, which silently trains on false "
+    "negatives. Candidate generation is a projection (fanout 3); the "
+    "verification is a shuffle on (custkey, partkey) against the "
+    "positives — both linear. At 100 TB the positives side would "
+    "pre-bucket on custkey (x121's layout) so the anti join is "
+    "co-located; popular-item-aware (frequency-weighted) draws are "
+    "the documented extension, swapping the uniform ring for x94's "
+    "equi-depth bucket table.",
+    oracle=_NEG_SAMPLE_ORACLE,
+    tags=("ext", "training", "negative-sampling", "contrastive"),
+)
+def x130_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    bounds = part.agg(F.max("p_partkey").alias("max_part"))
+    draws = spark.range(1, 4).select(F.col("id").cast("int").alias("j"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("custkey").cast("string"),
+                    F.col("partkey").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        pos.crossJoin(F.broadcast(draws))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "custkey",
+            F.col("partkey").alias("pos_partkey"),
+            "j",
+            (F.lit(1) + h % F.col("max_part")).alias("neg_partkey"),
+        )
+    )
+    c, q = cand.alias("c"), pos.alias("q")
+    verified = c.join(
+        q,
+        (F.col("c.custkey") == F.col("q.custkey"))
+        & (F.col("c.neg_partkey") == F.col("q.partkey")),
+        "left_anti",
+    )
+    return verified.select(
+        "custkey", "pos_partkey", F.col("j").alias("draw"), "neg_partkey"
+    )
