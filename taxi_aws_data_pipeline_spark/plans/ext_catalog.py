@@ -7685,3 +7685,109 @@ def x130_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
     return verified.select(
         "custkey", "pos_partkey", F.col("j").alias("draw"), "neg_partkey"
     )
+
+
+_SIMPSON_ORACLE = """
+    WITH cells AS (
+        SELECT source, lang, count(*) AS n_sl
+        FROM documents GROUP BY 1, 2
+    ), per_source AS (
+        SELECT source,
+               sum(n_sl) AS n,
+               sum(n_sl * (n_sl - 1)) AS same_pairs
+        FROM cells GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(same_pairs AS BIGINT) AS simpson_num,
+           CAST(n * (n - 1) AS BIGINT) AS simpson_den
+    FROM per_source
+"""
+
+
+@register(
+    "x131_simpson_diversity",
+    "Language-diversity monitoring without libm: per source, the "
+    "Simpson index components — P(two random docs share a language) = "
+    "sum n_i(n_i-1) / N(N-1) — reported as the exact integer "
+    "numerator/denominator pair (1 - ratio is the diversity). Shannon "
+    "entropy is the usual metric here but needs log(), which is not "
+    "correctly-rounded-portable across libms (the x120 lesson); "
+    "Simpson carries the same monitoring signal — collapse toward a "
+    "single language drives the ratio to 1 — with pure integer "
+    "arithmetic. Two partial-aggregated shuffles over a key space of "
+    "|sources| x |langs|; output is |sources| rows regardless of "
+    "corpus size.",
+    oracle=_SIMPSON_ORACLE,
+    tags=("ext", "diversity", "monitoring", "exact"),
+)
+def x131_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_sl")
+    )
+    per_source = cells.groupBy("source").agg(
+        F.sum("n_sl").alias("n"),
+        F.sum(F.col("n_sl") * (F.col("n_sl") - 1)).alias("same_pairs"),
+    )
+    return per_source.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("same_pairs").cast("long").alias("simpson_num"),
+        (F.col("n") * (F.col("n") - 1)).cast("long").alias("simpson_den"),
+    )
+
+
+_QTRANSFORM_ORACLE = """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(((r - 1) * 1000000) // (n - 1) AS BIGINT) AS quantile_ppm
+    FROM ranked WHERE n > 1
+"""
+
+
+@register(
+    "x132_quantile_transform",
+    "Per-source quantile transform (rank normalization): each "
+    "document's length maps to its exact within-source quantile — "
+    "ppm of (rank-1)/(n-1) by integer division — making length "
+    "comparable ACROSS sources whose raw distributions differ wildly "
+    "(the preprocessing twin of x115's robust scaling: x115 centers "
+    "by median/IQR and keeps shape, this destroys shape and keeps "
+    "only order — the right choice when a downstream mixer consumes "
+    "per-source percentile bands, e.g. 'drop the shortest 5% of "
+    "every source'). Ties break by doc_id identically in both "
+    "dialects, so the map is a deterministic bijection per source; "
+    "single-doc sources are excluded ((n-1) = 0). One shuffle on "
+    "source; window rank is partition-local.",
+    oracle=_QTRANSFORM_ORACLE,
+    tags=("ext", "scaling", "quantile", "normalization"),
+)
+def x132_quantile_transform(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("n") > 1).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("((r - 1) * 1000000) DIV (n - 1)")
+        .cast("long")
+        .alias("quantile_ppm"),
+    )

@@ -1818,3 +1818,118 @@ def test_boilerplate_report_catches_planted_footer(spark, tmp_path):
     assert (r.source, r.n_boilerplate_lines, r.max_df, r.n_docs) == (
         "siteA", 1, 8, 11
     )
+
+
+def test_x127_clamp_semantics_on_crafted_ledger(spark, tmp_path):
+    """Planted event ledger with hand-computed clamp points, including
+    the exact-zero boundary: b + delta == 0 empties the balance but is
+    NOT a clamp (the recurrence clamps only strictly-negative sums)."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_ledger"
+    d.mkdir()
+    # user 1: +5, -5 (exact zero: no clamp), -3 (clamp), +7 -> 7
+    # user 2: -4 (clamp from empty), +10, -25 (clamp), +2 -> 2
+    # user 3: +1 only -> 1, no clamps
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "purchase", 5.9),
+        (1, "2024-01-01 01:00:00", 2, "error", 5.2),
+        (1, "2024-01-01 02:00:00", 3, "error", 3.0),
+        (1, "2024-01-01 03:00:00", 4, "purchase", 7.1),
+        (2, "2024-01-01 00:30:00", 5, "error", 4.4),
+        (2, "2024-01-01 01:30:00", 6, "purchase", 10.0),
+        (2, "2024-01-01 02:30:00", 7, "error", 25.7),
+        (2, "2024-01-01 03:30:00", 8, "purchase", 2.9),
+        (3, "2024-01-01 00:15:00", 9, "purchase", 1.5),
+        # a 'view' row and a null-value row must be ignored
+        (1, "2024-01-01 00:45:00", 10, "view", 99.0),
+        (2, "2024-01-01 00:45:00", 11, "purchase", None),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP, event_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(
+        "COPY (SELECT event_id, ts, user_id, event_type, value, "
+        "'' AS props FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.user_id: r
+        for r in CATALOG["x127_clamped_running_balance"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    assert (got[1].n_deltas, got[1].final_balance, got[1].n_clamps) == (4, 7, 1)
+    assert (got[2].n_deltas, got[2].final_balance, got[2].n_clamps) == (4, 2, 2)
+    assert (got[3].n_deltas, got[3].final_balance, got[3].n_clamps) == (1, 1, 0)
+
+
+def test_x130_negatives_verified_against_positives(spark, sf_dir):
+    """Every emitted negative must be absent from the customer's true
+    positives and inside the part-key ring."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    neg = CATALOG["x130_negative_sampling"].spark(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    n, q = neg.alias("n"), pos.alias("q")
+    collisions = n.join(
+        q,
+        (F.col("n.custkey") == F.col("q.custkey"))
+        & (F.col("n.neg_partkey") == F.col("q.partkey")),
+        "inner",
+    ).count()
+    assert collisions == 0
+    max_part = load_table(spark, sf_dir, "part").agg(
+        F.max("p_partkey")
+    ).collect()[0][0]
+    bounds = neg.agg(
+        F.min("neg_partkey").alias("lo"), F.max("neg_partkey").alias("hi")
+    ).collect()[0]
+    assert bounds.lo >= 1 and bounds.hi <= max_part
+
+
+def test_w14_streaks_on_crafted_days(spark, tmp_path):
+    """Planted activity: 3-day run + gap + 2-day run for user 1 (streaks
+    2, longest 3); duplicate events on one day must not split or extend
+    a streak; single-day user has one length-1 streak."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_days"
+    d.mkdir()
+    rows = [
+        (1, "2024-03-01 08:00:00"), (1, "2024-03-02 09:00:00"),
+        (1, "2024-03-02 21:00:00"), (1, "2024-03-03 01:00:00"),
+        (1, "2024-03-05 10:00:00"), (1, "2024-03-06 10:00:00"),
+        (2, "2024-03-10 12:00:00"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+    con.execute(
+        "COPY (SELECT row_number() OVER () AS event_id, ts, user_id, "
+        "'view' AS event_type, 1.0 AS value, '' AS props FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.user_id: r
+        for r in CATALOG["w14_active_day_streaks"].spark(spark, str(d)).collect()
+    }
+    assert (got[1].active_days, got[1].n_streaks, got[1].longest_streak) == (5, 2, 3)
+    assert (got[2].active_days, got[2].n_streaks, got[2].longest_streak) == (1, 1, 1)

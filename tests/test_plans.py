@@ -503,3 +503,26 @@ def test_x124_total_is_broadcast(spark, sf_dir):
     # shuffle of the cells against the scalar
     plan = _plan(spark, sf_dir, "x124_hour_of_week_seasonality", "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_j21_exclusion_and_dim_broadcast(spark, sf_dir):
+    # the bad-supplier exclusion and the filtered part dimension must
+    # both broadcast (tiny sides); the only data-sized shuffles are the
+    # supply-pair distinct and the final distinct-agg
+    plan = _plan(spark, sf_dir, "j21_part_supplier_variety", "simple")
+    assert plan.count("BroadcastHashJoin") >= 2  # anti + dim join
+    assert "CartesianProduct" not in plan
+
+
+def test_x130_verification_is_equi_anti_join(spark, sf_dir):
+    # the false-negative filter must be an EQUI anti join on
+    # (custkey, partkey) — a nested-loop fallback would mean the
+    # collision check went all-pairs; the two intended
+    # BroadcastNestedLoopJoins are the 3-row draws / 1-row bounds
+    # crossJoins, which build tiny sides
+    plan = _plan(spark, sf_dir, "x130_negative_sampling", "simple")
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all(
+        "BroadcastHashJoin" in l or "SortMergeJoin" in l or "ShuffledHashJoin" in l
+        for l in anti
+    ), anti
