@@ -3682,3 +3682,171 @@ def w14_active_day_streaks(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.max("len").cast("long").alias("longest_streak"),
     )
+
+
+@register(
+    "a13_trimmed_mean",
+    "Per-group 5%-trimmed mean of extended price — the robust location "
+    "estimate that survives the fat tails c4/c5 cap away: rank rows "
+    "inside each return flag (deterministic orderkey/linenumber "
+    "tie-break), drop the bottom and top n DIV 20, and average the "
+    "interior. The kept-range bounds are pure integer arithmetic "
+    "(n DIV 20), the interior sum accumulates as an exact decimal "
+    "(order-free), and the mean is one IEEE division of that exact sum "
+    "by the kept count — the a8/x120 closing-formula discipline. One "
+    "shuffle on the group key; the per-group sort is the price of any "
+    "exact rank statistic (the approx path at 100 TB trims on "
+    "approx_percentile bounds instead, same shape as the c4/c5 "
+    "exact-to-approx switch).",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS r,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ), kept AS (
+            SELECT l_returnflag, l_extendedprice, n
+            FROM ranked
+            WHERE r > n // 20 AND r <= n - n // 20
+        )
+        SELECT l_returnflag,
+               CAST(max(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                         AS VARCHAR) AS DOUBLE) AS trimmed_sum,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                         AS VARCHAR) AS DOUBLE) / count(*) AS trimmed_mean
+        FROM kept GROUP BY l_returnflag
+    """,
+    tags=("agg", "statistics", "robust", "trimmed"),
+)
+def a13_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("r") > F.expr("n DIV 20"))
+        & (F.col("r") <= F.col("n") - F.expr("n DIV 20"))
+    )
+    agg = kept.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("trimmed_sum"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_total",
+        "n_kept",
+        "trimmed_sum",
+        (F.col("trimmed_sum") / F.col("n_kept")).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "a14_spearman_rank_correlation",
+    "Per-(returnflag, linestatus) Spearman rank correlation between "
+    "quantity and extended price — the monotone-association sibling of "
+    "a8's Pearson, in the standard tie-aware form: each measure gets "
+    "its AVERAGE rank (tied values share the mean of their positions), "
+    "kept exact by doubling — R2 = 2*rank() + peers - 1 is always an "
+    "integer — and rho is Pearson over the doubled ranks (doubling "
+    "cancels). Average ranks make the statistic deterministic even "
+    "with fully duplicated rows (this table's (orderkey, linenumber) "
+    "is NOT unique), where any positional tie-break would pair rows "
+    "arbitrarily. Moments accumulate as exact decimals (a8's "
+    "discipline); the closing formula is a fixed shape of IEEE ops on "
+    "correctly-rounded doubles of those exact sums. The peers count "
+    "rides the SAME sort as the rank (RANGE peers frame), so each "
+    "measure costs one window pass over the one group-keyed shuffle.",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_linestatus,
+                   2 * rank() OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY l_quantity)
+                   + count(*) OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY l_quantity
+                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                   - 1 AS rq2,
+                   2 * rank() OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY l_extendedprice)
+                   + count(*) OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY l_extendedprice
+                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                   - 1 AS rp2
+            FROM lineitem
+        ), m AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(CAST(sum(CAST(rq2 AS DECIMAL(38,0))) AS VARCHAR)
+                        AS DOUBLE) AS s_q,
+                   CAST(CAST(sum(CAST(rp2 AS DECIMAL(38,0))) AS VARCHAR)
+                        AS DOUBLE) AS s_p,
+                   CAST(CAST(sum(CAST(rq2 AS DECIMAL(19,0))
+                                 * CAST(rq2 AS DECIMAL(18,0))) AS VARCHAR)
+                        AS DOUBLE) AS q_q,
+                   CAST(CAST(sum(CAST(rp2 AS DECIMAL(19,0))
+                                 * CAST(rp2 AS DECIMAL(18,0))) AS VARCHAR)
+                        AS DOUBLE) AS q_p,
+                   CAST(CAST(sum(CAST(rq2 AS DECIMAL(19,0))
+                                 * CAST(rp2 AS DECIMAL(18,0))) AS VARCHAR)
+                        AS DOUBLE) AS p_qp
+            FROM ranked GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, n,
+               (n * p_qp - s_q * s_p)
+               / sqrt((n * q_q - s_q * s_q) * (n * q_p - s_p * s_p))
+                   AS spearman_rho
+        FROM m
+    """,
+    tags=("agg", "statistics", "correlation", "rank"),
+)
+def a14_spearman_rank_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    g = ["l_returnflag", "l_linestatus"]
+
+    def r2(col: str) -> Column:
+        wo = Window.partitionBy(*g).orderBy(col)
+        peers = wo.rangeBetween(Window.currentRow, Window.currentRow)
+        return (
+            2 * F.rank().over(wo) + F.count(F.lit(1)).over(peers) - 1
+        )
+
+    ranked = li.select(
+        *g,
+        r2("l_quantity").alias("rq2"),
+        r2("l_extendedprice").alias("rp2"),
+    )
+    wide = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    slim = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rq2").cast("decimal(38,0)")).cast("double").alias("s_q"),
+        F.sum(F.col("rp2").cast("decimal(38,0)")).cast("double").alias("s_p"),
+        F.sum(wide("rq2") * slim("rq2")).cast("double").alias("q_q"),
+        F.sum(wide("rp2") * slim("rp2")).cast("double").alias("q_p"),
+        F.sum(wide("rq2") * slim("rp2")).cast("double").alias("p_qp"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("p_qp") - F.col("s_q") * F.col("s_p")
+    den = F.sqrt(
+        (nd * F.col("q_q") - F.col("s_q") * F.col("s_q"))
+        * (nd * F.col("q_p") - F.col("s_p") * F.col("s_p"))
+    )
+    return m.select(*g, "n", (num / den).alias("spearman_rho"))

@@ -7791,3 +7791,113 @@ def x132_quantile_transform(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("quantile_ppm"),
     )
+
+
+_INVERTED_INDEX_ORACLE = f"""
+    WITH tf AS (
+        SELECT token, doc_id, count(*) AS tf
+        FROM (
+            SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS token
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE length(token) > 0
+        GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+    FROM tf GROUP BY token
+"""
+
+
+@register(
+    "x133_inverted_index",
+    "Search-index construction: the full inverted index over the corpus "
+    "— per term, document frequency, total term frequency, and the "
+    "posting list (ascending doc ids) fingerprinted as md5 so the "
+    "whole index is hash-verifiable without shipping megabyte rows. "
+    "Tokens reduce to per-(term, doc) tf FIRST (partial-aggregated, so "
+    "the big shuffle carries one row per distinct term-doc pair, not "
+    "one per occurrence), then one term-keyed agg builds the postings. "
+    "Scale posture: stopword-grade terms own million-doc postings — "
+    "the classic posting skew — so the 100 TB layout blocks each "
+    "posting into fixed-size runs keyed by (term, block) exactly like "
+    "x82's shard layout; the md5-of-ordered-ids surface here is x129's "
+    "canonical-fingerprint trick applied to IR.",
+    oracle=_INVERTED_INDEX_ORACLE,
+    tags=("ext", "text", "index", "search"),
+)
+def x133_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(TX.words("text")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    tf = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+        ).alias("postings_md5"),
+    )
+
+
+_VOCAB_GROWTH_ORACLE = f"""
+    WITH first_seen AS (
+        SELECT token, min(doc_id) AS first_doc
+        FROM (
+            SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS token
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE length(token) > 0
+        GROUP BY token
+    ), per_bucket AS (
+        SELECT first_doc // 50 AS bucket, count(*) AS n_new
+        FROM first_seen GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_new AS BIGINT) AS n_new_tokens,
+           CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+    FROM per_bucket
+"""
+
+
+@register(
+    "x134_vocab_growth",
+    "Heaps'-law vocabulary growth curve: scanning the corpus in doc-id "
+    "order, how many NEVER-SEEN-BEFORE tokens each 50-document bucket "
+    "contributes, plus the cumulative vocabulary size — the saturation "
+    "curve that answers 'is more of this source still adding new "
+    "language?' for crawl-budget decisions. Running count-distinct is "
+    "inexpressible as a window, so it reformulates exactly: a token's "
+    "first occurrence is min(doc_id) (one vocabulary-keyed agg over "
+    "partial-aggregated per-doc distincts), bucketed by integer "
+    "division, and the cumulative sum runs over ONLY |buckets| rows — "
+    "the single-partition window touches ~N/50 pre-aggregated rows, "
+    "never the corpus.",
+    oracle=_VOCAB_GROWTH_ORACLE,
+    tags=("ext", "text", "stats", "scaling-laws"),
+)
+def x134_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(TX.words("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = (
+        first_seen.select(F.expr("first_doc DIV 50").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_new").cast("long").alias("n_new_tokens"),
+        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+    )

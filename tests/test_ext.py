@@ -1933,3 +1933,125 @@ def test_w14_streaks_on_crafted_days(spark, tmp_path):
     }
     assert (got[1].active_days, got[1].n_streaks, got[1].longest_streak) == (5, 2, 3)
     assert (got[2].active_days, got[2].n_streaks, got[2].longest_streak) == (1, 1, 1)
+
+
+def test_a13_trim_bounds_on_crafted_groups(spark, tmp_path):
+    """40-row group trims exactly 2 per end (40 DIV 20); a 3-row group
+    trims nothing (3 DIV 20 = 0)."""
+    import os
+
+    import pandas as pd
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = [("A", "F", i, 1, 1.0, float(i)) for i in range(1, 41)]
+    rows += [("B", "O", 100 + i, 1, 1.0, float(v)) for i, v in enumerate((7, 9, 14))]
+    pd.DataFrame(
+        rows,
+        columns=[
+            "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice",
+        ],
+    ).to_parquet(os.path.join(tmp_path, "lineitem.parquet"), index=False)
+    got = {
+        r.l_returnflag: r
+        for r in CATALOG["a13_trimmed_mean"].spark(spark, str(tmp_path)).collect()
+    }
+    # A keeps ranks 3..38 -> values 3..38: sum 738, mean 20.5
+    assert (got["A"].n_total, got["A"].n_kept) == (40, 36)
+    assert got["A"].trimmed_sum == 738.0
+    assert got["A"].trimmed_mean == 738.0 / 36
+    assert (got["B"].n_total, got["B"].n_kept) == (3, 3)
+    assert got["B"].trimmed_mean == 10.0
+
+
+def test_a14_spearman_extremes_and_ties(spark, tmp_path):
+    """Perfectly monotone group -> rho exactly 1.0; perfectly reversed
+    -> exactly -1.0; tied quantities get average ranks (the scipy
+    spearmanr convention: x=[1,2,2,3] vs monotone y -> sqrt(0.9))."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = [("A", "F", i, 1, float(i), float(10 * i)) for i in range(1, 6)]
+    rows += [("B", "O", i, 1, float(i), float(100 - i)) for i in range(1, 6)]
+    rows += [
+        ("C", "F", 1, 1, 1.0, 10.0),
+        ("C", "F", 2, 1, 2.0, 20.0),
+        ("C", "F", 3, 1, 2.0, 30.0),
+        ("C", "F", 4, 1, 3.0, 40.0),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=[
+            "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice",
+        ],
+    ).to_parquet(os.path.join(tmp_path, "lineitem.parquet"), index=False)
+    got = {
+        r.l_returnflag: r
+        for r in CATALOG["a14_spearman_rank_correlation"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got["A"].spearman_rho == 1.0
+    assert got["B"].spearman_rho == -1.0
+    assert math.isclose(
+        got["C"].spearman_rho, math.sqrt(0.9), rel_tol=1e-12
+    )
+
+
+def test_x133_postings_on_planted_docs(spark, tmp_path):
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["apple banana apple", "banana cherry"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [18, 13],
+        }
+    ).to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    got = {
+        r.token: r
+        for r in CATALOG["x133_inverted_index"].spark(spark, str(tmp_path)).collect()
+    }
+    assert (got["apple"].df, got["apple"].total_tf) == (1, 2)
+    assert got["apple"].postings_md5 == hashlib.md5(b"0").hexdigest()
+    assert (got["banana"].df, got["banana"].total_tf) == (2, 2)
+    assert got["banana"].postings_md5 == hashlib.md5(b"0,1").hexdigest()
+    assert (got["cherry"].df, got["cherry"].total_tf) == (1, 1)
+
+
+def test_x134_growth_counts_first_occurrences_only(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 50, 100],
+            "text": ["a b", "b c d", "a e"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [3, 5, 3],
+        }
+    ).to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    got = {
+        r.bucket: r
+        for r in CATALOG["x134_vocab_growth"].spark(spark, str(tmp_path)).collect()
+    }
+    assert (got[0].n_new_tokens, got[0].cum_vocab) == (2, 2)
+    assert (got[1].n_new_tokens, got[1].cum_vocab) == (2, 4)
+    assert (got[2].n_new_tokens, got[2].cum_vocab) == (1, 5)
