@@ -126,3 +126,32 @@ def write_training_shards(
         .parquet(path)
     )
     return path
+
+
+def overwrite_changed_partitions(
+    df: DataFrame,
+    base_path: str,
+    table: str,
+    partition_cols: tuple[str, ...] = ("pickup_year", "pickup_month"),
+) -> str:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition of the target untouched —
+    the idempotent reprocess-one-month write the reference performs by
+    deleting and re-uploading one S3 prefix (s3_uploader.py key
+    templating), expressed as a single declarative write.
+
+    The critical conf is ``partitionOverwriteMode=dynamic`` (set on the
+    writer, so no session mutation leaks): STATIC mode — the default —
+    would truncate the WHOLE table before writing, which at 100 TB
+    turns a one-partition correction into a full rewrite plus a window
+    of data loss for concurrent readers. Dynamic mode commits each
+    touched partition atomically via the staging-directory protocol.
+    """
+    path = os.path.join(base_path, "facts", table)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return path

@@ -440,3 +440,58 @@ def streaming_attribution_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sliding_demand(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "sliding_demand_stream",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    glob_filter: str = "yellow_tripdata_*.parquet",
+):
+    """SLIDING event-time windows: each trip contributes to every
+    overlapping window (window/slide of them — 4 at the defaults), so
+    downstream readers get a smooth demand curve instead of the
+    tumbling staircase of ``streaming_hourly_demand``.
+
+    Spark expands each row into its window memberships BEFORE the
+    shuffle (a windows-per-row projection, not a self-join), and the
+    watermark bounds state exactly as in the tumbling case — the live
+    window count grows by the window/slide factor, which is the real
+    cost of smoothness at scale. Mass conservation is the invariant a
+    correctness check reads: sum(trip_count) over all windows equals
+    (window/slide) x total trips.
+    """
+    stream = (
+        spark.readStream.schema(TRIP_READ_SCHEMA)
+        .option("pathGlobFilter", glob_filter)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("tpep_pickup_datetime", watermark)
+        .groupBy(
+            F.window("tpep_pickup_datetime", window, slide).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("trip_count"),
+            F.sum("total_amount").alias("total_revenue"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "trip_count",
+            "total_revenue",
+        )
+    )
+    return (
+        agg.writeStream.queryName(queryName)
+        .format("memory")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -179,3 +179,47 @@ def test_csv_embedded_newline_paths(spark, tmp_path):
         .csv(path)
     )
     assert sorted((r.id, r.text) for r in slow.collect()) == sorted(rows)
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    """Reprocessing one month replaces only that month's partition; a
+    static-mode overwrite of the same frame would truncate the table to
+    the new frame's partitions (counter-asserted)."""
+    import pyspark.sql.functions as F
+
+    from taxi_aws_data_pipeline_spark import sinks
+
+    base = str(tmp_path)
+    full = spark.range(100).select(
+        F.col("id"),
+        F.lit(2024).alias("pickup_year"),
+        (F.col("id") % 2 + 1).cast("int").alias("pickup_month"),
+        F.lit(1.0).alias("amount"),
+    )
+    path = sinks.overwrite_changed_partitions(full, base, "trips")
+    # correction batch: month 2 only, amounts doubled, half the rows
+    fix = spark.range(25).select(
+        (F.col("id") + 1000).alias("id"),
+        F.lit(2024).alias("pickup_year"),
+        F.lit(2).cast("int").alias("pickup_month"),
+        F.lit(2.0).alias("amount"),
+    )
+    sinks.overwrite_changed_partitions(fix, base, "trips")
+    back = spark.read.parquet(path)
+    m1 = back.filter(F.col("pickup_month") == 1)
+    m2 = back.filter(F.col("pickup_month") == 2)
+    assert m1.count() == 50  # untouched
+    assert m2.count() == 25  # replaced, not appended
+    assert m2.agg(F.min("amount"), F.max("amount")).collect()[0] == (2.0, 2.0)
+    # counterproof: a STATIC overwrite of the same correction truncates
+    static_path = f"{base}/static_facts"
+    full.write.mode("overwrite").partitionBy(
+        "pickup_year", "pickup_month"
+    ).parquet(static_path)
+    fix.write.mode("overwrite").partitionBy(
+        "pickup_year", "pickup_month"
+    ).parquet(static_path)
+    left = spark.read.parquet(static_path)
+    assert left.filter(F.col("pickup_month") == 1).count() == 0

@@ -429,3 +429,44 @@ def test_streaming_attribution_join_matches_batch_and_bounds(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sorted(got2) == [(2, 105)]
+
+
+def test_streaming_sliding_windows_match_batch_and_conserve_mass(spark, tmp_path):
+    """Sliding 1h/15min windows from the stream equal the batch sliding
+    aggregation, and total window mass is exactly 4x the trip count
+    (every trip belongs to window/slide = 4 overlapping windows)."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    _land(src, 2024, 1, n=400, seed=21)
+    _land(src, 2024, 2, n=400, seed=22)
+    q = streaming.streaming_sliding_demand(
+        spark, str(src), str(tmp_path / "ckpt"), queryName="sd_test"
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.window_end): (r.trip_count, r.total_revenue)
+        for r in spark.sql("SELECT * FROM sd_test").collect()
+    }
+    raw = spark.read.parquet(str(src))
+    batch = (
+        raw.groupBy(
+            F.window("tpep_pickup_datetime", "1 hour", "15 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("trip_count"),
+            F.sum("total_amount").alias("total_revenue"),
+        )
+        .select(
+            F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+            "trip_count", "total_revenue",
+        )
+    )
+    want = {(r.ws, r.we): (r.trip_count, r.total_revenue) for r in batch.collect()}
+    assert set(got) == set(want)
+    for k, (n, rev) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(rev, rel=1e-9)
+    n_trips = raw.count()
+    assert sum(n for n, _ in got.values()) == 4 * n_trips
