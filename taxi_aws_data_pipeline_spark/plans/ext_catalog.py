@@ -7901,3 +7901,133 @@ def x134_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new_tokens"),
         F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+_K_ANON_ORACLE = """
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           count(DISTINCT user_id) < 5 AS at_risk
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "x135_k_anonymity_audit",
+    "Privacy audit before releasing an analytics extract: treat "
+    "(event_type, day, value band) as the quasi-identifier cell and "
+    "flag every cell whose DISTINCT-user count is below k=5 — the "
+    "k-anonymity criterion; a cell with few users re-identifies them "
+    "by combination even with ids dropped. One grouped "
+    "distinct-count over the quasi-identifier key (partial-aggregated "
+    "per-user first by Spark's distinct rewrite); output is |cells| "
+    "rows, bounded by types x days x bands regardless of event "
+    "volume. Dates travel as ISO strings (the e17 lesson: DATE "
+    "objects never repr-hash across engines); NULL values band to "
+    "NULL and group together in both dialects.",
+    oracle=_K_ANON_ORACLE,
+    tags=("ext", "privacy", "audit", "k-anonymity"),
+)
+def x135_k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return cells.select(
+        "event_type",
+        "event_date",
+        "value_band",
+        "n_users",
+        "n_events",
+        (F.col("n_users") < 5).alias("at_risk"),
+    )
+
+
+_SQ8_ORACLE = """
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
+               embedding
+        FROM embeddings
+    ), coded AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> coalesce(CAST(floor(
+                            (CAST(x AS DOUBLE) * 127.0) / nullif(scale, 0.0)
+                            + 0.5) AS INT), 0)) AS codes,
+               embedding
+        FROM scaled
+    )
+    SELECT vec_id, scale,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           list_max(list_transform(list_zip(embedding, codes),
+               z -> abs(CAST(z[1] AS DOUBLE)
+                        - (CAST(z[2] AS DOUBLE) * scale) / 127.0)))
+               AS max_abs_err
+    FROM coded
+"""
+
+
+@register(
+    "x136_int8_scalar_quantization",
+    "Scalar (SQ8) embedding compression — the 4x-smaller vector store "
+    "FAISS calls SQ8 and the standard complement of x38's product "
+    "quantization (PQ shares codebooks across vectors; SQ8 keeps one "
+    "max-abs scale PER vector and rounds each component to int8): "
+    "code = floor(x*127/scale + 0.5), reported with the per-vector "
+    "scale, an md5 over the code array, and the exact max "
+    "reconstruction error (bounded by scale/254 up to float "
+    "representation). Every arithmetic step is a fixed shape of IEEE "
+    "ops on exactly-converted float32 inputs, so codes and errors are "
+    "bit-identical across engines; zero vectors code to all-zeros via "
+    "the nullif guard. Pure projection — no shuffle at any corpus "
+    "size; the compressed store cuts ANN scan bandwidth 4x, which at "
+    "100 TB of vectors is the difference between memory- and "
+    "disk-resident search.",
+    oracle=_SQ8_ORACLE,
+    tags=("ext", "embedding", "quantization", "compression"),
+)
+def x136_int8_scalar_quantization(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(xd(x)))
+        ).alias("scale"),
+    )
+    code = lambda x: F.coalesce(  # noqa: E731
+        F.floor(
+            (xd(x) * F.lit(127.0)) / F.nullif(F.col("scale"), F.lit(0.0))
+            + F.lit(0.5)
+        ).cast("int"),
+        F.lit(0),
+    )
+    coded = scaled.select(
+        "vec_id",
+        "scale",
+        "embedding",
+        F.transform("embedding", code).alias("codes"),
+    )
+    return coded.select(
+        "vec_id",
+        "scale",
+        F.md5(F.concat_ws(",", F.col("codes"))).alias("codes_md5"),
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                "codes",
+                lambda x, c: F.abs(xd(x) - (xd(c) * F.col("scale")) / F.lit(127.0)),
+            )
+        ).alias("max_abs_err"),
+    )
