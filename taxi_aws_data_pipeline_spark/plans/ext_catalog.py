@@ -8031,3 +8031,201 @@ def x136_int8_scalar_quantization(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x137: count-min sketch — the mergeable heavy-hitter counter
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 64
+CMS_COEFFS = ((536870909, 7), (479001599, 13), (268435399, 29), (100000007, 71))
+
+_CMS_CELLS_SQL = "\n        UNION ALL ".join(
+    f"SELECT {j} AS r, ((h * {a} + {b}) % {X.MINHASH_PRIME}) % {CMS_WIDTH} "
+    f"AS bkt, count(*) AS cell_cnt FROM tok GROUP BY 2"
+    for j, (a, b) in enumerate(CMS_COEFFS)
+)
+_CMS_PROBES_SQL = "\n        UNION ALL ".join(
+    f"SELECT word, exact_cnt, {j} AS r, "
+    f"((({SQL_H.format(s='word')}) * {a} + {b}) % {X.MINHASH_PRIME}) "
+    f"% {CMS_WIDTH} AS bkt FROM top"
+    for j, (a, b) in enumerate(CMS_COEFFS)
+)
+_CMS_ORACLE = f"""
+    WITH tok AS (
+        SELECT word, {SQL_H.format(s='word')} AS h FROM (
+            SELECT unnest({SQL_WORDS.format(t='text')}) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ), cells AS (
+        {_CMS_CELLS_SQL}
+    ), top AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM tok GROUP BY 1
+        ORDER BY exact_cnt DESC, word LIMIT 10
+    ), probes AS (
+        {_CMS_PROBES_SQL}
+    )
+    SELECT p.word AS term, p.exact_cnt,
+           CAST(min(c.cell_cnt) AS BIGINT) AS cms_est,
+           CAST(min(c.cell_cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.r = p.r AND c.bkt = p.bkt
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "x137_count_min_sketch",
+    "Count-min sketch over the corpus token stream — the mergeable "
+    "heavy-hitter counter that complements x105's exact bitmaps and "
+    "x106's HLL (those answer distinct-count; CMS answers frequency) "
+    "with d=4 hash rows x w=64 buckets. The sketch is pure additive "
+    "state: every (row, bucket) cell is a SUM, so map-side combine "
+    "collapses the token stream to d*w=256 cells per partition and "
+    "merging shards/days is cell-wise addition — the property that "
+    "lets one 256-cell table answer point frequency queries over any "
+    "token volume at 100 TB. Surfaced as a self-test: the 10 exact "
+    "top terms probed back through the sketch, reporting estimate and "
+    "overcount (CMS never undercounts — min over rows of colliding "
+    "sums). Hash rows share x7's (a*H+b) % p family with a < 2^30 so "
+    "the int64 products cannot overflow in either engine; both "
+    "dialects derive buckets from the identical md5 base hash, so "
+    "every cell and estimate hash-matches exactly.",
+    oracle=_CMS_ORACLE,
+    tags=("ext", "sketch", "heavy-hitters", "mergeable"),
+)
+def x137_count_min_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+
+    def rows_for(h):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("r"),
+                    (
+                        ((h * F.lit(a) + F.lit(b)) % F.lit(X.MINHASH_PRIME))
+                        % F.lit(CMS_WIDTH)
+                    )
+                    .cast("long")
+                    .alias("bkt"),
+                )
+                for j, (a, b) in enumerate(CMS_COEFFS)
+            ]
+        )
+
+    cells = (
+        tok.select(F.explode(rows_for(X.base_hash(F.col("word")))).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_cnt"))
+    )
+    top = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "word")
+        .limit(10)
+    )
+    probes = top.select(
+        "word",
+        "exact_cnt",
+        F.explode(rows_for(X.base_hash(F.col("word")))).alias("rb"),
+    ).select("word", "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bkt"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+    )
+    return est.select(
+        F.col("word").alias("term"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+_BFS_ORACLE = """
+    WITH RECURSIVE walk(node, hop) AS (
+        SELECT s_suppkey, 0
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        UNION
+        SELECT e.dst, w.hop + 1
+        FROM walk w
+        JOIN (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+              FROM lineitem a
+              JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_suppkey <> b.l_suppkey) e
+          ON e.src = w.node
+        WHERE w.hop < 3
+    )
+    SELECT CAST(node AS BIGINT) AS s_suppkey, CAST(min(hop) AS INT) AS hops
+    FROM walk GROUP BY 1
+"""
+
+
+@register(
+    "x138_bfs_hops_fixed_rounds",
+    "Fixed-round breadth-first search: shortest hop distance (<= 3) "
+    "from the NATION_3 supplier seed set over the symmetric co-supply "
+    "graph — the blast-radius / influence-propagation primitive that "
+    "completes the graph tier (x84 ranks, x18/x91 cluster, x123 "
+    "counts closure; this one measures DISTANCE). Each round is one "
+    "equi-join of the current frontier against the edge list followed "
+    "by a distinct — the Pregel superstep shape — with min(hop) over "
+    "the unioned rounds collapsing revisits, so rounds never fan out "
+    "beyond |V| rows regardless of path multiplicity. Edges are "
+    "localCheckpointed once and reused by all three rounds (x123's "
+    "lineage-truncation idiom); at 100 TB the frontier would also "
+    "anti-join visited nodes before expanding — same plan, one extra "
+    "join, noted not needed at verification scale. Fixed 3 rounds "
+    "(no convergence check) keep the computation a deterministic "
+    "closed form, replayed by the oracle as a depth-bounded recursive "
+    "CTE with UNION dedup — the j16 recursion pattern.",
+    oracle=_BFS_ORACLE,
+    tags=("graph", "bfs", "iterative", "fixed-rounds"),
+)
+def x138_bfs_hops_fixed_rounds(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    seeds = (
+        sup.join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_3")),
+            sup.s_nationkey == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("node"))
+        .distinct()
+    )
+    dist = seeds.withColumn("hop", F.lit(0).cast("int"))
+    frontier = dist.select("node")
+    for k in (1, 2, 3):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        dist = dist.unionByName(
+            frontier.withColumn("hop", F.lit(k).cast("int"))
+        )
+    return dist.groupBy(F.col("node").alias("s_suppkey")).agg(
+        F.min("hop").cast("int").alias("hops")
+    )
