@@ -8229,3 +8229,188 @@ def x138_bfs_hops_fixed_rounds(spark: SparkSession, sf: str) -> DataFrame:
     return dist.groupBy(F.col("node").alias("s_suppkey")).agg(
         F.min("hop").cast("int").alias("hops")
     )
+
+
+_EWMA_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS pos,
+               x
+        FROM (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        )
+    ), n AS (
+        SELECT event_type, max(pos) AS n_days FROM d GROUP BY event_type
+    ), walk AS (
+        SELECT event_type, 0 AS pos, CAST(0 AS DOUBLE) AS cur,
+               CAST(0 AS DOUBLE) AS peak
+        FROM n
+        UNION ALL
+        SELECT w.event_type, w.pos + 1,
+               CASE WHEN w.pos = 0 THEN d.x ELSE (w.cur + d.x) * 0.5 END,
+               CASE WHEN w.pos = 0 THEN d.x
+                    ELSE greatest(w.peak,
+                                  CASE WHEN w.pos = 0 THEN d.x
+                                       ELSE (w.cur + d.x) * 0.5 END) END
+        FROM walk w
+        JOIN d ON d.event_type = w.event_type AND d.pos = w.pos + 1
+    )
+    SELECT w.event_type,
+           CAST(n.n_days AS BIGINT) AS n_days,
+           w.cur AS final_ewma,
+           w.peak AS peak_ewma
+    FROM walk w JOIN n ON n.event_type = w.event_type AND w.pos = n.n_days
+"""
+
+
+@register(
+    "w15_ewma_daily_value",
+    "Exponentially-weighted moving average (alpha = 1/2) of the daily "
+    "value total per event type — the standard smoothed-load monitor, "
+    "and the second NON-linear recurrence in the catalog (x127's "
+    "clamp was the first): ewma_t = (ewma_{t-1} + x_t)/2 depends on "
+    "the accumulated state, which no window cumsum expresses. Same "
+    "JVM-side shape as x127 — sort_array(collect_list(struct)) per "
+    "event type, one F.aggregate fold with a (n, cur, peak) struct "
+    "accumulator — one shuffle on the (tiny) group key; the per-key "
+    "array is bounded by |days|, not |events|, because the daily "
+    "pre-aggregation runs first (that pre-agg is what makes the fold "
+    "safe at 100 TB: the fold only ever sees ~365 elements/year/key). "
+    "Daily totals are exact decimal sums cast once to double, and "
+    "alpha = 1/2 makes every fold step a dyadic-rational IEEE op — "
+    "bit-identical across engines with zero rounding ambiguity. "
+    "First day initializes the state (no zero-bias); peak tracks the "
+    "running maximum of the smoothed series. Oracle replays the fold "
+    "as the x127 recursive-CTE step walk.",
+    oracle=_EWMA_ORACLE,
+    tags=("window", "stateful-fold", "ewma", "hof"),
+)
+def w15_ewma_daily_value(spark: SparkSession, sf: str) -> DataFrame:
+    from ..compat import exact_sum
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(exact_sum("value").cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("steps")
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("n"),
+        F.lit(0.0).alias("cur"),
+        F.lit(0.0).alias("peak"),
+    )
+
+    def step(acc, s):
+        nxt = F.when(acc["n"] == 0, s["x"]).otherwise(
+            (acc["cur"] + s["x"]) * F.lit(0.5)
+        )
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            nxt.alias("cur"),
+            F.when(acc["n"] == 0, s["x"])
+            .otherwise(F.greatest(acc["peak"], nxt))
+            .alias("peak"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("steps").cast("long").alias("n_days"),
+        F.aggregate("steps", init, step).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.cur").alias("final_ewma"),
+        F.col("st.peak").alias("peak_ewma"),
+    )
+
+
+_FEATHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, {SQL_H.format(s='word')} AS h FROM (
+            SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ), s AS (
+        SELECT doc_id, h % 32 AS bkt,
+               sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END) AS v
+        FROM tok GROUP BY 1, 2
+    ), dense AS (
+        SELECT d.doc_id, b.bkt, CAST(coalesce(s.v, 0) AS BIGINT) AS v
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS bkt) b
+        LEFT JOIN s ON s.doc_id = d.doc_id AND s.bkt = b.bkt
+    )
+    SELECT doc_id,
+           md5(string_agg(v::VARCHAR, ',' ORDER BY bkt)) AS vec_md5,
+           CAST(count(*) FILTER (WHERE v <> 0) AS INT) AS nnz,
+           CAST(sum(abs(v)) AS BIGINT) AS l1_norm
+    FROM dense GROUP BY 1
+"""
+
+
+@register(
+    "x139_feature_hashing",
+    "Hashing-trick featurization (Weinberger et al.): every token is "
+    "routed to one of 32 buckets by its md5 base hash (h % 32) with a "
+    "sign bit drawn from the next hash bit ((h >> 5) & 1), and the "
+    "document's feature vector is the signed term-frequency sum per "
+    "bucket — the fixed-width, vocabulary-free text vectorizer that "
+    "needs NO dictionary build or broadcast, which is exactly why it "
+    "scales to 100 TB corpora (x133's inverted index and x23's TF-IDF "
+    "need global term state; this needs none). One shuffle on "
+    "(doc_id, bucket) with map-side combine, then map_from_entries + "
+    "a sequence transform densifies 32 cells per document JVM-side — "
+    "no explode back. Signed hashing makes collisions cancel in "
+    "expectation (the property that keeps hashed linear models "
+    "unbiased). Output per document: md5 fingerprint of the dense "
+    "vector, nnz, and L1 mass — all integers, hash-exact across "
+    "engines.",
+    oracle=_FEATHASH_ORACLE,
+    tags=("ext", "features", "hashing-trick", "vectorizer"),
+)
+def x139_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", X.base_hash(F.col("word")).alias("h"))
+    )
+    s = tok.groupBy(
+        "doc_id", (F.col("h") % 32).cast("int").alias("bkt")
+    ).agg(
+        F.sum(
+            F.when(F.shiftright("h", 5) % 2 == 0, 1).otherwise(-1)
+        )
+        .cast("long")
+        .alias("v")
+    )
+    m = s.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bkt", "v"))).alias("m")
+    )
+    dense = docs.select("doc_id").join(m, "doc_id", "left")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.coalesce(
+            F.element_at("m", b.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    out = dense.select("doc_id", vec.alias("vec"))
+    return out.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.col("vec"))).alias("vec_md5"),
+        F.size(F.filter("vec", lambda x: x != 0)).cast("int").alias("nnz"),
+        F.aggregate(
+            "vec",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(x),
+        ).alias("l1_norm"),
+    )
