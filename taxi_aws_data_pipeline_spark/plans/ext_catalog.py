@@ -8414,3 +8414,343 @@ def x139_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, x: acc + F.abs(x),
         ).alias("l1_norm"),
     )
+
+
+_ROLL7_ORACLE = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active_7d
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+"""
+
+
+@register(
+    "w16_rolling_7d_distinct_users",
+    "Rolling 7-day distinct active users per day — the trailing-window "
+    "DISTINCT that no window frame can express (COUNT(DISTINCT) OVER "
+    "RANGE is unsupported everywhere, and a sliding sum of daily "
+    "distincts double-counts returners). Scalable formulation: dedup "
+    "to (user, day) pairs first, then EXPLODE each pair into the <= 7 "
+    "target days it contributes to (sequence(day, day+6)) and run one "
+    "grouped distinct-count on the target day — shuffle volume is "
+    "bounded by 7 x |user-days|, never by raw event volume, and the "
+    "pattern generalizes to any window length W as a W-fold factor. "
+    "Target days are restricted to days actually observed (broadcast "
+    "semi-join) so trailing phantom days never appear. The oracle "
+    "replays it as a day-range join over the same deduped pairs; "
+    "dates travel as ISO strings (the e17 hashing lesson).",
+    oracle=_ROLL7_ORACLE,
+    tags=("window", "rolling-distinct", "dau"),
+)
+def w16_rolling_7d_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("tday"),
+    )
+    observed = contrib.join(
+        F.broadcast(days.withColumnRenamed("day", "tday")), "tday", "semi"
+    )
+    return observed.groupBy(
+        F.date_format("tday", "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_active_7d"))
+
+
+# Benford expected first-digit frequencies, pre-baked to integer ppm so
+# neither engine evaluates log10 at query time (libm results never
+# hash-match; constants do). round(log10(1 + 1/d) * 1e6) for d = 1..9.
+BENFORD_PPM = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in enumerate(BENFORD_PPM, start=1)
+)
+_BENFORD_ORACLE = f"""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit,
+               count(*) AS n
+        FROM events WHERE value >= 1
+        GROUP BY 1
+    ), tot AS (SELECT sum(n) AS n_total FROM obs)
+    SELECT d.digit,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_values,
+           CAST(coalesce(o.n, 0) * 1000000 // t.n_total AS BIGINT) AS obs_ppm,
+           CAST(CASE d.digit {_BENFORD_CASE} END AS BIGINT) AS exp_ppm,
+           CAST(abs(coalesce(o.n, 0) * 1000000 // t.n_total
+                    - CASE d.digit {_BENFORD_CASE} END) AS BIGINT) AS dev_ppm
+    FROM (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit) d
+    LEFT JOIN obs o ON o.digit = d.digit
+    CROSS JOIN tot t
+"""
+
+
+@register(
+    "x140_benford_first_digit_audit",
+    "Benford's-law fraud/synthetic-data audit: the first significant "
+    "digit of every event value >= 1 against the log-law expectation "
+    "P(d) = log10(1 + 1/d) — the screening test auditors and "
+    "data-quality teams run because organically-generated magnitudes "
+    "follow it and fabricated or unit-confused ones don't. Expected "
+    "frequencies are PRE-BAKED integer ppm constants (computed once "
+    "in Python, formatted into both dialects) so no engine touches "
+    "libm log at query time — the x131 lesson applied; observed "
+    "shares are exact integer ppm (n * 1e6 DIV total, the x124 "
+    "trick). One grouped count over a projection, 9-row digit spine "
+    "left-joined so absent digits report zero instead of vanishing; "
+    "output volume is constant regardless of event count.",
+    oracle=_BENFORD_ORACLE,
+    tags=("ext", "audit", "benford", "data-quality"),
+)
+def x140_benford_first_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value") >= 1)
+    obs = ev.groupBy(
+        F.substring(F.floor("value").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        load_table(spark, sf, "events")
+        .sparkSession.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+    )
+    exp_col = F.lit(None).cast("long")
+    for d, ppm in enumerate(BENFORD_PPM, start=1):
+        exp_col = F.when(F.col("digit") == d, F.lit(ppm).cast("long")).otherwise(
+            exp_col
+        )
+    tot = obs.agg(F.sum("n").alias("n_total"))
+    joined = (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_values"),
+            F.expr("coalesce(n, 0) * 1000000 DIV n_total")
+            .cast("long")
+            .alias("obs_ppm"),
+            exp_col.alias("exp_ppm"),
+        )
+    )
+    return joined.select(
+        "digit",
+        "n_values",
+        "obs_ppm",
+        "exp_ppm",
+        F.abs(F.col("obs_ppm") - F.col("exp_ppm")).alias("dev_ppm"),
+    )
+
+
+_PARETO_ORACLE = """
+    WITH rev AS (
+        SELECT l_suppkey AS s,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+                   AS rev_micro
+        FROM lineitem GROUP BY 1
+    ), pts AS (
+        SELECT s.s_suppkey,
+               CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+               r.rev_micro
+        FROM supplier s JOIN rev r ON r.s = s.s_suppkey
+    )
+    SELECT p.s_suppkey, p.bal_cents, p.rev_micro
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.rev_micro >= p.rev_micro AND q.bal_cents >= p.bal_cents
+          AND (q.rev_micro > p.rev_micro OR q.bal_cents > p.bal_cents)
+    )
+"""
+
+
+def _frontier(df: DataFrame, *part_cols: str) -> DataFrame:
+    """2D skyline sweep (maximize both axes) via two window frames:
+    a point is dominated iff a strictly-higher-revenue point has >= its
+    balance, or a same-revenue point has strictly higher balance."""
+    from pyspark.sql import Window
+
+    w_higher = (
+        Window.partitionBy(*part_cols)
+        .orderBy("rev_micro")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy(*part_cols, "rev_micro")
+    return (
+        df.withColumn("m_hi", F.max("bal_cents").over(w_higher))
+        .withColumn("m_eq", F.max("bal_cents").over(w_same))
+        .filter(
+            (F.col("m_hi").isNull() | (F.col("m_hi") < F.col("bal_cents")))
+            & (F.col("bal_cents") == F.col("m_eq"))
+        )
+        .drop("m_hi", "m_eq")
+    )
+
+
+@register(
+    "j22_pareto_frontier",
+    "Pareto frontier (2D skyline) over suppliers maximizing both "
+    "account balance and lifetime shipped revenue — the multi-"
+    "criteria shortlist query (no supplier on the frontier is beaten "
+    "on BOTH axes). Distributed via the classic two-stage skyline: "
+    "stage 1 computes a LOCAL frontier inside each of 8 salt "
+    "partitions (valid because the frontier of a union is contained "
+    "in the union of per-partition frontiers), stage 2 runs the same "
+    "sweep globally over only the pruned survivors — so the single-"
+    "ordering window that a naive skyline would run over ALL rows "
+    "(an Exchange SinglePartition on the full table) only ever sees "
+    "the tiny candidate set; at 100 TB stage 1 eliminates ~everything "
+    "map-side. The sweep itself is two window frames, not a self-"
+    "join: strictly-higher-revenue max balance (range frame offset 1 "
+    "on exact integer micro-revenue) and same-revenue max balance, "
+    "with tie semantics matching textbook dominance (equal points "
+    "both survive). Money is exact: decimal-summed revenue in integer "
+    "micro-units, balances in half-up cents — the range frame's "
+    "strict +1 offset is only sound on integers, which is why the "
+    "conversion happens first. Oracle is the NOT EXISTS dominance "
+    "definition, so the window formulation is verified against the "
+    "semantic spec, not a re-derivation.",
+    oracle=_PARETO_ORACLE,
+    tags=("join", "skyline", "pareto", "window"),
+)
+def j22_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    from ..compat import exact_sum
+
+    li = load_table(spark, sf, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("s")).agg(
+        (
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 1000000
+        )
+        .cast("long")
+        .alias("rev_micro")
+    )
+    sup = load_table(spark, sf, "supplier")
+    pts = sup.join(rev, sup.s_suppkey == rev.s).select(
+        "s_suppkey",
+        F.floor(F.col("s_acctbal") * 100 + 0.5).cast("long").alias("bal_cents"),
+        "rev_micro",
+    )
+    local = _frontier(
+        pts.withColumn("salt", F.pmod("s_suppkey", F.lit(8))), "salt"
+    ).drop("salt")
+    return _frontier(local)
+
+
+# Bloom filter: m = 1024 bit positions, k = 3 hash rows drawn from the
+# same (a*H + b) % p family as the CMS (first three coefficient pairs).
+BLOOM_BITS = 1024
+_BLOOM_MEMBER_FP = (
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+)
+_BLOOM_POS_SQL = ", ".join(
+    f"(({SQL_H.format(s='fp')} * {a} + {b}) % {X.MINHASH_PRIME}) "
+    f"% {BLOOM_BITS}"
+    for a, b in CMS_COEFFS[:3]
+)
+_BLOOM_ORACLE = f"""
+    WITH fps AS (
+        SELECT doc_id, source, {_BLOOM_MEMBER_FP} AS fp FROM documents
+    ), members AS (
+        SELECT DISTINCT fp FROM fps
+        WHERE CAST(substr(source, 4) AS INT) < 10
+    ), bits AS (
+        SELECT DISTINCT unnest([{_BLOOM_POS_SQL}]) AS pos FROM members
+    ), probes AS (
+        SELECT doc_id, fp, list_distinct([{_BLOOM_POS_SQL}]) AS pos
+        FROM fps WHERE CAST(substr(source, 4) AS INT) >= 10
+    ), hits AS (
+        SELECT p.doc_id,
+               len(p.pos) = (SELECT count(*) FROM bits b
+                             WHERE list_contains(p.pos, b.pos)) AS bloom_hit,
+               EXISTS (SELECT 1 FROM members m WHERE m.fp = p.fp)
+                   AS exact_dup
+        FROM probes p
+    )
+    SELECT doc_id, bloom_hit, exact_dup,
+           bloom_hit AND NOT exact_dup AS false_positive
+    FROM hits
+"""
+
+
+@register(
+    "x141_bloom_filter_membership",
+    "Bloom-filter membership pruning — THE structure that makes "
+    "100 TB anti-joins cheap: fingerprints of the canonical corpus "
+    "(sources src0-src9) are hashed into a 1024-bit filter (k = 3 "
+    "positions per key, same overflow-safe (a*H+b) % p family as the "
+    "CMS), and every incoming document (src10-src19) is probed "
+    "against it — a miss is a GUARANTEED non-member (skip the "
+    "expensive exact check entirely), a hit is a candidate to "
+    "verify. The filter is pure OR-able state (distinct positions), "
+    "so shards union cell-wise and the whole filter broadcasts in "
+    "128 bytes where the member-key set would not. Output per probe: "
+    "bloom_hit, the ground-truth exact_dup, and false_positive — "
+    "measuring the FP rate the m/n/k choice implies (~13% here by "
+    "(1-e^(-kn/m))^k) while proving zero false NEGATIVES "
+    "(bloom_hit is true for every exact_dup row, the property the "
+    "structure guarantees). Probe-side positions are de-duplicated "
+    "per key so self-colliding hashes cannot miscount.",
+    oracle=_BLOOM_ORACLE,
+    tags=("ext", "bloom", "membership", "join-pruning"),
+)
+def x141_bloom_filter_membership(spark: SparkSession, sf: str) -> DataFrame:
+    docs = TX.add_fingerprint(load_table(spark, sf, "documents")).select(
+        "doc_id",
+        F.substring("source", 4, 10).cast("int").alias("src_n"),
+        F.col("fingerprint").alias("fp"),
+    )
+
+    def positions(fp_col):
+        return F.array_distinct(
+            F.array(
+                *[
+                    (
+                        (X.base_hash(fp_col) * F.lit(a) + F.lit(b))
+                        % F.lit(X.MINHASH_PRIME)
+                    )
+                    % F.lit(BLOOM_BITS)
+                    for a, b in CMS_COEFFS[:3]
+                ]
+            )
+        )
+
+    members = docs.filter(F.col("src_n") < 10).select("fp").distinct()
+    bits = (
+        members.select(F.explode(positions(F.col("fp"))).alias("pos"))
+        .distinct()
+        .withColumn("is_set", F.lit(1))
+    )
+    probes = docs.filter(F.col("src_n") >= 10).select(
+        "doc_id", "fp", F.explode(positions(F.col("fp"))).alias("pos"),
+        F.size(positions(F.col("fp"))).alias("n_pos"),
+    )
+    matched = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "fp", "n_pos")
+        .agg(F.sum(F.coalesce("is_set", F.lit(0))).alias("n_hit"))
+    )
+    flagged = matched.join(
+        F.broadcast(members.withColumn("exact", F.lit(True))), "fp", "left"
+    ).select(
+        "doc_id",
+        (F.col("n_hit") == F.col("n_pos")).alias("bloom_hit"),
+        F.coalesce("exact", F.lit(False)).alias("exact_dup"),
+    )
+    return flagged.select(
+        "doc_id",
+        "bloom_hit",
+        "exact_dup",
+        (F.col("bloom_hit") & ~F.col("exact_dup")).alias("false_positive"),
+    )
