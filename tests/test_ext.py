@@ -2055,3 +2055,140 @@ def test_x134_growth_counts_first_occurrences_only(spark, tmp_path):
     assert (got[0].n_new_tokens, got[0].cum_vocab) == (2, 2)
     assert (got[1].n_new_tokens, got[1].cum_vocab) == (2, 4)
     assert (got[2].n_new_tokens, got[2].cum_vocab) == (1, 5)
+
+
+def test_j22_frontier_dominance_semantics(spark):
+    """Planted point set pinning tie semantics: duplicates both survive
+    (neither strictly beats the other), same-revenue lower-balance is
+    dominated, and each axis maximum survives."""
+    from taxi_aws_data_pipeline_spark.plans.ext_catalog import _frontier
+
+    pts = spark.createDataFrame(
+        [
+            (1, 1, 1),  # dominated by (2,2)
+            (2, 2, 2),  # frontier (duplicate pair — both survive)
+            (3, 2, 2),  # frontier
+            (4, 1, 3),  # frontier: max revenue
+            (5, 3, 1),  # frontier: max balance
+            (6, 1, 2),  # same rev as (2,2), lower bal: dominated
+        ],
+        "s_suppkey long, bal_cents long, rev_micro long",
+    )
+    for part in ((), ("salt",)):
+        df = pts
+        if part:
+            from pyspark.sql import functions as F
+
+            df = pts.withColumn("salt", F.pmod("s_suppkey", F.lit(2)))
+        got = {r.s_suppkey for r in _frontier(df, *part).collect()}
+        if part:
+            # salt-local frontier may keep extra candidates (that's the
+            # two-stage contract) but must never lose a true frontier point
+            assert {2, 3, 4, 5} <= got
+        else:
+            assert got == {2, 3, 4, 5}
+
+
+def test_w16_rolling_window_boundary(spark, tmp_path):
+    """Day exactly 7 days earlier falls OUT of the trailing [d-6, d]
+    window; same-day repeat visits dedup to one user."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_roll7"
+    d.mkdir()
+    rows = [
+        (1, "2024-01-01 01:00:00", 1),
+        (2, "2024-01-01 02:00:00", 1),  # same user+day: dedups
+        (3, "2024-01-07 03:00:00", 2),
+        (4, "2024-01-08 04:00:00", 3),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    con.execute(
+        "COPY (SELECT event_id, ts, user_id, 'view' AS event_type, "
+        "1.0 AS value, '' AS props FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.day: r.n_active_7d
+        for r in CATALOG["w16_rolling_7d_distinct_users"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    # Jan 1: {u1}; Jan 7 covers Jan 1-7: {u1, u2};
+    # Jan 8 covers Jan 2-8: u1 ages out exactly at the boundary
+    assert got == {"2024-01-01": 1, "2024-01-07": 2, "2024-01-08": 2}
+
+
+def test_w15_ewma_fold_on_crafted_series(spark, tmp_path):
+    """Hand-computed alpha=1/2 recurrence incl. the first-day init (no
+    zero bias) and the daily pre-aggregation of multiple rows."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_ewma"
+    d.mkdir()
+    rows = [
+        # type A daily totals: 4.0 (1.5+2.5), 2.0, 6.0
+        # ewma: 4.0 -> 3.0 -> 4.5 ; peak 4.5
+        ("A", "2024-01-01 01:00:00", 1.5),
+        ("A", "2024-01-01 02:00:00", 2.5),
+        ("A", "2024-01-02 01:00:00", 2.0),
+        ("A", "2024-01-03 01:00:00", 6.0),
+        # type B: single day 7.0 -> ewma = peak = 7.0 (init, not (0+7)/2)
+        ("B", "2024-01-02 01:00:00", 7.0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    con.execute(
+        "COPY (SELECT row_number() OVER () AS event_id, ts, "
+        "CAST(1 AS BIGINT) AS user_id, event_type, value, '' AS props "
+        "FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.event_type: r
+        for r in CATALOG["w15_ewma_daily_value"].spark(spark, str(d)).collect()
+    }
+    assert (got["A"].n_days, got["A"].final_ewma, got["A"].peak_ewma) == (
+        3,
+        4.5,
+        4.5,
+    )
+    assert (got["B"].n_days, got["B"].final_ewma, got["B"].peak_ewma) == (
+        1,
+        7.0,
+        7.0,
+    )
+
+
+def test_x141_bloom_has_no_false_negatives(spark, sf_dir):
+    """The structural guarantee: every exact duplicate must bloom-hit
+    (misses are only ever safe skips)."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = (
+        CATALOG["x141_bloom_filter_membership"].spark(spark, sf_dir).toPandas()
+    )
+    assert len(got) == 250  # every probe doc reported exactly once
+    assert got.loc[got["exact_dup"], "bloom_hit"].all()
+    assert (got["false_positive"] == (got["bloom_hit"] & ~got["exact_dup"])).all()
+
+
+def test_x137_cms_never_undercounts(spark, sf_dir):
+    """min-over-rows of colliding sums can only overestimate."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x137_count_min_sketch"].spark(spark, sf_dir).toPandas()
+    assert len(got) == 10
+    assert (got["cms_est"] >= got["exact_cnt"]).all()
+    assert (got["overcount"] >= 0).all()

@@ -526,3 +526,39 @@ def test_x130_verification_is_equi_anti_join(spark, sf_dir):
         "BroadcastHashJoin" in l or "SortMergeJoin" in l or "ShuffledHashJoin" in l
         for l in anti
     ), anti
+
+
+def test_j22_stage1_frontier_is_salt_partitioned(spark, sf_dir):
+    # the two-stage skyline's whole point: the stage-1 sweep windows
+    # run partitioned by salt (so the full point set never funnels
+    # through one task); only the pruned survivors hit the global stage
+    plan = _plan(spark, sf_dir, "j22_pareto_frontier", "simple")
+    assert plan.count("Window") >= 4  # two frames per stage
+    assert "salt" in plan  # stage-1 partition spec survived planning
+    assert "CartesianProduct" not in plan
+
+
+def test_x141_bloom_probe_joins_broadcast(spark, sf_dir):
+    # the 128-byte filter and the member-fingerprint flag must both
+    # broadcast onto the probe stream — a sort-merge join would shuffle
+    # the probes against state that fits in a closure
+    plan = _plan(spark, sf_dir, "x141_bloom_filter_membership", "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_x137_sketch_probe_is_broadcast(spark, sf_dir):
+    # the 256-cell sketch broadcasts onto the 40-row probe set, and the
+    # cell build partial-aggregates (map-side combine is what makes the
+    # sketch additive at any token volume)
+    plan = _plan(spark, sf_dir, "x137_count_min_sketch", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_w16_day_restriction_is_broadcast_semi(spark, sf_dir):
+    # the observed-days restriction is a broadcast semi join (the day
+    # spine is tiny); a shuffled semi would re-exchange 7x user-days
+    plan = _plan(spark, sf_dir, "w16_rolling_7d_distinct_users", "simple")
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi and all("Broadcast" in l for l in semi)
