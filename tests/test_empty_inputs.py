@@ -35,6 +35,8 @@ _FIXED_CARDINALITY = {
     "d7_intersect_except_all": 2,
     # pure generator — the 2024 day spine reads no table at all
     "e17_calendar_dimension": 366,
+    # one row per first digit (the 9-row spine reports zero counts)
+    "x140_benford_first_digit_audit": 9,
 }
 
 
