@@ -8754,3 +8754,245 @@ def x141_bloom_filter_membership(spark: SparkSession, sf: str) -> DataFrame:
         "exact_dup",
         (F.col("bloom_hit") & ~F.col("exact_dup")).alias("false_positive"),
     )
+
+
+_RRF_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
+    ), sem AS (
+        SELECT probe_id, vec_id AS doc_id,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY {sql_cosine('pv', 'v')} DESC, vec_id
+               ) AS rnk
+        FROM p JOIN c ON c.vec_id <> p.probe_id
+    ), semk AS (
+        SELECT probe_id, doc_id, rnk FROM sem WHERE rnk <= 20
+    ), dsh AS (
+        SELECT doc_id, {sql_shingles('text')} AS sh FROM documents
+    ), psh AS (
+        SELECT doc_id AS probe_id, sh AS ps FROM dsh WHERE doc_id < 8
+    ), ov AS (
+        SELECT p.probe_id, d.doc_id,
+               len(list_intersect(p.ps, d.sh)) AS inter,
+               len(p.ps) AS na, len(d.sh) AS nb
+        FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+    ), lex AS (
+        SELECT probe_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY inter * 1000000 // (na + nb - inter) DESC, doc_id
+               ) AS rnk
+        FROM ov WHERE inter > 0
+    ), lexk AS (
+        SELECT probe_id, doc_id, rnk FROM lex WHERE rnk <= 20
+    ), fused AS (
+        SELECT probe_id, doc_id,
+               sum(1000000000 // (60 + rnk)) AS rrf,
+               count(*) AS n_systems
+        FROM (SELECT * FROM semk UNION ALL SELECT * FROM lexk)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rrf AS BIGINT) AS rrf_score,
+           CAST(n_systems AS INT) AS n_systems
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY rrf DESC, doc_id
+        ) AS r
+        FROM fused
+    ) WHERE r <= 5
+"""
+
+
+@register(
+    "x142_reciprocal_rank_fusion",
+    "Hybrid retrieval via reciprocal-rank fusion (the RAG-era "
+    "standard): for each of 8 query documents, a SEMANTIC ranking "
+    "(exact cosine over the aligned embedding, the x10 fold) and a "
+    "LEXICAL ranking (3-shingle Jaccard through an inverted-index "
+    "equi-join — probe shingles explode and hash-join corpus "
+    "postings, never an all-pairs text comparison) each contribute "
+    "their top-20, fused by RRF score = sum over systems of "
+    "1e9 DIV (60 + rank) — the rank-only formula that needs NO score "
+    "normalization across incommensurable systems, computed in exact "
+    "integers so fusion is hash-verifiable. Top-5 fused results per "
+    "query, with n_systems exposing whether a hit was semantic-only, "
+    "lexical-only, or corroborated by both. Probe side broadcasts in "
+    "both arms; at 100 TB the semantic arm swaps brute-force for the "
+    "x11/x14 candidate generators and the fusion stage is unchanged — "
+    "RRF only consumes (query, doc, rank) triples. Ranks tie-break on "
+    "doc id everywhere, and the lexical sort key is integer ppm, so "
+    "both engines order identically.",
+    oracle=_RRF_ORACLE,
+    tags=("ext", "retrieval", "rrf", "hybrid-search"),
+)
+def x142_reciprocal_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    cos = (
+        F.broadcast(probes)
+        .join(corpus, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+        )
+    )
+    w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
+    semk = (
+        cos.withColumn("rnk", F.row_number().over(w_sem))
+        .filter(F.col("rnk") <= 20)
+        .select("probe_id", "doc_id", "rnk")
+    )
+
+    docs = load_table(spark, sf, "documents")
+    dsh = docs.select("doc_id", X.word_shingles(F.col("text")).alias("sh"))
+    pex = (
+        dsh.filter(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.size("sh").alias("na"),
+            F.explode("sh").alias("g"),
+        )
+    )
+    dex = dsh.select(
+        "doc_id", F.size("sh").alias("nb"), F.explode("sh").alias("g")
+    )
+    ov = (
+        F.broadcast(pex)
+        .join(dex, "g")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    w_lex = Window.partitionBy("probe_id").orderBy(
+        F.desc(F.expr("inter * 1000000 DIV (na + nb - inter)")), "doc_id"
+    )
+    lexk = (
+        ov.filter(F.col("inter") > 0)
+        .withColumn("rnk", F.row_number().over(w_lex))
+        .filter(F.col("rnk") <= 20)
+        .select("probe_id", "doc_id", "rnk")
+    )
+
+    fused = (
+        semk.unionByName(lexk)
+        .groupBy("probe_id", "doc_id")
+        .agg(
+            F.sum(F.expr("1000000000 DIV (60 + rnk)")).alias("rrf"),
+            F.count(F.lit(1)).cast("int").alias("n_systems"),
+        )
+    )
+    w_top = Window.partitionBy("probe_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("r", F.row_number().over(w_top))
+        .filter(F.col("r") <= 5)
+        .select(
+            "probe_id",
+            "doc_id",
+            F.col("rrf").cast("long").alias("rrf_score"),
+            "n_systems",
+        )
+    )
+
+
+_DRAWDOWN_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS pos,
+               x
+        FROM (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        )
+    ), n AS (
+        SELECT event_type, max(pos) AS n_days FROM d GROUP BY event_type
+    ), walk AS (
+        SELECT event_type, 0 AS pos, CAST(0 AS DOUBLE) AS peak,
+               CAST(0 AS DOUBLE) AS mdd
+        FROM n
+        UNION ALL
+        SELECT w.event_type, w.pos + 1,
+               CASE WHEN w.pos = 0 THEN d.x
+                    ELSE greatest(w.peak, d.x) END,
+               CASE WHEN w.pos = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE greatest(w.mdd, greatest(w.peak, d.x) - d.x) END
+        FROM walk w
+        JOIN d ON d.event_type = w.event_type AND d.pos = w.pos + 1
+    )
+    SELECT w.event_type,
+           CAST(n.n_days AS BIGINT) AS n_days,
+           w.peak AS peak_value,
+           w.mdd AS max_drawdown
+    FROM walk w JOIN n ON n.event_type = w.event_type AND w.pos = n.n_days
+"""
+
+
+@register(
+    "w17_max_drawdown",
+    "Maximum drawdown of the daily value series per event type — the "
+    "largest peak-to-current drop, the canonical risk / degradation "
+    "statistic for any monitored series (revenue, traffic, model "
+    "quality). A path-dependent double recurrence (running peak feeds "
+    "the running worst-drop), so like x127/w15 it is a stateful fold, "
+    "NOT a window: cummax gives the peak but the drawdown maximum "
+    "needs the joint walk. Same scale posture as w15 — exact-decimal "
+    "daily pre-aggregation first, so the per-key fold array is "
+    "bounded by |days| and the shuffle by |type x days|; greatest/"
+    "subtract over identical doubles is bit-exact across engines. "
+    "First day initializes peak = x, drawdown = 0; oracle replays the "
+    "fold as the recursive-CTE step walk.",
+    oracle=_DRAWDOWN_ORACLE,
+    tags=("window", "stateful-fold", "drawdown", "risk"),
+)
+def w17_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    from ..compat import exact_sum
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(exact_sum("value").cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("steps")
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("n"),
+        F.lit(0.0).alias("peak"),
+        F.lit(0.0).alias("mdd"),
+    )
+
+    def step(acc, s):
+        peak = F.when(acc["n"] == 0, s["x"]).otherwise(
+            F.greatest(acc["peak"], s["x"])
+        )
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            peak.alias("peak"),
+            F.when(acc["n"] == 0, F.lit(0.0))
+            .otherwise(F.greatest(acc["mdd"], peak - s["x"]))
+            .alias("mdd"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("steps").cast("long").alias("n_days"),
+        F.aggregate("steps", init, step).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.peak").alias("peak_value"),
+        F.col("st.mdd").alias("max_drawdown"),
+    )

@@ -2192,3 +2192,34 @@ def test_x137_cms_never_undercounts(spark, sf_dir):
     assert len(got) == 10
     assert (got["cms_est"] >= got["exact_cnt"]).all()
     assert (got["overcount"] >= 0).all()
+
+
+def test_w17_drawdown_on_crafted_series(spark, tmp_path):
+    """Hand-computed peak/drawdown walk: drawdown measures the drop from
+    the RUNNING peak, not from the global max or the previous day."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_dd"
+    d.mkdir()
+    # daily totals 5, 3, 8, 2 -> peaks 5,5,8,8; drops 0,2,0,6 -> mdd 6
+    rows = [
+        ("A", "2024-01-01 01:00:00", 5.0),
+        ("A", "2024-01-02 01:00:00", 3.0),
+        ("A", "2024-01-03 01:00:00", 8.0),
+        ("A", "2024-01-04 01:00:00", 2.0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    con.execute(
+        "COPY (SELECT row_number() OVER () AS event_id, ts, "
+        "CAST(1 AS BIGINT) AS user_id, event_type, value, '' AS props "
+        "FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    r = CATALOG["w17_max_drawdown"].spark(spark, str(d)).collect()[0]
+    assert (r.n_days, r.peak_value, r.max_drawdown) == (4, 8.0, 6.0)
