@@ -132,6 +132,14 @@ BENCH_QUERIES = (
     "x121_bucketed_colocated_join",
     "j19_interval_concurrency",
     "x122_cdc_apply_changes",
+    # final round-4 additions: the token-stream sketches/vectorizers,
+    # the rolling-distinct explode, the bloom probe, and hybrid RRF
+    # (the remaining new entries are sub-second report shapes at sf0.1)
+    "x137_count_min_sketch",
+    "x139_feature_hashing",
+    "w16_rolling_7d_distinct_users",
+    "x141_bloom_filter_membership",
+    "x142_reciprocal_rank_fusion",
 )
 
 
