@@ -8996,3 +8996,63 @@ def w17_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
         F.col("st.peak").alias("peak_value"),
         F.col("st.mdd").alias("max_drawdown"),
     )
+
+
+_COORD_SAMPLE_ORACLE = f"""
+    WITH so AS (
+        SELECT * FROM orders
+        WHERE {SQL_H.format(s='CAST(o_orderkey AS VARCHAR)')} % 100 < 20
+    ), sl AS (
+        SELECT * FROM lineitem
+        WHERE {SQL_H.format(s='CAST(l_orderkey AS VARCHAR)')} % 100 < 20
+    )
+    SELECT so.o_orderpriority,
+           CAST(count(DISTINCT so.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(sl.l_extendedprice * (1 - sl.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM so JOIN sl ON sl.l_orderkey = so.o_orderkey
+    GROUP BY 1
+"""
+
+
+@register(
+    "x143_coordinated_key_sample",
+    "Coordinated (join-consistent) sampling — the trick that makes "
+    "sampled analytics on a 100 TB star schema honest: BOTH tables "
+    "keep a key iff md5(key) % 100 < 20, so each side is sampled "
+    "INDEPENDENTLY with a pure in-place filter (no shuffle, no "
+    "coordination traffic, no sampled-key exchange), yet the join of "
+    "the samples equals the sample of the join — every surviving "
+    "order keeps ALL its lines, so per-key aggregates (line counts, "
+    "revenue) are exact for sampled keys rather than doubly-thinned "
+    "the way independent Bernoulli row sampling would make them "
+    "(P(both sides) = p² with broken per-key completeness). Same "
+    "md5-acceptance determinism as x16, applied as a cross-table "
+    "protocol; the demonstration query reports per-priority order/"
+    "line/revenue rollups over the coordinated 20% sample with exact "
+    "decimal money. The join-completeness property is additionally "
+    "pinned by a behavior test comparing sample-then-join against "
+    "join-then-sample.",
+    oracle=_COORD_SAMPLE_ORACLE,
+    tags=("ext", "sampling", "coordinated", "join"),
+)
+def x143_coordinated_key_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..compat import exact_sum
+
+    def keep(col):
+        return X.base_hash(col.cast("string")) % 100 < 20
+
+    so = load_table(spark, sf, "orders").filter(keep(F.col("o_orderkey")))
+    sl = load_table(spark, sf, "lineitem").filter(keep(F.col("l_orderkey")))
+    return (
+        so.join(sl, sl.l_orderkey == so.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

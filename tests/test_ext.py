@@ -2223,3 +2223,32 @@ def test_w17_drawdown_on_crafted_series(spark, tmp_path):
     )
     r = CATALOG["w17_max_drawdown"].spark(spark, str(d)).collect()[0]
     assert (r.n_days, r.peak_value, r.max_drawdown) == (4, 8.0, 6.0)
+
+
+def test_x143_sample_then_join_equals_join_then_sample(spark, sf_dir):
+    """The coordinated-sampling contract: filtering both sides by the
+    same key-hash acceptance then joining yields exactly the rows of
+    the full join whose key passes — per-key completeness intact."""
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark.ext.dedup import base_hash
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def keep(col):
+        return base_hash(col.cast("string")) % 100 < 20
+
+    sampled_join = (
+        o.filter(keep(F.col("o_orderkey")))
+        .join(li.filter(keep(F.col("l_orderkey"))),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    join_sampled = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(keep(F.col("o_orderkey")))
+        .count()
+    )
+    assert sampled_join == join_sampled > 0

@@ -562,3 +562,24 @@ def test_w16_day_restriction_is_broadcast_semi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "w16_rolling_7d_distinct_users", "simple")
     semi = [l for l in plan.splitlines() if "LeftSemi" in l]
     assert semi and all("Broadcast" in l for l in semi)
+
+
+def test_x138_bfs_joins_are_equi(spark, sf_dir):
+    # frontier expansion must be hash joins on the src key; a
+    # nested-loop or cartesian would mean the equality fell out and the
+    # walk went all-pairs (the edge build itself is behind the
+    # localCheckpoint, guarded by x123's equivalent)
+    plan = _plan(spark, sf_dir, "x138_bfs_hops_fixed_rounds", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x142_lexical_arm_is_inverted_index_join(spark, sf_dir):
+    # the shingle-postings join must be an equi hash join on the gram —
+    # never an all-pairs text comparison; the single intentional
+    # nested-loop is the 8-probe broadcast in the cosine arm
+    plan = _plan(spark, sf_dir, "x142_reciprocal_rank_fusion", "simple")
+    assert "CartesianProduct" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(bnlj) <= 1
+    assert "BroadcastHashJoin" in plan
