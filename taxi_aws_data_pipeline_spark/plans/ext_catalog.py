@@ -9056,3 +9056,161 @@ def x143_coordinated_key_sample(spark: SparkSession, sf: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+_ALLOC_ORACLE = """
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), tot AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+        FROM orders
+    ), j AS (
+        SELECT li.l_orderkey, li.l_linenumber, li.qty, t.total_cents,
+               sum(li.qty) OVER (PARTITION BY li.l_orderkey) AS sum_qty
+        FROM li JOIN tot t ON t.o_orderkey = li.l_orderkey
+    ), base AS (
+        SELECT *, (total_cents * qty) // sum_qty AS base_cents,
+               (total_cents * qty) % sum_qty AS frac
+        FROM j
+    ), res AS (
+        SELECT *,
+               total_cents - sum(base_cents)
+                   OVER (PARTITION BY l_orderkey) AS n_extra,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY frac DESC, l_linenumber) AS rk
+        FROM base
+    )
+    SELECT l_orderkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST(base_cents + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM res
+"""
+
+
+@register(
+    "x144_largest_remainder_allocation",
+    "Exact cent allocation by the largest-remainder (Hamilton) method: "
+    "each order's total (in half-up cents) is prorated across its "
+    "lines proportional to quantity, floor shares first, then the "
+    "leftover cents go one each to the lines with the largest "
+    "fractional remainders (tie-break on line number) — so every "
+    "order's allocations sum EXACTLY to its total, the invariant "
+    "naive round(share) proration violates on almost every order "
+    "(off-by-a-cent rows are the classic reconciliation bug). All "
+    "arithmetic is int64 — products bounded at total_cents * qty "
+    "~ 2.5e9 — and the remainder ranking is a per-order window, so "
+    "the whole operator is one join plus order-partitioned windows: "
+    "shuffle on the order key only, no global ordering anywhere. A "
+    "behavior test pins the per-order conservation invariant "
+    "directly.",
+    oracle=_ALLOC_ORACLE,
+    tags=("ext", "allocation", "money-exact", "window"),
+)
+def x144_largest_remainder_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    tot = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    j = li.join(tot, li.l_orderkey == tot.o_orderkey).withColumn(
+        "sum_qty", F.sum("qty").over(Window.partitionBy("l_orderkey"))
+    )
+    base = j.withColumn(
+        "base_cents", F.expr("(total_cents * qty) DIV sum_qty")
+    ).withColumn("frac", F.expr("(total_cents * qty) % sum_qty"))
+    res = base.withColumn(
+        "n_extra",
+        F.col("total_cents")
+        - F.sum("base_cents").over(Window.partitionBy("l_orderkey")),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.desc("frac"), "l_linenumber"
+            )
+        ),
+    )
+    return res.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        (
+            F.col("base_cents")
+            + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )
+
+
+_CHECKSUM_ORACLE = f"""
+    WITH rows_ AS (
+        SELECT l_orderkey // 1000 AS bucket,
+               {SQL_H.format(
+                   s="concat_ws('|', l_orderkey, l_linenumber, "
+                     "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), "
+                     "CAST(l_quantity AS BIGINT), l_returnflag, "
+                     "l_linestatus, strftime(CAST(l_shipdate AS DATE), "
+                     "'%Y-%m-%d'))"
+               )} AS digest
+        FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(digest) AS BIGINT) AS checksum
+    FROM rows_ GROUP BY 1
+"""
+
+
+@register(
+    "x145_range_bucketed_table_checksum",
+    "Anti-entropy table checksum: every lineitem row is canonicalized "
+    "to a stable text form (keys and ints verbatim, money in half-up "
+    "cents, dates as ISO strings — never raw double repr, which no "
+    "two engines print alike), digested with the md5 base hash, and "
+    "SUMMED per 1000-order key-range bucket — an order-insensitive, "
+    "partition-parallel fingerprint. Two replicas (or a source and a "
+    "migrated copy) compare |buckets| tiny rows instead of 100 TB of "
+    "data, and a mismatch pinpoints the divergent key range for "
+    "targeted re-sync — the Merkle-tree leaf level of Dynamo/"
+    "Cassandra anti-entropy, expressed as one scan + one grouped sum "
+    "with map-side combine. Commutative addition makes the checksum "
+    "independent of row order and partitioning; int64 cannot overflow "
+    "below ~4e9 rows per bucket (digests are < 2^32).",
+    oracle=_CHECKSUM_ORACLE,
+    tags=("ext", "checksum", "anti-entropy", "audit"),
+)
+def x145_range_bucketed_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
+        F.col("l_quantity").cast("long"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    return (
+        li.select(
+            F.expr("l_orderkey DIV 1000").alias("bucket"),
+            X.base_hash(canon).alias("digest"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("digest").cast("long").alias("checksum"),
+        )
+    )

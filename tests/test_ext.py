@@ -2252,3 +2252,32 @@ def test_x143_sample_then_join_equals_join_then_sample(spark, sf_dir):
         .count()
     )
     assert sampled_join == join_sampled > 0
+
+
+def test_x144_allocations_conserve_order_totals(spark, sf_dir):
+    """Hamilton-method invariant: per-order allocated cents sum exactly
+    to the half-up-cents order total — no off-by-a-cent rows, ever."""
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    alloc = (
+        CATALOG["x144_largest_remainder_allocation"]
+        .spark(spark, sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.sum("alloc_cents").alias("allocated"))
+    )
+    tot = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    off = (
+        alloc.join(tot, "l_orderkey")
+        .filter(F.col("allocated") != F.col("total_cents"))
+        .count()
+    )
+    assert off == 0
+    assert alloc.count() > 0
