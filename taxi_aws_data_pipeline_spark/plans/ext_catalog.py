@@ -9214,3 +9214,178 @@ def x145_range_bucketed_table_checksum(spark: SparkSession, sf: str) -> DataFram
             F.sum("digest").cast("long").alias("checksum"),
         )
     )
+
+
+_ROLLCORR_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS p,
+               CAST(count(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1, 2
+    ), mo AS (
+        SELECT day,
+               count(*) OVER w AS n,
+               sum(p) OVER w AS sp, sum(e) OVER w AS se,
+               sum(p * p) OVER w AS spp, sum(e * e) OVER w AS see,
+               sum(p * e) OVER w AS spe
+        FROM daily
+        WINDOW w AS (ORDER BY epoch_day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                     * sqrt(CAST(n * see - se * se AS DOUBLE)) = 0
+                THEN NULL
+                ELSE CAST(n * spe - sp * se AS DOUBLE)
+                     / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                        * sqrt(CAST(n * see - se * se AS DOUBLE)))
+           END AS rolling_corr
+    FROM mo
+"""
+
+
+@register(
+    "w18_rolling_correlation",
+    "Trailing 7-day Pearson correlation between the daily purchase and "
+    "error counts — the co-movement monitor ('do failures rise with "
+    "load?') that plain rolling averages can't answer. The rolling "
+    "moments (n, Σp, Σe, Σp², Σe², Σpe) accumulate as exact int64 "
+    "range-frame sums over the integer epoch-day key (RANGE 6 "
+    "PRECEDING handles calendar gaps correctly where ROWS would not), "
+    "and the correlation closes in one fixed shape of IEEE ops on "
+    "those exact integers — bit-identical across engines, the same "
+    "exact-moments discipline as a8/a14. Zero-variance windows return "
+    "NULL via an explicit guard rather than engine-specific inf "
+    "semantics. One shuffle to the |days| pre-aggregate, windows over "
+    "|days| rows; event volume only touches the first grouped count.",
+    oracle=_ROLLCORR_ORACLE,
+    tags=("window", "rolling-correlation", "range-frame"),
+)
+def w18_rolling_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("p"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("e"),
+    ).withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    mo = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("p").over(w).alias("sp"),
+        F.sum("e").over(w).alias("se"),
+        F.sum(F.col("p") * F.col("p")).over(w).alias("spp"),
+        F.sum(F.col("e") * F.col("e")).over(w).alias("see"),
+        F.sum(F.col("p") * F.col("e")).over(w).alias("spe"),
+    )
+    den = F.sqrt((F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("see") - F.col("se") * F.col("se")).cast("double")
+    )
+    return mo.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("n") * F.col("spe") - F.col("sp") * F.col("se")).cast(
+                "double"
+            )
+            / den
+        )
+        .alias("rolling_corr"),
+    )
+
+
+_GENERALIZE_WIDTHS = (50, 100, 200)
+
+_GENERALIZE_CELLS_SQL = "\n        UNION ALL ".join(
+    f"SELECT event_type, CAST(ts AS DATE) AS day, {w} AS width, "
+    f"CAST(floor(value / {w}.0) AS BIGINT) AS band, user_id FROM events"
+    for w in _GENERALIZE_WIDTHS
+)
+_GENERALIZE_ORACLE = f"""
+    WITH bands AS (
+        {_GENERALIZE_CELLS_SQL}
+    ), cells AS (
+        SELECT event_type, day, width, band,
+               count(DISTINCT user_id) AS n_users
+        FROM bands GROUP BY 1, 2, 3, 4
+    ), floors AS (
+        SELECT event_type, day, width, min(n_users) AS min_users
+        FROM cells GROUP BY 1, 2, 3
+    ), chosen AS (
+        SELECT event_type, day,
+               min(width) FILTER (WHERE min_users >= 5) AS chosen_width
+        FROM floors GROUP BY 1, 2
+    )
+    SELECT c.event_type,
+           strftime(c.day, '%Y-%m-%d') AS day,
+           CAST(c.chosen_width AS INT) AS chosen_width,
+           CAST(f.min_users AS BIGINT) AS min_users_at_chosen
+    FROM chosen c
+    LEFT JOIN floors f ON f.event_type = c.event_type AND f.day = c.day
+                      AND f.width = c.chosen_width
+"""
+
+
+@register(
+    "x146_k_anonymity_generalization",
+    "The REPAIR to x135's k-anonymity audit: for every (event_type, "
+    "day) release group, pick the narrowest value-band width from the "
+    "generalization ladder (50, 100, 200) whose every quasi-identifier "
+    "cell reaches k = 5 distinct users — textbook generalization-"
+    "lattice anonymization restricted to one attribute's ladder; "
+    "groups no width can fix come back with NULL (suppress the "
+    "release, the only safe fallback). One union-of-ladder pass: the "
+    "banding is a projection per rung, the distinct-count shuffles "
+    "(type, day, width, band, user) keys — 3x the x135 audit cost, "
+    "still bounded by cells x users, never event volume. NULL values "
+    "band to NULL and participate as their own cell in both dialects. "
+    "Dates travel as ISO strings.",
+    oracle=_GENERALIZE_ORACLE,
+    tags=("ext", "privacy", "k-anonymity", "generalization"),
+)
+def x146_k_anonymity_generalization(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    bands = None
+    for w in _GENERALIZE_WIDTHS:
+        part = ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.lit(w).cast("int").alias("width"),
+            F.floor(F.col("value") / float(w)).cast("long").alias("band"),
+            "user_id",
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cells = bands.groupBy("event_type", "day", "width", "band").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    floors = cells.groupBy("event_type", "day", "width").agg(
+        F.min("n_users").alias("min_users")
+    )
+    chosen = floors.groupBy("event_type", "day").agg(
+        F.min(F.when(F.col("min_users") >= 5, F.col("width"))).alias(
+            "chosen_width"
+        )
+    )
+    return (
+        chosen.join(
+            floors.withColumnRenamed("width", "chosen_width"),
+            ["event_type", "day", "chosen_width"],
+            "left",
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("chosen_width").cast("int").alias("chosen_width"),
+            F.col("min_users").cast("long").alias("min_users_at_chosen"),
+        )
+    )
