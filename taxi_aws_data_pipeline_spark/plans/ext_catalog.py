@@ -9389,3 +9389,233 @@ def x146_k_anonymity_generalization(spark: SparkSession, sf: str) -> DataFrame:
             F.col("min_users").cast("long").alias("min_users_at_chosen"),
         )
     )
+
+
+_VOCAB_ENCODE_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, pos, word FROM (
+            SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+                   unnest(ws) AS word
+            FROM (SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws
+                  FROM documents)
+        ) WHERE word <> ''
+    ), counts AS (
+        SELECT word, count(*) AS cnt FROM tok GROUP BY 1
+    ), vocab AS (
+        SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS id
+        FROM counts ORDER BY cnt DESC, word LIMIT 1000
+    ), enc AS (
+        SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS tid
+        FROM tok t LEFT JOIN vocab v ON v.word = t.word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm,
+           md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_md5
+    FROM enc GROUP BY 1
+"""
+
+
+@register(
+    "x147_vocab_encode",
+    "Vocabulary encoding — the doc -> token-id step between x43's "
+    "coverage check and x40/x41's chunk-and-pack: the corpus's top "
+    "1000 words by frequency (deterministic count-desc/word-asc "
+    "ranking) become ids 1..1000, every token maps through a "
+    "BROADCAST vocab join (OOV -> 0, the reserved unk id), and each "
+    "document reassembles its id sequence in token order JVM-side "
+    "(sort_array over (pos, id) structs — one shuffle on doc_id, the "
+    "x127 array-bound caveat applies per document, not per corpus). "
+    "Reported as the md5 of the ordered id sequence plus the exact "
+    "integer-ppm OOV rate — the metric that decides whether the vocab "
+    "is big enough before a 100 TB encode run. No driver collect "
+    "anywhere: the vocab stays a dataframe and broadcasts; at real "
+    "scale the same plan serves a 100k-entry vocab unchanged.",
+    oracle=_VOCAB_ENCODE_ORACLE,
+    tags=("ext", "tokenizer", "vocab", "encoding"),
+)
+def x147_vocab_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), "word")
+        .limit(1000)
+        .withColumn(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "word")),
+        )
+        .select("word", "id")
+    )
+    enc = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("tid")
+    )
+    seq = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.sort_array(F.collect_list(F.struct("pos", "tid"))).alias("s"),
+    )
+    return seq.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("n_oov * 1000000 DIV n_tokens").cast("long").alias("oov_ppm"),
+        F.md5(
+            F.concat_ws(",", F.transform("s", lambda x: x["tid"]))
+        ).alias("ids_md5"),
+    )
+
+
+_ENCODING_ADVISOR_ORACLE = """
+    WITH melt AS (
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS day,
+               'l_returnflag' AS col_name, l_returnflag AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE),
+               'l_linestatus', l_linestatus FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE),
+               'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE),
+               'l_shipdate', strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+        FROM lineitem
+    ), runs AS (
+        SELECT col_name,
+               sum(CASE WHEN prev IS NULL OR prev <> val
+                        THEN 1 ELSE 0 END) AS n_runs
+        FROM (
+            SELECT col_name, val,
+                   lag(val) OVER (PARTITION BY col_name, day
+                                  ORDER BY l_orderkey, l_linenumber, val)
+                       AS prev
+            FROM melt
+        ) GROUP BY 1
+    ), freq AS (
+        SELECT col_name, val, count(*) AS cnt FROM melt GROUP BY 1, 2
+    ), stats AS (
+        SELECT col_name,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM freq GROUP BY 1
+    ), top AS (
+        SELECT col_name, val AS top_value, CAST(cnt AS BIGINT) AS top_freq
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY col_name
+                                         ORDER BY cnt DESC, val) AS rk
+            FROM freq
+        ) WHERE rk = 1
+    )
+    SELECT s.col_name, s.n_rows, s.n_distinct, t.top_value, t.top_freq,
+           CAST(r.n_runs AS BIGINT) AS n_runs_date_sorted
+    FROM stats s
+    JOIN top t ON t.col_name = s.col_name
+    JOIN runs r ON r.col_name = s.col_name
+"""
+
+
+@register(
+    "z2_encoding_advisor",
+    "Storage-encoding advisor (z1's layout sibling): for four "
+    "candidate lineitem columns, one pass reports the inputs every "
+    "columnar writer's encoding choice needs — cardinality "
+    "(dictionary feasibility), top-value frequency (RLE on the mode), "
+    "and run count under the table's natural shipdate-major sort "
+    "(low runs/row -> run-length encoding wins; ~one run per row -> "
+    "don't bother). Columns melt into (col, value) rows via an "
+    "EXPLODE projection so the table is scanned ONCE for all columns; "
+    "run detection windows are partitioned by (column, ship-day), "
+    "never a global ordering, so the pass parallelizes at any scale "
+    "(cross-day boundary runs are counted as new runs — a <= |days| "
+    "overcount, documented, irrelevant to the encoding decision). At "
+    "100 TB this is how you pick z1's z-order candidates and the "
+    "parquet dictionary/RLE knobs from data rather than folklore; "
+    "values canonicalize to stable text (ints, ISO dates) in both "
+    "dialects.",
+    oracle=_ENCODING_ADVISOR_ORACLE,
+    tags=("storage", "encoding", "advisor", "profiling"),
+)
+def z2_encoding_advisor(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    melt = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("day"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_returnflag").alias("col_name"),
+                    F.col("l_returnflag").alias("val"),
+                ),
+                F.struct(
+                    F.lit("l_linestatus").alias("col_name"),
+                    F.col("l_linestatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("l_quantity").alias("col_name"),
+                    F.col("l_quantity").cast("long").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("l_shipdate").alias("col_name"),
+                    F.date_format("l_shipdate", "yyyy-MM-dd").alias("val"),
+                ),
+            )
+        ).alias("kv"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "day",
+        F.col("kv.col_name").alias("col_name"),
+        F.col("kv.val").alias("val"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture; appending
+    # val totalizes the order up to equal values, and equal values are
+    # run-count-invariant under permutation — so the lag is deterministic
+    w = Window.partitionBy("col_name", "day").orderBy(
+        "l_orderkey", "l_linenumber", "val"
+    )
+    runs = (
+        melt.withColumn("prev", F.lag("val").over(w))
+        .groupBy("col_name")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("prev") != F.col("val")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_runs_date_sorted")
+        )
+    )
+    freq = melt.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = freq.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    top = (
+        freq.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("col_name").orderBy(F.desc("cnt"), "val")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "col_name",
+            F.col("val").alias("top_value"),
+            F.col("cnt").cast("long").alias("top_freq"),
+        )
+    )
+    return stats.join(top, "col_name").join(runs, "col_name")
