@@ -9619,3 +9619,161 @@ def z2_encoding_advisor(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return stats.join(top, "col_name").join(runs, "col_name")
+
+
+_APPROX_CERT_ORACLE = """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           l_extendedprice AS exact_p99_by_rank,
+           TRUE AS approx_within_bound
+    FROM ranked
+    WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)
+"""
+
+
+@register(
+    "k6_approx_percentile_certification",
+    "Accuracy certification for the exact<->approx percentile switch "
+    "the cleaning suite's C4/C5 caps rely on (SURVEY quality design): "
+    "per return flag, Spark's approx_percentile(price, 0.99, 10000) "
+    "is measured against its OWN contract — the Greenwald-Khanna "
+    "rank-error bound says the returned value's empirical rank must "
+    "sit within n/accuracy of the 0.99n target — and the entry emits "
+    "approx_within_bound, which the DuckDB oracle pins as literal "
+    "TRUE: if a Spark upgrade ever loosens the sketch, the hash "
+    "mismatches and the driver flags it. The exact p99 is the rank-"
+    "selected order statistic (ceil(0.99n), tie-permutation-invariant "
+    "— never interpolated, engines disagree on interpolation op "
+    "order), reported alongside so the certificate also shows WHAT "
+    "the approximation is near. The rank of the approx value is one "
+    "count-below aggregate, not a sort.",
+    oracle=_APPROX_CERT_ORACLE,
+    tags=("scale", "approx", "percentile", "certification"),
+)
+def k6_approx_percentile_certification(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    wsz = Window.partitionBy("l_returnflag")
+    ranked = li.withColumn(
+        "rn",
+        F.row_number().over(wsz.orderBy("l_extendedprice")),
+    ).withColumn("n", F.count(F.lit(1)).over(wsz))
+    exact = ranked.filter(
+        F.col("rn") == F.ceil(0.99 * F.col("n")).cast("long")
+    ).select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("l_extendedprice").alias("exact_p99_by_rank"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("ap")
+    )
+    rank_of = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("ap"), 1).otherwise(0)
+            ).alias("rank_ap")
+        )
+    )
+    return (
+        exact.join(F.broadcast(rank_of), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_p99_by_rank",
+            (
+                F.abs(
+                    F.col("rank_ap")
+                    - F.ceil(0.99 * F.col("n_rows")).cast("long")
+                )
+                <= F.col("n_rows") / 10000 + 1
+            ).alias("approx_within_bound"),
+        )
+    )
+
+
+_WILSON_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS n_purchases
+        FROM events GROUP BY 1
+    ), scored AS (
+        SELECT user_id, n_events, n_purchases,
+               (CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE)
+                + 3.8416 / (2.0 * CAST(n_events AS DOUBLE))
+                - 1.96 * sqrt(
+                    (CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE)
+                     * (1.0 - CAST(n_purchases AS DOUBLE)
+                              / CAST(n_events AS DOUBLE))
+                     + 3.8416 / (4.0 * CAST(n_events AS DOUBLE)))
+                    / CAST(n_events AS DOUBLE)))
+               / (1.0 + 3.8416 / CAST(n_events AS DOUBLE)) AS wilson_lb
+        FROM per_user
+    )
+    SELECT user_id, n_events, n_purchases, wilson_lb
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY wilson_lb DESC, user_id) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+"""
+
+
+@register(
+    "x148_wilson_lower_bound_ranking",
+    "Top-20 users by purchase propensity ranked by the WILSON score "
+    "lower bound (z = 1.96) rather than the raw rate — the standard "
+    "small-sample correction (the 'sort by rating' answer): a 1/1 "
+    "user must NOT outrank a 45/50 user, which naive s/n ranking "
+    "does. Inputs are exact integer (successes, trials) per user; the "
+    "bound itself is one fixed expression shape over those exact "
+    "integers with decimal literals (z^2 = 3.8416 parses to the same "
+    "double everywhere), written CHARACTER-IDENTICAL in both dialects "
+    "so every IEEE intermediate matches and the ranking hash-"
+    "verifies. One grouped count then a top-k window over |users| "
+    "pre-aggregated rows; the certainty-vs-volume tradeoff is pinned "
+    "by a planted behavior test.",
+    oracle=_WILSON_ORACLE,
+    tags=("ext", "ranking", "wilson", "small-sample"),
+)
+def x148_wilson_lower_bound_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    nd = F.col("n_events").cast("double")
+    phat = F.col("n_purchases").cast("double") / nd
+    wilson = (
+        phat
+        + F.lit(3.8416) / (F.lit(2.0) * nd)
+        - F.lit(1.96)
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat) + F.lit(3.8416) / (F.lit(4.0) * nd))
+            / nd
+        )
+    ) / (F.lit(1.0) + F.lit(3.8416) / nd)
+    scored = per_user.withColumn("wilson_lb", wilson)
+    w = Window.orderBy(F.desc("wilson_lb"), "user_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("user_id", "n_events", "n_purchases", "wilson_lb")
+    )

@@ -2281,3 +2281,35 @@ def test_x144_allocations_conserve_order_totals(spark, sf_dir):
     )
     assert off == 0
     assert alloc.count() > 0
+
+
+def test_x148_wilson_penalizes_small_samples(spark, tmp_path):
+    """1/1 must rank below 45/50: the lower bound trades rate for
+    certainty — the whole point of Wilson over naive s/n."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_wilson"
+    d.mkdir()
+    rows = []
+    # user 1: 1 purchase / 1 event (rate 1.0, tiny sample)
+    rows.append((1, "purchase"))
+    # user 2: 45 purchases / 50 events (rate 0.9, solid sample)
+    rows += [(2, "purchase")] * 45 + [(2, "view")] * 5
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id BIGINT, event_type VARCHAR)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+    con.execute(
+        "COPY (SELECT row_number() OVER () AS event_id, "
+        "TIMESTAMP '2024-01-01 00:00:00' AS ts, user_id, event_type, "
+        "1.0 AS value, '' AS props FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = (
+        CATALOG["x148_wilson_lower_bound_ranking"]
+        .spark(spark, str(d))
+        .collect()
+    )
+    order = [r.user_id for r in got]
+    assert order == [2, 1]  # certainty beats the perfect-but-tiny rate
