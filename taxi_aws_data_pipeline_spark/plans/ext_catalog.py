@@ -9777,3 +9777,166 @@ def x148_wilson_lower_bound_ranking(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("user_id", "n_events", "n_purchases", "wilson_lb")
     )
+
+
+_DPP_ORACLE = """
+    WITH dim AS (
+        SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                   AS ship_month
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND extract(year FROM o_orderdate) = 1995
+    )
+    SELECT f.ship_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+                 l_quantity
+          FROM lineitem) f
+    JOIN dim ON dim.ship_month = f.ship_month
+    GROUP BY 1
+"""
+
+
+@register(
+    "z3_dynamic_partition_pruning",
+    "Dynamic partition pruning demonstrated end-to-end (z1 z-order and "
+    "x112 static pruning's runtime sibling): the fact table is "
+    "written partitioned by ship month, and the join against a "
+    "FILTER-derived month dimension plans a SubqueryAdaptiveBroadcast "
+    "dynamicpruning subquery on the fact scan — the dim filter's "
+    "surviving months are computed at runtime and only those "
+    "partitions are read, which at 100 TB is the difference between "
+    "scanning a month and scanning a decade (static pruning can't do "
+    "it: the month list isn't known until the dim filter runs). The "
+    "plan shape is asserted by a guard (dynamicpruning present on the "
+    "partitioned scan), the RESULT is engine-independent and "
+    "hash-verified against the plain filtered-join oracle. Partition "
+    "layout is written per run to a temp table (the x121 honest-cost "
+    "pattern).",
+    oracle=_DPP_ORACLE,
+    tags=("storage", "dpp", "partition-pruning", "join"),
+)
+def z3_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dpp_")
+    spark.sql("DROP TABLE IF EXISTS z3_fact_lineitem")
+    (
+        load_table(spark, sf, "lineitem")
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.format("parquet")
+        .partitionBy("ship_month")
+        .option("path", base + "/fact")
+        .mode("overwrite")
+        .saveAsTable("z3_fact_lineitem")
+    )
+    fact = spark.table("z3_fact_lineitem")
+    dim = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("total_qty"),
+        )
+    )
+
+
+_KS_ORACLE = """
+    WITH s AS (
+        SELECT n_chars, source FROM documents WHERE source IN ('src0', 'src1')
+    ), n AS (
+        SELECT count(*) FILTER (WHERE source = 'src0') AS n1,
+               count(*) FILTER (WHERE source = 'src1') AS n2
+        FROM s
+    ), pervals AS (
+        SELECT n_chars AS v,
+               count(*) FILTER (WHERE source = 'src0') AS c1,
+               count(*) FILTER (WHERE source = 'src1') AS c2
+        FROM s GROUP BY 1
+    ), cum AS (
+        SELECT v,
+               sum(c1) OVER (ORDER BY v) AS f1,
+               sum(c2) OVER (ORDER BY v) AS f2
+        FROM pervals
+    ), d AS (
+        SELECT v, abs(f1 * (SELECT n2 FROM n) - f2 * (SELECT n1 FROM n))
+                   AS diff
+        FROM cum
+    )
+    SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n1,
+           CAST((SELECT n2 FROM n) AS BIGINT) AS n2,
+           CAST(max(diff) AS BIGINT) AS d_num,
+           CAST((SELECT n1 FROM n) * (SELECT n2 FROM n) AS BIGINT) AS d_den,
+           CAST(min(v) FILTER (WHERE diff = (SELECT max(diff) FROM d))
+                AS BIGINT) AS d_at_value
+    FROM d
+"""
+
+
+@register(
+    "a15_ks_two_sample",
+    "Two-sample Kolmogorov-Smirnov statistic between the src0 and "
+    "src1 document-length distributions, in EXACT RATIONAL arithmetic "
+    "— D = max|F1 - F2| is emitted as the integer pair (d_num, d_den "
+    "= n1*n2) plus the location where the maximum is first attained, "
+    "so the distribution-shift test joins the exact-stats family "
+    "(a8 Pearson, a14 Spearman, x104 Mann-Kendall, x125 chi-square) "
+    "with zero floating point anywhere. ECDFs never materialize per "
+    "row: values pre-aggregate to (value, count-per-sample) cells, "
+    "cumulative sums run over the |distinct values| rows, and the max "
+    "closes in one aggregate — event volume touches only the first "
+    "grouped count, so the test costs the same at any corpus size "
+    "with a bounded value domain. The step-function convention "
+    "(compare AT observed values, right-continuous ECDF) is the "
+    "standard one and identical in both dialects by construction.",
+    oracle=_KS_ORACLE,
+    tags=("analytics", "ks-test", "exact-stats", "drift"),
+)
+def a15_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    n = docs.agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("n1"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("n2"),
+    )
+    pervals = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c1"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("c2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pervals.select(
+        "v",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
+            "diff"
+        ),
+    )
+    d2 = d.withColumn("dmax", F.max("diff").over(Window.partitionBy()))
+    return d2.agg(
+        F.first("n1").cast("long").alias("n1"),
+        F.first("n2").cast("long").alias("n2"),
+        F.max("diff").cast("long").alias("d_num"),
+        (F.first("n1") * F.first("n2")).cast("long").alias("d_den"),
+        F.min(F.when(F.col("diff") == F.col("dmax"), F.col("v")))
+        .cast("long")
+        .alias("d_at_value"),
+    )

@@ -583,3 +583,10 @@ def test_x142_lexical_arm_is_inverted_index_join(spark, sf_dir):
     bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
     assert len(bnlj) <= 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_z3_join_plans_dynamic_partition_pruning(spark, sf_dir):
+    # the runtime month-list subquery must reach the partitioned fact
+    # scan — static pruning can't know the dim filter's survivors
+    plan = _plan(spark, sf_dir, "z3_dynamic_partition_pruning", "simple")
+    assert "dynamicpruning" in plan.lower()
