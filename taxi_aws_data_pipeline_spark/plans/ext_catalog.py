@@ -9940,3 +9940,163 @@ def a15_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("d_at_value"),
     )
+
+
+_QMAP_ORACLE = """
+    WITH ref AS (
+        SELECT n_chars AS v,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM documents WHERE source = 'src0'
+    ), n0 AS (SELECT count(*) AS n0 FROM ref),
+    tgt AS (
+        SELECT doc_id, n_chars AS v,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER () AS n1
+        FROM documents WHERE source = 'src1'
+    )
+    SELECT t.doc_id,
+           CAST(t.v AS BIGINT) AS n_chars,
+           CAST((t.r * (SELECT n0 FROM n0) + t.n1 - 1) // t.n1
+                AS BIGINT) AS ref_rank,
+           CAST(ref.v AS BIGINT) AS mapped_n_chars
+    FROM tgt t
+    JOIN ref ON ref.rn = (t.r * (SELECT n0 FROM n0) + t.n1 - 1) // t.n1
+"""
+
+
+@register(
+    "x149_quantile_mapping",
+    "Quantile mapping (CDF matching): every src1 document's length is "
+    "remapped to the src0 length at the SAME empirical quantile — the "
+    "distribution-matching transform (histogram matching / bias "
+    "correction) that makes cross-source features comparable by "
+    "reshaping one distribution onto a reference, where x132's "
+    "quantile transform only flattens to uniform. All rank "
+    "arithmetic is integer (target rank = ceil(r * n0 / n1) via the "
+    "DIV identity), ranks totalize on (value, doc_id), and the mapped "
+    "value joins by exact rank equality — zero floats, hash-exact. "
+    "Windows here order one source's documents globally (fine at "
+    "per-source report scale); at 100 TB the ranking swaps in x87's "
+    "two-phase distributed numbering and the rank-equality join is "
+    "unchanged.",
+    oracle=_QMAP_ORACLE,
+    tags=("ext", "quantile-mapping", "distribution", "normalization"),
+)
+def x149_quantile_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    ref = (
+        docs.filter(F.col("source") == "src0")
+        .select("doc_id", F.col("n_chars").alias("v"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "doc_id"))
+        )
+    )
+    n0 = ref.agg(F.count(F.lit(1)).alias("n0"))
+    tgt = (
+        docs.filter(F.col("source") == "src1")
+        .select("doc_id", F.col("n_chars").alias("v"))
+        .withColumn("r", F.row_number().over(Window.orderBy("v", "doc_id")))
+        .withColumn("n1", F.count(F.lit(1)).over(Window.partitionBy()))
+        .crossJoin(F.broadcast(n0))
+        .withColumn("ref_rank", F.expr("(r * n0 + n1 - 1) DIV n1"))
+    )
+    return tgt.join(
+        F.broadcast(ref.select(F.col("rn").alias("ref_rank"),
+                               F.col("v").alias("mv"))),
+        "ref_rank",
+    ).select(
+        "doc_id",
+        F.col("v").cast("long").alias("n_chars"),
+        F.col("ref_rank").cast("long").alias("ref_rank"),
+        F.col("mv").cast("long").alias("mapped_n_chars"),
+    )
+
+
+_SURVIVOR_ORACLE = """
+    WITH fp AS (
+        SELECT doc_id, lang, n_chars,
+               md5(array_to_string(
+                   (string_split_regex(lower(text), '\\s+'))[1:5], ' '))
+                   AS block_hash
+        FROM documents
+    ), lang_votes AS (
+        SELECT block_hash, lang, count(*) AS c FROM fp GROUP BY 1, 2
+    ), lang_mode AS (
+        SELECT block_hash, lang AS lang_survivor FROM (
+            SELECT *, row_number() OVER (PARTITION BY block_hash
+                                         ORDER BY c DESC, lang) AS rk
+            FROM lang_votes
+        ) WHERE rk = 1
+    )
+    SELECT f.block_hash,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(f.doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(max(f.n_chars) AS BIGINT) AS n_chars_survivor,
+           min(l.lang_survivor) AS lang_survivor
+    FROM fp f JOIN lang_mode l ON l.block_hash = f.block_hash
+    GROUP BY 1
+    HAVING count(*) > 1
+"""
+
+
+@register(
+    "x150_survivorship_merge",
+    "Field-level survivorship (the MDM golden-record merge): duplicate "
+    "families (x129's 5-word-prefix blocking groups — the fixture has "
+    "near-dups, not byte dups, so blocking is the honest grouping) "
+    "are merged into ONE record with per-field survivorship rules — "
+    "canonical id = min doc_id (stability), length = max (most "
+    "complete), language = group MODE with deterministic tie-break "
+    "(consensus) — which is a different operator from x77's "
+    "keep-best-ROW policy: survivorship composes the best FIELDS "
+    "across members, so the golden record may match no single source "
+    "row. Only multi-member families (n > 1) emit. Two shuffles on "
+    "the 16-byte block hash (member rollup + mode vote), both "
+    "partial-aggregated; no text ever shuffles except inside the md5. "
+    "The standard entity-resolution follow-on: cluster first (x18/"
+    "x129), survive fields second.",
+    oracle=_SURVIVOR_ORACLE,
+    tags=("ext", "survivorship", "mdm", "dedup"),
+)
+def x150_survivorship_merge(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    fp = load_table(spark, sf, "documents").withColumn(
+        "block_hash",
+        F.md5(
+            F.array_join(F.slice(F.split(F.lower("text"), r"\s+"), 1, 5), " ")
+        ),
+    )
+    votes = fp.groupBy("block_hash", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mode = (
+        votes.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("block_hash").orderBy(
+                    F.desc("c"), "lang"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("block_hash", F.col("lang").alias("lang_survivor"))
+    )
+    merged = fp.groupBy("block_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        F.max("n_chars").cast("long").alias("n_chars_survivor"),
+    )
+    return (
+        merged.filter(F.col("n_members") > 1)
+        .join(mode, "block_hash")
+        .select(
+            "block_hash",
+            "n_members",
+            "canonical_doc_id",
+            "n_chars_survivor",
+            "lang_survivor",
+        )
+    )
