@@ -10100,3 +10100,140 @@ def x150_survivorship_merge(spark: SparkSession, sf: str) -> DataFrame:
             "lang_survivor",
         )
     )
+
+
+_SQL_IFACE_ORACLE = """
+    WITH rev AS (
+        SELECT o.o_orderpriority, o.o_custkey,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_custkey,
+           CAST(n_orders AS BIGINT) AS n_orders, revenue,
+           CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY revenue DESC, o_custkey) AS rk
+        FROM rev
+    ) WHERE rk <= 3
+"""
+
+
+@register(
+    "x151_sql_interface_roundtrip",
+    "The pure-SQL front door: the engine's tables register as temp "
+    "views and a single spark.sql() statement — CTE, join, exact-"
+    "decimal money, window top-k — produces the top-3 customers by "
+    "revenue per order priority, proving a user of the reference who "
+    "writes SQL (not DataFrames) can drive this engine verbatim; "
+    "every other catalog entry exercises the DataFrame API, this one "
+    "pins that the Catalyst SQL surface plans the same shapes (the "
+    "star join broadcasts, the window partitions — same physical "
+    "plans the DataFrame twin gets, because both compile to the same "
+    "logical plan). Revenue stays bit-exact via the decimal-sum-"
+    "then-double idiom inside the SQL text itself.",
+    oracle=_SQL_IFACE_ORACLE,
+    tags=("api", "sql", "interface", "window"),
+)
+def x151_sql_interface_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "orders").createOrReplaceTempView("x151_orders")
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("x151_lineitem")
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT o.o_orderpriority, o.o_custkey,
+                   count(DISTINCT o.o_orderkey) AS n_orders,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM x151_orders o
+            JOIN x151_lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, o_custkey,
+               CAST(n_orders AS BIGINT) AS n_orders, revenue,
+               CAST(rk AS INT) AS rk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY revenue DESC, o_custkey)
+                          AS rk
+            FROM rev
+        ) WHERE rk <= 3
+        """
+    )
+
+
+_THEIL_SEN_ORACLE = """
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+                   AS slope
+        FROM daily a JOIN daily b ON b.d > a.d
+    ), ranked AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope) AS rn,
+               count(*) OVER () AS n
+        FROM pairs
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           max(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+               AS theil_sen_slope
+    FROM ranked
+"""
+
+
+@register(
+    "a16_theil_sen_slope",
+    "Theil-Sen robust trend slope of the daily purchase-count series — "
+    "the median of all pairwise slopes, the estimator that shrugs off "
+    "~29% outlier contamination where a12's OLS line chases every "
+    "spike (and the magnitude companion to x104's direction-only "
+    "Mann-Kendall: same pairs, median slope instead of sign votes). "
+    "Each pairwise slope is ONE IEEE division of exact integers "
+    "(count delta over day delta) — identical doubles, identically "
+    "ordered, in both engines — and the median is the LOWER-median "
+    "order statistic (rank (n+1) DIV 2), never interpolated, so the "
+    "result is a value the data actually produced and the hash is "
+    "exact. The pair join is quadratic in |days|, not |events| "
+    "(435 pairs for a month, ~66k for a year): the daily pre-"
+    "aggregation is what makes the robust estimator affordable at "
+    "any event volume.",
+    oracle=_THEIL_SEN_ORACLE,
+    tags=("analytics", "theil-sen", "robust", "trend"),
+)
+def a16_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope")
+    )
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    med = ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("slope"))
+        ).alias("theil_sen_slope"),
+    )
+    return n_days.crossJoin(F.broadcast(med))
