@@ -10237,3 +10237,121 @@ def a16_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("theil_sen_slope"),
     )
     return n_days.crossJoin(F.broadcast(med))
+
+
+_ARGMAX_ORACLE = """
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), best AS (
+        SELECT event_type,
+               max(struct_pack(t := n_events, u := user_id)) AS b
+        FROM per_user GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(b.u AS BIGINT) AS top_user_id,
+           CAST(b.t AS BIGINT) AS top_user_events
+    FROM best
+"""
+
+
+@register(
+    "g9_argmax_aggregate",
+    "Aggregate-side argmax (struct-max idiom): the most active user "
+    "per event type via max(struct(count, user_id)) — ONE aggregate "
+    "with lexicographic struct comparison, deterministic ties by "
+    "construction (equal counts resolve to the larger user id in both "
+    "engines) — instead of the w3 window-top-1 shape. The difference "
+    "matters at 100 TB: the struct max PARTIAL-AGGREGATES (each map "
+    "task emits one candidate per group before any shuffle, and "
+    "merging is associative), where row_number()-filter must shuffle "
+    "and sort every row of every group first; top-1-per-group is the "
+    "single most common window query that should not be a window. A "
+    "plan guard pins the no-Window claim.",
+    oracle=_ARGMAX_ORACLE,
+    tags=("groupby", "argmax", "struct-max", "partial-agg"),
+)
+def g9_argmax_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    best = per_user.groupBy("event_type").agg(
+        F.max(F.struct(F.col("n_events").alias("t"),
+                       F.col("user_id").alias("u"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.u").cast("long").alias("top_user_id"),
+        F.col("b.t").cast("long").alias("top_user_events"),
+    )
+
+
+_TWO_PROP_ORACLE = f"""
+    WITH arms AS (
+        SELECT {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               count(*) AS n,
+               count(*) FILTER (WHERE event_type = 'purchase') AS s
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS n1,
+               max(CASE WHEN arm = 0 THEN s END) AS s1,
+               max(CASE WHEN arm = 1 THEN n END) AS n2,
+               max(CASE WHEN arm = 1 THEN s END) AS s2
+        FROM arms
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(s1 AS BIGINT) AS s_a,
+           CAST(n2 AS BIGINT) AS n_b, CAST(s2 AS BIGINT) AS s_b,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                  * (1.0 - CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+               AS z_score
+    FROM w
+"""
+
+
+@register(
+    "x152_two_proportion_ztest",
+    "The A/B-test readout: users deterministically split into two "
+    "arms by the md5 assignment hash (the x16 acceptance idiom — the "
+    "split itself is reproducible, no RNG), purchase rates compared "
+    "with the pooled two-proportion z statistic. Counts are exact "
+    "int64; the z closes in one fixed expression shape over those "
+    "integers, written character-identical in both dialects, so even "
+    "the test statistic hash-verifies (the x148 Wilson discipline). "
+    "Complements x110's full-table chi-square residuals with the "
+    "focused two-arm readout every experimentation platform ships. "
+    "One grouped count over a projection; output is one row at any "
+    "event volume.",
+    oracle=_TWO_PROP_ORACLE,
+    tags=("ext", "ab-test", "z-test", "experimentation"),
+)
+def x152_two_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    arms = ev.groupBy(
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("s"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pp = (d("s1") + d("s2")) / (d("n1") + d("n2"))
+    z = (d("s1") / d("n1") - d("s2") / d("n2")) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n2"))
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("s1").cast("long").alias("s_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.col("s2").cast("long").alias("s_b"),
+        z.alias("z_score"),
+    )

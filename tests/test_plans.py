@@ -590,3 +590,11 @@ def test_z3_join_plans_dynamic_partition_pruning(spark, sf_dir):
     # scan — static pruning can't know the dim filter's survivors
     plan = _plan(spark, sf_dir, "z3_dynamic_partition_pruning", "simple")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_g9_argmax_is_aggregate_not_window(spark, sf_dir):
+    # the whole point vs w3: top-1-per-group as an associative
+    # aggregate (map-side candidates, no per-group sort)
+    plan = _plan(spark, sf_dir, "g9_argmax_aggregate", "simple")
+    assert "Window" not in plan
+    assert "Aggregate" in plan
