@@ -10355,3 +10355,153 @@ def x152_two_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s2").cast("long").alias("s_b"),
         z.alias("z_score"),
     )
+
+
+_RFM_ORACLE = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ), anchored AS (
+        SELECT *, datediff('day', last_order,
+                           (SELECT max(CAST(o_orderdate AS DATE))
+                            FROM orders)) AS recency_days,
+               count(*) OVER () AS n
+        FROM per_cust
+    ), scored AS (
+        SELECT o_custkey, recency_days, freq, monetary_cents,
+               6 - ((row_number() OVER (ORDER BY recency_days, o_custkey)
+                     - 1) * 5 // n + 1) AS r_score,
+               (row_number() OVER (ORDER BY freq, o_custkey) - 1) * 5 // n
+                   + 1 AS f_score,
+               (row_number() OVER (ORDER BY monetary_cents, o_custkey) - 1)
+                   * 5 // n + 1 AS m_score
+        FROM anchored
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           freq, monetary_cents,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_segment
+    FROM scored
+"""
+
+
+@register(
+    "a17_rfm_segmentation",
+    "RFM customer segmentation — the classic warehouse marketing "
+    "rollup: per customer, Recency (days since last order, anchored "
+    "to the corpus max date so the result is data-determined, not "
+    "wall-clock), Frequency (order count), Monetary (half-up-cent "
+    "lifetime total), each scored into quintiles and composed into "
+    "the 3-digit RFM segment code (555 = best). Quintiles use the "
+    "exact integer rank formula ((r-1)*5 DIV n + 1) over a totalized "
+    "(metric, custkey) order — x132's trick — rather than ntile, so "
+    "boundary assignment is identical in both engines by arithmetic, "
+    "not by shared convention. Scoring windows run over the |custkey| "
+    "pre-aggregate; at 100 TB the three rankings swap in x87's "
+    "two-phase numbering unchanged. Recency scores INVERT (most "
+    "recent = 5) — the direction mistake every first RFM "
+    "implementation makes, pinned here by the oracle.",
+    oracle=_RFM_ORACLE,
+    tags=("analytics", "rfm", "segmentation", "quantiles"),
+)
+def a17_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    anchored = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("anchor", "last_order"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+
+    def quintile(order_col):
+        rn = F.row_number().over(Window.orderBy(order_col, "o_custkey"))
+        return (rn - 1) * 5 / F.col("n")
+
+    scored = (
+        anchored.withColumn(
+            "r_score",
+            6 - (F.floor(quintile(F.col("recency_days"))).cast("int") + 1),
+        )
+        .withColumn(
+            "f_score", F.floor(quintile(F.col("freq"))).cast("int") + 1
+        )
+        .withColumn(
+            "m_score",
+            F.floor(quintile(F.col("monetary_cents"))).cast("int") + 1,
+        )
+    )
+    return scored.select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "freq",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        )
+        .cast("int")
+        .alias("rfm_segment"),
+    )
+
+
+_SARGABLE_ORACLE = """
+    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+    GROUP BY 1
+"""
+
+
+@register(
+    "z4_sargable_predicate_rewrite",
+    "Sargable predicate discipline: 'lines shipped in 1995' written as "
+    "the half-open range l_shipdate >= '1995-01-01' AND < '1996-01-01' "
+    "— which reaches the parquet scan as PushedFilters and prunes row "
+    "groups by min/max stats — instead of the semantically identical "
+    "year(l_shipdate) = 1995, which wraps the column in a function and "
+    "pushes NOTHING (the scan reads every row group and filters "
+    "after). The plan guard asserts BOTH facts: this entry's scan "
+    "carries the pushed range, and the year() formulation's "
+    "PushedFilters is empty — proving the trap, not just avoiding it. "
+    "At 100 TB with date-sorted or date-partitioned layout this "
+    "rewrite is the difference between reading one year and reading "
+    "everything. The aggregate itself is the routine month rollup.",
+    oracle=_SARGABLE_ORACLE,
+    tags=("storage", "sargable", "pushdown", "scan"),
+)
+def z4_sargable_predicate_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("total_qty"),
+        )
+    )

@@ -598,3 +598,30 @@ def test_g9_argmax_is_aggregate_not_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "g9_argmax_aggregate", "simple")
     assert "Window" not in plan
     assert "Aggregate" in plan
+
+
+def test_z4_range_pushes_year_func_does_not(spark, sf_dir):
+    # both facts: the half-open range reaches the scan as min/max-
+    # prunable comparisons, and the year() formulation pushes nothing
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    plan = _plan(spark, sf_dir, "z4_sargable_predicate_rewrite")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+
+    trap = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1995)
+        .select("l_quantity")
+    )
+    trap_plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        trap._jdf.queryExecution(), "formatted"
+    )
+    trap_pushed = [
+        l for l in trap_plan.splitlines() if "PushedFilters" in l
+    ][0]
+    assert "GreaterThanOrEqual" not in trap_pushed
+    assert "LessThan" not in trap_pushed
