@@ -10505,3 +10505,80 @@ def z4_sargable_predicate_rewrite(spark: SparkSession, sf: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+_VARINT_ORACLE = """
+    WITH d AS (
+        SELECT l_orderkey // 1000 AS bucket,
+               l_orderkey - lag(l_orderkey) OVER (
+                   PARTITION BY l_orderkey // 1000
+                   ORDER BY l_orderkey, l_linenumber, l_partkey) AS delta
+        FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+           CAST(sum(CASE WHEN delta IS NULL THEN 8
+                         ELSE (length(bin(delta)) + 6) // 7 END)
+                AS BIGINT) AS delta_varint_bytes,
+           CAST((count(*) * 8
+                 - sum(CASE WHEN delta IS NULL THEN 8
+                            ELSE (length(bin(delta)) + 6) // 7 END))
+                * 1000000 // (count(*) * 8) AS BIGINT) AS savings_ppm
+    FROM d GROUP BY 1
+"""
+
+
+@register(
+    "z5_delta_varint_estimate",
+    "Delta+varint size estimate for the sorted key column (z2's "
+    "companion: z2 advises dictionary/RLE for low-cardinality "
+    "columns, this one prices the standard encoding for sorted "
+    "monotone ids): within each 1000-order key-range bucket, "
+    "consecutive l_orderkey deltas cost ceil(bitlen/7) varint bytes "
+    "(bitlen via length(bin(d)) — exact in both engines, and d = 0 "
+    "ties cost the 1-byte minimum through the same formula), the "
+    "bucket-leading row pays the full 8 bytes; reported against raw "
+    "8-byte storage as exact integer savings ppm. Deltas are "
+    "computed per bucket so the lag windows parallelize at any "
+    "scale (bucket-boundary deltas are charged as full values — a "
+    "<= |buckets| overcount, conservative by construction). Repeated "
+    "keys tie-break on (linenumber, partkey) but yield delta 0 under "
+    "any tie order, so the estimate is deterministic. This is the "
+    "arithmetic parquet's DELTA_BINARY_PACKED decision rests on, "
+    "made queryable.",
+    oracle=_VARINT_ORACLE,
+    tags=("storage", "encoding", "varint", "advisor"),
+)
+def z5_delta_varint_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy(F.expr("l_orderkey DIV 1000")).orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    d = li.select(
+        F.expr("l_orderkey DIV 1000").alias("bucket"),
+        (F.col("l_orderkey") - F.lag("l_orderkey").over(w)).alias("delta"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("raw_bytes"),
+        F.sum(
+            F.when(F.col("delta").isNull(), F.lit(8)).otherwise(
+                F.expr("(length(bin(delta)) + 6) DIV 7")
+            )
+        )
+        .cast("long")
+        .alias("delta_varint_bytes"),
+    ).select(
+        "bucket",
+        "n_rows",
+        "raw_bytes",
+        "delta_varint_bytes",
+        F.expr(
+            "(raw_bytes - delta_varint_bytes) * 1000000 DIV raw_bytes"
+        )
+        .cast("long")
+        .alias("savings_ppm"),
+    )
