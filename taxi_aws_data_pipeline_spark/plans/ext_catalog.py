@@ -10582,3 +10582,59 @@ def z5_delta_varint_estimate(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("savings_ppm"),
     )
+
+
+_WRITE_AUDIT_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_source,
+           CAST(count(*) AS BIGINT) AS n_written,
+           TRUE AS counts_match
+    FROM events GROUP BY 1
+"""
+
+
+@register(
+    "s8_write_readback_audit",
+    "Write-path integrity made driver-verifiable (the sink ops S7-S9 "
+    "are otherwise pinned only by pytest goldens): events are written "
+    "to a partitioned parquet sink (partitionBy event_type — the "
+    "fact-sink layout), read BACK through a fresh scan, and the "
+    "per-partition readback counts are compared against the source "
+    "aggregation inside the query itself; counts_match is pinned "
+    "literal TRUE by the oracle, so a silent write-path drop — the "
+    "failure mode partitioned writers actually have (task retries "
+    "double-writing without committed-file protocol, partition-column "
+    "null routing) — hash-mismatches in the driver rather than "
+    "passing silently. The readback is a real files-on-disk scan, not "
+    "a cached frame (localCheckpoint/cache would verify nothing); "
+    "writes go to a per-run temp dir, the x121 honest-cost pattern.",
+    oracle=_WRITE_AUDIT_ORACLE,
+    tags=("sink", "write-audit", "integrity", "partitioned"),
+)
+def s8_write_readback_audit(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="wra_")
+    ev = load_table(spark, sf, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(
+        base + "/events_sink"
+    )
+    # explicit schema: a zero-row source writes no files, and a bare
+    # readback would fail schema inference instead of returning empty
+    back = spark.read.schema(ev.schema).parquet(base + "/events_sink")
+    n_src = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    n_back = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_written")
+    )
+    return n_src.join(n_back, "event_type", "full_outer").select(
+        "event_type",
+        "n_source",
+        "n_written",
+        (
+            F.col("n_source").isNotNull()
+            & F.col("n_written").isNotNull()
+            & (F.col("n_source") == F.col("n_written"))
+        ).alias("counts_match"),
+    )
