@@ -140,6 +140,12 @@ BENCH_QUERIES = (
     "w16_rolling_7d_distinct_users",
     "x141_bloom_filter_membership",
     "x142_reciprocal_rank_fusion",
+    # continuation: the line-level cent allocator (order-key windows
+    # over the full fact), the vocab encoder (token stream + per-doc
+    # reassembly), and RFM (three rankings over the customer rollup)
+    "x144_largest_remainder_allocation",
+    "x147_vocab_encode",
+    "a17_rfm_segmentation",
 )
 
 
