@@ -288,3 +288,179 @@ def test_merge_count_matches_bruteforce(vals):
         if vals[i] > vals[j]
     )
     assert _merge_count(vals) == brute
+
+
+_ORDER = st.tuples(
+    st.integers(min_value=1, max_value=5_000_000),  # total cents
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=6),
+)
+
+
+@given(orders=st.lists(_ORDER, min_size=1, max_size=6))
+@_SLOW
+def test_allocation_conserves_and_stays_within_one_cent(spark, orders):
+    """For ANY ledger: per-order allocations sum exactly to the total,
+    and every line sits within 1 cent of its exact proportional share
+    (the two Hamilton-method guarantees)."""
+    import tempfile
+
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tempfile.mkdtemp(prefix="prop_alloc_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP, "
+        "o_orderpriority VARCHAR)"
+    )
+    con.execute(
+        "CREATE TABLE l (l_orderkey BIGINT, l_partkey BIGINT, "
+        "l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE)"
+    )
+    expect = {}
+    for ok, (total_cents, qtys) in enumerate(orders):
+        expect[ok] = (total_cents, qtys)
+        con.execute(
+            "INSERT INTO o VALUES (?, 1, 'O', ?, TIMESTAMP '2024-01-01', 'x')",
+            [ok, total_cents / 100.0],
+        )
+        for ln, q in enumerate(qtys):
+            con.execute(
+                "INSERT INTO l VALUES (?, 1, 1, ?, ?)", [ok, ln, float(q)]
+            )
+    con.execute(f"COPY o TO '{d}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+        "l_quantity, 1.0 AS l_extendedprice, 0.0 AS l_discount, "
+        "0.0 AS l_tax, 'N' AS l_returnflag, 'O' AS l_linestatus, "
+        "TIMESTAMP '2024-01-01' AS l_shipdate FROM l) "
+        f"TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    got = (
+        CATALOG["x144_largest_remainder_allocation"]
+        .spark(spark, d)
+        .collect()
+    )
+    by_order: dict[int, list] = {}
+    for r in got:
+        by_order.setdefault(r.l_orderkey, []).append(r)
+    for ok, (total_cents, qtys) in expect.items():
+        rows = by_order[ok]
+        assert sum(r.alloc_cents for r in rows) == total_cents
+        sq = sum(qtys)
+        for r in rows:
+            exact = total_cents * qtys[r.l_linenumber] / sq
+            assert abs(r.alloc_cents - exact) < 1.0
+
+
+@given(corpus=_CORPUS)
+@_SLOW
+def test_cms_estimate_never_undercounts(spark, corpus):
+    """Count-min's structural guarantee on ANY corpus: the sketch
+    estimate of every probed term >= its exact count."""
+    import tempfile
+
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tempfile.mkdtemp(prefix="prop_cms_")
+    con = duckdb.connect()
+    rows = [(i, txt or "pad", "en", "s", len(txt or "pad"))
+            for i, txt in enumerate(corpus)]
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    got = CATALOG["x137_count_min_sketch"].spark(spark, d).collect()
+    assert got  # at least one probed term on any non-empty corpus
+    for r in got:
+        assert r.cms_est >= r.exact_cnt
+        assert r.overcount == r.cms_est - r.exact_cnt
+
+
+_POINT = st.tuples(
+    st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=5)
+)
+
+
+@given(points=st.lists(_POINT, min_size=1, max_size=12))
+@_SLOW
+def test_frontier_matches_bruteforce_dominance(spark, points):
+    """The two-stage skyline equals the NOT-EXISTS dominance definition
+    on ANY point multiset (duplicates and dominated-tie cases drawn by
+    construction from the tiny 6x6 grid)."""
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark.plans.ext_catalog import _frontier
+
+    rows = [(i, b, r) for i, (b, r) in enumerate(points)]
+    df = spark.createDataFrame(
+        rows, "s_suppkey long, bal_cents long, rev_micro long"
+    )
+    staged = _frontier(
+        df.withColumn("salt", F.pmod("s_suppkey", F.lit(3))), "salt"
+    ).drop("salt")
+    got = {r.s_suppkey for r in _frontier(staged).collect()}
+    want = {
+        i
+        for i, (b, r) in enumerate(points)
+        if not any(
+            (b2 >= b and r2 >= r and (b2 > b or r2 > r))
+            for (b2, r2) in points
+        )
+    }
+    assert got == want
+
+
+_VISIT = st.tuples(
+    st.integers(min_value=1, max_value=4),   # user
+    st.integers(min_value=0, max_value=20),  # day offset
+)
+
+
+@given(visits=st.lists(_VISIT, min_size=1, max_size=15))
+@_SLOW
+def test_rolling_distinct_matches_bruteforce(spark, visits):
+    """w16 equals the brute-force trailing-7-day distinct count for ANY
+    visit pattern (gaps, repeats, boundary ages-out)."""
+    import datetime
+    import tempfile
+
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tempfile.mkdtemp(prefix="prop_roll_")
+    base = datetime.date(2024, 3, 1)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    for i, (u, off) in enumerate(visits):
+        con.execute(
+            "INSERT INTO ev VALUES (?, ?, ?, 'view', 1.0, '')",
+            [i, datetime.datetime.combine(
+                base + datetime.timedelta(days=off),
+                datetime.time(1, 0)), u],
+        )
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT PARQUET)")
+    got = {
+        r.day: r.n_active_7d
+        for r in CATALOG["w16_rolling_7d_distinct_users"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    days = sorted({off for _, off in visits})
+    want = {}
+    for dd in days:
+        day = (base + datetime.timedelta(days=dd)).isoformat()
+        want[day] = len(
+            {u for u, off in visits if dd - 6 <= off <= dd}
+        )
+    assert got == want
