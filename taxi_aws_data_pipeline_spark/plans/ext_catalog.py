@@ -10638,3 +10638,167 @@ def s8_write_readback_audit(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("n_source") == F.col("n_written"))
         ).alias("counts_match"),
     )
+
+
+_STRIDE_W = 32
+_STRIDE_S = 24
+
+_STRIDE_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), c AS (
+        SELECT doc_id, ws,
+               CASE WHEN len(ws) <= {_STRIDE_W} THEN 1
+                    ELSE CAST(ceil((len(ws) - {_STRIDE_W})
+                              / {_STRIDE_S}.0) AS INT) + 1 END AS nc
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           CAST(i * {_STRIDE_S} + 1 AS INT) AS start_word,
+           CAST(len(ws[i * {_STRIDE_S} + 1
+                       : i * {_STRIDE_S} + {_STRIDE_W}]) AS INT) AS n_words,
+           md5(array_to_string(
+               ws[i * {_STRIDE_S} + 1 : i * {_STRIDE_S} + {_STRIDE_W}],
+               ' ')) AS chunk_md5
+    FROM c, unnest(range(0, nc)) AS t(i)
+"""
+
+
+@register(
+    "x154_stride_overlap_chunking",
+    f"Sliding-window chunking with overlap (window {_STRIDE_W} words, "
+    f"stride {_STRIDE_S}, so consecutive chunks share "
+    f"{_STRIDE_W - _STRIDE_S} words) — the chunking RAG/embedding "
+    "pipelines actually use, where x40's disjoint windows lose "
+    "cross-boundary context: a sentence straddling a cut exists "
+    "intact in the overlapped neighbor. Chunk count is "
+    "1 + ceil((len - W)/S) (every word covered, the tail chunk short "
+    "but never empty, and a doc shorter than one window yields "
+    "exactly one chunk — the three boundary cases the closed form "
+    "must get right, pinned by the oracle on every document). Same "
+    "scale shape as x40: pure projection + explode of per-doc chunk "
+    "indices, zero shuffle at any corpus size; the ~W/S duplication "
+    "factor is the documented storage price of overlap. Chunks are "
+    "reported as (start, length, md5) so the surface hash-verifies "
+    "without shipping the overlapped text twice.",
+    oracle=_STRIDE_ORACLE,
+    tags=("ext", "text", "chunking", "overlap"),
+)
+def x154_stride_overlap_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    W, S = _STRIDE_W, _STRIDE_S
+    ws = F.split(F.lower("text"), r"\s+")
+    c = docs.select("doc_id", ws.alias("ws")).withColumn(
+        "nc",
+        F.when(F.size("ws") <= W, F.lit(1)).otherwise(
+            F.ceil((F.size("ws") - W) / float(S)).cast("int") + 1
+        ),
+    )
+    exploded = c.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("i"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("i") * S + 1, W)
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        (F.col("i") * S + 1).cast("int").alias("start_word"),
+        F.size(chunk).cast("int").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+_ACF_ORACLE = """
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), lags AS (
+        SELECT unnest(range(1, 8)) AS lag
+    ), pairs AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + l.lag
+    ), mo AS (
+        SELECT lag, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0
+                THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS acf
+    FROM mo
+"""
+
+
+@register(
+    "a18_autocorrelation_lags",
+    "Autocorrelation of the daily purchase-count series at lags 1-7 — "
+    "the seasonality detector (a weekly cycle surfaces as an acf peak "
+    "at lag 7) and the periodicity complement of x124's hour-of-week "
+    "fingerprint and w18's cross-series correlation. For each lag the "
+    "lagged pairs come from an equi-join on the exact epoch-day "
+    "offset (calendar gaps pair nothing, rather than silently "
+    "sliding), the six moments accumulate as exact int64, and the "
+    "Pearson close is the one fixed IEEE shape with the explicit "
+    "zero-variance NULL guard (the w18 discipline). All seven lags "
+    "compute in ONE pass: the lag spine cross-joins the tiny |days| "
+    "pre-aggregate, so event volume touches only the first grouped "
+    "count and the output is exactly 7 rows at any scale.",
+    oracle=_ACF_ORACLE,
+    tags=("analytics", "acf", "seasonality", "exact-stats"),
+)
+def a18_autocorrelation_lags(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lags = ev.sparkSession.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    mo = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return mo.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den
+        )
+        .alias("acf"),
+    )

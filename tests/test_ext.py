@@ -2313,3 +2313,54 @@ def test_x148_wilson_penalizes_small_samples(spark, tmp_path):
     )
     order = [r.user_id for r in got]
     assert order == [2, 1]  # certainty beats the perfect-but-tiny rate
+
+
+def test_x154_overlap_covers_every_word(spark, tmp_path):
+    """Boundary cases of stride chunking: full coverage (every word in
+    >= 1 chunk), exact overlap W-S between neighbors, short docs yield
+    exactly one chunk, and the tail is short but never empty."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_stride"
+    d.mkdir()
+    texts = [
+        (1, " ".join(f"w{i}" for i in range(100))),  # multi-chunk
+        (2, " ".join(f"w{i}" for i in range(33))),   # one word past W
+        (3, "a b c"),                                # far below W
+        (4, " ".join(f"w{i}" for i in range(32))),   # exactly W
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, 'en', 's', ?)",
+        [(i, t, len(t)) for i, t in texts],
+    )
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    rows = (
+        CATALOG["x154_stride_overlap_chunking"]
+        .spark(spark, str(d))
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_words = {1: 100, 2: 33, 3: 3, 4: 32}
+    W, S = 32, 24
+    for doc, n in n_words.items():
+        chunks = sorted(by_doc[doc], key=lambda r: r.chunk_id)
+        covered = set()
+        for r in chunks:
+            assert 1 <= r.n_words <= W
+            covered.update(range(r.start_word, r.start_word + r.n_words))
+        assert covered == set(range(1, n + 1))  # every word, no gaps
+        if n <= W:
+            assert len(chunks) == 1
+        else:
+            for a, b in zip(chunks, chunks[1:]):
+                overlap = (a.start_word + a.n_words) - b.start_word
+                assert overlap == W - S or a.n_words < W
