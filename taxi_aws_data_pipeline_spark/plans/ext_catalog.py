@@ -10802,3 +10802,172 @@ def a18_autocorrelation_lags(spark: SparkSession, sf: str) -> DataFrame:
         )
         .alias("acf"),
     )
+
+
+_HOLT_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS pos,
+               x
+        FROM (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        )
+    ), n AS (
+        SELECT event_type, max(pos) AS n_days FROM d GROUP BY event_type
+    ), walk AS (
+        SELECT event_type, 0 AS pos, CAST(0 AS DOUBLE) AS lvl,
+               CAST(0 AS DOUBLE) AS trd
+        FROM n
+        UNION ALL
+        SELECT w.event_type, w.pos + 1,
+               CASE WHEN w.pos = 0 THEN d.x
+                    ELSE (d.x + w.lvl + w.trd) * 0.5 END,
+               CASE WHEN w.pos = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE ((CASE WHEN w.pos = 0 THEN d.x
+                                ELSE (d.x + w.lvl + w.trd) * 0.5 END
+                           - w.lvl) + w.trd) * 0.5 END
+        FROM walk w
+        JOIN d ON d.event_type = w.event_type AND d.pos = w.pos + 1
+    )
+    SELECT w.event_type,
+           CAST(n.n_days AS BIGINT) AS n_days,
+           w.lvl AS level,
+           w.trd AS trend,
+           w.lvl + w.trd AS forecast_next
+    FROM walk w JOIN n ON n.event_type = w.event_type AND w.pos = n.n_days
+"""
+
+
+@register(
+    "w19_holt_double_exponential",
+    "Holt's double-exponential smoothing (alpha = beta = 1/2) of the "
+    "daily value series per event type — the TREND-aware smoother "
+    "that w15's plain EWMA is not: level' = (x + level + trend)/2 "
+    "chases the series while trend' = ((level' - level) + trend)/2 "
+    "tracks its slope, and level + trend is the one-step-ahead "
+    "forecast every capacity planner actually wants. Third member of "
+    "the stateful-fold family (x127 clamp, w15/w17): same "
+    "sort_array + F.aggregate shape with a (n, level, trend) struct "
+    "accumulator, the daily decimal pre-aggregation bounding the "
+    "per-key array at |days|; dyadic coefficients keep every step an "
+    "exact IEEE halving. First day initializes level = x, trend = 0; "
+    "oracle replays the joint recurrence as the recursive-CTE walk "
+    "(the trend update references the NEW level — the subtlety the "
+    "replay must repeat, not simplify).",
+    oracle=_HOLT_ORACLE,
+    tags=("window", "stateful-fold", "holt", "forecast"),
+)
+def w19_holt_double_exponential(spark: SparkSession, sf: str) -> DataFrame:
+    from ..compat import exact_sum
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(exact_sum("value").cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("steps")
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("n"),
+        F.lit(0.0).alias("lvl"),
+        F.lit(0.0).alias("trd"),
+    )
+
+    def step(acc, s):
+        lvl = F.when(acc["n"] == 0, s["x"]).otherwise(
+            (s["x"] + acc["lvl"] + acc["trd"]) * F.lit(0.5)
+        )
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            lvl.alias("lvl"),
+            F.when(acc["n"] == 0, F.lit(0.0))
+            .otherwise(((lvl - acc["lvl"]) + acc["trd"]) * F.lit(0.5))
+            .alias("trd"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("steps").cast("long").alias("n_days"),
+        F.aggregate("steps", init, step).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.lvl").alias("level"),
+        F.col("st.trd").alias("trend"),
+        (F.col("st.lvl") + F.col("st.trd")).alias("forecast_next"),
+    )
+
+
+_LORENZ_ORACLE = """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n,
+               sum(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS cum_chars,
+               sum(n_chars) OVER (PARTITION BY source) AS total_chars
+        FROM documents
+    )
+    SELECT source, CAST(d AS INT) AS decile,
+           CAST(max(CASE WHEN rn = (d * n) // 10 THEN
+                         cum_chars * 1000000 // total_chars END)
+                AS BIGINT) AS cum_share_ppm
+    FROM ranked, unnest(range(1, 11)) AS t(d)
+    WHERE (d * n) // 10 >= 1
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "x155_lorenz_curve_deciles",
+    "Lorenz curve of length concentration per source — the curve "
+    "UNDER x126's Gini scalar: at each decile, the exact-ppm share of "
+    "total characters held by the shortest d*10% of documents "
+    "(bottom-decile share near zero + top decile near 100% = a few "
+    "giants dominate the source; the shape tells a curator WHERE the "
+    "inequality lives, which the scalar cannot). Rank and cumulative "
+    "sums run per source over a totalized (length, doc_id) order; the "
+    "decile probe selects the cum-sum at exact integer rank "
+    "(d*n) DIV 10, so every point is integer arithmetic on exact "
+    "int64 sums — tie-permutation-invariant and hash-exact. One "
+    "shuffle on source; 10 rows per source at any corpus size.",
+    oracle=_LORENZ_ORACLE,
+    tags=("ext", "lorenz", "concentration", "exact-stats"),
+)
+def x155_lorenz_curve_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    wp = Window.partitionBy("source")
+    wo = wp.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("n_chars")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_chars"),
+        F.sum("n_chars").over(wp).alias("total_chars"),
+    )
+    deciles = docs.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    probed = ranked.crossJoin(F.broadcast(deciles)).filter(
+        F.expr("(decile * n) DIV 10 >= 1")
+    )
+    return probed.groupBy("source", "decile").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(decile * n) DIV 10"),
+                F.expr("cum_chars * 1000000 DIV total_chars"),
+            )
+        )
+        .cast("long")
+        .alias("cum_share_ppm")
+    )
