@@ -10971,3 +10971,133 @@ def x155_lorenz_curve_deciles(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cum_share_ppm")
     )
+
+
+_SPAN_ALIGN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w, len(ws) AS n_words
+        FROM (
+            SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws
+            FROM documents WHERE text IS NOT NULL
+        ), unnest(range(1, len(ws) + 1)) AS t(i)
+    ), hits AS (
+        SELECT doc_id, n_words,
+               CAST(greatest(pos - 1, 0) AS BIGINT) AS s,
+               CAST(least(pos + 1, n_words - 1) AS BIGINT) AS e
+        FROM toks
+        WHERE w IN ({", ".join(f"'{w}'" for w in _SPAN_LEXICON)})
+    ), flagged AS (
+        SELECT doc_id, n_words, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= s - 1
+                    THEN 0 ELSE 1 END AS is_new
+        FROM hits
+    ), islands AS (
+        SELECT doc_id, n_words, s, e,
+               sum(is_new) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), spans AS (
+        SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+               min(s) AS ss, max(e) AS se, max(n_words) AS n_words
+        FROM islands GROUP BY 1, 2
+    ), grid AS (
+        SELECT *,
+               CASE WHEN n_words <= {_STRIDE_W} THEN 1
+                    ELSE CAST(ceil((n_words - {_STRIDE_W})
+                              / {_STRIDE_S}.0) AS BIGINT) + 1 END AS nc,
+               (greatest(se - {_STRIDE_W} + 1, 0) + {_STRIDE_S} - 1)
+                   // {_STRIDE_S} AS i_min,
+               ss // {_STRIDE_S} AS i_max_raw
+        FROM spans
+    )
+    SELECT doc_id, span_id,
+           CAST(ss AS BIGINT) AS span_start,
+           CAST(se AS BIGINT) AS span_end,
+           CASE WHEN i_min <= least(i_max_raw, nc - 1)
+                THEN CAST(i_min AS INT) END AS chunk_id,
+           i_min <= least(i_max_raw, nc - 1) AS contained
+    FROM grid
+"""
+
+
+@register(
+    "x156_span_to_chunk_alignment",
+    "Label-to-chunk alignment — the step that decides whether a "
+    "training annotation SURVIVES chunking: every merged lexicon span "
+    "(x99's islands, end-clamped to the document) is assigned to the "
+    "x154 stride grid (W = 32, S = 24) by CLOSED-FORM arithmetic — "
+    "the earliest chunk fully containing it is i_min = "
+    "ceil((end - W + 1)/S) when that does not exceed both start DIV S "
+    "and the chunk count — so alignment costs a projection, not an "
+    "interval join (the grid is arithmetic, not data; compare j12, "
+    "where both sides are data and bucketing IS the join). Spans "
+    "longer than the W - S overlap can straddle every cut: those "
+    "emit contained = false with a NULL chunk — the rows a training "
+    "pipeline must route to a re-chunk or drop path, not silently "
+    "keep. The ceil is written (x + S - 1) DIV S on a "
+    "greatest(..., 0)-guarded numerator because Spark DIV truncates "
+    "toward zero while DuckDB // floors — identical only on "
+    "non-negative operands (the cross-dialect trap the guard "
+    "removes).",
+    oracle=_SPAN_ALIGN_ORACLE,
+    tags=("ext", "spans", "chunking", "alignment"),
+)
+def x156_span_to_chunk_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as _Wd
+
+    W, S = _STRIDE_W, _STRIDE_S
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n_words"),
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+    )
+    hits = toks.filter(F.col("w").isin(*_SPAN_LEXICON)).select(
+        "doc_id",
+        "n_words",
+        F.greatest(F.col("pos") - 1, F.lit(0)).cast("long").alias("s"),
+        F.least(F.col("pos") + 1, F.col("n_words") - 1)
+        .cast("long")
+        .alias("e"),
+    )
+    w_order = _Wd.partitionBy("doc_id").orderBy("s", "e")
+    prior_max_e = F.max("e").over(
+        w_order.rowsBetween(_Wd.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(prior_max_e >= F.col("s") - 1, F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(w_order.rowsBetween(_Wd.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", F.col("island").alias("span_id")).agg(
+        F.min("s").alias("ss"),
+        F.max("e").alias("se"),
+        F.max("n_words").alias("n_words"),
+    )
+    grid = (
+        spans.withColumn(
+            "nc",
+            F.when(F.col("n_words") <= W, F.lit(1).cast("long")).otherwise(
+                F.ceil((F.col("n_words") - W) / float(S)).cast("long") + 1
+            ),
+        )
+        .withColumn(
+            "i_min",
+            F.expr(f"(greatest(se - {W} + 1, 0) + {S} - 1) DIV {S}"),
+        )
+        .withColumn("i_max", F.least(F.expr(f"ss DIV {S}"), F.col("nc") - 1))
+    )
+    contained = F.col("i_min") <= F.col("i_max")
+    return grid.select(
+        "doc_id",
+        F.col("span_id").cast("long").alias("span_id"),
+        F.col("ss").cast("long").alias("span_start"),
+        F.col("se").cast("long").alias("span_end"),
+        F.when(contained, F.col("i_min").cast("int")).alias("chunk_id"),
+        contained.alias("contained"),
+    )
