@@ -11101,3 +11101,121 @@ def x156_span_to_chunk_alignment(spark: SparkSession, sf: str) -> DataFrame:
         F.when(contained, F.col("i_min").cast("int")).alias("chunk_id"),
         contained.alias("contained"),
     )
+
+
+_LPT_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS pos
+        FROM documents
+    ), n AS (
+        SELECT source, max(pos) AS np FROM d GROUP BY source
+    ), walk AS (
+        SELECT source, 0 AS pos,
+               CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+               CAST(0 AS BIGINT) AS l2, CAST(0 AS BIGINT) AS l3,
+               CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin
+        FROM n
+        UNION ALL
+        SELECT w.source, w.pos + 1,
+               w.l0 + CASE WHEN least(w.l0, w.l1, w.l2, w.l3) = w.l0
+                           THEN d.w ELSE 0 END,
+               w.l1 + CASE WHEN least(w.l0, w.l1, w.l2, w.l3) <> w.l0
+                            AND least(w.l0, w.l1, w.l2, w.l3) = w.l1
+                           THEN d.w ELSE 0 END,
+               w.l2 + CASE WHEN least(w.l0, w.l1, w.l2, w.l3) NOT IN (w.l0, w.l1)
+                            AND least(w.l0, w.l1, w.l2, w.l3) = w.l2
+                           THEN d.w ELSE 0 END,
+               w.l3 + CASE WHEN least(w.l0, w.l1, w.l2, w.l3) NOT IN (w.l0, w.l1, w.l2)
+                           THEN d.w ELSE 0 END,
+               d.doc_id,
+               CASE WHEN least(w.l0, w.l1, w.l2, w.l3) = w.l0 THEN 0
+                    WHEN least(w.l0, w.l1, w.l2, w.l3) = w.l1 THEN 1
+                    WHEN least(w.l0, w.l1, w.l2, w.l3) = w.l2 THEN 2
+                    ELSE 3 END
+        FROM walk w
+        JOIN d ON d.source = w.source AND d.pos = w.pos + 1
+    )
+    SELECT source, doc_id, CAST(bin AS INT) AS assigned_bin
+    FROM walk WHERE pos >= 1
+"""
+
+
+@register(
+    "x157_lpt_shard_balancing",
+    "LPT (longest-processing-time-first) shard balancing: per source, "
+    "documents sorted by descending size are greedily assigned to the "
+    "least-loaded of 4 bins (ties to the lowest bin id) — the "
+    "classic 4/3-approximation for makespan that turns heterogeneous "
+    "document sizes into near-equal training shards, where x82's "
+    "layout packs by order and x41 by capacity (neither BALANCES "
+    "loads). Greedy least-loaded is inherently sequential state — "
+    "every assignment depends on all prior loads — so it joins the "
+    "fold family: per-source sort_array + one F.aggregate with a "
+    "(4 loads, assignments) struct accumulator, fold arrays bounded "
+    "by docs-per-source and sources folding in parallel (the honest "
+    "scale frame: balancing is per-shard-group, never a global "
+    "sequential pass). The oracle replays the walk as a recursive "
+    "CTE emitting each step's assignment — the argmin CASE evaluated "
+    "on the PREVIOUS loads, exactly as the fold does.",
+    oracle=_LPT_ORACLE,
+    tags=("ext", "sharding", "lpt", "stateful-fold"),
+)
+def x157_lpt_shard_balancing(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    steps = docs.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_chars")).cast("long").alias("negw"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("w"),
+                )
+            )
+        ).alias("steps")
+    )
+    init = F.expr(
+        "named_struct("
+        "'l0', CAST(0 AS BIGINT), 'l1', CAST(0 AS BIGINT), "
+        "'l2', CAST(0 AS BIGINT), 'l3', CAST(0 AS BIGINT), "
+        "'assigns', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, bin: INT>>))"
+    )
+
+    def step(acc, s):
+        m = F.least(acc["l0"], acc["l1"], acc["l2"], acc["l3"])
+        b = (
+            F.when(acc["l0"] == m, 0)
+            .when(acc["l1"] == m, 1)
+            .when(acc["l2"] == m, 2)
+            .otherwise(3)
+        )
+        add = lambda i, l: (  # noqa: E731
+            l + F.when(b == i, s["w"]).otherwise(F.lit(0).cast("long"))
+        ).alias(f"l{i}")
+        return F.struct(
+            add(0, acc["l0"]),
+            add(1, acc["l1"]),
+            add(2, acc["l2"]),
+            add(3, acc["l3"]),
+            F.concat(
+                acc["assigns"],
+                F.array(
+                    F.struct(
+                        s["doc_id"].alias("doc_id"),
+                        b.cast("int").alias("bin"),
+                    )
+                ),
+            ).alias("assigns"),
+        )
+
+    folded = steps.select(
+        "source", F.aggregate("steps", init, step).alias("st")
+    )
+    return folded.select(
+        "source", F.explode("st.assigns").alias("a")
+    ).select(
+        "source",
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.bin").alias("assigned_bin"),
+    )

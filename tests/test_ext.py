@@ -2364,3 +2364,41 @@ def test_x154_overlap_covers_every_word(spark, tmp_path):
             for a, b in zip(chunks, chunks[1:]):
                 overlap = (a.start_word + a.n_words) - b.start_word
                 assert overlap == W - S or a.n_words < W
+
+
+def test_x157_lpt_balance_guarantee(spark, sf_dir):
+    """Greedy least-loaded invariants per source: every doc assigned
+    exactly once, and max bin load <= min bin load + max single doc
+    (the step bound that gives LPT its makespan guarantee)."""
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    got = CATALOG["x157_lpt_shard_balancing"].spark(spark, sf_dir)
+    assert got.count() == docs.count()
+    assert got.select("doc_id").distinct().count() == docs.count()
+    loads = (
+        got.join(docs, ["source", "doc_id"])
+        .groupBy("source", "assigned_bin")
+        .agg(F.sum("n_chars").alias("load"))
+        .groupBy("source")
+        .agg(
+            F.max("load").alias("mx"),
+            F.min("load").alias("mn"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+    )
+    wmax = docs.groupBy("source").agg(F.max("n_chars").alias("wmax"))
+    bad = (
+        loads.join(wmax, "source")
+        .filter(
+            (F.col("n_bins") == 4)
+            & (F.col("mx") > F.col("mn") + F.col("wmax"))
+        )
+        .count()
+    )
+    assert bad == 0
