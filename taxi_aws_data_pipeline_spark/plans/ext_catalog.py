@@ -11219,3 +11219,94 @@ def x157_lpt_shard_balancing(spark: SparkSession, sf: str) -> DataFrame:
         F.col("a.doc_id").alias("doc_id"),
         F.col("a.bin").alias("assigned_bin"),
     )
+
+
+_RUNS_TEST_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), diffs AS (
+        SELECT day, c - lag(c) OVER (ORDER BY day) AS d
+        FROM daily
+    ), signs AS (
+        SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sg
+        FROM diffs WHERE d IS NOT NULL AND d <> 0
+    ), flips AS (
+        SELECT sg, CASE WHEN lag(sg) OVER (ORDER BY day) IS NULL
+                         OR lag(sg) OVER (ORDER BY day) <> sg
+                        THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ), agg AS (
+        SELECT count(*) FILTER (WHERE sg = 1) AS np,
+               count(*) FILTER (WHERE sg = -1) AS nm,
+               sum(new_run) AS n_runs
+        FROM flips
+    )
+    SELECT CAST(np AS BIGINT) AS n_plus,
+           CAST(nm AS BIGINT) AS n_minus,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(2 * np * nm + (np + nm) AS BIGINT) AS e_runs_num,
+           CAST(np + nm AS BIGINT) AS e_runs_den,
+           CAST(2 * np * nm * (2 * np * nm - (np + nm)) AS BIGINT)
+               AS var_runs_num,
+           CAST((np + nm) * (np + nm) * (np + nm - 1) AS BIGINT)
+               AS var_runs_den
+    FROM agg
+"""
+
+
+@register(
+    "a19_runs_test",
+    "Wald-Wolfowitz runs test on the day-over-day direction of the "
+    "purchase series — the randomness check that catches what neither "
+    "a16's slope nor a18's acf states directly: too FEW runs means "
+    "trending/sticky days, too MANY means oscillation. Tie days drop "
+    "(the standard up-down convention), the run count is a lag-based "
+    "flip count over the tie-filtered sign sequence, and the null-"
+    "hypothesis moments are emitted as EXACT RATIONALS — "
+    "E[R] = (2 n+ n- + n)/n and Var[R] = 2 n+ n-(2 n+ n- - n) / "
+    "(n^2 (n-1)) as integer num/den pairs — so the entire test "
+    "surface is integers (the a15 KS discipline: no libm, no "
+    "floats). Windows run over the |days| pre-aggregate only.",
+    oracle=_RUNS_TEST_ORACLE,
+    tags=("analytics", "runs-test", "randomness", "exact-stats"),
+)
+def a19_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wd = Window.orderBy("day")
+    diffs = daily.withColumn("d", F.col("c") - F.lag("c").over(wd))
+    signs = diffs.filter(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    ).select("day", F.when(F.col("d") > 0, 1).otherwise(-1).alias("sg"))
+    flips = signs.withColumn(
+        "new_run",
+        F.when(
+            F.lag("sg").over(wd).isNull()
+            | (F.lag("sg").over(wd) != F.col("sg")),
+            1,
+        ).otherwise(0),
+    )
+    agg = flips.agg(
+        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("sg") == -1, 1).otherwise(0)).alias("nm"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    n = F.col("np") + F.col("nm")
+    tp = 2 * F.col("np") * F.col("nm")
+    return agg.select(
+        F.col("np").cast("long").alias("n_plus"),
+        F.col("nm").cast("long").alias("n_minus"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        (tp + n).cast("long").alias("e_runs_num"),
+        n.cast("long").alias("e_runs_den"),
+        (tp * (tp - n)).cast("long").alias("var_runs_num"),
+        (n * n * (n - 1)).cast("long").alias("var_runs_den"),
+    )
