@@ -40,11 +40,11 @@ _FLAGSHIP = "a1_returnflag_performance"
 # lands, every pre-r4 oracle-backed entry has a driver correctness row.
 # Subsequent rounds keep the first ~24 slots on whatever is newest /
 # changed and rotate the re-pin block through the tiers round-robin:
-# r5 = the round-4 additions (a9-a17, d7, e15-e17, g7-g9, j13-j22,
-# k5/k6, w10-w18, x91-x152, z2-z5 — all local-green and green in this
-# round's full-catalog fresh-process driver simulations; they overflow
-# one 50-slot window, so r5 takes the first 50 by id and r6 leads with
-# the remainder) + as slots allow, a/c/d/e families
+# r5 = the round-4 additions (a9-a19, d7, e15-e17, g7-g9, j13-j22,
+# k5/k6, s8, w10-w19, x91-x157, z2-z5 — all local-green and green in
+# this round's full-catalog fresh-process driver simulations; they
+# overflow one 50-slot window, so r5 takes the first 50 by id and r6
+# leads with the remainder) + as slots allow, a/c/d/e families
 # + x1-x27 odds, r6 = j/w/g/k families + x28-x60 evens, r7 = s/p
 # families + x61-x90, then repeat. Entries outside the window stay
 # pinned every session by tests/test_oracle_parity.py +
