@@ -11310,3 +11310,124 @@ def a19_runs_test(spark: SparkSession, sf: str) -> DataFrame:
         (tp * (tp - n)).cast("long").alias("var_runs_num"),
         (n * n * (n - 1)).cast("long").alias("var_runs_den"),
     )
+
+
+_HH_DISCOVERY_ORACLE = f"""
+    WITH tok AS (
+        SELECT word, {SQL_H.format(s='word')} AS h FROM (
+            SELECT unnest({SQL_WORDS.format(t='text')}) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ), total AS (SELECT count(*) AS n_tok FROM tok),
+    cells AS (
+        {_CMS_CELLS_SQL}
+    ), vocab AS (
+        SELECT DISTINCT word, h FROM tok
+    ), est AS (
+        SELECT v.word, min(c.cell_cnt) AS cms_est
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT word, {j} AS r, ((h * {a} + {b}) % {X.MINHASH_PRIME})"
+                f" % {CMS_WIDTH} AS bkt FROM vocab"
+                for j, (a, b) in enumerate(CMS_COEFFS)
+            )}
+        ) v
+        JOIN cells c ON c.r = v.r AND c.bkt = v.bkt
+        GROUP BY 1
+    ), cand AS (
+        SELECT word, cms_est FROM est, total
+        WHERE cms_est >= n_tok // 100
+    ), verified AS (
+        SELECT c.word, c.cms_est, count(*) AS exact_cnt
+        FROM cand c JOIN tok t ON t.word = c.word
+        GROUP BY 1, 2
+    )
+    SELECT v.word AS term,
+           CAST(v.cms_est AS BIGINT) AS cms_est,
+           CAST(v.exact_cnt AS BIGINT) AS exact_cnt,
+           v.exact_cnt >= t.n_tok // 100 AS is_heavy,
+           v.exact_cnt < t.n_tok // 100 AS false_positive
+    FROM verified v, total t
+"""
+
+
+@register(
+    "x158_heavy_hitter_discovery",
+    "Sketch-then-verify heavy-hitter DISCOVERY — the production "
+    "direction of x137 (which certified exact -> sketch; this goes "
+    "sketch -> exact): every distinct term is priced through the "
+    "256-cell count-min sketch, only terms whose ESTIMATE clears the "
+    "1%-of-stream threshold (scale-free, integer DIV) graduate to "
+    "exact verification, and the exact pass counts ONLY those "
+    "candidates through a semi-joined recount. Because CMS never "
+    "undercounts, no true heavy hitter can be screened out — the "
+    "candidate set is a guaranteed superset, and the output's "
+    "false_positive column is exactly the sketch collisions the "
+    "verify pass exists to remove. At 100 TB the economics are the "
+    "point: the sketch pass is mergeable map-side state, the probe "
+    "runs per DISTINCT term (vocab-sized, not stream-sized), and the "
+    "expensive exact aggregation touches only the handful of "
+    "candidates instead of every term.",
+    oracle=_HH_DISCOVERY_ORACLE,
+    tags=("ext", "sketch", "heavy-hitters", "verify"),
+)
+def x158_heavy_hitter_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+
+    def rows_for(h):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("r"),
+                    (
+                        ((h * F.lit(a) + F.lit(b)) % F.lit(X.MINHASH_PRIME))
+                        % F.lit(CMS_WIDTH)
+                    )
+                    .cast("long")
+                    .alias("bkt"),
+                )
+                for j, (a, b) in enumerate(CMS_COEFFS)
+            ]
+        )
+
+    cells = (
+        tok.select(F.explode(rows_for(X.base_hash(F.col("word")))).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_cnt"))
+    )
+    vocab = tok.distinct()
+    est = (
+        vocab.select(
+            "word", F.explode(rows_for(X.base_hash(F.col("word")))).alias("rb")
+        )
+        .select("word", F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+        .join(F.broadcast(cells), ["r", "bkt"])
+        .groupBy("word")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+    )
+    cand = est.crossJoin(F.broadcast(total)).filter(
+        F.expr("cms_est >= n_tok DIV 100")
+    )
+    verified = (
+        tok.join(F.broadcast(cand.select("word")), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return (
+        cand.join(verified, "word")
+        .select(
+            F.col("word").alias("term"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            "exact_cnt",
+            F.expr("exact_cnt >= n_tok DIV 100").alias("is_heavy"),
+            F.expr("exact_cnt < n_tok DIV 100").alias("false_positive"),
+        )
+    )

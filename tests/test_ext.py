@@ -2402,3 +2402,36 @@ def test_x157_lpt_balance_guarantee(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_x158_no_heavy_hitter_screened_out(spark, sf_dir):
+    """CMS superset guarantee end-to-end: every term whose EXACT count
+    clears the 1% threshold must appear in the discovery output with
+    is_heavy = true (the sketch can only add false positives)."""
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.tables import load_table
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    n_tok = tok.count()
+    truth = {
+        r.word
+        for r in tok.groupBy("word")
+        .count()
+        .filter(F.col("count") >= n_tok // 100)
+        .collect()
+    }
+    got = {
+        r.term: r.is_heavy
+        for r in CATALOG["x158_heavy_hitter_discovery"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert truth  # the fixture has heavy terms at all scales
+    for term in truth:
+        assert got.get(term) is True
