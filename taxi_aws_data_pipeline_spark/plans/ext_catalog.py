@@ -11431,3 +11431,143 @@ def x158_heavy_hitter_discovery(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("exact_cnt < n_tok DIV 100").alias("false_positive"),
         )
     )
+
+
+_CUPED_ORACLE = f"""
+    WITH anchor AS (
+        SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ), per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               sum(CASE WHEN CAST(ts AS DATE) < d0 + 15
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS pre_cents,
+               sum(CASE WHEN CAST(ts AS DATE) >= d0 + 15
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS post_cents
+        FROM events, anchor
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), mo AS (
+        SELECT count(*) AS n,
+               sum(pre_cents) AS sx, sum(post_cents) AS sy,
+               sum(pre_cents * pre_cents) AS sxx,
+               sum(pre_cents * post_cents) AS sxy,
+               sum(post_cents * post_cents) AS syy,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN arm = 0 THEN pre_cents ELSE 0 END) AS sx0,
+               sum(CASE WHEN arm = 0 THEN post_cents ELSE 0 END) AS sy0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN arm = 1 THEN pre_cents ELSE 0 END) AS sx1,
+               sum(CASE WHEN arm = 1 THEN post_cents ELSE 0 END) AS sy1
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_a_raw,
+           CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_b_raw,
+           CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+             * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               AS mean_a_cuped,
+           CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+             * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               AS mean_b_cuped,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+           / (CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS var_reduction
+    FROM mo
+"""
+
+
+@register(
+    "x159_cuped_adjustment",
+    "CUPED variance reduction for the A/B readout (the Deng et al. "
+    "technique every experimentation platform ships): each user's "
+    "post-period spend is adjusted by theta * (pre-period spend - "
+    "grand pre-mean), where theta = cov(pre, post)/var(pre), shrinking "
+    "arm-mean variance by exactly the pre/post correlation-squared "
+    "(reported as var_reduction = rho^2) without biasing the "
+    "treatment contrast — the pre-period covariate is assignment-"
+    "independent by construction (md5 arms, the x152 split). Spend "
+    "lives in half-up integer CENTS so every moment (Sx, Sy, Sxx, "
+    "Sxy, Syy, per-arm slices) accumulates as exact order-free int64 "
+    "— the trick that makes a covariance-based estimator hash-"
+    "verifiable where double sums never replay — and theta plus the "
+    "adjusted means close in fixed character-identical IEEE shapes. "
+    "One grouped pass over events, one 12-moment aggregate; output "
+    "is one row at any volume.",
+    oracle=_CUPED_ORACLE,
+    tags=("ext", "ab-test", "cuped", "variance-reduction"),
+)
+def x159_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    anchor = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "user_id",
+            (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date("ts") < F.date_add(F.col("d0"), 15), cents
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("pre_cents"),
+            F.sum(
+                F.when(
+                    F.to_date("ts") >= F.date_add(F.col("d0"), 15), cents
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("post_cents"),
+        )
+    )
+    arm0 = F.when(F.col("arm") == 0, 1).otherwise(0)
+    arm1 = F.when(F.col("arm") == 1, 1).otherwise(0)
+    mo = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_cents").alias("sx"),
+        F.sum("post_cents").alias("sy"),
+        F.sum(F.col("pre_cents") * F.col("pre_cents")).alias("sxx"),
+        F.sum(F.col("pre_cents") * F.col("post_cents")).alias("sxy"),
+        F.sum(F.col("post_cents") * F.col("post_cents")).alias("syy"),
+        F.sum(arm0).alias("n0"),
+        F.sum(arm0 * F.col("pre_cents")).alias("sx0"),
+        F.sum(arm0 * F.col("post_cents")).alias("sy0"),
+        F.sum(arm1).alias("n1"),
+        F.sum(arm1 * F.col("pre_cents")).alias("sx1"),
+        F.sum(arm1 * F.col("post_cents")).alias("sy1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    theta = cov_n / varx_n
+    gx = d("sx") / d("n")
+
+    def cuped(sy_a, n_a, sx_a):
+        return d(sy_a) / d(n_a) - theta * (d(sx_a) / d(n_a) - gx)
+
+    return mo.select(
+        F.col("n").cast("long").alias("n_users"),
+        theta.alias("theta"),
+        (d("sy0") / d("n0")).alias("mean_a_raw"),
+        (d("sy1") / d("n1")).alias("mean_b_raw"),
+        cuped("sy0", "n0", "sx0").alias("mean_a_cuped"),
+        cuped("sy1", "n1", "sx1").alias("mean_b_cuped"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("var_reduction"),
+    )
