@@ -11571,3 +11571,122 @@ def x159_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
         cuped("sy1", "n1", "sx1").alias("mean_b_cuped"),
         ((cov_n * cov_n) / (varx_n * vary_n)).alias("var_reduction"),
     )
+
+
+_BACKTEST_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT event_type, day,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS pos,
+               x
+        FROM (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        )
+    ), n AS (
+        SELECT event_type, max(pos) AS n_days FROM d GROUP BY event_type
+    ), walk AS (
+        SELECT event_type, 0 AS pos, CAST(NULL AS DATE) AS day,
+               CAST(0 AS DOUBLE) AS lvl, CAST(0 AS DOUBLE) AS trd,
+               CAST(NULL AS DOUBLE) AS actual,
+               CAST(NULL AS DOUBLE) AS forecast
+        FROM n
+        UNION ALL
+        SELECT w.event_type, w.pos + 1, d.day,
+               CASE WHEN w.pos = 0 THEN d.x
+                    ELSE (d.x + w.lvl + w.trd) * 0.5 END,
+               CASE WHEN w.pos = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE ((CASE WHEN w.pos = 0 THEN d.x
+                                ELSE (d.x + w.lvl + w.trd) * 0.5 END
+                           - w.lvl) + w.trd) * 0.5 END,
+               d.x,
+               CASE WHEN w.pos = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE w.lvl + w.trd END
+        FROM walk w
+        JOIN d ON d.event_type = w.event_type AND d.pos = w.pos + 1
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           actual, forecast,
+           abs(actual - forecast) AS abs_err
+    FROM walk WHERE pos >= 2
+"""
+
+
+@register(
+    "w20_forecast_backtest",
+    "Rolling-origin backtest of the w19 Holt forecaster — the "
+    "evaluation HALF of forecasting that the smoother alone omits: "
+    "for every day from the second onward, the one-step-ahead "
+    "prediction (level + trend of the state BEFORE that day's "
+    "observation arrives — strict temporal hygiene, no peeking) is "
+    "compared to the actual daily total, emitting the per-day error "
+    "series a capacity planner inspects before trusting the model. "
+    "Same fold machinery as w19 with the accumulator additionally "
+    "carrying the emitted (day, actual, forecast) rows — per-key "
+    "bounded by |days|, folds parallel across event types — and the "
+    "oracle's recursive walk computes each forecast from the "
+    "PREVIOUS state exactly as the fold does. Dyadic coefficients "
+    "keep every emitted double bit-identical.",
+    oracle=_BACKTEST_ORACLE,
+    tags=("window", "stateful-fold", "backtest", "forecast"),
+)
+def w20_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    from ..compat import exact_sum
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(exact_sum("value").cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("steps")
+    )
+    init = F.expr(
+        "named_struct("
+        "'n', CAST(0 AS INT), 'lvl', CAST(0 AS DOUBLE), "
+        "'trd', CAST(0 AS DOUBLE), "
+        "'rows', CAST(array() AS "
+        "ARRAY<STRUCT<day: DATE, actual: DOUBLE, forecast: DOUBLE>>))"
+    )
+
+    def step(acc, s):
+        fc = acc["lvl"] + acc["trd"]
+        lvl = F.when(acc["n"] == 0, s["x"]).otherwise(
+            (s["x"] + acc["lvl"] + acc["trd"]) * F.lit(0.5)
+        )
+        emitted = F.when(
+            acc["n"] >= 1,
+            F.concat(
+                acc["rows"],
+                F.array(
+                    F.struct(
+                        s["day"].alias("day"),
+                        s["x"].alias("actual"),
+                        fc.alias("forecast"),
+                    )
+                ),
+            ),
+        ).otherwise(acc["rows"])
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            lvl.alias("lvl"),
+            F.when(acc["n"] == 0, F.lit(0.0))
+            .otherwise(((lvl - acc["lvl"]) + acc["trd"]) * F.lit(0.5))
+            .alias("trd"),
+            emitted.alias("rows"),
+        )
+
+    folded = series.select(
+        "event_type", F.aggregate("steps", init, step).alias("st")
+    )
+    return folded.select(
+        "event_type", F.explode("st.rows").alias("r")
+    ).select(
+        "event_type",
+        F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+        F.col("r.actual").alias("actual"),
+        F.col("r.forecast").alias("forecast"),
+        F.abs(F.col("r.actual") - F.col("r.forecast")).alias("abs_err"),
+    )
