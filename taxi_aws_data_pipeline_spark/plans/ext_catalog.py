@@ -11690,3 +11690,103 @@ def w20_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("r.forecast").alias("forecast"),
         F.abs(F.col("r.actual") - F.col("r.forecast")).alias("abs_err"),
     )
+
+
+_RECALL_THRESHOLDS_PPM = (300000, 400000, 500000, 600000, 700000, 800000)
+
+_RECALL_CURVE_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, {sql_shingles('text')} AS shs
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(shs) AS s FROM docs
+    ), rare AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) <= {X.MAX_SHINGLE_DF}
+    ), cand0 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.s IN (SELECT s FROM rare)
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+               / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+                   AS jaccard
+        FROM cand0
+        JOIN docs x ON cand0.doc_a = x.doc_id
+        JOIN docs y ON cand0.doc_b = y.doc_id
+    ), exact AS (
+        SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3
+    ), lsh AS (
+        SELECT doc_a, doc_b, 1 AS is_cand FROM ({_LSH_ORACLE})
+    ), flagged AS (
+        SELECT e.jaccard, coalesce(l.is_cand, 0) AS is_cand
+        FROM exact e LEFT JOIN lsh l USING (doc_a, doc_b)
+    )
+    SELECT CAST(t AS BIGINT) AS threshold_ppm,
+           CAST(count(*) FILTER (WHERE jaccard * 1000000 >= t)
+                AS BIGINT) AS n_true_pairs,
+           CAST(count(*) FILTER (WHERE jaccard * 1000000 >= t
+                                   AND is_cand = 1)
+                AS BIGINT) AS n_recalled,
+           CAST(CASE WHEN count(*) FILTER (WHERE jaccard * 1000000 >= t) > 0
+                     THEN count(*) FILTER (WHERE jaccard * 1000000 >= t
+                                             AND is_cand = 1) * 1000000
+                          // count(*) FILTER (WHERE jaccard * 1000000 >= t)
+                END AS BIGINT) AS recall_ppm
+    FROM flagged,
+         (SELECT unnest([{", ".join(str(t) for t in _RECALL_THRESHOLDS_PPM)}])
+             AS t)
+    GROUP BY 1
+"""
+
+
+@register(
+    "x160_lsh_recall_curve",
+    "LSH recall CURVE — x65's single 0.5-threshold recall extended "
+    "across the 0.3-0.8 similarity range in one pass: exact blocked "
+    "Jaccard pairs down to 0.3 are flagged against the fixed LSH "
+    "candidate set, a 6-point threshold spine explodes over the "
+    "flagged pairs, and each point reports true pairs, recalled "
+    "pairs, and exact-ppm recall — the S-curve every b x r banding "
+    "choice implies, measured rather than assumed, which is how the "
+    "banding parameters get TUNED before a 100 TB dedup run (recall "
+    "rises with threshold; the curve shows where it crosses the "
+    "acceptable floor). Thresholds compare as jaccard * 1e6 >= "
+    "integer ppm so no float literal parsing is ever trusted; the "
+    "pair table is computed ONCE and the spine fan-out is 6x a "
+    "pair-count-sized frame, not a re-scoring.",
+    oracle=_RECALL_CURVE_ORACLE,
+    tags=("ext", "dedup", "lsh", "evaluation", "tuning"),
+)
+def x160_lsh_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    exact = X.jaccard_near_dup_pairs(docs, threshold=0.3).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    cand = X.lsh_candidate_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_cand")
+    )
+    flagged = exact.join(cand, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce("is_cand", F.lit(0)).alias("is_cand")
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(t,) for t in _RECALL_THRESHOLDS_PPM], "t long"
+    )
+    # conditional aggregation (not filter-then-group) so a threshold
+    # with ZERO qualifying pairs still emits its zero row — the oracle's
+    # FILTER-clause counts behave the same way
+    hit = F.col("jaccard") * 1000000 >= F.col("t")
+    fanned = flagged.crossJoin(F.broadcast(spine))
+    return fanned.groupBy(F.col("t").alias("threshold_ppm")).agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_true_pairs"),
+        F.sum(F.when(hit, F.col("is_cand")).otherwise(0))
+        .cast("long")
+        .alias("n_recalled"),
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN jaccard * 1000000 >= t "
+            "THEN 1 ELSE 0 END) > 0 THEN "
+            "sum(CASE WHEN jaccard * 1000000 >= t THEN is_cand ELSE 0 END) "
+            "* 1000000 DIV sum(CASE WHEN jaccard * 1000000 >= t "
+            "THEN 1 ELSE 0 END) END AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
