@@ -11790,3 +11790,104 @@ def x160_lsh_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
             "THEN 1 ELSE 0 END) END AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+_DID_ORACLE = f"""
+    WITH anchor AS (
+        SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ), per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               sum(CASE WHEN CAST(ts AS DATE) < d0 + 15
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS pre_cents,
+               sum(CASE WHEN CAST(ts AS DATE) >= d0 + 15
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS post_cents
+        FROM events, anchor
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), mo AS (
+        SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN arm = 0 THEN pre_cents ELSE 0 END) AS pre0,
+               sum(CASE WHEN arm = 0 THEN post_cents ELSE 0 END) AS post0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN arm = 1 THEN pre_cents ELSE 0 END) AS pre1,
+               sum(CASE WHEN arm = 1 THEN post_cents ELSE 0 END) AS post1
+        FROM per_user
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CAST(pre0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_a_pre,
+           CAST(post0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_a_post,
+           CAST(pre1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_b_pre,
+           CAST(post1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_b_post,
+           (CAST(post1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(pre1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           - (CAST(post0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+              - CAST(pre0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS did_estimate
+    FROM mo
+"""
+
+
+@register(
+    "x161_difference_in_differences",
+    "Difference-in-differences — the quasi-experimental estimator for "
+    "when randomization can't be trusted (rollouts, geo launches): "
+    "the treatment effect is arm B's pre-to-post change MINUS arm "
+    "A's, so any shared time shock (seasonality, a site-wide "
+    "incident) cancels instead of biasing the contrast — the "
+    "parallel-trends complement to x152's randomized z-test and "
+    "x159's CUPED (x159 reduces variance under randomization; DiD "
+    "removes common-trend BIAS without it). Same exact-cents "
+    "discipline: six per-arm/per-period int64 moments from one "
+    "grouped pass, four means and the DiD close in fixed character-"
+    "identical IEEE shapes; one output row at any event volume.",
+    oracle=_DID_ORACLE,
+    tags=("ext", "ab-test", "did", "causal"),
+)
+def x161_difference_in_differences(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    anchor = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "user_id",
+            (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date("ts") < F.date_add(F.col("d0"), 15), cents
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("pre_cents"),
+            F.sum(
+                F.when(
+                    F.to_date("ts") >= F.date_add(F.col("d0"), 15), cents
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("post_cents"),
+        )
+    )
+    a0 = F.when(F.col("arm") == 0, 1).otherwise(0)
+    a1 = F.when(F.col("arm") == 1, 1).otherwise(0)
+    mo = per_user.agg(
+        F.sum(a0).alias("n0"),
+        F.sum(a0 * F.col("pre_cents")).alias("pre0"),
+        F.sum(a0 * F.col("post_cents")).alias("post0"),
+        F.sum(a1).alias("n1"),
+        F.sum(a1 * F.col("pre_cents")).alias("pre1"),
+        F.sum(a1 * F.col("post_cents")).alias("post1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return mo.select(
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        (d("pre0") / d("n0")).alias("mean_a_pre"),
+        (d("post0") / d("n0")).alias("mean_a_post"),
+        (d("pre1") / d("n1")).alias("mean_b_pre"),
+        (d("post1") / d("n1")).alias("mean_b_post"),
+        (
+            (d("post1") / d("n1") - d("pre1") / d("n1"))
+            - (d("post0") / d("n0") - d("pre0") / d("n0"))
+        ).alias("did_estimate"),
+    )
