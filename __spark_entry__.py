@@ -41,7 +41,7 @@ _FLAGSHIP = "a1_returnflag_performance"
 # Subsequent rounds keep the first ~24 slots on whatever is newest /
 # changed and rotate the re-pin block through the tiers round-robin:
 # r5 = the round-4 additions (a9-a19, d7, e15-e17, g7-g9, j13-j22,
-# k5/k6, s8, w10-w19, x91-x157, z2-z5 — all local-green and green in
+# k5/k6, s8, w10-w20, x91-x161, z2-z5 — all local-green and green in
 # this round's full-catalog fresh-process driver simulations; they
 # overflow one 50-slot window, so r5 takes the first 50 by id and r6
 # leads with the remainder) + as slots allow, a/c/d/e families
