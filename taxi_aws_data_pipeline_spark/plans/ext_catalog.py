@@ -14,6 +14,11 @@ Cross-engine anchors verified empirically (see tests/test_oracle_parity):
   which accumulates in float32);
 - DuckDB regexp_replace needs the explicit ``'g'`` flag to match Spark's
   replace-all default.
+- double LITERALS in DuckDB must carry an exponent (``0.5e0``): a bare
+  decimal literal parses as DECIMAL and converts via int128 / 10^scale,
+  which is NOT correctly rounded — measured one ULP off Spark's strtod
+  (x162's NDCG discounts), and an explicit CAST(... AS DOUBLE) does not
+  help because the DECIMAL parse already happened.
 """
 
 from __future__ import annotations
@@ -11890,4 +11895,206 @@ def x161_difference_in_differences(spark: SparkSession, sf: str) -> DataFrame:
             (d("post1") / d("n1") - d("pre1") / d("n1"))
             - (d("post0") / d("n0") - d("pre0") / d("n0"))
         ).alias("did_estimate"),
+    )
+
+
+# NDCG position discounts 1/log2(i+1), i = 1..10, pre-baked as double
+# literals (the Benford/x140 pattern: no libm at query time — both
+# engines parse the same decimal literal to the same double).
+NDCG_DISCOUNTS = (
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+)
+
+# the e0 suffix forces DuckDB to PARSE each literal as DOUBLE
+# (correctly rounded): a bare decimal literal parses as DECIMAL and
+# converts via int128 / 10^scale, which is NOT correctly rounded —
+# measured one ULP off Spark's strtod on these very constants, even
+# under an explicit CAST(... AS DOUBLE)
+_NDCG_DISC_SQL = "[" + ", ".join(f"{d}e0" for d in NDCG_DISCOUNTS) + "]"
+_NDCG_PAD_SQL = "[" + ", ".join(["CAST(0 AS DOUBLE)"] * 10) + "]"
+
+
+def _sql_dcg(glist: str) -> str:
+    padded = f"(({glist}) || {_NDCG_PAD_SQL})[1:10]"
+    return (
+        f"list_reduce(list_transform(list_zip({padded}, {_NDCG_DISC_SQL}), "
+        f"z -> z[1] * z[2]), (a, x) -> a + x)"
+    )
+
+
+_NDCG_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
+    ), semk AS (
+        SELECT probe_id, doc_id, rnk FROM (
+            SELECT probe_id, vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY {sql_cosine('pv', 'v')} DESC, vec_id
+                   ) AS rnk
+            FROM p JOIN c ON c.vec_id <> p.probe_id
+        ) WHERE rnk <= 10
+    ), dsh AS (
+        SELECT doc_id, {sql_shingles('text')} AS sh FROM documents
+    ), psh AS (
+        SELECT doc_id AS probe_id, sh AS ps FROM dsh WHERE doc_id < 8
+    ), gains AS (
+        SELECT p.probe_id, d.doc_id,
+               len(list_intersect(p.ps, d.sh)) * 1000000
+               // (len(p.ps) + len(d.sh) - len(list_intersect(p.ps, d.sh)))
+                   AS gain_ppm
+        FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+    ), sys_lists AS (
+        SELECT s.probe_id,
+               list(CAST(coalesce(g.gain_ppm, 0) AS DOUBLE)
+                    ORDER BY s.rnk) AS gl
+        FROM semk s
+        LEFT JOIN gains g ON g.probe_id = s.probe_id
+                         AND g.doc_id = s.doc_id
+        GROUP BY 1
+    ), ideal_lists AS (
+        SELECT probe_id,
+               list(CAST(gain_ppm AS DOUBLE)
+                    ORDER BY gain_ppm DESC, doc_id) FILTER (WHERE rk <= 10)
+                   AS gl
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY gain_ppm DESC, doc_id) AS rk
+            FROM gains
+        )
+        GROUP BY 1
+    )
+    SELECT s.probe_id,
+           {_sql_dcg('s.gl')} AS dcg,
+           {_sql_dcg('i.gl')} AS idcg,
+           CASE WHEN {_sql_dcg('i.gl')} > 0
+                THEN {_sql_dcg('s.gl')} / {_sql_dcg('i.gl')} END AS ndcg
+    FROM sys_lists s JOIN ideal_lists i ON i.probe_id = s.probe_id
+"""
+
+
+@register(
+    "x162_ndcg_eval",
+    "NDCG@10 ranking evaluation — the retrieval-quality closer for "
+    "the similarity tier: the SEMANTIC arm's cosine top-10 per probe "
+    "is scored against lexical-overlap ground truth (exact integer "
+    "ppm Jaccard gains), discounted by the pre-baked 1/log2(i+1) "
+    "position constants (the x140 no-libm pattern), and normalized "
+    "by the ideal ordering's DCG — measuring how well embedding "
+    "search recovers lexically-relevant documents, the cross-modal "
+    "agreement x142 fuses and x160 curves. Both DCGs are SEQUENTIAL "
+    "zip-folds over position-ordered gain lists (the proven SQL_DOT "
+    "machinery) because a grouped SUM of doubles is order-"
+    "nondeterministic — the one wrong way to compute DCG that still "
+    "looks right; short ideal lists pad with zero gains before the "
+    "fold so both engines fold exactly 10 terms. Probe side "
+    "broadcasts in both arms; gains come from the inverted-index "
+    "join, never all-pairs text.",
+    oracle=_NDCG_ORACLE,
+    tags=("ext", "ndcg", "ranking-eval", "retrieval"),
+)
+def x162_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    cos = (
+        F.broadcast(probes)
+        .join(corpus, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+        )
+    )
+    w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
+    semk = (
+        cos.withColumn("rnk", F.row_number().over(w_sem))
+        .filter(F.col("rnk") <= 10)
+        .select("probe_id", "doc_id", "rnk")
+    )
+
+    docs = load_table(spark, sf, "documents")
+    dsh = docs.select("doc_id", X.word_shingles(F.col("text")).alias("sh"))
+    pex = dsh.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("probe_id"),
+        F.size("sh").alias("na"),
+        F.explode("sh").alias("g"),
+    )
+    dex = dsh.select(
+        "doc_id", F.size("sh").alias("nb"), F.explode("sh").alias("g")
+    )
+    gains = (
+        F.broadcast(pex)
+        .join(dex, "g")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.expr("inter * 1000000 DIV (na + nb - inter)").alias("gain_ppm"),
+        )
+    )
+
+    disc = F.array(*[F.lit(float(d)) for d in NDCG_DISCOUNTS])
+    pad = F.array(*[F.lit(0.0)] * 10)
+
+    def dcg(gl):
+        padded = F.slice(F.concat(gl, pad), 1, 10)
+        return F.aggregate(
+            F.zip_with(padded, disc, lambda g, d: g * d),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sys_lists = (
+        semk.join(gains, ["probe_id", "doc_id"], "left")
+        .select(
+            "probe_id",
+            "rnk",
+            F.coalesce("gain_ppm", F.lit(0)).cast("double").alias("gv"),
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rnk", "gv"))),
+                lambda s: s["gv"],
+            ).alias("gl")
+        )
+    )
+    w_ideal = Window.partitionBy("probe_id").orderBy(
+        F.desc("gain_ppm"), "doc_id"
+    )
+    ideal_lists = (
+        gains.withColumn("rk", F.row_number().over(w_ideal))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "probe_id", "rk", F.col("gain_ppm").cast("double").alias("gv")
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rk", "gv"))),
+                lambda s: s["gv"],
+            ).alias("gl")
+        )
+    )
+    joined = sys_lists.join(
+        ideal_lists.withColumnRenamed("gl", "il"), "probe_id"
+    )
+    dcg_c, idcg_c = dcg(F.col("gl")), dcg(F.col("il"))
+    return joined.select(
+        "probe_id",
+        dcg_c.alias("dcg"),
+        idcg_c.alias("idcg"),
+        F.when(idcg_c > 0, dcg_c / idcg_c).alias("ndcg"),
     )
