@@ -6142,8 +6142,12 @@ _BOOT_B = 16
 
 
 def _poisson_w_sql(u: str) -> str:
+    # e0 suffix: force DuckDB to parse each threshold as a correctly-
+    # rounded DOUBLE (bare literals parse as DECIMAL — the x162 trap);
+    # the comparison then matches Spark's double < double exactly even
+    # for a u landing inside the decimal-vs-double ULP window
     branches = " ".join(
-        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+        f"WHEN {u} < {c}e0 THEN {k}" for k, c in enumerate(_POISSON1_CDF)
     )
     return f"CASE {branches} ELSE {len(_POISSON1_CDF)} END"
 
