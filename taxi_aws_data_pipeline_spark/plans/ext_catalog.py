@@ -12102,3 +12102,148 @@ def x162_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
         idcg_c.alias("idcg"),
         F.when(idcg_c > 0, dcg_c / idcg_c).alias("ndcg"),
     )
+
+
+_MRR_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
+    ), semk AS (
+        SELECT probe_id, doc_id, rnk FROM (
+            SELECT probe_id, vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY {sql_cosine('pv', 'v')} DESC, vec_id
+                   ) AS rnk
+            FROM p JOIN c ON c.vec_id <> p.probe_id
+        ) WHERE rnk <= 10
+    ), dsh AS (
+        SELECT doc_id, {sql_shingles('text')} AS sh FROM documents
+    ), psh AS (
+        SELECT doc_id AS probe_id, sh AS ps FROM dsh WHERE doc_id < 8
+    ), rel AS (
+        SELECT probe_id, doc_id FROM (
+            SELECT p.probe_id, d.doc_id,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY len(list_intersect(p.ps, d.sh)) * 1000000
+                           // (len(p.ps) + len(d.sh)
+                               - len(list_intersect(p.ps, d.sh))) DESC,
+                           d.doc_id
+                   ) AS lrk
+            FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+        ) WHERE lrk <= 5
+    ), hits AS (
+        SELECT s.probe_id, s.rnk,
+               CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        FROM semk s
+        LEFT JOIN rel r ON r.probe_id = s.probe_id AND r.doc_id = s.doc_id
+    )
+    SELECT probe_id,
+           CAST(min(CASE WHEN is_rel = 1 THEN rnk END) AS BIGINT)
+               AS first_rel_rank,
+           CAST(coalesce(1000000 // min(CASE WHEN is_rel = 1 THEN rnk END),
+                         0) AS BIGINT) AS rr_ppm,
+           CAST(sum(CASE WHEN is_rel = 1 AND rnk <= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rel_at_1,
+           CAST(sum(CASE WHEN is_rel = 1 AND rnk <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rel_at_5,
+           CAST(sum(is_rel) AS BIGINT) AS rel_at_10
+    FROM hits GROUP BY 1
+"""
+
+
+@register(
+    "x163_mrr_recall_at_k",
+    "MRR and recall@k — the INTEGER-surface retrieval metrics beside "
+    "x162's NDCG: the lexical top-5 per probe is the relevant set "
+    "(rank-based, tie-broken, no threshold to tune), and the semantic "
+    "top-10 is scored by the rank of its first relevant hit "
+    "(reciprocal rank as exact ppm = 1e6 DIV rank — no float "
+    "division), plus relevant-hit counts at cutoffs 1, 5, 10. Every "
+    "output cell is an integer, making this the preferred regression "
+    "gate for retrieval changes (NDCG moves by ULPs; these move by "
+    "whole hits). A probe whose semantic list contains NO lexical "
+    "neighbor reports NULL first rank and rr_ppm 0 — the disagreement "
+    "signal x142's fusion exists to fix. Same broadcast-probe / "
+    "inverted-index shapes as the rest of the tier.",
+    oracle=_MRR_ORACLE,
+    tags=("ext", "mrr", "recall-at-k", "ranking-eval"),
+)
+def x163_mrr_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    cos = (
+        F.broadcast(probes)
+        .join(corpus, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+        )
+    )
+    w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
+    semk = (
+        cos.withColumn("rnk", F.row_number().over(w_sem))
+        .filter(F.col("rnk") <= 10)
+        .select("probe_id", "doc_id", "rnk")
+    )
+
+    docs = load_table(spark, sf, "documents")
+    dsh = docs.select("doc_id", X.word_shingles(F.col("text")).alias("sh"))
+    pex = dsh.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("probe_id"),
+        F.size("sh").alias("na"),
+        F.explode("sh").alias("g"),
+    )
+    dex = dsh.select(
+        "doc_id", F.size("sh").alias("nb"), F.explode("sh").alias("g")
+    )
+    gains = (
+        F.broadcast(pex)
+        .join(dex, "g")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.expr("inter * 1000000 DIV (na + nb - inter)").alias("gain_ppm"),
+        )
+    )
+    w_lex = Window.partitionBy("probe_id").orderBy(
+        F.desc("gain_ppm"), "doc_id"
+    )
+    rel = (
+        gains.withColumn("lrk", F.row_number().over(w_lex))
+        .filter(F.col("lrk") <= 5)
+        .select("probe_id", "doc_id", F.lit(1).alias("is_rel"))
+    )
+    hits = semk.join(rel, ["probe_id", "doc_id"], "left").select(
+        "probe_id", "rnk", F.coalesce("is_rel", F.lit(0)).alias("is_rel")
+    )
+    first = F.min(F.when(F.col("is_rel") == 1, F.col("rnk")))
+    return hits.groupBy("probe_id").agg(
+        first.cast("long").alias("first_rel_rank"),
+        F.coalesce(
+            F.expr(
+                "1000000 DIV min(CASE WHEN is_rel = 1 THEN rnk END)"
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rr_ppm"),
+        F.sum(F.when((F.col("is_rel") == 1) & (F.col("rnk") <= 1), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_at_1"),
+        F.sum(F.when((F.col("is_rel") == 1) & (F.col("rnk") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_at_5"),
+        F.sum("is_rel").cast("long").alias("rel_at_10"),
+    )
