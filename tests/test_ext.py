@@ -2435,3 +2435,163 @@ def test_x158_no_heavy_hitter_screened_out(spark, sf_dir):
     assert truth  # the fixture has heavy terms at all scales
     for term in truth:
         assert got.get(term) is True
+
+
+def test_x146_ladder_picks_narrowest_or_suppresses(spark, tmp_path):
+    """Planted release groups: one fixable at width 50, one only at
+    100, one that no rung fixes (NULL = suppress)."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_kanon"
+    d.mkdir()
+    rows = []
+    # group A: 5 users all in band [0,50) -> width 50 works
+    rows += [("A", "2024-01-01 01:00:00", u, 10.0) for u in range(1, 6)]
+    # group B: 5 users at value 40, 5 at 60 -> width 50 splits them
+    # (bands of 5 users each meet k=5? yes: 5 >= 5!) — use 4+6 so the
+    # 4-user band fails width 50, but width 100 pools all 10
+    rows += [("B", "2024-01-01 01:00:00", u, 40.0) for u in range(1, 5)]
+    rows += [("B", "2024-01-01 01:00:00", u, 60.0) for u in range(10, 16)]
+    # group C: 3 users total -> no rung can reach k=5 -> suppress
+    rows += [("C", "2024-01-01 01:00:00", u, 10.0) for u in range(1, 4)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_type VARCHAR, ts TIMESTAMP, "
+        "user_id BIGINT, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        "COPY (SELECT row_number() OVER () AS event_id, ts, user_id, "
+        "event_type, value, '' AS props FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.event_type: r.chosen_width
+        for r in CATALOG["x146_k_anonymity_generalization"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    assert got == {"A": 50, "B": 100, "C": None}
+
+
+def test_a15_ks_extremes(spark, tmp_path):
+    """Disjoint supports give D = 1 (d_num == n1*n2); identical
+    samples give D = 0."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    for case, lens0, lens1, want_num in (
+        ("disjoint", [10, 20, 30], [100, 200], 6),
+        ("identical", [10, 20], [10, 20], 0),
+    ):
+        d = tmp_path / f"sf_ks_{case}"
+        d.mkdir()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, n_chars BIGINT)"
+        )
+        rows = [(i, "t", "en", "src0", v) for i, v in enumerate(lens0)]
+        rows += [
+            (100 + i, "t", "en", "src1", v) for i, v in enumerate(lens1)
+        ]
+        con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?, ?)", rows)
+        con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+        r = CATALOG["a15_ks_two_sample"].spark(spark, str(d)).collect()[0]
+        assert r.d_num == want_num, case
+        assert r.d_den == len(lens0) * len(lens1)
+
+
+def test_x149_mapping_on_crafted_distributions(spark, tmp_path):
+    """Hand-computed quantile mapping: 2 target docs onto a 4-value
+    reference — rank r maps to reference rank ceil(r * 4 / 2)."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_qmap"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    ref = [(i, "t", "en", "src0", v) for i, v in enumerate([10, 20, 30, 40])]
+    tgt = [(100, "t", "en", "src1", 7), (101, "t", "en", "src1", 99)]
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?, ?)", ref + tgt)
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    got = {
+        r.doc_id: (r.ref_rank, r.mapped_n_chars)
+        for r in CATALOG["x149_quantile_mapping"].spark(spark, str(d)).collect()
+    }
+    # target rank 1 of 2 -> ref rank ceil(1*4/2)=2 -> 20;
+    # target rank 2 of 2 -> ref rank 4 -> 40
+    assert got == {100: (2, 20), 101: (4, 40)}
+
+
+def test_w18_zero_variance_yields_null(spark, tmp_path):
+    """Constant daily counts in either series must yield NULL
+    correlation, never inf/NaN."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_rollcorr"
+    d.mkdir()
+    rows = []
+    # 3 days: purchases constant at 2/day, errors vary
+    for day in (1, 2, 3):
+        rows += [(f"2024-01-0{day} 01:00:00", "purchase")] * 2
+        rows += [(f"2024-01-0{day} 02:00:00", "error")] * day
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (ts TIMESTAMP, event_type VARCHAR)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+    con.execute(
+        "COPY (SELECT row_number() OVER () AS event_id, ts, "
+        "CAST(1 AS BIGINT) AS user_id, event_type, 1.0 AS value, "
+        "'' AS props FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    rows_out = CATALOG["w18_rolling_correlation"].spark(spark, str(d)).collect()
+    assert len(rows_out) == 3
+    for r in rows_out:
+        assert r.rolling_corr is None  # purchase variance is zero
+
+
+def test_x145_checksum_is_partitioning_invariant(spark, sf_dir):
+    """The anti-entropy contract: the same data under a different
+    physical partitioning produces identical bucket checksums."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    base = {
+        (r.bucket): (r.n_rows, r.checksum)
+        for r in CATALOG["x145_range_bucketed_table_checksum"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    # replay through a deliberately different partitioning of the scan
+    import taxi_aws_data_pipeline_spark.tables as T
+
+    orig = T.load_table
+
+    def shuffled(spark_, sf_, name):
+        df = orig(spark_, sf_, name)
+        return df.repartition(7) if name == "lineitem" else df
+
+    import taxi_aws_data_pipeline_spark.plans.ext_catalog as EC
+
+    old = EC.load_table
+    EC.load_table = shuffled
+    try:
+        again = {
+            (r.bucket): (r.n_rows, r.checksum)
+            for r in CATALOG["x145_range_bucketed_table_checksum"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+    finally:
+        EC.load_table = old
+    assert base == again
