@@ -2595,3 +2595,144 @@ def test_x145_checksum_is_partitioning_invariant(spark, sf_dir):
     finally:
         EC.load_table = old
     assert base == again
+
+
+def test_x161_did_cancels_common_shocks(spark, tmp_path):
+    """The DiD identification property: a post-period shock applied
+    identically to EVERY user shifts both arms' post means but leaves
+    the difference-in-differences estimate unchanged."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    def build(d, shock):
+        d.mkdir()
+        rows = []
+        for u in range(1, 9):
+            rows.append((u, "2024-01-02 01:00:00", 10.0 * u))   # pre
+            rows.append((u, "2024-01-20 01:00:00", 5.0 * u))    # post
+            if shock:
+                rows.append((u, "2024-01-21 01:00:00", 77.0))   # common shock
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP, value DOUBLE)"
+        )
+        con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+        con.execute(
+            "COPY (SELECT row_number() OVER () AS event_id, ts, user_id, "
+            "'purchase' AS event_type, value, '' AS props FROM ev) "
+            f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+
+    build(tmp_path / "base", shock=False)
+    build(tmp_path / "shocked", shock=True)
+    r0 = (
+        CATALOG["x161_difference_in_differences"]
+        .spark(spark, str(tmp_path / "base"))
+        .collect()[0]
+    )
+    r1 = (
+        CATALOG["x161_difference_in_differences"]
+        .spark(spark, str(tmp_path / "shocked"))
+        .collect()[0]
+    )
+    assert abs(r1.did_estimate - r0.did_estimate) < 1e-9
+    assert r1.mean_a_post > r0.mean_a_post
+    assert r1.mean_b_post > r0.mean_b_post
+
+
+def test_x140_benford_on_planted_digits(spark, tmp_path):
+    """Planted first digits: counts land in the right bins, absent
+    digits report zero, values below 1 are excluded."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    vals = [1.5, 19.0, 123.0, 2.2, 0.4, 0.9, 900.1]  # digits 1,1,1,2,-,-,9
+    con = duckdb.connect()
+    d = tmp_path / "sf_benford"
+    d.mkdir()
+    con.execute("CREATE TABLE ev (value DOUBLE)")
+    con.executemany("INSERT INTO ev VALUES (?)", [(v,) for v in vals])
+    con.execute(
+        "COPY (SELECT row_number() OVER () AS event_id, "
+        "TIMESTAMP '2024-01-01 00:00:00' AS ts, CAST(1 AS BIGINT) AS "
+        "user_id, 'view' AS event_type, value, '' AS props FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.digit: r.n_values
+        for r in CATALOG["x140_benford_first_digit_audit"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+
+
+def test_z5_varint_pricing_on_planted_deltas(spark, tmp_path):
+    """Hand-computed varint bytes: delta 0 -> 1 byte, 127 -> 1, 128
+    -> 2, 16384 -> 3; bucket leader pays 8."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    keys = [0, 0, 127, 255, 16639]  # deltas: lead, 0, 127, 128, 16384
+    con = duckdb.connect()
+    d = tmp_path / "sf_varint"
+    d.mkdir()
+    con.execute("CREATE TABLE li (l_orderkey BIGINT, l_linenumber INT)")
+    con.executemany(
+        "INSERT INTO li VALUES (?, ?)", [(k, i) for i, k in enumerate(keys)]
+    )
+    con.execute(
+        "COPY (SELECT l_orderkey, CAST(1 AS BIGINT) AS l_partkey, "
+        "CAST(1 AS BIGINT) AS l_suppkey, l_linenumber, 1.0 AS l_quantity, "
+        "1.0 AS l_extendedprice, 0.0 AS l_discount, 0.0 AS l_tax, "
+        "'N' AS l_returnflag, 'O' AS l_linestatus, "
+        "TIMESTAMP '2024-01-01' AS l_shipdate FROM li) "
+        f"TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.bucket: (r.n_rows, r.raw_bytes, r.delta_varint_bytes)
+        for r in CATALOG["z5_delta_varint_estimate"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    # bucket 0 (keys 0,0,127,255): 8 (leader) + 1 (delta 0) + 1 (127)
+    # + 2 (128) = 12; bucket 16 (key 16639): leader only
+    assert got == {0: (4, 32, 12), 16: (1, 8, 8)}
+
+
+def test_w20_backtest_on_crafted_series(spark, tmp_path):
+    """Hand-computed Holt walk: daily totals 4, 2, 6 give forecasts
+    4.0 then 2.5 and absolute errors 2.0 then 3.5."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = [
+        ("A", "2024-01-01 01:00:00", 4.0),
+        ("A", "2024-01-02 01:00:00", 2.0),
+        ("A", "2024-01-03 01:00:00", 6.0),
+    ]
+    con = duckdb.connect()
+    d = tmp_path / "sf_backtest"
+    d.mkdir()
+    con.execute(
+        "CREATE TABLE ev (event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    con.execute(
+        "COPY (SELECT row_number() OVER () AS event_id, ts, "
+        "CAST(1 AS BIGINT) AS user_id, event_type, value, '' AS props "
+        "FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = sorted(
+        CATALOG["w20_forecast_backtest"].spark(spark, str(d)).collect(),
+        key=lambda r: r.day,
+    )
+    assert [(r.day, r.forecast, r.abs_err) for r in got] == [
+        ("2024-01-02", 4.0, 2.0),
+        ("2024-01-03", 2.5, 3.5),
+    ]
