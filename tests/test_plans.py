@@ -625,3 +625,32 @@ def test_z4_range_pushes_year_func_does_not(spark, sf_dir):
     ][0]
     assert "GreaterThanOrEqual" not in trap_pushed
     assert "LessThan" not in trap_pushed
+
+
+def test_x154_chunking_is_shuffle_free(spark, sf_dir):
+    # the entry's claim verbatim: pure projection + explode — no
+    # Exchange anywhere in the plan at any corpus size
+    plan = _plan(spark, sf_dir, "x154_stride_overlap_chunking", "simple")
+    assert "Exchange" not in plan
+
+
+def test_x136_quantization_is_shuffle_free(spark, sf_dir):
+    # SQ8 is a per-row projection; a shuffle would mean something
+    # regressed into an aggregation
+    plan = _plan(spark, sf_dir, "x136_int8_scalar_quantization", "simple")
+    assert "Exchange" not in plan
+
+
+def test_x147_vocab_join_is_broadcast(spark, sf_dir):
+    # the vocab must broadcast onto the token stream — a sort-merge
+    # join would shuffle every token against a 1000-row table
+    plan = _plan(spark, sf_dir, "x147_vocab_encode", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x159_cuped_has_no_window(spark, sf_dir):
+    # CUPED is two grouped aggregates — a Window would mean the
+    # moment computation regressed to a per-row pass
+    plan = _plan(spark, sf_dir, "x159_cuped_adjustment", "simple")
+    assert "Window" not in plan
