@@ -12247,3 +12247,200 @@ def x163_mrr_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         .alias("rel_at_5"),
         F.sum("is_rel").cast("long").alias("rel_at_10"),
     )
+
+
+_ROLLMED_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS epoch_day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), rolled AS (
+        SELECT day,
+               list_sort(list(cents) OVER (
+                   ORDER BY epoch_day
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(len(win) AS BIGINT) AS n_days,
+           CAST(win[(len(win) + 1) // 2] AS BIGINT) AS rolling_median_cents
+    FROM rolled
+"""
+
+
+@register(
+    "w21_rolling_median",
+    "Trailing 7-day MEDIAN of the daily value total — the robust "
+    "smoother that w5's moving average is not (one outlier day drags "
+    "a mean for a week; the median shrugs), and a window statistic "
+    "no built-in frame aggregate computes: the frame's values are "
+    "COLLECTED per day (bounded at 7 elements by the frame itself — "
+    "the only safe collect-in-window shape), sorted, and the "
+    "lower-median element selected by integer rank. Daily totals are "
+    "exact half-up cents, so selection is tie-permutation-invariant "
+    "integer comparison — no interpolation, no floats. The range "
+    "frame on the epoch-day key handles calendar gaps (w18's "
+    "discipline); windows run over the |days| pre-aggregate, never "
+    "raw events.",
+    oracle=_ROLLMED_ORACLE,
+    tags=("window", "rolling-median", "robust", "range-frame"),
+)
+def w21_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    ).withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    rolled = daily.select(
+        "day", F.sort_array(F.collect_list("cents").over(w)).alias("win")
+    )
+    return rolled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.size("win").cast("long").alias("n_days"),
+        F.element_at(
+            "win", F.expr("(size(win) + 1) DIV 2").cast("int")
+        )
+        .cast("long")
+        .alias("rolling_median_cents"),
+    )
+
+
+_MAP_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
+    ), semk AS (
+        SELECT probe_id, doc_id, rnk FROM (
+            SELECT probe_id, vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY {sql_cosine('pv', 'v')} DESC, vec_id
+                   ) AS rnk
+            FROM p JOIN c ON c.vec_id <> p.probe_id
+        ) WHERE rnk <= 10
+    ), dsh AS (
+        SELECT doc_id, {sql_shingles('text')} AS sh FROM documents
+    ), psh AS (
+        SELECT doc_id AS probe_id, sh AS ps FROM dsh WHERE doc_id < 8
+    ), rel AS (
+        SELECT probe_id, doc_id FROM (
+            SELECT p.probe_id, d.doc_id,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY len(list_intersect(p.ps, d.sh)) * 1000000
+                           // (len(p.ps) + len(d.sh)
+                               - len(list_intersect(p.ps, d.sh))) DESC,
+                           d.doc_id
+                   ) AS lrk
+            FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+        ) WHERE lrk <= 5
+    ), hits AS (
+        SELECT s.probe_id, s.rnk,
+               CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        FROM semk s
+        LEFT JOIN rel r ON r.probe_id = s.probe_id AND r.doc_id = s.doc_id
+    ), cum AS (
+        SELECT probe_id, rnk, is_rel,
+               sum(is_rel) OVER (PARTITION BY probe_id ORDER BY rnk)
+                   AS hits_so_far
+        FROM hits
+    )
+    SELECT probe_id,
+           CAST(5 AS BIGINT) AS n_rel,
+           CAST(sum(CASE WHEN is_rel = 1
+                         THEN hits_so_far * 1000000 // rnk
+                         ELSE 0 END) // 5 AS BIGINT) AS ap_ppm
+    FROM cum GROUP BY 1
+"""
+
+
+@register(
+    "x164_map_at_10",
+    "Average precision @10 per probe — the third leg of the ranking-"
+    "eval family (x162 NDCG weights positions, x163 MRR takes the "
+    "first hit; AP integrates precision at EVERY relevant hit, the "
+    "metric most sensitive to burying a relevant doc mid-list). Same "
+    "rank-based relevant set (lexical top-5) and semantic top-10; "
+    "precision-at-hit terms are the TRUNCATING integer form "
+    "(hits_so_far * 1e6 DIV rank, summed then DIV n_rel) — documented "
+    "as the exact-integer variant of AP, monotone-equivalent to the "
+    "float definition at these list sizes and hash-exact by "
+    "construction. The running hit count is one cumulative window "
+    "over 10-row-per-probe frames; all the heavy machinery (cosine "
+    "broadcast, inverted-index gains) is shared shape with x162/x163.",
+    oracle=_MAP_ORACLE,
+    tags=("ext", "map", "average-precision", "ranking-eval"),
+)
+def x164_map_at_10(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    cos = (
+        F.broadcast(probes)
+        .join(corpus, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+        )
+    )
+    w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
+    semk = (
+        cos.withColumn("rnk", F.row_number().over(w_sem))
+        .filter(F.col("rnk") <= 10)
+        .select("probe_id", "doc_id", "rnk")
+    )
+    docs = load_table(spark, sf, "documents")
+    dsh = docs.select("doc_id", X.word_shingles(F.col("text")).alias("sh"))
+    pex = dsh.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("probe_id"),
+        F.size("sh").alias("na"),
+        F.explode("sh").alias("g"),
+    )
+    dex = dsh.select(
+        "doc_id", F.size("sh").alias("nb"), F.explode("sh").alias("g")
+    )
+    gains = (
+        F.broadcast(pex)
+        .join(dex, "g")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.expr("inter * 1000000 DIV (na + nb - inter)").alias("gain_ppm"),
+        )
+    )
+    w_lex = Window.partitionBy("probe_id").orderBy(
+        F.desc("gain_ppm"), "doc_id"
+    )
+    rel = (
+        gains.withColumn("lrk", F.row_number().over(w_lex))
+        .filter(F.col("lrk") <= 5)
+        .select("probe_id", "doc_id", F.lit(1).alias("is_rel"))
+    )
+    hits = semk.join(rel, ["probe_id", "doc_id"], "left").select(
+        "probe_id", "rnk", F.coalesce("is_rel", F.lit(0)).alias("is_rel")
+    )
+    w_cum = Window.partitionBy("probe_id").orderBy("rnk")
+    cum = hits.withColumn("hits_so_far", F.sum("is_rel").over(w_cum))
+    return cum.groupBy("probe_id").agg(
+        F.lit(5).cast("long").alias("n_rel"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_rel = 1 "
+            "THEN hits_so_far * 1000000 DIV rnk ELSE 0 END) DIV 5 AS BIGINT)"
+        ).alias("ap_ppm"),
+    )
