@@ -12444,3 +12444,84 @@ def x164_map_at_10(spark: SparkSession, sf: str) -> DataFrame:
             "THEN hits_so_far * 1000000 DIV rnk ELSE 0 END) DIV 5 AS BIGINT)"
         ).alias("ap_ppm"),
     )
+
+
+_COHENS_D_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), mo AS (
+        SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s1,
+               sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS q1,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s2,
+               sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS q2
+        FROM per_user
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_diff_cents,
+           (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / sqrt(((CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE))
+                   + (CAST(q2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE)))
+                  / CAST(n1 + n2 - 2 AS DOUBLE)) AS cohens_d
+    FROM mo
+"""
+
+
+@register(
+    "a20_cohens_d_effect_size",
+    "Cohen's d standardized effect size between the two md5-assigned "
+    "arms' per-user spend — the practical-significance companion the "
+    "z-test (x152) lacks: a tiny p with d near zero is noise a large "
+    "sample amplified, and reporting both is the discipline "
+    "experimentation reviews demand. Pooled SD comes from the exact "
+    "int64 sum/sum-of-squares moments (cents keep them order-free), "
+    "closed in one character-identical IEEE shape per dialect — the "
+    "x148/x152 pattern — so even a ratio of floats hash-verifies. "
+    "One grouped pass, six moments, one output row at any volume.",
+    oracle=_COHENS_D_ORACLE,
+    tags=("ext", "ab-test", "effect-size", "exact-stats"),
+)
+def a20_cohens_d_effect_size(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy(
+        "user_id",
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    a0 = F.when(F.col("arm") == 0, 1).otherwise(0)
+    a1 = F.when(F.col("arm") == 1, 1).otherwise(0)
+    mo = per_user.agg(
+        F.sum(a0).alias("n1"),
+        F.sum(a0 * F.col("cents")).alias("s1"),
+        F.sum(a0 * F.col("cents") * F.col("cents")).alias("q1"),
+        F.sum(a1).alias("n2"),
+        F.sum(a1 * F.col("cents")).alias("s2"),
+        F.sum(a1 * F.col("cents") * F.col("cents")).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("s2") / d("n2") - d("s1") / d("n1")
+    pooled = F.sqrt(
+        (
+            (d("q1") - d("s1") * d("s1") / d("n1"))
+            + (d("q2") - d("s2") * d("s2") / d("n2"))
+        )
+        / (F.col("n1") + F.col("n2") - 2).cast("double")
+    )
+    return mo.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        diff.alias("mean_diff_cents"),
+        (diff / pooled).alias("cohens_d"),
+    )
