@@ -40,8 +40,8 @@ _FLAGSHIP = "a1_returnflag_performance"
 # lands, every pre-r4 oracle-backed entry has a driver correctness row.
 # Subsequent rounds keep the first ~24 slots on whatever is newest /
 # changed and rotate the re-pin block through the tiers round-robin:
-# r5 = the round-4 additions (a9-a19, d7, e15-e17, g7-g9, j13-j22,
-# k5/k6, s8, w10-w20, x91-x161, z2-z5 — all local-green and green in
+# r5 = the round-4 additions (a9-a20, d7, e15-e17, g7-g9, j13-j22,
+# k5/k6, s8, w10-w21, x91-x164, z2-z5 — all local-green and green in
 # this round's full-catalog fresh-process driver simulations; they
 # overflow one 50-slot window, so r5 takes the first 50 by id and r6
 # leads with the remainder) + as slots allow, a/c/d/e families
