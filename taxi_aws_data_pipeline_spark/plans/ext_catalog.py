@@ -12525,3 +12525,361 @@ def a20_cohens_d_effect_size(spark: SparkSession, sf: str) -> DataFrame:
         diff.alias("mean_diff_cents"),
         (diff / pooled).alias("cohens_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation tier: nonparametric tests, change detection,
+# link prediction, zone-map skipping
+# ---------------------------------------------------------------------------
+
+_MANN_WHITNEY_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), vals AS (
+        SELECT cents, count(*) AS n_eq,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a_eq
+        FROM per_user GROUP BY cents
+    ), ranked AS (
+        SELECT cents, n_eq, n_a_eq,
+               COALESCE(sum(n_eq) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cnt_less
+        FROM vals
+    ), mo AS (
+        SELECT sum(n_a_eq) AS n_a,
+               sum(n_eq - n_a_eq) AS n_b,
+               sum(n_eq) AS nn,
+               sum(n_a_eq * (2 * cnt_less + n_eq + 1)) AS r_a_x2,
+               sum(n_eq * n_eq * n_eq - n_eq) AS tt
+        FROM ranked
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(r_a_x2 AS BIGINT) AS r_a_x2,
+           CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+           (CAST(r_a_x2 - n_a * (n_a + 1) AS DOUBLE) / 2e0
+            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2e0)
+           / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 1.2e1
+                  * ((CAST(nn AS DOUBLE) + 1e0)
+                     - CAST(tt AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0))))
+               AS z_stat
+    FROM mo
+"""
+
+
+@register(
+    "a21_mann_whitney_u",
+    "Mann-Whitney U rank-sum test between the two md5-assigned arms' "
+    "per-user spend — the nonparametric companion to x152's z-test and "
+    "a20's Cohen's d: heavy-tailed revenue distributions violate the "
+    "normality the t/z family leans on, and the rank statistic is the "
+    "standard robust fallback. Tie-averaged ranks are kept EXACT by "
+    "doubling (2*avgrank = 2*cnt_less + n_eq + 1, an integer), and the "
+    "rank sums are computed from the DISTINCT-VALUE aggregate (one "
+    "groupBy on cents, then a cumulative window over distinct spend "
+    "levels) — the window runs over value cardinality, not user "
+    "cardinality, so the single-partition final stage is bounded by "
+    "distinct cents, the same posture as x61/x94. The tie-corrected "
+    "normal-approximation z closes in one character-identical IEEE "
+    "shape per dialect (the a20/x148 pattern). No reference analogue "
+    "(reference has no hypothesis testing); Spark-native extension tier.",
+    oracle=_MANN_WHITNEY_ORACLE,
+    tags=("ext", "ab-test", "nonparametric", "exact-stats"),
+)
+def a21_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy(
+        "user_id",
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    vals = per_user.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("n_eq"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a_eq"),
+    )
+    w = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vals.withColumn(
+        "cnt_less", F.coalesce(F.sum("n_eq").over(w), F.lit(0))
+    )
+    mo = ranked.agg(
+        F.sum("n_a_eq").alias("n_a"),
+        F.sum(F.col("n_eq") - F.col("n_a_eq")).alias("n_b"),
+        F.sum("n_eq").alias("nn"),
+        F.sum(
+            F.col("n_a_eq") * (2 * F.col("cnt_less") + F.col("n_eq") + 1)
+        ).alias("r_a_x2"),
+        F.sum(
+            F.col("n_eq") * F.col("n_eq") * F.col("n_eq") - F.col("n_eq")
+        ).alias("tt"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    u_a_x2 = F.col("r_a_x2") - F.col("n_a") * (F.col("n_a") + 1)
+    z = (u_a_x2.cast("double") / 2.0 - d("n_a") * d("n_b") / 2.0) / F.sqrt(
+        d("n_a")
+        * d("n_b")
+        / 12.0
+        * ((d("nn") + 1.0) - d("tt") / (d("nn") * (d("nn") - 1.0)))
+    )
+    return mo.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("r_a_x2").cast("long").alias("r_a_x2"),
+        u_a_x2.cast("long").alias("u_a_x2"),
+        z.alias("z_stat"),
+    )
+
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, count(*) AS n_days, sum(cents) AS total
+        FROM daily GROUP BY 1
+    ), walk AS (
+        SELECT d.event_type, d.d, t.n_days, t.total,
+               sum(d.cents) OVER (PARTITION BY d.event_type ORDER BY d.d)
+                   AS prefix,
+               row_number() OVER (PARTITION BY d.event_type ORDER BY d.d)
+                   AS i
+        FROM daily d JOIN tot t USING (event_type)
+    ), scored AS (
+        SELECT event_type, d, n_days, total,
+               prefix * n_days - i * total AS cusum_scaled,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(prefix * n_days - i * total) DESC, d) AS rn
+        FROM walk
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(total AS BIGINT) AS total_cents,
+           d AS peak_day,
+           CAST(cusum_scaled AS BIGINT) AS peak_cusum_scaled
+    FROM scored WHERE rn = 1
+"""
+
+
+@register(
+    "x165_cusum_changepoint",
+    "CUSUM change-point localization over each event type's daily spend "
+    "walk: the day where the cumulative deviation from the type's mean "
+    "peaks in magnitude is the classic single-change-point estimate "
+    "(Page's statistic with the drift term folded into the mean). The "
+    "mean division is eliminated by scaling — cusum_i = prefix_i*N - "
+    "i*total is N*(prefix_i - i*mean) in pure int64, so the walk, the "
+    "peak, and the argmax day are all hash-exact. One daily groupBy, "
+    "one per-type prefix window, one per-type argmax window — every "
+    "stage partitions by event_type, nothing global; the monitoring "
+    "companion to x109's z-scores (which flag pointwise anomalies; "
+    "CUSUM finds the sustained level shift they miss).",
+    oracle=_CUSUM_ORACLE,
+    tags=("ext", "changepoint", "monitoring", "exact-stats"),
+)
+def x165_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total")
+    )
+    w_walk = Window.partitionBy("event_type").orderBy("d")
+    walk = daily.join(tot, "event_type").select(
+        "event_type",
+        "d",
+        "n_days",
+        "total",
+        F.sum("cents").over(w_walk).alias("prefix"),
+        F.row_number().over(w_walk).alias("i"),
+    )
+    cus = F.col("prefix") * F.col("n_days") - F.col("i") * F.col("total")
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.abs(cus).desc(), "d"
+    )
+    return (
+        walk.withColumn("cusum_scaled", cus)
+        .withColumn("rn", F.row_number().over(w_peak))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("total_cents"),
+            F.col("d").alias("peak_day"),
+            F.col("cusum_scaled").cast("long").alias("peak_cusum_scaled"),
+        )
+    )
+
+
+_LINK_PRED_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 45e0) a
+        JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45e0) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+    cand AS (
+        SELECT x.src AS a, y.src AS b, count(*) AS common
+        FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+        GROUP BY 1, 2
+    ), open_wedges AS (
+        SELECT c.a, c.b, c.common, da.degree AS deg_a, db.degree AS deg_b
+        FROM cand c
+        JOIN deg da ON da.src = c.a
+        JOIN deg db ON db.src = c.b
+        LEFT JOIN e ON e.src = c.a AND e.dst = c.b
+        WHERE e.src IS NULL
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common,
+           CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
+           CAST(common * 1000000 // (deg_a + deg_b - common) AS BIGINT)
+               AS nbr_jaccard_ppm
+    FROM open_wedges
+    ORDER BY common DESC, nbr_jaccard_ppm DESC, a, b
+    LIMIT 20
+"""
+
+
+@register(
+    "x166_common_neighbor_link_prediction",
+    "Link prediction on the co-supply graph: the 20 supplier pairs that "
+    "are NOT directly connected but share the most co-supply neighbors, "
+    "scored by common-neighbor count with neighborhood-Jaccard (ppm, "
+    "integer DIV) as the degree-normalized tiebreak — the classic "
+    "common-neighbors / Jaccard predictors from the link-prediction "
+    "literature, deliberately log-free (Adamic-Adar's 1/ln(deg) terms "
+    "are not cross-engine hash-stable; see the module-head ln() note). "
+    "Shares x84/x91's one-exchange bounded edge build; the wedge join "
+    "keys on the shared neighbor, so its fanout is sum(deg^2) — bounded "
+    "here by the ~7-lines-per-order co-supply cap, and the documented "
+    "100 TB mitigation is the standard top-degree-node cap (drop hub "
+    "nodes above a degree threshold before the wedge join, as in "
+    "x123's triangle counting). Direct edges are removed with a "
+    "left-anti join against the edge set, not a NOT IN scan. The edge "
+    "set is built from the high-quantity (>= 45) co-supply subgraph — "
+    "the full graph is near-complete at small SF, leaving no open "
+    "wedges to predict; the cut also pushes down to the parquet scan.",
+    oracle=_LINK_PRED_ORACLE,
+    tags=("ext", "graph", "link-prediction"),
+)
+def x166_common_neighbor_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 45.0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    e = _cosupply_edges(li)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    x = e.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    y = e.select(F.col("src").alias("b"), F.col("dst").alias("n"))
+    cand = (
+        x.join(y, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    open_wedges = cand.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        open_wedges.join(
+            deg.select(F.col("src").alias("a"), F.col("degree").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("src").alias("b"), F.col("degree").alias("deg_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.expr(
+                "CAST(common * 1000000 DIV (deg_a + deg_b - common) AS BIGINT)"
+            ).alias("nbr_jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common"), F.desc("nbr_jaccard_ppm"), "a", "b"
+    ).limit(20)
+
+
+_ZONE_MAP_ORACLE = """
+    WITH zones AS (
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               count(*) AS n_rows,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY 1
+    )
+    SELECT ship_month, CAST(n_rows AS BIGINT) AS n_rows,
+           min_qty, max_qty, min_price, max_price,
+           CASE WHEN max_qty < 45e0 THEN 1 ELSE 0 END AS skip_qty_ge_45,
+           CASE WHEN min_price > 9e4 OR max_price < 1e3
+                THEN 1 ELSE 0 END AS skip_price_1k_90k
+    FROM zones
+"""
+
+
+@register(
+    "z6_zone_map_skipping_report",
+    "Zone-map (min/max statistics) report per ship-month partition of "
+    "the fact, with the skipping DECISION for two representative "
+    "predicates materialized as flags: a partition whose max quantity "
+    "is below the `l_quantity >= 45` cut, or whose price range misses "
+    "[1e3, 9e4] entirely, is provably irrelevant and a scan can skip "
+    "it without reading a row. This is exactly the reasoning parquet "
+    "row-group stats + partition pruning perform physically (z3 proves "
+    "the pruning happens; this entry materializes WHICH partitions and "
+    "WHY as relational output — the advisor view a table-layout tuner "
+    "reads). One groupBy over the partition key; min/max are "
+    "partial-aggregating and shuffle one row per month regardless of "
+    "fact size.",
+    oracle=_ZONE_MAP_ORACLE,
+    tags=("ext", "zone-map", "data-skipping", "layout"),
+)
+def z6_zone_map_skipping_report(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    zones = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    return zones.select(
+        "ship_month",
+        "n_rows",
+        "min_qty",
+        "max_qty",
+        "min_price",
+        "max_price",
+        F.when(F.col("max_qty") < 45.0, 1).otherwise(0).alias("skip_qty_ge_45"),
+        F.when(
+            (F.col("min_price") > 9e4) | (F.col("max_price") < 1e3), 1
+        )
+        .otherwise(0)
+        .alias("skip_price_1k_90k"),
+    )
