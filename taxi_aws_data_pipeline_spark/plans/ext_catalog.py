@@ -12883,3 +12883,199 @@ def z6_zone_map_skipping_report(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(0)
         .alias("skip_price_1k_90k"),
     )
+
+
+_L_DIVERSITY_ORACLE = """
+    WITH cells AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+               CAST(floor(value / 5e1) AS BIGINT) AS value_band,
+               count(DISTINCT event_type) AS n_sensitive,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_date, value_band,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events,
+           n_sensitive < 3 AS low_diversity
+    FROM cells
+"""
+
+
+@register(
+    "x167_l_diversity_audit",
+    "l-diversity audit — the companion privacy criterion k-anonymity "
+    "(x135) misses: a cell can hold MANY users yet still leak if they "
+    "all share one sensitive value (homogeneity attack), so each "
+    "(day, value-band) quasi-identifier cell must also contain >= l "
+    "distinct sensitive values (here event_type, l=3). One grouped "
+    "multi-distinct aggregate (Spark expands the two DISTINCTs via "
+    "its expand-rewrite, still partial-aggregated map-side); output "
+    "bounded by days x bands regardless of event volume. Dates travel "
+    "as ISO strings (the e17/x135 lesson).",
+    oracle=_L_DIVERSITY_ORACLE,
+    tags=("ext", "privacy", "audit", "l-diversity"),
+)
+def x167_l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    cells = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+    ).agg(
+        F.countDistinct("event_type").cast("long").alias("n_sensitive"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return cells.select(
+        "event_date",
+        "value_band",
+        "n_sensitive",
+        "n_users",
+        "n_events",
+        (F.col("n_sensitive") < 3).alias("low_diversity"),
+    )
+
+
+_MAD_ORACLE = """
+    WITH obs AS (
+        SELECT event_type,
+               2 * CAST(floor(value * 100 + 0.5) AS BIGINT) AS x2
+        FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT event_type,
+               CAST(quantile_cont(x2, 0.5e0) AS BIGINT) AS med2
+        FROM obs GROUP BY 1
+    ), dev AS (
+        SELECT o.event_type, o.x2, m.med2, abs(o.x2 - m.med2) AS dev2
+        FROM obs o JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(dev2, 0.5e0) AS BIGINT) AS mad4
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(d.med2) AS BIGINT) AS med2,
+           CAST(max(a.mad4) AS BIGINT) AS mad4,
+           CAST(sum(CASE WHEN d.dev2 * 20000 > 44478 * a.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY 1
+"""
+
+
+@register(
+    "x168_mad_outlier_flags",
+    "Robust outlier detection via median absolute deviation: flag "
+    "events whose |x - median| exceeds 3 * 1.4826 * MAD per event "
+    "type — the estimator that survives exactly the heavy tails that "
+    "inflate the classical z-score's own sigma (x109's known blind "
+    "spot: an outlier masks itself by widening the sigma it is judged "
+    "against). Everything is INTEGER: values as doubled cents keep "
+    "the even-count median interpolation exact (a multiple of 0.5 "
+    "doubled is an integer), the MAD is quadrupled likewise, and the "
+    "3-sigma-equivalent cut is the cross-multiplied dev2*20000 > "
+    "44478*mad4 — no float division anywhere, so the whole surface "
+    "hash-verifies. Two exact grouped percentiles (the a1 "
+    "ObjectHashAggregate posture; approx_percentile is the documented "
+    "100 TB switch, the same C4/C5 dial) and one re-join against the "
+    "bounded per-type medians, broadcast at any realistic type "
+    "cardinality.",
+    oracle=_MAD_ORACLE,
+    tags=("ext", "robust-stats", "outliers", "exact-stats"),
+)
+def x168_mad_outlier_flags(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    obs = ev.select(
+        "event_type",
+        (2 * F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x2"),
+    )
+    med = obs.groupBy("event_type").agg(
+        F.expr("CAST(percentile(x2, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = obs.join(F.broadcast(med), "event_type").select(
+        "event_type", "med2", F.abs(F.col("x2") - F.col("med2")).alias("dev2")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dev2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med2").cast("long").alias("med2"),
+            F.max("mad4").cast("long").alias("mad4"),
+            F.sum(
+                F.when(
+                    F.col("dev2") * 20000 > 44478 * F.col("mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+_SAX_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), sym AS (
+        SELECT event_type, d,
+               ntile(4) OVER (PARTITION BY event_type
+                              ORDER BY cents, d) AS tile
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           string_agg(substr('abcd', tile, 1), '' ORDER BY d) AS sax_word
+    FROM sym GROUP BY 1
+"""
+
+
+@register(
+    "x169_sax_rank_symbolization",
+    "SAX-style symbolization of each event type's daily-spend series: "
+    "every day is mapped to one of 4 symbols by its QUARTILE within "
+    "the type (ntile over the per-type ordering, ties broken by day "
+    "for a total order both dialects agree on), and the symbols "
+    "concatenate in day order into the type's motif word — the "
+    "discretization that makes time-series motif/anomaly mining a "
+    "plain string problem (grep for 'dddd' = a sustained top-quartile "
+    "run). Rank-based breakpoints replace the classical z-normalized "
+    "Gaussian breakpoints deliberately: ranks need no mean/sigma "
+    "floats, so the word is hash-exact. Per-type windows only "
+    "(bounded by days-per-type); the order-aware concat is "
+    "array_sort over (day, symbol) structs — collect_list order is "
+    "NOT deterministic under retries, the w14 lesson.",
+    oracle=_SAX_ORACLE,
+    tags=("ext", "time-series", "sax", "symbolization"),
+)
+def x169_sax_rank_symbolization(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "d")
+    sym = daily.withColumn("tile", F.ntile(4).over(w)).withColumn(
+        "sym", F.substring(F.lit("abcd"), F.col("tile"), 1)
+    )
+    return sym.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "sym"))),
+                lambda s: s.sym,
+            ),
+            "",
+        ).alias("sax_word"),
+    )
