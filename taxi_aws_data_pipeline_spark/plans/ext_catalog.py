@@ -13079,3 +13079,191 @@ def x169_sax_rank_symbolization(spark: SparkSession, sf: str) -> DataFrame:
             "",
         ).alias("sax_word"),
     )
+
+
+_WELCH_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), mo AS (
+        SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s1,
+               sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS q1,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s2,
+               sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS q2
+        FROM per_user
+    ), v AS (
+        SELECT n1, n2, s1, s2,
+               (CAST(q1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n1 AS DOUBLE))
+               / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS vn1,
+               (CAST(q2 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  / CAST(n2 AS DOUBLE))
+               / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE) AS vn2
+        FROM mo
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_diff_cents,
+           (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / sqrt(vn1 + vn2) AS t_stat,
+           (vn1 + vn2) * (vn1 + vn2)
+           / (vn1 * vn1 / CAST(n1 - 1 AS DOUBLE)
+              + vn2 * vn2 / CAST(n2 - 1 AS DOUBLE)) AS welch_df
+    FROM v
+"""
+
+
+@register(
+    "a22_welch_t_test",
+    "Welch's unequal-variance t between the two md5-assigned arms' "
+    "per-user spend, with the Welch-Satterthwaite degrees of freedom — "
+    "the test the pooled z (x152) silently gets wrong when a treatment "
+    "changes the VARIANCE as well as the mean (common for revenue "
+    "metrics: a feature that converts whales shifts the tail, not the "
+    "median). Same exact int64 moment machinery as a20/x152 (cents "
+    "keep sums order-free); per-arm variance-over-n terms close in one "
+    "character-identical IEEE shape per dialect, and both t and df are "
+    "pure +-*/sqrt compositions of those two terms, so the whole "
+    "surface hash-verifies. One grouped pass, six moments, one row.",
+    oracle=_WELCH_ORACLE,
+    tags=("ext", "ab-test", "welch", "exact-stats"),
+)
+def a22_welch_t_test(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy(
+        "user_id",
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    a0 = F.when(F.col("arm") == 0, 1).otherwise(0)
+    a1 = F.when(F.col("arm") == 1, 1).otherwise(0)
+    mo = per_user.agg(
+        F.sum(a0).alias("n1"),
+        F.sum(a0 * F.col("cents")).alias("s1"),
+        F.sum(a0 * F.col("cents") * F.col("cents")).alias("q1"),
+        F.sum(a1).alias("n2"),
+        F.sum(a1 * F.col("cents")).alias("s2"),
+        F.sum(a1 * F.col("cents") * F.col("cents")).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vn1 = (
+        (d("q1") - d("s1") * d("s1") / d("n1"))
+        / (F.col("n1") - 1).cast("double")
+        / d("n1")
+    )
+    vn2 = (
+        (d("q2") - d("s2") * d("s2") / d("n2"))
+        / (F.col("n2") - 1).cast("double")
+        / d("n2")
+    )
+    v = mo.select(
+        "n1", "n2", "s1", "s2", vn1.alias("vn1"), vn2.alias("vn2")
+    )
+    diff = F.col("s2").cast("double") / F.col("n2").cast("double") - F.col(
+        "s1"
+    ).cast("double") / F.col("n1").cast("double")
+    return v.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        diff.alias("mean_diff_cents"),
+        (diff / F.sqrt(F.col("vn1") + F.col("vn2"))).alias("t_stat"),
+        (
+            (F.col("vn1") + F.col("vn2")) * (F.col("vn1") + F.col("vn2"))
+            / (
+                F.col("vn1") * F.col("vn1")
+                / (F.col("n1") - 1).cast("double")
+                + F.col("vn2") * F.col("vn2")
+                / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
+
+
+_ROLLING_BAND_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), rolled AS (
+        SELECT event_type, d, cents,
+               sum(cents) OVER w AS sum7,
+               sum(cents * cents) OVER w AS sumsq7,
+               count(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(sum7 AS BIGINT) AS sum7,
+           CASE WHEN (7 * cents - sum7) * (7 * cents - sum7)
+                     > 4 * (7 * sumsq7 - sum7 * sum7)
+                THEN CASE WHEN 7 * cents > sum7 THEN 1 ELSE -1 END
+                ELSE 0 END AS band_breach
+    FROM rolled WHERE n7 = 7
+"""
+
+
+@register(
+    "w22_rolling_band_outliers",
+    "Bollinger-style rolling-band breach detection on each event "
+    "type's daily spend: a day breaches when it sits more than 2 "
+    "rolling standard deviations from its own trailing-7-day mean — "
+    "the volatility-adaptive alarm that a fixed threshold or a "
+    "global z (x109) cannot give, because quiet types get tight "
+    "bands and noisy types wide ones automatically. The 2-sigma test "
+    "is the cross-multiplied INTEGER inequality (7x - sum7)^2 > "
+    "4*(7*sumsq7 - sum7^2) — mean and sigma are never materialized "
+    "as floats, so breach flags and their signs are hash-exact "
+    "(int64 headroom verified: per-day cents through sf0.1 keep the "
+    "squared terms under 2^60). One daily groupBy, one per-type "
+    "trailing ROWS frame carrying (sum, sumsq, count) — the "
+    "mergeable-moments idiom of w15/w18; partial windows are "
+    "excluded by the count, not by fragile date arithmetic.",
+    oracle=_ROLLING_BAND_ORACLE,
+    tags=("ext", "rolling-window", "outliers", "exact-stats"),
+)
+def w22_rolling_band_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.sum("cents").over(w).alias("sum7"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sumsq7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    dev = 7 * F.col("cents") - F.col("sum7")
+    breach = F.when(
+        dev * dev > 4 * (7 * F.col("sumsq7") - F.col("sum7") * F.col("sum7")),
+        F.when(dev > 0, 1).otherwise(-1),
+    ).otherwise(0)
+    return rolled.filter(F.col("n7") == 7).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("sum7").cast("long").alias("sum7"),
+        breach.alias("band_breach"),
+    )
