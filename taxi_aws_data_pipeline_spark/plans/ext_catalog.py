@@ -13267,3 +13267,160 @@ def w22_rolling_band_outliers(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum7").cast("long").alias("sum7"),
         breach.alias("band_breach"),
     )
+
+
+_ASPECT_LADDER = (
+    # idx, bucket, bw, bh, wgt(=144/bh), tw, th
+    (1, "1:1", 1, 1, 144, 512, 512),
+    (2, "4:3", 4, 3, 48, 592, 444),
+    (3, "3:4", 3, 4, 36, 444, 592),
+    (4, "16:9", 16, 9, 9, 608, 342),
+    (5, "9:16", 9, 16, 16, 342, 608),
+)
+
+_ASPECT_LADDER_SQL = ", ".join(
+    f"({i}, '{b}', {bw}, {bh}, {wgt}, {tw}, {th})"
+    for i, b, bw, bh, wgt, tw, th in _ASPECT_LADDER
+)
+
+_RESIZE_PLAN_ORACLE = f"""
+    WITH img AS (
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'png'
+                    WHEN doc_id % 5 = 1 THEN 'gif' ELSE 'jpeg' END AS format,
+               CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 2033
+                    WHEN doc_id % 5 = 1 THEN 1 + doc_id % 499
+                    ELSE 1 + doc_id % 1999 END AS w,
+               CASE WHEN doc_id % 5 = 0 THEN 1 + (doc_id // 7) % 1021
+                    WHEN doc_id % 5 = 1 THEN 1 + (doc_id // 3) % 307
+                    ELSE 1 + (doc_id // 11) % 1499 END AS h
+        FROM documents
+        WHERE doc_id % 5 IN (0, 1, 4) AND doc_id % 29 <> 0
+    ), pick AS (
+        SELECT i.*, l.*,
+               row_number() OVER (PARTITION BY i.asset_id ORDER BY
+                   abs(i.w * l.bh - i.h * l.bw) * l.wgt, l.idx) AS rn
+        FROM img i CROSS JOIN (VALUES {_ASPECT_LADDER_SQL})
+             AS l(idx, bucket, bw, bh, wgt, tw, th)
+    )
+    SELECT asset_id, format,
+           CAST(w AS BIGINT) AS probe_width,
+           CAST(h AS BIGINT) AS probe_height,
+           bucket,
+           CAST(tw AS BIGINT) AS target_w, CAST(th AS BIGINT) AS target_h,
+           CAST(CASE WHEN tw * h >= th * w
+                     THEN tw ELSE (w * th + h - 1) // h END AS BIGINT)
+               AS resized_w,
+           CAST(CASE WHEN tw * h >= th * w
+                     THEN (h * tw + w - 1) // w ELSE th END AS BIGINT)
+               AS resized_h,
+           CAST(CASE WHEN tw * h >= th * w
+                     THEN 0 ELSE ((w * th + h - 1) // h - tw) // 2
+                END AS BIGINT) AS crop_x,
+           CAST(CASE WHEN tw * h >= th * w
+                     THEN ((h * tw + w - 1) // w - th) // 2 ELSE 0
+                END AS BIGINT) AS crop_y
+    FROM pick WHERE rn = 1
+"""
+
+
+@register(
+    "x170_aspect_bucket_resize_plan",
+    "Aspect-ratio bucketing + resize/center-crop geometry for a vision "
+    "training pipeline: every probed image is assigned the closest of "
+    "5 canonical aspect buckets (1:1, 4:3, 3:4, 16:9, 9:16 — the "
+    "bucketed-batching trick that lets a trainer batch same-shape "
+    "tensors without destructive square cropping), then the EXACT "
+    "cover-scale + center-crop geometry for its bucket's target box "
+    "is computed relationally. Bucket choice is an integer argmin — "
+    "|w*bh - h*bw| weighted by 144/bh puts all 5 ratio distances on "
+    "one common denominator, no float ratios — and the geometry is "
+    "ceil-division arithmetic, so the whole plan hash-verifies. The "
+    "dims come from the REAL byte-level header parsers over the "
+    "x81-style SQL-constructed PNG/GIF/JPEG containers (one Arrow "
+    "mapInPandas pass), so this is the actual decode-free front half "
+    "of a resize job: at scale the plan rows ship to the pixel "
+    "workers and every shuffle-free stage stays a projection; the "
+    "5-row ladder is a broadcast cross join, the per-asset argmin a "
+    "5-row window.",
+    oracle=_RESIZE_PLAN_ORACLE,
+    tags=("ext", "multimodal", "resize", "aspect-bucket", "mapInPandas"),
+)
+def x170_aspect_bucket_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = F.col("doc_id")
+    m = d % 5
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        _be32(F.lit(1) + d % 2033),
+        _be32(F.lit(1) + F.floor(d / 7) % 1021),
+    )
+    gif = F.concat(
+        F.lit("474946383961"),
+        _le16(F.lit(1) + d % 499),
+        _le16(F.lit(1) + F.floor(d / 3) % 307),
+    )
+    jpeg = F.concat(
+        F.lit("FFD8FFC0"),
+        F.lit("000B"),
+        F.lit("08"),
+        _be16(F.lit(1) + F.floor(d / 11) % 1499),
+        _be16(F.lit(1) + d % 1999),
+    )
+    assets = (
+        load_table(spark, sf, "documents")
+        .filter(m.isin(0, 1, 4) & (d % 29 != 0))
+        .select(
+            d.alias("asset_id"),
+            F.unhex(F.when(m == 0, png).when(m == 1, gif).otherwise(jpeg))
+            .alias("content"),
+        )
+    )
+    img = MM.probe_image_dimensions(assets).select(
+        "asset_id",
+        "format",
+        F.col("probe_width").cast("long").alias("w"),
+        F.col("probe_height").cast("long").alias("h"),
+    )
+    ladder = spark.createDataFrame(
+        list(_ASPECT_LADDER),
+        "idx INT, bucket STRING, bw INT, bh INT, wgt INT, tw INT, th INT",
+    )
+    pick = img.crossJoin(F.broadcast(ladder))
+    w_min = Window.partitionBy("asset_id").orderBy(
+        F.abs(F.col("w") * F.col("bh") - F.col("h") * F.col("bw"))
+        * F.col("wgt"),
+        "idx",
+    )
+    chosen = pick.withColumn("rn", F.row_number().over(w_min)).filter(
+        F.col("rn") == 1
+    )
+    wide = F.col("tw") * F.col("h") >= F.col("th") * F.col("w")
+    rh_when_wide = F.expr("(h * tw + w - 1) DIV w")
+    rw_when_tall = F.expr("(w * th + h - 1) DIV h")
+    return chosen.select(
+        "asset_id",
+        "format",
+        F.col("w").alias("probe_width"),
+        F.col("h").alias("probe_height"),
+        "bucket",
+        F.col("tw").cast("long").alias("target_w"),
+        F.col("th").cast("long").alias("target_h"),
+        F.when(wide, F.col("tw").cast("long"))
+        .otherwise(rw_when_tall)
+        .cast("long")
+        .alias("resized_w"),
+        F.when(wide, rh_when_wide)
+        .otherwise(F.col("th").cast("long"))
+        .cast("long")
+        .alias("resized_h"),
+        F.when(wide, F.lit(0).cast("long"))
+        .otherwise(F.expr("((w * th + h - 1) DIV h - tw) DIV 2"))
+        .cast("long")
+        .alias("crop_x"),
+        F.when(wide, F.expr("((h * tw + w - 1) DIV w - th) DIV 2"))
+        .otherwise(F.lit(0).cast("long"))
+        .cast("long")
+        .alias("crop_y"),
+    )
