@@ -13424,3 +13424,71 @@ def x170_aspect_bucket_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("crop_y"),
     )
+
+
+_FRAME_PLAN_ORACLE = """
+    WITH vid AS (
+        SELECT doc_id AS asset_id,
+               ((1 + doc_id % 100000) * 1000) // 600 AS dur_ms,
+               CAST(160 * (1 + doc_id % 8) AS BIGINT) AS width,
+               CAST(120 * (1 + doc_id % 6) AS BIGINT) AS height
+        FROM documents
+        WHERE doc_id % 5 = 3 AND doc_id % 29 <> 0
+    )
+    SELECT asset_id,
+           CAST(unnest(range(0, greatest(dur_ms - 1, 0) + 1, 1000))
+                AS BIGINT) AS frame_ts_ms,
+           width, height
+    FROM vid
+"""
+
+
+@register(
+    "x171_video_frame_sample_plan",
+    "Video frame-sampling fan-out: probe each ISO-BMFF container's "
+    "duration from raw bytes (real mvhd timescale/duration parse via "
+    "one Arrow mapInPandas pass — x81's video probe), then explode a "
+    "1-per-second frame-timestamp plan per asset with its declared "
+    "raster dims riding along — the exact shape a 100 TB video corpus "
+    "fans out to frame granularity WITHOUT touching pixel data: the "
+    "plan rows (asset, ts, dims) ship to decode workers, and the "
+    "sequence+explode stays a zero-shuffle projection whose output "
+    "scales with total video seconds, not blob bytes. Duration's "
+    "closed form ((1 + id % 1e5) * 1000 DIV 600) replays the mvhd "
+    "units-to-ms conversion in SQL, so the byte layout, the parser, "
+    "AND the sampling arithmetic all sit under the hash.",
+    oracle=_FRAME_PLAN_ORACLE,
+    tags=("ext", "multimodal", "video", "frame-sample", "mapInPandas"),
+)
+def x171_video_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    mp4 = F.concat(
+        F.lit("0000001066747970"), F.lit("69736F6D"), F.lit("00000000"),
+        F.lit("000000246D6F6F76"),
+        F.lit("0000001C6D766864"), F.lit("00000000"),
+        F.lit("0000000000000000"),
+        _be32(F.lit(600)),
+        _be32(F.lit(1) + d % 100000),
+    )
+    assets = (
+        load_table(spark, sf, "documents")
+        .filter((d % 5 == 3) & (d % 29 != 0))
+        .select(
+            d.alias("asset_id"),
+            F.unhex(mp4).alias("content"),
+            (160 * (F.lit(1) + d % 8)).cast("long").alias("width"),
+            (120 * (F.lit(1) + d % 6)).cast("long").alias("height"),
+        )
+    )
+    probed = MM.probe_video_metadata(
+        assets.select("asset_id", "content")
+    ).select("asset_id", F.col("probe_duration_ms").alias("duration_ms"))
+    vid = assets.select("asset_id", "width", "height").join(
+        probed, "asset_id"
+    ).withColumn("media_type", F.lit("video"))
+    return MM.frame_sample_plan(vid, every_ms=1000).select(
+        "asset_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        "width",
+        "height",
+    )
