@@ -13492,3 +13492,197 @@ def x171_video_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
         "width",
         "height",
     )
+
+
+_KENDALL_RANKINGS_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
+    ), semk AS (
+        SELECT probe_id, doc_id, rnk FROM (
+            SELECT probe_id, vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY {sql_cosine('pv', 'v')} DESC, vec_id
+                   ) AS rnk
+            FROM p JOIN c ON c.vec_id <> p.probe_id
+        ) WHERE rnk <= 10
+    ), dsh AS (
+        SELECT doc_id, {sql_shingles('text')} AS sh FROM documents
+    ), psh AS (
+        SELECT doc_id AS probe_id, sh AS ps FROM dsh WHERE doc_id < 8
+    ), lexk AS (
+        SELECT probe_id, doc_id, lrk FROM (
+            SELECT p.probe_id, d.doc_id,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY len(list_intersect(p.ps, d.sh)) * 1000000
+                           // (len(p.ps) + len(d.sh)
+                               - len(list_intersect(p.ps, d.sh))) DESC,
+                           d.doc_id
+                   ) AS lrk
+            FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+        ) WHERE lrk <= 10
+    ), common AS (
+        SELECT s.probe_id, s.doc_id, s.rnk AS srk, l.lrk
+        FROM semk s JOIN lexk l
+          ON l.probe_id = s.probe_id AND l.doc_id = s.doc_id
+    ), pairs AS (
+        SELECT a.probe_id,
+               CASE WHEN (a.lrk - b.lrk) * (a.srk - b.srk) > 0
+                    THEN 1 ELSE 0 END AS conc
+        FROM common a JOIN common b
+          ON a.probe_id = b.probe_id AND a.doc_id < b.doc_id
+    )
+    SELECT s.probe_id,
+           CAST(COALESCE(ca.n_common, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(pa.concordant, 0) AS BIGINT) AS concordant,
+           CAST(COALESCE(pa.discordant, 0) AS BIGINT) AS discordant,
+           CAST(CASE WHEN COALESCE(ca.n_common, 0) >= 2
+                THEN (COALESCE(pa.concordant, 0)
+                      - COALESCE(pa.discordant, 0)) * 1000000
+                     // (COALESCE(pa.concordant, 0)
+                         + COALESCE(pa.discordant, 0))
+                END AS BIGINT) AS tau_ppm
+    FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 8) s
+    LEFT JOIN (
+        SELECT probe_id, count(*) AS n_common FROM common GROUP BY 1
+    ) ca ON ca.probe_id = s.probe_id
+    LEFT JOIN (
+        SELECT probe_id, sum(conc) AS concordant,
+               sum(1 - conc) AS discordant
+        FROM pairs GROUP BY 1
+    ) pa ON pa.probe_id = s.probe_id
+"""
+
+
+@register(
+    "x172_kendall_tau_rankings",
+    "Kendall-tau agreement between the lexical (shingle-Jaccard) and "
+    "semantic (cosine) top-10 rankings per probe — the "
+    "retrieval-systems diagnostic that x162/x163/x164 don't answer: "
+    "those score ONE ranking against a relevant set; tau asks whether "
+    "the two rankers ORDER the shared candidates the same way, which "
+    "is what decides if hybrid fusion (x142's RRF) can add anything "
+    "(tau near 1 = redundant rankers, fusion is wasted; tau near 0 = "
+    "complementary evidence). Pure integer: concordant/discordant "
+    "pair counts over the <=10-item intersection (<=45 pairs/probe, "
+    "a bounded self-join keyed on probe), tau in ppm by integer DIV. "
+    "Shares the x162-family broadcast cosine + shingle machinery.",
+    oracle=_KENDALL_RANKINGS_ORACLE,
+    tags=("ext", "ranking-eval", "kendall-tau", "exact-stats"),
+)
+def x172_kendall_tau_rankings(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    cos = (
+        F.broadcast(probes)
+        .join(corpus, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+        )
+    )
+    w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
+    semk = (
+        cos.withColumn("srk", F.row_number().over(w_sem))
+        .filter(F.col("srk") <= 10)
+        .select("probe_id", "doc_id", "srk")
+    )
+    docs = load_table(spark, sf, "documents")
+    dsh = docs.select("doc_id", X.word_shingles(F.col("text")).alias("sh"))
+    pex = dsh.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("probe_id"),
+        F.size("sh").alias("na"),
+        F.explode("sh").alias("g"),
+    )
+    dex = dsh.select(
+        "doc_id", F.size("sh").alias("nb"), F.explode("sh").alias("g")
+    )
+    gains = (
+        F.broadcast(pex)
+        .join(dex, "g")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.expr("inter * 1000000 DIV (na + nb - inter)").alias("gain_ppm"),
+        )
+    )
+    w_lex = Window.partitionBy("probe_id").orderBy(
+        F.desc("gain_ppm"), "doc_id"
+    )
+    lexk = (
+        gains.withColumn("lrk", F.row_number().over(w_lex))
+        .filter(F.col("lrk") <= 10)
+        .select("probe_id", "doc_id", "lrk")
+    )
+    common = semk.join(lexk, ["probe_id", "doc_id"])
+    a = common.select(
+        "probe_id",
+        F.col("doc_id").alias("doc_a"),
+        F.col("srk").alias("srk_a"),
+        F.col("lrk").alias("lrk_a"),
+    )
+    b = common.select(
+        "probe_id",
+        F.col("doc_id").alias("doc_b"),
+        F.col("srk").alias("srk_b"),
+        F.col("lrk").alias("lrk_b"),
+    )
+    pairs = (
+        a.join(b, "probe_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "probe_id",
+            F.when(
+                (F.col("lrk_a") - F.col("lrk_b"))
+                * (F.col("srk_a") - F.col("srk_b"))
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("conc"),
+        )
+    )
+    per_pairs = pairs.groupBy("probe_id").agg(
+        F.sum("conc").alias("concordant"),
+        F.sum(1 - F.col("conc")).alias("discordant"),
+    )
+    per_common = common.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    spine = probes.select("probe_id")
+    joined = (
+        spine.join(per_common, "probe_id", "left")
+        .join(per_pairs, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce("concordant", F.lit(0))
+            .cast("long")
+            .alias("concordant"),
+            F.coalesce("discordant", F.lit(0))
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+    return joined.withColumn(
+        "tau_ppm",
+        F.when(
+            F.col("n_common") >= 2,
+            F.expr(
+                "(concordant - discordant) * 1000000 "
+                "DIV (concordant + discordant)"
+            ),
+        ).cast("long"),
+    )
