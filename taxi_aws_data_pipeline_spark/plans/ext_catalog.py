@@ -13686,3 +13686,107 @@ def x172_kendall_tau_rankings(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).cast("long"),
     )
+
+
+_JOIN_ORDER_ORACLE = """
+    WITH st AS (
+        SELECT (SELECT count(*) FROM orders) AS n_o,
+               (SELECT count(DISTINCT o_custkey) FROM orders) AS d_oc,
+               (SELECT count(*) FROM customer) AS n_c,
+               (SELECT count(DISTINCT c_custkey) FROM customer) AS d_cc,
+               (SELECT count(DISTINCT c_nationkey) FROM customer) AS d_cn,
+               (SELECT count(*) FROM nation) AS n_n,
+               (SELECT count(DISTINCT n_nationkey) FROM nation) AS d_nn
+    ), plans AS (
+        SELECT 'customer_orders_then_nation' AS plan,
+               n_o * n_c // greatest(d_oc, d_cc) AS e1,
+               (n_o * n_c // greatest(d_oc, d_cc)) * n_n
+                   // greatest(d_cn, d_nn) AS e2
+        FROM st
+        UNION ALL
+        SELECT 'customer_nation_then_orders',
+               n_c * n_n // greatest(d_cn, d_nn),
+               (n_c * n_n // greatest(d_cn, d_nn)) * n_o
+                   // greatest(d_oc, d_cc)
+        FROM st
+        UNION ALL
+        SELECT 'orders_cross_nation_then_customer',
+               n_o * n_n,
+               (n_o * n_n) * n_c
+                   // (greatest(d_oc, d_cc) * greatest(d_cn, d_nn))
+        FROM st
+    )
+    SELECT plan,
+           CAST(e1 AS BIGINT) AS est_intermediate,
+           CAST(e2 AS BIGINT) AS est_final,
+           CAST(e1 + e2 AS BIGINT) AS cost,
+           CAST(row_number() OVER (ORDER BY e1 + e2, plan) AS BIGINT)
+               AS cost_rank
+    FROM plans
+"""
+
+
+@register(
+    "z7_join_order_cost_rank",
+    "System-R-style join-order cost advisor computed FROM live table "
+    "statistics: cardinalities and join-key NDVs feed the classical "
+    "|R||S|/max(ndv_R, ndv_S) estimator, three candidate orders for "
+    "the customer-orders-nation star (the two linear orders plus the "
+    "cartesian-first straw man) are costed as the sum of estimated "
+    "intermediates, and ranked. This materializes the reasoning "
+    "Catalyst's CBO performs internally as an auditable relational "
+    "surface — the k5 cardinality estimate generalized from one join "
+    "to plan comparison, and the documentation for WHY the engine's "
+    "own chosen order (j1's star join) is the cheap one. All integer "
+    "(counts, exact NDVs, integer DIV); the stats pass is three "
+    "single-row aggregates over pruned single-column scans, then "
+    "3-row arithmetic — nothing scales with data beyond the stats "
+    "scan itself, exactly like a real optimizer's stats collection.",
+    oracle=_JOIN_ORDER_ORACLE,
+    tags=("ext", "optimizer", "cost-model", "advisor"),
+)
+def z7_join_order_cost_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders").agg(
+        F.count(F.lit(1)).alias("n_o"),
+        F.countDistinct("o_custkey").alias("d_oc"),
+    )
+    c = load_table(spark, sf, "customer").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.countDistinct("c_custkey").alias("d_cc"),
+        F.countDistinct("c_nationkey").alias("d_cn"),
+    )
+    n = load_table(spark, sf, "nation").agg(
+        F.count(F.lit(1)).alias("n_n"),
+        F.countDistinct("n_nationkey").alias("d_nn"),
+    )
+    st = o.crossJoin(c).crossJoin(n)
+    plans = st.selectExpr(
+        """
+        stack(3,
+            'customer_orders_then_nation',
+            n_o * n_c DIV greatest(d_oc, d_cc),
+            (n_o * n_c DIV greatest(d_oc, d_cc)) * n_n
+                DIV greatest(d_cn, d_nn),
+            'customer_nation_then_orders',
+            n_c * n_n DIV greatest(d_cn, d_nn),
+            (n_c * n_n DIV greatest(d_cn, d_nn)) * n_o
+                DIV greatest(d_oc, d_cc),
+            'orders_cross_nation_then_customer',
+            n_o * n_n,
+            (n_o * n_n) * n_c
+                DIV (greatest(d_oc, d_cc) * greatest(d_cn, d_nn))
+        ) AS (plan, e1, e2)
+        """
+    )
+    return plans.select(
+        "plan",
+        F.col("e1").cast("long").alias("est_intermediate"),
+        F.col("e2").cast("long").alias("est_final"),
+        (F.col("e1") + F.col("e2")).cast("long").alias("cost"),
+        F.row_number()
+        .over(Window.orderBy(F.col("e1") + F.col("e2"), "plan"))
+        .cast("long")
+        .alias("cost_rank"),
+    )
