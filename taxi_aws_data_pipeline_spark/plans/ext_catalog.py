@@ -13790,3 +13790,163 @@ def z7_join_order_cost_rank(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cost_rank"),
     )
+
+
+_CURRICULUM_ORACLE = """
+    WITH src AS (
+        SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx,
+               count(*) OVER () AS n_sources
+        FROM (SELECT DISTINCT source FROM documents)
+    ), ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY d.n_chars DESC, d.doc_id)
+                   AS src_rank
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.src_rank AS BIGINT) AS src_rank,
+           CAST((r.src_rank - 1) * s.n_sources + s.src_idx AS BIGINT)
+               AS interleave_pos
+    FROM ranked r JOIN src s USING (source)
+"""
+
+
+@register(
+    "x173_curriculum_interleave",
+    "Deterministic curriculum interleave: rank documents within each "
+    "source by a difficulty/quality proxy (n_chars desc), then place "
+    "them on a GLOBAL round-robin order via the closed form "
+    "(src_rank-1)*n_sources + src_idx — every source's best document "
+    "first, round by round, the source-balanced ordering curriculum "
+    "training and mixture preview both want. The closed form is the "
+    "scale point: a naive global row_number over the interleave sort "
+    "key is an Exchange SinglePartition (the x87 lesson); this "
+    "computes the position ARITHMETICALLY from the per-source rank "
+    "and a broadcast source index, so the plan is per-source windows "
+    "+ a tiny dim join, fully parallel. Positions are gap-tolerant "
+    "by design (a source that exhausts leaves its slots empty — "
+    "order is preserved, density is not claimed); consumers sort by "
+    "interleave_pos, they don't index by it.",
+    oracle=_CURRICULUM_ORACLE,
+    tags=("ext", "curriculum", "interleave", "training-data"),
+)
+def x173_curriculum_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    src = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+        .withColumn("n_sources", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    ranked = docs.withColumn(
+        "src_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.desc("n_chars"), "doc_id"
+            )
+        ),
+    )
+    return ranked.join(F.broadcast(src), "source").select(
+        "doc_id",
+        "source",
+        F.col("src_rank").cast("long").alias("src_rank"),
+        (
+            (F.col("src_rank") - 1) * F.col("n_sources") + F.col("src_idx")
+        )
+        .cast("long")
+        .alias("interleave_pos"),
+    )
+
+
+_TEMPORAL_SPLIT_ORACLE = """
+    WITH tagged AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+                    WHEN ts < TIMESTAMP '2024-01-26' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events
+    ), stats AS (
+        SELECT split,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                   AS total_cents
+        FROM tagged GROUP BY 1
+    ), overlap AS (
+        SELECT split,
+               count(DISTINCT CASE WHEN seen_in_train THEN user_id END)
+                   AS n_users_seen_in_train
+        FROM (
+            SELECT t.split, t.user_id,
+                   t.user_id IN (SELECT DISTINCT user_id FROM tagged
+                                 WHERE split = 'train') AS seen_in_train
+            FROM tagged t
+        ) GROUP BY 1
+    )
+    SELECT s.split,
+           CAST(s.n_events AS BIGINT) AS n_events,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           CAST(s.total_cents AS BIGINT) AS total_cents,
+           CAST(o.n_users_seen_in_train AS BIGINT) AS n_users_seen_in_train
+    FROM stats s JOIN overlap o USING (split)
+"""
+
+
+@register(
+    "x174_temporal_split_audit",
+    "Time-based train/val/test split with the leakage audit a "
+    "forecasting or recommendation pipeline needs BEFORE training: "
+    "events partition by fixed time boundaries (the only split that "
+    "respects causality — x52's group-hash split prevents entity "
+    "leakage but still lets the model peek at the future), and the "
+    "audit reports, per split, how many of its users also appear in "
+    "train — the overlap that decides whether eval measures "
+    "generalization to returning users or to cold-start users. "
+    "One tag projection (pushdown-friendly timestamp range "
+    "predicates), one grouped multi-aggregate, and one broadcast "
+    "semi-join of the bounded distinct-user set for the overlap "
+    "flag; output is 3 rows at any event volume.",
+    oracle=_TEMPORAL_SPLIT_ORACLE,
+    tags=("ext", "split", "leakage-audit", "training-data"),
+)
+def x174_temporal_split_audit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-20").cast("timestamp"), "train")
+        .when(F.col("ts") < F.lit("2024-01-26").cast("timestamp"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train_users = (
+        tagged.filter(F.col("split") == "train").select("user_id").distinct()
+    )
+    flagged = tagged.join(
+        F.broadcast(train_users.withColumn("seen_in_train", F.lit(1))),
+        "user_id",
+        "left",
+    )
+    return flagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("total_cents"),
+        F.countDistinct(
+            F.when(F.col("seen_in_train") == 1, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_users_seen_in_train"),
+    )
