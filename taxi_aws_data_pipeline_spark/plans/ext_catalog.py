@@ -13950,3 +13950,183 @@ def x174_temporal_split_audit(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_users_seen_in_train"),
     )
+
+
+_TWAP_ORACLE = """
+    WITH obs AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), paired AS (
+        SELECT user_id, cents, t_us,
+               lead(cents) OVER w AS next_cents,
+               lead(t_us) OVER w AS next_t
+        FROM obs
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_samples,
+           CAST(max(next_t) - min(t_us) AS BIGINT) AS span_us,
+           CAST(sum((cents + next_cents) * (next_t - t_us)) AS BIGINT)
+               AS twap_num_x2,
+           CAST(sum((cents + next_cents) * (next_t - t_us)) AS DOUBLE)
+           / (2e0 * CAST(max(next_t) - min(t_us) AS DOUBLE)) AS twap_cents
+    FROM paired WHERE next_t IS NOT NULL
+    GROUP BY 1
+"""
+
+
+@register(
+    "w23_time_weighted_average",
+    "Time-weighted average (trapezoidal TWAP) of each user's value "
+    "series: irregular samples mean a plain mean over-weights bursty "
+    "periods; the trapezoid integral sum((v_i + v_{i+1}) * dt) / "
+    "(2 * span) weights each level by how LONG it held — the standard "
+    "estimator for balances, prices, and gauge metrics sampled on "
+    "activity. Exact machinery: timestamps as integer epoch "
+    "microseconds (unix_micros ≡ DuckDB epoch_us, verified "
+    "value-for-value on the nanos-normalized read edge), values as "
+    "cents, so the doubled numerator and the span are int64 and only "
+    "the final ratio is a (single-shape, hash-stable) float. One "
+    "per-user lead window, one grouped sum — shuffles once on "
+    "user_id; int64 headroom holds through sf0.1's worst "
+    "cents x month-of-microseconds pair (~5e17 < 2^63).",
+    oracle=_TWAP_ORACLE,
+    tags=("ext", "time-series", "twap", "exact-stats"),
+)
+def w23_time_weighted_average(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    obs = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    paired = obs.select(
+        "user_id",
+        "cents",
+        "t_us",
+        F.lead("cents").over(w).alias("next_cents"),
+        F.lead("t_us").over(w).alias("next_t"),
+    ).filter(F.col("next_t").isNotNull())
+    num = F.sum(
+        (F.col("cents") + F.col("next_cents"))
+        * (F.col("next_t") - F.col("t_us"))
+    )
+    span = F.max("next_t") - F.min("t_us")
+    return paired.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_samples"),
+        span.cast("long").alias("span_us"),
+        num.cast("long").alias("twap_num_x2"),
+        (num.cast("double") / (F.lit(2.0) * span.cast("double"))).alias(
+            "twap_cents"
+        ),
+    )
+
+
+_RENDEZVOUS_ORACLE = f"""
+    WITH workers8 AS (
+        SELECT 'w' || CAST(i AS VARCHAR) AS worker FROM range(8) t(i)
+    ), a8 AS (
+        SELECT doc_id, worker FROM (
+            SELECT d.doc_id, w.worker,
+                   row_number() OVER (PARTITION BY d.doc_id ORDER BY
+                       {SQL_H.format(s="CAST(d.doc_id AS VARCHAR) || '|' || w.worker")}
+                       DESC, w.worker) AS rn
+            FROM documents d CROSS JOIN workers8 w
+        ) WHERE rn = 1
+    ), a7 AS (
+        SELECT doc_id, worker FROM (
+            SELECT d.doc_id, w.worker,
+                   row_number() OVER (PARTITION BY d.doc_id ORDER BY
+                       {SQL_H.format(s="CAST(d.doc_id AS VARCHAR) || '|' || w.worker")}
+                       DESC, w.worker) AS rn
+            FROM documents d CROSS JOIN workers8 w
+            WHERE w.worker <> 'w7'
+        ) WHERE rn = 1
+    )
+    SELECT a7.worker,
+           CAST(COALESCE(c8.n, 0) AS BIGINT) AS n_docs_8w,
+           CAST(count(*) AS BIGINT) AS n_docs_7w,
+           CAST(sum(CASE WHEN a8.worker = 'w7' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inherited
+    FROM a7 JOIN a8 USING (doc_id)
+    LEFT JOIN (SELECT worker, count(*) AS n FROM a8 GROUP BY 1) c8
+      ON c8.worker = a7.worker
+    GROUP BY 1, c8.n
+"""
+
+
+@register(
+    "x175_rendezvous_sharding",
+    "Rendezvous (highest-random-weight) sharding with the "
+    "minimal-movement property made VISIBLE: every document scores "
+    "each worker by md5(doc|worker) and lands on its argmax; when "
+    "worker w7 is decommissioned, ONLY the documents it owned move "
+    "(each to its second-best worker) — the report shows per "
+    "surviving worker its 8-worker count, its 7-worker count, and "
+    "n_inherited, which by construction equals exactly the "
+    "difference (a structural invariant the hash check pins; "
+    "mod-N hashing would reshuffle ~7/8 of all docs instead). This "
+    "is the assignment layer for stateful shard maps — embedding "
+    "index shards, media cache nodes — where movement is the cost "
+    "that matters. Scale shape: worker list is a broadcast cross "
+    "join (8 rows), argmax an 8-row per-doc window; both "
+    "assignments are one pass each over the corpus, no shuffle "
+    "beyond the final bounded per-worker rollup.",
+    oracle=_RENDEZVOUS_ORACLE,
+    tags=("ext", "sharding", "rendezvous", "consistent-hashing"),
+)
+def x175_rendezvous_sharding(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    workers = spark.range(8).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("worker")
+    )
+
+    def assign(wdf: DataFrame) -> DataFrame:
+        scored = docs.crossJoin(F.broadcast(wdf)).withColumn(
+            "score",
+            X.base_hash(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("worker"),
+                )
+            ),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("score"), "worker"
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "worker")
+        )
+
+    a8 = assign(workers)
+    a7 = assign(workers.filter(F.col("worker") != "w7"))
+    c8 = a8.groupBy("worker").agg(F.count(F.lit(1)).alias("n8"))
+    joined = a7.join(
+        a8.select("doc_id", F.col("worker").alias("worker8")), "doc_id"
+    )
+    return (
+        joined.groupBy("worker")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_7w"),
+            F.sum(F.when(F.col("worker8") == "w7", 1).otherwise(0))
+            .cast("long")
+            .alias("n_inherited"),
+        )
+        .join(F.broadcast(c8), "worker", "left")
+        .select(
+            "worker",
+            F.coalesce("n8", F.lit(0)).cast("long").alias("n_docs_8w"),
+            "n_docs_7w",
+            "n_inherited",
+        )
+    )
