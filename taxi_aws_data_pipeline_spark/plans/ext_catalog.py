@@ -14130,3 +14130,96 @@ def x175_rendezvous_sharding(spark: SparkSession, sf: str) -> DataFrame:
             "n_inherited",
         )
     )
+
+
+_BINARYFILE_ORACLE = """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'png'
+                WHEN doc_id % 5 = 1 THEN 'gif' ELSE 'jpeg' END AS format,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 2033
+                     WHEN doc_id % 5 = 1 THEN 1 + doc_id % 499
+                     ELSE 1 + doc_id % 1999 END AS BIGINT) AS probe_width,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + (doc_id // 7) % 1021
+                     WHEN doc_id % 5 = 1 THEN 1 + (doc_id // 3) % 307
+                     ELSE 1 + (doc_id // 11) % 1499 END AS BIGINT)
+               AS probe_height,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 24
+                     WHEN doc_id % 5 = 1 THEN 10
+                     ELSE 11 END AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id % 5 IN (0, 1, 4) AND doc_id % 29 <> 0
+"""
+
+
+@register(
+    "x176_binaryfile_source_probe",
+    "Spark's `binaryFile` source driven end-to-end — the ingest path "
+    "a real multimodal corpus arrives on (a directory/bucket of blob "
+    "files, not a parquet binary column): deterministic PNG/GIF/JPEG "
+    "containers (x81's byte layouts) are written as individual "
+    "<asset_id>.<ext> files, read back through "
+    "spark.read.format('binaryFile') — which yields (path, "
+    "modificationTime, length, content) with distributed file "
+    "splitting — then asset ids are recovered from the path by "
+    "regexp and dimensions by the real byte-level header parsers "
+    "(one Arrow mapInPandas). The oracle's closed forms check id "
+    "recovery, every parsed dimension, AND the source-reported "
+    "`length` against the expected container size, so path "
+    "handling, listing metadata, and parsing are all under the "
+    "hash. Fixture files are written once driver-side (bounded "
+    "bytes, the same posture as x88/x89's temp-dir roundtrips); at "
+    "scale the identical plan reads an object-store prefix.",
+    oracle=_BINARYFILE_ORACLE,
+    tags=("ext", "multimodal", "source", "binaryFile", "mapInPandas"),
+)
+def x176_binaryfile_source_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import struct
+    import tempfile
+    from pathlib import Path
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") % 5).isin(0, 1, 4) & (F.col("doc_id") % 29 != 0))
+        .collect()
+    ]
+    root = Path(tempfile.mkdtemp(prefix="binsrc_"))
+    for i in ids:
+        m = i % 5
+        if m == 0:
+            w, h = 1 + i % 2033, 1 + (i // 7) % 1021
+            blob = (
+                bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+                + struct.pack(">II", w, h)
+            )
+            name = f"{i}.png"
+        elif m == 1:
+            w, h = 1 + i % 499, 1 + (i // 3) % 307
+            blob = bytes.fromhex("474946383961") + struct.pack("<HH", w, h)
+            name = f"{i}.gif"
+        else:
+            w, h = 1 + i % 1999, 1 + (i // 11) % 1499
+            blob = bytes.fromhex("FFD8FFC0000B08") + struct.pack(">HH", h, w)
+            name = f"{i}.jpg"
+        (root / name).write_bytes(blob)
+    files = spark.read.format("binaryFile").load(str(root))
+    assets = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.\w+$", 1)
+        .cast("long")
+        .alias("asset_id"),
+        F.col("length").alias("n_bytes"),
+        "content",
+    )
+    probed = MM.probe_image_dimensions(
+        assets.select("asset_id", "content")
+    )
+    return probed.join(
+        assets.select("asset_id", "n_bytes"), "asset_id"
+    ).select(
+        "asset_id",
+        "format",
+        F.col("probe_width").cast("long").alias("probe_width"),
+        F.col("probe_height").cast("long").alias("probe_height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
