@@ -14223,3 +14223,147 @@ def x176_binaryfile_source_probe(spark: SparkSession, sf: str) -> DataFrame:
         F.col("probe_height").cast("long").alias("probe_height"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
     )
+
+
+_SRM_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               count(*) AS n_events,
+               sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), mo AS (
+        SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN arm = 0 THEN n_events ELSE 0 END) AS ev_a,
+               sum(CASE WHEN arm = 1 THEN n_events ELSE 0 END) AS ev_b,
+               sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS cents_a,
+               sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS cents_b
+        FROM per_user
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(ev_a AS BIGINT) AS ev_a, CAST(ev_b AS BIGINT) AS ev_b,
+           CAST(cents_a AS BIGINT) AS cents_a,
+           CAST(cents_b AS BIGINT) AS cents_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+           / CAST(n_a + n_b AS DOUBLE) AS srm_chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+           / CAST(n_a + n_b AS DOUBLE) > 3.841459e0 AS srm_flag
+    FROM mo
+"""
+
+
+@register(
+    "a23_experiment_health_report",
+    "Experiment health gate run BEFORE any effect readout (a20/a21/"
+    "a22/x152 all assume it passed): per-arm unit counts, event "
+    "counts, and spend totals, plus the sample-ratio-mismatch "
+    "chi-square against the designed 50/50 split — the single "
+    "highest-yield validity check in experimentation practice, since "
+    "a biased assignment hash or a crash path that drops one arm's "
+    "telemetry invalidates every downstream p-value. For two cells "
+    "the chi-square closes to (n_a-n_b)^2/(n_a+n_b) — integer "
+    "numerator and denominator, one float division, one literal "
+    "threshold compare (3.841459 = chi2_0.95,df=1), all "
+    "hash-stable. One grouped pass over users, one row out.",
+    oracle=_SRM_ORACLE,
+    tags=("ext", "ab-test", "srm", "health-check"),
+)
+def a23_experiment_health_report(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+                "long"
+            )
+        ).alias("cents"),
+    )
+    a0 = F.when(F.col("arm") == 0, 1).otherwise(0)
+    a1 = F.when(F.col("arm") == 1, 1).otherwise(0)
+    mo = per_user.agg(
+        F.sum(a0).alias("n_a"),
+        F.sum(a1).alias("n_b"),
+        F.sum(a0 * F.col("n_events")).alias("ev_a"),
+        F.sum(a1 * F.col("n_events")).alias("ev_b"),
+        F.sum(a0 * F.col("cents")).alias("cents_a"),
+        F.sum(a1 * F.col("cents")).alias("cents_b"),
+    )
+    chi2 = (
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+        .cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return mo.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("ev_a").cast("long").alias("ev_a"),
+        F.col("ev_b").cast("long").alias("ev_b"),
+        F.col("cents_a").cast("long").alias("cents_a"),
+        F.col("cents_b").cast("long").alias("cents_b"),
+        chi2.alias("srm_chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
+
+
+_DIVERSIFIED_TOPK_ORACLE = """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS src_rk
+        FROM documents
+    ), capped AS (
+        SELECT * FROM ranked WHERE src_rk <= 2
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(src_rk AS BIGINT) AS src_rk,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS global_rk
+    FROM capped
+    ORDER BY global_rk LIMIT 20
+"""
+
+
+@register(
+    "x177_diversified_topk",
+    "Diversified global top-k: the 20 highest-scoring documents "
+    "subject to AT MOST 2 per source — the result-diversification "
+    "constraint search and retrieval overlays on any ranking so one "
+    "prolific source cannot monopolize the page (w3's top-k-per-"
+    "group guarantees every group appears; this is the dual — a "
+    "global list with per-group caps). Two stages, both scale-"
+    "correct: the per-source cap is a partitioned window (parallel "
+    "by source), and the global top-20 over the capped survivors is "
+    "orderBy+limit, which Spark executes as TakeOrderedAndProject — "
+    "per-partition heaps then a 20-row driver merge, never a full "
+    "global sort. The final global_rk over 20 rows is a trivial "
+    "window; ordering is total (score desc, doc_id) in both "
+    "dialects.",
+    oracle=_DIVERSIFIED_TOPK_ORACLE,
+    tags=("ext", "topk", "diversification", "ranking"),
+)
+def x177_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    ranked = docs.withColumn(
+        "src_rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+        ),
+    ).filter(F.col("src_rk") <= 2)
+    top = ranked.orderBy(F.desc("n_chars"), "doc_id").limit(20)
+    return top.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("src_rk").cast("long").alias("src_rk"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .cast("long")
+        .alias("global_rk"),
+    )
