@@ -14367,3 +14367,108 @@ def x177_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("global_rk"),
     )
+
+
+_VARIANT_ORACLE = """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+"""
+
+
+@register(
+    "e18_variant_json_shred",
+    "Semi-structured shredding through Spark 4's VARIANT type: "
+    "parse_json lifts the props payload into the binary variant "
+    "encoding once, variant_get extracts the typed field with a "
+    "JSONPath, and the extracted integer feeds a plain banded "
+    "rollup — the modern replacement for e15's schema-declared "
+    "from_json when the payload schema is open (variant defers "
+    "typing to extraction, so new keys don't invalidate the reader). "
+    "Catalyst pushes the single-field extraction into the scan "
+    "projection; the rollup is one grouped aggregate with bounded "
+    "output. Oracle shreds the same path via DuckDB's native JSON "
+    "extraction — two independent JSON engines agreeing on the "
+    "typed value under the hash.",
+    oracle=_VARIANT_ORACLE,
+    tags=("ext", "variant", "json", "semi-structured"),
+)
+def e18_variant_json_shred(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("props").isNotNull())
+    return (
+        ev.select(
+            F.expr(
+                "variant_get(parse_json(props), '$.k', 'bigint') DIV 10"
+            ).alias("k_band"),
+            "user_id",
+        )
+        .groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+def _kcore_round(prev: str, deg: str, keep: str, cur: str, k: int) -> str:
+    return f"""
+    {deg} AS (SELECT src, count(*) AS d FROM {prev} GROUP BY 1),
+    {keep} AS (SELECT src FROM {deg} WHERE d >= {k}),
+    {cur} AS (
+        SELECT e.src, e.dst FROM {prev} e
+        JOIN {keep} ka ON ka.src = e.src
+        JOIN {keep} kb ON kb.src = e.dst
+    )"""
+
+
+_KCORE_ORACLE = f"""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 45e0) a
+        JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45e0) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ),{_kcore_round('e0', 'd1', 'k1', 'e1', 22)},
+    {_kcore_round('e1', 'd2', 'k2', 'e2', 22)},
+    {_kcore_round('e2', 'd3', 'k3', 'e3', 22)}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e3 GROUP BY 1
+"""
+
+
+@register(
+    "x178_kcore_peeling",
+    "k-core decomposition by fixed-rounds peeling (k=22, 3 synchronous "
+    "rounds) on the high-quantity co-supply graph: repeatedly delete "
+    "every node whose current degree falls below k — what survives is "
+    "the densely-interconnected core, the standard prefilter for "
+    "community mining and fraud-ring detection (degree alone is "
+    "gameable; core membership requires your NEIGHBORS to be "
+    "well-connected too). Each round is one grouped degree count + "
+    "two semi-joins restricting the edge list — the same bounded "
+    "join-per-round shape as x84/x91/x138, with the round count a "
+    "documented cap (production peels to fixpoint with the x18 "
+    "convergence-check pattern; 3 rounds is exact on this graph and "
+    "keeps the oracle a finite CTE unroll). Symmetric edges mean "
+    "src-side degrees ARE node degrees; no dangling handling needed.",
+    oracle=_KCORE_ORACLE,
+    tags=("ext", "graph", "k-core", "fixed-rounds"),
+)
+def x178_kcore_peeling(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 45.0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    e = _cosupply_edges(li)
+    for _ in range(3):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 22).select("src")
+        e = e.join(keep, "src", "semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "semi"
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
