@@ -654,3 +654,35 @@ def test_x159_cuped_has_no_window(spark, sf_dir):
     # moment computation regressed to a per-row pass
     plan = _plan(spark, sf_dir, "x159_cuped_adjustment", "simple")
     assert "Window" not in plan
+
+
+def test_x173_interleave_has_no_single_partition_exchange(spark, sf_dir):
+    # the closed-form interleave position must avoid the global-window
+    # trap: per-source windows + a broadcast source dim only. The only
+    # tolerated SinglePartition is the tiny distinct-source dim's own
+    # numbering (bounded by source cardinality, not corpus size), so
+    # assert the FULL corpus path: the doc-bearing window is partitioned.
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    df = CATALOG["x173_curriculum_interleave"].spark(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # corpus-side window is keyed by source (parallel), and the source
+    # dim reaches the join as a broadcast, not a shuffle
+    assert "partitionBy=[source" in plan.replace(" ", "").replace(
+        "'", ""
+    ) or "[source#" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_x177_diversified_topk_uses_take_ordered(spark, sf_dir):
+    # the global top-20 over capped survivors must be the heap-merge
+    # TakeOrderedAndProject, never a full global Sort + Limit
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    df = CATALOG["x177_diversified_topk"].spark(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrdered" in plan
