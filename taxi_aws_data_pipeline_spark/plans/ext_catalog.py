@@ -14472,3 +14472,101 @@ def x178_kcore_peeling(spark: SparkSession, sf: str) -> DataFrame:
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
+
+
+_COVERAGE_PICKS_ORACLE = f"""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, unnest({sql_shingles('text')}) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g1 AS (SELECT doc_id, count(*) AS gain FROM dw GROUP BY 1),
+    p1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+    c1 AS (SELECT DISTINCT w FROM dw JOIN p1 USING (doc_id)),
+    g2 AS (
+        SELECT d.doc_id, count(*) AS gain
+        FROM dw d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM p1)
+          AND d.w NOT IN (SELECT w FROM c1)
+        GROUP BY 1
+    ),
+    p2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+    c2 AS (SELECT w FROM c1 UNION
+           SELECT DISTINCT w FROM dw JOIN p2 USING (doc_id)),
+    g3 AS (
+        SELECT d.doc_id, count(*) AS gain
+        FROM dw d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM p1
+                               UNION SELECT doc_id FROM p2)
+          AND d.w NOT IN (SELECT w FROM c2)
+        GROUP BY 1
+    ),
+    p3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1)
+    SELECT 1 AS pick_no, doc_id, CAST(gain AS BIGINT) AS new_words FROM p1
+    UNION ALL
+    SELECT 2, doc_id, CAST(gain AS BIGINT) FROM p2
+    UNION ALL
+    SELECT 3, doc_id, CAST(gain AS BIGINT) FROM p3
+"""
+
+
+@register(
+    "x179_greedy_coverage_picks",
+    "Greedy maximum-coverage selection, 3 unrolled rounds: pick the "
+    "document adding the most NOT-yet-covered vocabulary each round — "
+    "the classic (1-1/e)-approximate submodular-coverage greedy that "
+    "budgeted annotation, eval-set construction, and seed-corpus "
+    "selection all reduce to (naive top-k-by-richness picks 3 "
+    "near-duplicates of the same rich doc; marginal-gain greedy is "
+    "what forces diversity). Every round is one anti-join against "
+    "the covered-word set + one grouped count + a 1-row "
+    "TakeOrdered argmax — no collect, the pick flows back as a "
+    "1-row broadcast; rounds-as-a-cap is the x84/x178 pattern "
+    "(production uses distributed lazy-greedy with the same "
+    "per-round shape). Oracle unrolls the identical greedy in CTEs, "
+    "so tie-breaks (gain desc, doc_id) and the whole marginal-gain "
+    "cascade are under the hash.",
+    oracle=_COVERAGE_PICKS_ORACLE,
+    tags=("ext", "coverage", "submodular", "data-selection"),
+)
+def x179_greedy_coverage_picks(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # the shingle frame feeds every round (gain count, coverage update,
+    # anti-joins) — persist it once, the x8 keyed-frame posture
+    dw = docs.select(
+        "doc_id", F.explode(X.word_shingles(F.col("text"))).alias("w")
+    ).distinct().persist()
+
+    picked = None  # 1-row frames unioned as we go
+    covered = None
+    remaining = dw
+    out = []
+    for round_no in (1, 2, 3):
+        gains = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("gain")
+        )
+        pick = gains.orderBy(F.desc("gain"), "doc_id").limit(1)
+        out.append(
+            pick.select(
+                F.lit(round_no).alias("pick_no"),
+                "doc_id",
+                F.col("gain").cast("long").alias("new_words"),
+            )
+        )
+        new_cov = dw.join(F.broadcast(pick.select("doc_id")), "doc_id").select(
+            "w"
+        )
+        covered = new_cov if covered is None else covered.union(new_cov)
+        picked = (
+            pick.select("doc_id")
+            if picked is None
+            else picked.union(pick.select("doc_id"))
+        )
+        remaining = dw.join(
+            F.broadcast(picked), "doc_id", "left_anti"
+        ).join(covered.distinct(), "w", "left_anti")
+    res = out[0]
+    for df in out[1:]:
+        res = res.union(df)
+    return res
