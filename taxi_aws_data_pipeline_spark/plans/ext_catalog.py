@@ -14570,3 +14570,108 @@ def x179_greedy_coverage_picks(spark: SparkSession, sf: str) -> DataFrame:
     for df in out[1:]:
         res = res.union(df)
     return res
+
+
+_MODULARITY_ORACLE = f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),{_lp_round('l0', 'mc1', 'ml1')},{_lp_round('ml1', 'mc2', 'ml2')},
+    lab_e AS (
+        SELECT la.lab AS lab_src, lb.lab AS lab_dst
+        FROM e
+        JOIN ml2 la ON la.node = e.src
+        JOIN ml2 lb ON lb.node = e.dst
+    ),
+    m2 AS (SELECT count(*) AS two_m FROM e),
+    comm AS (
+        SELECT ls.lab,
+               COALESCE(i.in_x2, 0) AS in_x2,
+               ls.tot
+        FROM (
+            SELECT lab_src AS lab, count(*) AS tot
+            FROM lab_e GROUP BY 1
+        ) ls
+        LEFT JOIN (
+            SELECT lab_src AS lab, count(*) AS in_x2
+            FROM lab_e WHERE lab_src = lab_dst GROUP BY 1
+        ) i USING (lab)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(two_m) AS BIGINT) AS two_m,
+           CAST(sum(two_m * in_x2 - tot * tot) AS BIGINT)
+               AS modularity_scaled,
+           CAST(sum(two_m * in_x2 - tot * tot) AS DOUBLE)
+           / (CAST(max(two_m) AS DOUBLE) * CAST(max(two_m) AS DOUBLE))
+               AS modularity
+    FROM comm CROSS JOIN m2
+"""
+
+
+@register(
+    "x180_modularity_score",
+    "Newman modularity of the x91 label-propagation communities — the "
+    "quality number that turns 'we ran community detection' into an "
+    "evaluated result (Q near 0 = the partition is no better than the "
+    "degree-preserving random graph; production uses exactly this to "
+    "decide whether to keep or re-run a clustering). On the symmetric "
+    "directed edge list, Q = sum_c(in_c/2m - (tot_c/2m)^2) clears its "
+    "denominators to the INTEGER form sum_c(2m*in_c - tot_c^2) with "
+    "2m = |directed edges|, in_c = within-community directed edges, "
+    "tot_c = community degree sum — one float division at the very "
+    "end. Pipeline: the same two LP rounds as x91 (shared unrolled "
+    "oracle CTEs — the two entries cannot drift), one edge-to-label "
+    "join, two bounded per-community aggregates. The label join "
+    "shuffles edges once per side; community count is bounded by "
+    "nodes, so the rollup is trivial at any scale.",
+    oracle=_MODULARITY_ORACLE,
+    tags=("ext", "graph", "modularity", "community-eval"),
+)
+def x180_modularity_score(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e = _cosupply_edges(li).persist()
+    labels = G.label_propagation_fixed_rounds(e, rounds=2).select(
+        "node", F.col("label").alias("lab")
+    )
+    lab_e = (
+        e.join(
+            labels.select(
+                F.col("node").alias("src"), F.col("lab").alias("lab_src")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("lab").alias("lab_dst")
+            ),
+            "dst",
+        )
+        .select("lab_src", "lab_dst")
+    )
+    tot = lab_e.groupBy(F.col("lab_src").alias("lab")).agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    inn = (
+        lab_e.filter(F.col("lab_src") == F.col("lab_dst"))
+        .groupBy(F.col("lab_src").alias("lab"))
+        .agg(F.count(F.lit(1)).alias("in_x2"))
+    )
+    comm = tot.join(inn, "lab", "left").select(
+        "lab",
+        F.coalesce("in_x2", F.lit(0)).alias("in_x2"),
+        "tot",
+    )
+    two_m = e.agg(F.count(F.lit(1)).alias("two_m"))
+    scaled = F.sum(
+        F.col("two_m") * F.col("in_x2") - F.col("tot") * F.col("tot")
+    )
+    return comm.crossJoin(F.broadcast(two_m)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("two_m").cast("long").alias("two_m"),
+        scaled.cast("long").alias("modularity_scaled"),
+        (
+            scaled.cast("double")
+            / (
+                F.max("two_m").cast("double")
+                * F.max("two_m").cast("double")
+            )
+        ).alias("modularity"),
+    )
