@@ -14675,3 +14675,281 @@ def x180_modularity_score(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("modularity"),
     )
+
+
+_WEIGHTED_JACCARD_ORACLE = f"""
+    WITH dsh AS (
+        SELECT doc_id, unnest({sql_shingles('text')}) AS g
+        FROM documents WHERE text IS NOT NULL
+    ), rare AS (
+        SELECT g FROM dsh GROUP BY g HAVING count(*) <= 5
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM dsh a JOIN dsh b ON a.g = b.g AND a.doc_id < b.doc_id
+        JOIN rare r ON r.g = a.g
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM (
+            SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w
+            FROM documents WHERE text IS NOT NULL
+        ) GROUP BY 1, 2
+    ), tot AS (SELECT doc_id, sum(tf) AS tot FROM tf GROUP BY 1),
+    inter AS (
+        SELECT c.da, c.db, sum(least(ta.tf, tb.tf)) AS s_min
+        FROM cand c
+        JOIN tf ta ON ta.doc_id = c.da
+        JOIN tf tb ON tb.doc_id = c.db AND tb.w = ta.w
+        GROUP BY 1, 2
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b,
+           CAST(i.s_min AS BIGINT) AS sum_min_tf,
+           CAST(na.tot + nb.tot - i.s_min AS BIGINT) AS sum_max_tf,
+           CAST(i.s_min * 1000000 // (na.tot + nb.tot - i.s_min)
+                AS BIGINT) AS wjaccard_ppm
+    FROM inter i
+    JOIN tot na ON na.doc_id = i.da
+    JOIN tot nb ON nb.doc_id = i.db
+    ORDER BY wjaccard_ppm DESC, doc_a, doc_b
+    LIMIT 25
+"""
+
+
+@register(
+    "x181_weighted_jaccard_pairs",
+    "Weighted (multiset) Jaccard near-dup verification with "
+    "RARE-SHINGLE blocking: candidate pairs must share at least one "
+    "shingle appearing in <= 5 documents — the rare-term blocking "
+    "trick that kills the quadratic blow-up common shingles cause "
+    "(a shingle in half the corpus generates O(n^2) candidates and "
+    "discriminates nothing; a df<=5 shingle generates <= 10 pairs "
+    "and is strong evidence) — then scored by sum(min tf)/"
+    "sum(max tf) over word FREQUENCIES, the repetition-sensitive "
+    "variant set-Jaccard (x6) is blind to: a doc that repeats one "
+    "paragraph 50x and one that has it once are identical as SETS "
+    "but far apart as multisets. sum(max) folds to tot_a + tot_b - "
+    "sum(min), so one common-word join per pair suffices; all "
+    "integer counts, ppm by integer DIV, TakeOrdered top-25.",
+    oracle=_WEIGHTED_JACCARD_ORACLE,
+    tags=("ext", "dedup", "weighted-jaccard", "blocking"),
+)
+def x181_weighted_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    dsh = docs.select(
+        "doc_id", F.explode(X.word_shingles(F.col("text"))).alias("g")
+    )
+    rare = dsh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 5
+    ).select("g")
+    rare_post = dsh.join(F.broadcast(rare), "g")
+    cand = (
+        rare_post.alias("a")
+        .join(
+            dsh.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    tf = (
+        docs.select("doc_id", F.explode(TX.words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("tot"))
+    inter = (
+        cand.join(
+            tf.select(
+                F.col("doc_id").alias("da"),
+                F.col("w"),
+                F.col("tf").alias("tfa"),
+            ),
+            "da",
+        )
+        .join(
+            tf.select(
+                F.col("doc_id").alias("db"),
+                F.col("w"),
+                F.col("tf").alias("tfb"),
+            ),
+            ["db", "w"],
+        )
+        .groupBy("da", "db")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("s_min"))
+    )
+    scored = (
+        inter.join(
+            tot.select(F.col("doc_id").alias("da"), F.col("tot").alias("ta")),
+            "da",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("db"), F.col("tot").alias("tb")),
+            "db",
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("s_min").cast("long").alias("sum_min_tf"),
+            (F.col("ta") + F.col("tb") - F.col("s_min"))
+            .cast("long")
+            .alias("sum_max_tf"),
+            F.expr(
+                "CAST(s_min * 1000000 DIV (ta + tb - s_min) AS BIGINT)"
+            ).alias("wjaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("wjaccard_ppm"), "doc_a", "doc_b"
+    ).limit(25)
+
+
+_CUSUM_ALARM_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, count(*) AS n_days, sum(cents) AS total
+        FROM daily GROUP BY 1
+    ), pre AS (
+        SELECT d.event_type, d.d, t.total,
+               sum(d.cents * t.n_days - t.total) OVER (
+                   PARTITION BY d.event_type ORDER BY d.d) AS p
+        FROM daily d JOIN tot t USING (event_type)
+    ), walk AS (
+        SELECT event_type, d, total, p,
+               min(p) OVER (PARTITION BY event_type ORDER BY d) AS runmin
+        FROM pre
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(p - least(runmin, 0) AS BIGINT) AS cusum_pos_scaled,
+           p - least(runmin, 0) > total AS alarm
+    FROM walk
+"""
+
+
+@register(
+    "w24_cusum_alarm_walk",
+    "One-sided CUSUM alarm walk — the ONLINE companion to x165's "
+    "offline change-point argmax: S_i = max(0, S_{i-1} + dev_i) "
+    "fires when sustained positive drift accumulates past a "
+    "threshold (one mean-day's scaled volume). The recursive reset "
+    "is eliminated by the prefix-min identity S_i = P_i - "
+    "min(0, min_{j<=i} P_j), so the whole walk is two stacked "
+    "cumulative windows over the per-type day series — no fold, no "
+    "UDF, no recursion, and every quantity is the x165 integer "
+    "scaling (dev_i = cents_i*N - total). The nested "
+    "min-over-cumsum window is the textbook Spark/DuckDB-portable "
+    "form of running-reset recurrences; per-type partitions bound "
+    "each window by days-per-type.",
+    oracle=_CUSUM_ALARM_ORACLE,
+    tags=("ext", "changepoint", "cusum", "monitoring"),
+)
+def w24_cusum_alarm_walk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    walk = (
+        daily.join(tot, "event_type")
+        .withColumn(
+            "p",
+            F.sum(
+                F.col("cents") * F.col("n_days") - F.col("total")
+            ).over(w),
+        )
+        .withColumn("runmin", F.min("p").over(w))
+    )
+    s = F.col("p") - F.least(F.col("runmin"), F.lit(0))
+    return walk.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        s.cast("long").alias("cusum_pos_scaled"),
+        (s > F.col("total")).alias("alarm"),
+    )
+
+
+_PSEUDONYM_ORACLE = f"""
+    WITH ids AS (SELECT DISTINCT user_id FROM events),
+    ps AS (
+        SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS pseudonym
+        FROM ids
+    ), by_id AS (
+        SELECT sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                   AS cents
+        FROM events
+    ), by_ps AS (
+        SELECT sum(cents) AS cents FROM (
+            SELECT md5(CAST(user_id AS VARCHAR)) AS pseudonym,
+                   sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                       AS cents
+            FROM events GROUP BY 1
+        )
+    )
+    SELECT CAST((SELECT count(*) FROM ids) AS BIGINT) AS n_users,
+           CAST((SELECT count(DISTINCT pseudonym) FROM ps) AS BIGINT)
+               AS n_pseudonyms,
+           CAST((SELECT count(*) FROM ids)
+                - (SELECT count(DISTINCT pseudonym) FROM ps) AS BIGINT)
+               AS n_collisions,
+           CAST((SELECT cents FROM by_id) AS BIGINT) AS cents_by_id,
+           CAST((SELECT cents FROM by_ps) AS BIGINT) AS cents_by_pseudonym
+"""
+
+
+@register(
+    "x182_pseudonym_collision_audit",
+    "Pseudonymization integrity audit: replacing user ids with "
+    "md5 pseudonyms (format-preserving, referentially consistent — "
+    "the standard de-identification for analytics extracts) is only "
+    "sound if the mapping is injective ON THIS CORPUS and totals "
+    "survive re-keying; the audit counts distinct ids vs distinct "
+    "pseudonyms (collisions would silently MERGE two users' "
+    "histories — worse than a leak, it corrupts analytics) and "
+    "checksums spend aggregated under both keys, which must agree "
+    "to the cent. Distinct-count passes are partial-aggregated; "
+    "output is one row at any volume. Complements x135/x146/x167 "
+    "(which audit the quasi-identifier side; this audits the "
+    "identifier replacement itself).",
+    oracle=_PSEUDONYM_ORACLE,
+    tags=("ext", "privacy", "pseudonymization", "audit"),
+)
+def x182_pseudonym_collision_audit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    cents = F.floor(
+        F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5
+    ).cast("long")
+    by_ps = (
+        ev.groupBy(F.md5(F.col("user_id").cast("string")).alias("pseudonym"))
+        .agg(F.sum(cents).alias("cents"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pseudonyms"),
+            F.sum("cents").alias("cents_by_pseudonym"),
+        )
+    )
+    by_id = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(cents).alias("cents_by_id"),
+    )
+    return by_id.crossJoin(F.broadcast(by_ps)).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_pseudonyms").cast("long").alias("n_pseudonyms"),
+        (F.col("n_users") - F.col("n_pseudonyms"))
+        .cast("long")
+        .alias("n_collisions"),
+        F.col("cents_by_id").cast("long").alias("cents_by_id"),
+        F.col("cents_by_pseudonym").cast("long").alias("cents_by_pseudonym"),
+    )
