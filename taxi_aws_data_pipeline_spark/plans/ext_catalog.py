@@ -14953,3 +14953,108 @@ def x182_pseudonym_collision_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cents_by_id").cast("long").alias("cents_by_id"),
         F.col("cents_by_pseudonym").cast("long").alias("cents_by_pseudonym"),
     )
+
+
+_MAXSIM_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sub AS (
+        SELECT vec_id, i.i AS si, v[i.i * 16 + 1 : i.i * 16 + 16] AS sv
+        FROM c CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+    ), psub AS (
+        SELECT vec_id AS probe_id, si AS qi, sv AS pv
+        FROM sub WHERE vec_id < 6
+    ), cos AS (
+        SELECT p.probe_id, d.vec_id AS doc_id, p.qi,
+               max({sql_cosine('p.pv', 'd.sv')}) AS m
+        FROM psub p JOIN sub d ON d.vec_id <> p.probe_id
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT probe_id, doc_id,
+               ((sum(CASE WHEN qi = 0 THEN m END)
+                 + sum(CASE WHEN qi = 1 THEN m END))
+                + sum(CASE WHEN qi = 2 THEN m END))
+               + sum(CASE WHEN qi = 3 THEN m END) AS maxsim
+        FROM cos GROUP BY 1, 2
+    )
+    SELECT probe_id, doc_id, maxsim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT probe_id, doc_id, maxsim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY maxsim DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+"""
+
+
+@register(
+    "x183_colbert_maxsim_topk",
+    "Late-interaction (ColBERT-style) MaxSim retrieval: each vector "
+    "is decomposed into four 16-dim sub-vectors standing in for "
+    "token embeddings, and a candidate's score is the SUM over query "
+    "sub-vectors of its best-matching document sub-vector — the "
+    "multi-vector scoring that beats single-vector cosine when "
+    "different parts of a query match different parts of a document "
+    "(single-vector pooling averages those signals away; x10 is "
+    "exactly that baseline). Float discipline for the hash: the max "
+    "per (probe, doc, query-sub) is order-free, and the 4-term sum "
+    "is closed in FIXED associativity ((s0+s1)+s2)+s3 via "
+    "conditional aggregation — never a float sum over an unordered "
+    "group. Scale shape: probes broadcast, corpus sub-vectors "
+    "streamed, one partial-aggregated max + one 4-column pivot per "
+    "pair, top-5 per probe by windowed rank; 4x the pair rows of "
+    "x10 for 4x the signal, same bucketable structure as the IVF "
+    "path if the corpus grows.",
+    oracle=_MAXSIM_ORACLE,
+    tags=("ext", "ann", "maxsim", "late-interaction"),
+)
+def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(4)])
+        ).alias("si"),
+        F.col("embedding").alias("v"),
+    ).select(
+        "vec_id",
+        "si",
+        F.expr("slice(v, si * 16 + 1, 16)").alias("sv"),
+    )
+    psub = sub.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("si").alias("qi"),
+        F.col("sv").alias("pv"),
+    )
+    cos = (
+        F.broadcast(psub)
+        .join(sub, F.col("vec_id") != F.col("probe_id"))
+        .groupBy(
+            "probe_id", F.col("vec_id").alias("doc_id"), "qi"
+        )
+        .agg(F.max(S.cosine(F.col("pv"), F.col("sv"))).alias("m"))
+    )
+    s = [
+        F.sum(F.when(F.col("qi") == i, F.col("m"))).alias(f"s{i}")
+        for i in range(4)
+    ]
+    scored = (
+        cos.groupBy("probe_id", "doc_id")
+        .agg(*s)
+        .select(
+            "probe_id",
+            "doc_id",
+            (
+                ((F.col("s0") + F.col("s1")) + F.col("s2")) + F.col("s3")
+            ).alias("maxsim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("maxsim"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("probe_id", "doc_id", "maxsim", F.col("rnk").cast("long").alias("rnk"))
+    )
