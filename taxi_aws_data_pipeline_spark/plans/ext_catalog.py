@@ -15058,3 +15058,183 @@ def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("probe_id", "doc_id", "maxsim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+_SKIPGRAM_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, t.i AS pos, w.ws[t.i] AS w
+        FROM (SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws
+              FROM documents WHERE text IS NOT NULL) w,
+             unnest(range(1, len(w.ws) + 1)) t(i)
+    ), pairs AS (
+        SELECT a.w AS center, b.w AS context, count(*) AS n
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id
+                   AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+                   AND b.pos <> a.pos
+        GROUP BY 1, 2
+    )
+    SELECT center, context, CAST(n AS BIGINT) AS n_pairs
+    FROM pairs
+    ORDER BY n_pairs DESC, center, context
+    LIMIT 25
+"""
+
+
+@register(
+    "x184_skipgram_pair_counts",
+    "Skip-gram (center, context) pair extraction with a +-2 word "
+    "window — the training-pair generation step of word2vec/GloVe "
+    "pipelines, and the co-occurrence statistic (x120's event-basket "
+    "lift, at TOKEN granularity) that seeds PMI-style association "
+    "mining. The window join is per-document on positions, expressed "
+    "as a banded position self-join: at corpus scale the identical "
+    "semantics ship as the offset-explode equi-join (each token "
+    "emits its 4 shifted (doc, pos+k) keys and joins on equality — "
+    "no range predicate survives to the executor), and per-doc "
+    "position locality keeps the join co-partitioned by doc_id "
+    "either way. Counts are integers; top-25 is TakeOrdered with a "
+    "total tie-break.",
+    oracle=_SKIPGRAM_ORACLE,
+    tags=("ext", "skipgram", "cooccurrence", "training-data"),
+)
+def x184_skipgram_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.words(F.col("text"))).alias("pos", "w")
+    )
+    # offset-explode equi-join form: each center token emits its 4
+    # in-window context positions as equality keys
+    shifted = toks.select(
+        "doc_id",
+        F.col("w").alias("center"),
+        F.explode(
+            F.array(
+                F.col("pos") - 2,
+                F.col("pos") - 1,
+                F.col("pos") + 1,
+                F.col("pos") + 2,
+            )
+        ).alias("ctx_pos"),
+    )
+    pairs = shifted.join(
+        toks.select(
+            "doc_id",
+            F.col("pos").alias("ctx_pos"),
+            F.col("w").alias("context"),
+        ),
+        ["doc_id", "ctx_pos"],
+    )
+    counted = pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return counted.orderBy(F.desc("n_pairs"), "center", "context").limit(25)
+
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
+    ), coarse AS (
+        SELECT probe_id, doc_id, crank FROM (
+            SELECT p.probe_id, d.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                       {sql_cosine('p.pv[1:16]', 'd.v[1:16]')} DESC,
+                       d.vec_id) AS crank
+            FROM p JOIN c d ON d.vec_id <> p.probe_id
+        ) WHERE crank <= 20
+    )
+    SELECT probe_id, doc_id, cos_full, CAST(rnk AS BIGINT) AS rnk,
+           CAST(crank AS BIGINT) AS coarse_rank
+    FROM (
+        SELECT co.probe_id, co.doc_id, co.crank,
+               {sql_cosine('p.pv', 'd.v')} AS cos_full,
+               row_number() OVER (PARTITION BY co.probe_id ORDER BY
+                   {sql_cosine('p.pv', 'd.v')} DESC, co.doc_id) AS rnk
+        FROM coarse co
+        JOIN p ON p.probe_id = co.probe_id
+        JOIN c d ON d.vec_id = co.doc_id
+    ) WHERE rnk <= 5
+"""
+
+
+@register(
+    "x185_matryoshka_funnel_topk",
+    "Matryoshka (coarse-to-fine) retrieval funnel: rank the corpus "
+    "by the 16-dim PREFIX cosine (nested-embedding property: the "
+    "prefix is itself a valid low-rank embedding), keep 20 "
+    "candidates, then rerank only those by the full 64-dim cosine "
+    "for the final top-5 — the two-stage funnel that makes "
+    "billion-vector search affordable (the cheap stage touches "
+    "everything at 1/4 the FLOPs and bandwidth; the exact stage "
+    "touches 20 rows). The funnel is the explicit, verifiable form "
+    "of what IVF (x14) and PQ (x38) approximate structurally; "
+    "recall loss is confined to candidates the prefix mis-ranks "
+    "past 20. Probe side broadcast both stages; the rerank join "
+    "fetches full vectors ONLY for survivors — at scale that is "
+    "the difference between streaming the corpus once at quarter "
+    "width and random-accessing 20 rows, vs x10's full-width scan.",
+    oracle=_MATRYOSHKA_ORACLE,
+    tags=("ext", "ann", "matryoshka", "funnel"),
+)
+def x185_matryoshka_funnel_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    w_c = Window.partitionBy("probe_id").orderBy(F.desc("cc"), "doc_id")
+    coarse = (
+        F.broadcast(probes.select(
+            "probe_id", F.expr("slice(pv, 1, 16)").alias("pp")
+        ))
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("doc_id"),
+                F.expr("slice(embedding, 1, 16)").alias("dp"),
+            ),
+            F.col("doc_id") != F.col("probe_id"),
+        )
+        .select(
+            "probe_id",
+            "doc_id",
+            S.cosine(F.col("pp"), F.col("dp")).alias("cc"),
+        )
+        .withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= 20)
+        .select("probe_id", "doc_id", "crank")
+    )
+    rerank = (
+        coarse.join(F.broadcast(probes), "probe_id")
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dv")
+            ),
+            "doc_id",
+        )
+        .select(
+            "probe_id",
+            "doc_id",
+            "crank",
+            S.cosine(F.col("pv"), F.col("dv")).alias("cos_full"),
+        )
+    )
+    w_f = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_full"), "doc_id"
+    )
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "probe_id",
+            "doc_id",
+            "cos_full",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("crank").cast("long").alias("coarse_rank"),
+        )
+    )
