@@ -15238,3 +15238,174 @@ def x185_matryoshka_funnel_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.col("crank").cast("long").alias("coarse_rank"),
         )
     )
+
+
+_BINARY_HAMMING_ORACLE = """
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bits AS (
+        SELECT vec_id,
+               sum(CASE WHEN t.i <= 32 AND v[t.i] > 0
+                        THEN (1::BIGINT) << (t.i - 1) ELSE 0 END) AS lo,
+               sum(CASE WHEN t.i > 32 AND v[t.i] > 0
+                        THEN (1::BIGINT) << (t.i - 33) ELSE 0 END) AS hi
+        FROM c, unnest(range(1, 65)) t(i)
+        GROUP BY 1
+    ), p AS (
+        SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+        FROM bits WHERE vec_id < 8
+    )
+    SELECT probe_id, doc_id, CAST(hamming AS BIGINT) AS hamming,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT p.probe_id, b.vec_id AS doc_id,
+               bit_count(CAST(xor(b.lo, p.plo) AS BIGINT))
+               + bit_count(CAST(xor(b.hi, p.phi) AS BIGINT)) AS hamming,
+               row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                   bit_count(CAST(xor(b.lo, p.plo) AS BIGINT))
+                   + bit_count(CAST(xor(b.hi, p.phi) AS BIGINT)),
+                   b.vec_id) AS rnk
+        FROM p JOIN bits b ON b.vec_id <> p.probe_id
+    ) WHERE rnk <= 5
+"""
+
+
+@register(
+    "x186_binary_hamming_topk",
+    "1-bit binary quantization + Hamming retrieval: each 64-dim "
+    "embedding collapses to its sign bits packed into two int64 "
+    "half-words (bit 63 is avoided deliberately — the oracle engine "
+    "refuses the overflowing 1<<63; two 32-bit halves are portable "
+    "and cost one extra bit_count), and neighbors rank by "
+    "popcount(xor) — the most aggressive point on the quantization "
+    "ladder x136 (int8) and x38 (PQ) already occupy: 64x smaller "
+    "than float32 with XOR+popcount per comparison, the regime "
+    "binary-embedding search engines run their first-stage recall "
+    "at. Everything is INTEGER (sign extraction, packing fold, "
+    "Hamming, ranking) so the full surface hash-verifies with no "
+    "float discipline needed. Packing is one aggregate fold per "
+    "vector; probes broadcast; at corpus scale the packed table is "
+    "16 bytes/vector and the scan is bandwidth-bound exactly as "
+    "designed.",
+    oracle=_BINARY_HAMMING_ORACLE,
+    tags=("ext", "ann", "binary-quantization", "hamming"),
+)
+def x186_binary_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    bits = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+            "IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))"
+        ).alias("lo"),
+        F.expr(
+            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + "
+            "IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i - 32), 0L))"
+        ).alias("hi"),
+    )
+    p = bits.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("plo"),
+        F.col("hi").alias("phi"),
+    )
+    ham = F.expr("bit_count(lo ^ plo) + bit_count(hi ^ phi)")
+    w = Window.partitionBy("probe_id").orderBy("hamming", "doc_id")
+    return (
+        F.broadcast(p)
+        .join(bits, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("doc_id"),
+            ham.cast("long").alias("hamming"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "probe_id",
+            "doc_id",
+            "hamming",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+_HAZARD_ORACLE = """
+    WITH span AS (
+        SELECT user_id,
+               min(CAST(ts AS DATE)) AS f,
+               max(CAST(ts AS DATE)) AS l
+        FROM events GROUP BY 1
+    ), obs AS (SELECT max(CAST(ts AS DATE)) AS end_d FROM events),
+    lt AS (
+        SELECT s.user_id,
+               date_diff('day', s.f, s.l) AS k,
+               s.l < o.end_d - INTERVAL 3 DAY AS churned
+        FROM span s CROSS JOIN obs o
+    ), per_k AS (
+        SELECT k, count(*) AS n_ending,
+               sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_churn
+        FROM lt GROUP BY k
+    ), risk AS (
+        SELECT k, n_ending, n_churn,
+               sum(n_ending) OVER (ORDER BY k DESC) AS n_at_risk
+        FROM per_k
+    )
+    SELECT CAST(k AS BIGINT) AS days_survived,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churn AS BIGINT) AS n_churned,
+           CAST(n_churn * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+    FROM risk
+"""
+
+
+@register(
+    "x187_discrete_hazard_table",
+    "Discrete-time hazard table for user churn: lifetime = days "
+    "between first and last event; users still active within 3 days "
+    "of the observation end are CENSORED (their exit is unobserved, "
+    "counting them as churned is the classic survivorship mistake "
+    "x150 handles for records and this handles for durations). "
+    "hazard(k) = churners with lifetime exactly k over users at "
+    "risk at k, where the risk set is the reverse cumulative sum of "
+    "lifetime counts — a DESC-ordered window over DISTINCT lifetime "
+    "values (the a21/x61 distinct-value posture: the window runs "
+    "over lifetime cardinality, bounded by the observation span in "
+    "days, never over users). All integer; hazard in ppm by integer "
+    "DIV. The log-free tabular core of survival analysis — the KM "
+    "product curve is a running fold OVER these rows, deliberately "
+    "left to the consumer (float product chains don't hash-verify).",
+    oracle=_HAZARD_ORACLE,
+    tags=("ext", "survival", "churn", "exact-stats"),
+)
+def x187_discrete_hazard_table(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.max(F.to_date("ts")).alias("l"),
+    )
+    obs = ev.agg(F.max(F.to_date("ts")).alias("end_d"))
+    lt = span.crossJoin(F.broadcast(obs)).select(
+        "user_id",
+        F.datediff("l", "f").alias("k"),
+        (F.col("l") < F.date_sub("end_d", 3)).alias("churned"),
+    )
+    per_k = lt.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("n_churn"),
+    )
+    w = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_k.withColumn("n_at_risk", F.sum("n_ending").over(w))
+    return risk.select(
+        F.col("k").cast("long").alias("days_survived"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churn").cast("long").alias("n_churned"),
+        F.expr("CAST(n_churn * 1000000 DIV n_at_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+    )
