@@ -15409,3 +15409,203 @@ def x187_discrete_hazard_table(spark: SparkSession, sf: str) -> DataFrame:
             "hazard_ppm"
         ),
     )
+
+
+_COVARIATE_BALANCE_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               count(*) AS n_events,
+               sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                   AS cents,
+               count(DISTINCT CAST(ts AS DATE)) AS n_days
+        FROM events GROUP BY 1, 2
+    ), long AS (
+        SELECT arm, 'n_events' AS covariate, n_events AS x FROM per_user
+        UNION ALL
+        SELECT arm, 'cents', cents FROM per_user
+        UNION ALL
+        SELECT arm, 'n_days', n_days FROM per_user
+    ), mo AS (
+        SELECT covariate,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS s1,
+               sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS q1,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS s2,
+               sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS q2
+        FROM long GROUP BY 1
+    )
+    SELECT covariate,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_diff,
+           (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / sqrt(((CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)
+                   + (CAST(q2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
+                  / 2e0) AS smd
+    FROM mo
+"""
+
+
+@register(
+    "a24_covariate_balance_smd",
+    "Covariate balance table (standardized mean differences) across "
+    "the two md5 arms for three pre-treatment covariates — the "
+    "randomization-quality check reviewers read FIRST in any "
+    "experiment writeup (|SMD| > 0.1 on a covariate means the arms "
+    "differ at baseline and effect estimates need adjustment, e.g. "
+    "x159's CUPED): per-user event count, spend, and active days "
+    "unpivot to (arm, covariate, x) long form, one grouped pass "
+    "collects exact int64 moments per covariate, and SMD closes as "
+    "diff / sqrt((var1 + var2)/2) in the character-identical IEEE "
+    "shape both dialects share (the a20/a22 discipline). Three "
+    "output rows at any volume; the unpivot triples the rollup "
+    "input, not the fact scan.",
+    oracle=_COVARIATE_BALANCE_ORACLE,
+    tags=("ext", "ab-test", "balance", "exact-stats"),
+)
+def a24_covariate_balance_smd(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy(
+        "user_id",
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+                "long"
+            )
+        ).alias("cents"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+    long = per_user.selectExpr(
+        "arm",
+        "stack(3, 'n_events', n_events, 'cents', cents, "
+        "'n_days', n_days) AS (covariate, x)",
+    )
+    a0 = F.when(F.col("arm") == 0, 1).otherwise(0)
+    a1 = F.when(F.col("arm") == 1, 1).otherwise(0)
+    mo = long.groupBy("covariate").agg(
+        F.sum(a0).alias("n1"),
+        F.sum(a0 * F.col("x")).alias("s1"),
+        F.sum(a0 * F.col("x") * F.col("x")).alias("q1"),
+        F.sum(a1).alias("n2"),
+        F.sum(a1 * F.col("x")).alias("s2"),
+        F.sum(a1 * F.col("x") * F.col("x")).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("s2") / d("n2") - d("s1") / d("n1")
+    pooled = F.sqrt(
+        (
+            (d("q1") - d("s1") * d("s1") / d("n1"))
+            / (F.col("n1") - 1).cast("double")
+            + (d("q2") - d("s2") * d("s2") / d("n2"))
+            / (F.col("n2") - 1).cast("double")
+        )
+        / 2.0
+    )
+    return mo.select(
+        "covariate", diff.alias("mean_diff"), (diff / pooled).alias("smd")
+    )
+
+
+_KNN_LABEL_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), p AS (
+        SELECT vec_id AS probe_id, label AS true_label, v AS pv
+        FROM c WHERE vec_id < 50
+    ), nn AS (
+        SELECT probe_id, true_label, label, rnk FROM (
+            SELECT p.probe_id, p.true_label, d.label,
+                   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                       {sql_cosine('p.pv', 'd.v')} DESC, d.vec_id) AS rnk
+            FROM p JOIN c d ON d.vec_id <> p.probe_id
+        ) WHERE rnk <= 5
+    ), votes AS (
+        SELECT probe_id, true_label, label AS pred, count(*) AS nvote
+        FROM nn GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT probe_id, true_label, pred FROM (
+            SELECT probe_id, true_label, pred,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY nvote DESC, pred) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+    FROM pred GROUP BY 1
+"""
+
+
+@register(
+    "x188_knn_label_eval",
+    "kNN majority-vote label evaluation — the embedding-quality probe "
+    "that needs no trained classifier: for 50 held-out probes, take "
+    "the 5 nearest corpus vectors by cosine, vote on their labels "
+    "(ties to the smaller label id), and report per-class accuracy "
+    "in ppm. If cosine neighborhoods do not predict labels, the "
+    "embedding space is not organized by the semantics the labels "
+    "encode — the standard cheap sanity gate before spending on "
+    "x32's semantic dedup or x21's centroids, which both ASSUME "
+    "neighborhood coherence. Votes, argmax, and accuracy are all "
+    "integer; the float cosine only ORDERS candidates (the "
+    "x10-proven parity surface). Probes broadcast; one corpus scan; "
+    "per-probe windows over 5-row frames; output bounded by label "
+    "cardinality.",
+    oracle=_KNN_LABEL_ORACLE,
+    tags=("ext", "ann", "knn-eval", "embedding-quality"),
+)
+def x188_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "label", "embedding")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("pv"),
+    )
+    w_nn = Window.partitionBy("probe_id").orderBy(F.desc("c"), "vec_id")
+    nn = (
+        F.broadcast(probes)
+        .join(corpus, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            "label",
+            "vec_id",
+            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+        )
+        .withColumn("rnk", F.row_number().over(w_nn))
+        .filter(F.col("rnk") <= 5)
+    )
+    votes = nn.groupBy("probe_id", "true_label", F.col("label").alias("pred")).agg(
+        F.count(F.lit(1)).alias("nvote")
+    )
+    w_v = Window.partitionBy("probe_id").orderBy(F.desc("nvote"), "pred")
+    pred = votes.withColumn("vr", F.row_number().over(w_v)).filter(
+        F.col("vr") == 1
+    )
+    correct = F.sum(
+        F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy(F.col("true_label").cast("long").alias("true_label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        correct.cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) "
+            "* 1000000 DIV count(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )
