@@ -15609,3 +15609,163 @@ def x188_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
             "* 1000000 DIV count(*) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+_MIX_RATE_ORACLE = """
+    WITH tagged AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
+                   AS period,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), st AS (
+        SELECT event_type,
+               sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS s1,
+               sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN period = 2 THEN cents ELSE 0 END) AS s2
+        FROM tagged GROUP BY 1
+    ), tot AS (
+        SELECT sum(n1) AS t1, sum(n2) AS t2 FROM st
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+            - CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mix_effect,
+           (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+           * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS rate_effect
+    FROM st CROSS JOIN tot
+"""
+
+
+@register(
+    "a25_mix_rate_decomposition",
+    "Mix/rate decomposition of a period-over-period metric change "
+    "(Oaxaca-style): the average spend moved — was it WITHIN each "
+    "event type (rate effect) or the COMPOSITION shifting toward "
+    "cheaper types (mix effect)? Per stratum: mix = (w2 - w1) * m1, "
+    "rate = w2 * (m2 - m1); the two columns sum exactly to the "
+    "overall mean change (the identity the decomposition exists "
+    "for), and mistaking one for the other is the classic "
+    "Simpson's-paradox misread of a topline metric. Weights and "
+    "per-stratum means derive from exact int64 counts/cents "
+    "moments in one grouped pass + a one-row broadcast of period "
+    "totals; effects close in one shared IEEE shape per dialect. "
+    "Output bounded by stratum cardinality.",
+    oracle=_MIX_RATE_ORACLE,
+    tags=("ext", "analytics", "decomposition", "exact-stats"),
+)
+def a25_mix_rate_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    tagged = ev.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("period"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    p1 = F.when(F.col("period") == 1, 1).otherwise(0)
+    p2 = F.when(F.col("period") == 2, 1).otherwise(0)
+    st = tagged.groupBy("event_type").agg(
+        F.sum(p1).alias("n1"),
+        F.sum(p1 * F.col("cents")).alias("s1"),
+        F.sum(p2).alias("n2"),
+        F.sum(p2 * F.col("cents")).alias("s2"),
+    )
+    tot = st.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    joined = st.crossJoin(F.broadcast(tot))
+    return joined.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (
+            (d("n2") / d("t2") - d("n1") / d("t1")) * (d("s1") / d("n1"))
+        ).alias("mix_effect"),
+        (
+            (d("n2") / d("t2")) * (d("s2") / d("n2") - d("s1") / d("n1"))
+        ).alias("rate_effect"),
+    )
+
+
+_QTE_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), q AS (
+        SELECT arm,
+               quantile_cont(cents, 0.25e0) AS q25,
+               quantile_cont(cents, 0.5e0) AS q50,
+               quantile_cont(cents, 0.75e0) AS q75
+        FROM per_user GROUP BY 1
+    )
+    SELECT p, qte FROM (
+        SELECT 'p25' AS p,
+               (SELECT q25 FROM q WHERE arm = 1)
+               - (SELECT q25 FROM q WHERE arm = 0) AS qte
+        UNION ALL
+        SELECT 'p50',
+               (SELECT q50 FROM q WHERE arm = 1)
+               - (SELECT q50 FROM q WHERE arm = 0)
+        UNION ALL
+        SELECT 'p75',
+               (SELECT q75 FROM q WHERE arm = 1)
+               - (SELECT q75 FROM q WHERE arm = 0)
+    )
+"""
+
+
+@register(
+    "a26_quantile_treatment_effects",
+    "Quantile treatment effects at p25/p50/p75 between the two md5 "
+    "arms' per-user spend — the distributional readout a mean "
+    "difference (a20) compresses away: a feature that helps light "
+    "spenders and hurts whales can show a ZERO mean effect while "
+    "every quantile moved; QTE is the standard lens for such "
+    "heterogeneous effects. Exact interpolated percentiles on "
+    "integer cents are hash-stable (interpolation at quarter "
+    "points multiplies an int64 gap by an exactly-representable "
+    "0.25/0.5/0.75 — no rounding anywhere), computed per arm in "
+    "one grouped exact-percentile pass (the a1 ObjectHashAggregate "
+    "posture, approx_percentile the documented 100 TB switch) and "
+    "differenced arm-1-minus-arm-0 per quantile; 3 rows out.",
+    oracle=_QTE_ORACLE,
+    tags=("ext", "ab-test", "qte", "exact-stats"),
+)
+def a26_quantile_treatment_effects(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy(
+        "user_id",
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    q = per_user.groupBy("arm").agg(
+        F.expr("percentile(cents, 0.25)").alias("q25"),
+        F.expr("percentile(cents, 0.5)").alias("q50"),
+        F.expr("percentile(cents, 0.75)").alias("q75"),
+    )
+    a_0 = q.filter(F.col("arm") == 0).select(
+        F.col("q25").alias("a25"),
+        F.col("q50").alias("a50"),
+        F.col("q75").alias("a75"),
+    )
+    a_1 = q.filter(F.col("arm") == 1).select(
+        F.col("q25").alias("b25"),
+        F.col("q50").alias("b50"),
+        F.col("q75").alias("b75"),
+    )
+    wide = a_1.crossJoin(F.broadcast(a_0))
+    return wide.selectExpr(
+        "stack(3, 'p25', b25 - a25, 'p50', b50 - a50, "
+        "'p75', b75 - a75) AS (p, qte)"
+    )
