@@ -146,6 +146,19 @@ BENCH_QUERIES = (
     "x144_largest_remainder_allocation",
     "x147_vocab_encode",
     "a17_rfm_segmentation",
+    # session-2 continuation: the multimodal resize front-end (Arrow
+    # probe + bucketing), the graph core/coverage/blocking tiers, the
+    # multi-vector + quantized retrieval ladder, token-pair extraction,
+    # and the per-user TWAP window pass
+    "x170_aspect_bucket_resize_plan",
+    "x178_kcore_peeling",
+    "x179_greedy_coverage_picks",
+    "x181_weighted_jaccard_pairs",
+    "x183_colbert_maxsim_topk",
+    "x184_skipgram_pair_counts",
+    "x185_matryoshka_funnel_topk",
+    "x186_binary_hamming_topk",
+    "w23_time_weighted_average",
 )
 
 
