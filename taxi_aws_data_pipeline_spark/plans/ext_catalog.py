@@ -15761,3 +15761,203 @@ def a26_quantile_treatment_effects(spark: SparkSession, sf: str) -> DataFrame:
         "stack(3, 'p25', b25 - a25, 'p50', b50 - a50, "
         "'p75', b75 - a75) AS (p, qte)"
     )
+
+
+_EB_SMOOTH_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+        FROM events GROUP BY 1
+    ), pop AS (
+        SELECT sum(k) AS kk, sum(v) AS vv FROM per_user WHERE v > 0
+    )
+    SELECT user_id, CAST(v AS BIGINT) AS n_views,
+           CAST(k AS BIGINT) AS n_purchases,
+           CAST(k * 1000000 // v AS BIGINT) AS raw_ppm,
+           CAST((k * vv + 20 * kk) * 1000000
+                // (vv * (v + 20)) AS BIGINT) AS smoothed_ppm
+    FROM per_user CROSS JOIN pop
+    WHERE v > 0
+    ORDER BY CAST(k * vv + 20 * kk AS DOUBLE)
+             / CAST(vv * (v + 20) AS DOUBLE) DESC, user_id
+    LIMIT 20
+"""
+
+
+@register(
+    "x189_eb_smoothed_ranking",
+    "Empirical-Bayes smoothed conversion ranking: each user's "
+    "purchase/view rate is shrunk toward the population rate with "
+    "prior strength 20 — smoothed = (k + 20*m)/(v + 20) with m the "
+    "pooled P/V — so a 1-for-1 user no longer outranks a 45-for-50 "
+    "one (the same pathology x148 fixes frequentist-ly with Wilson "
+    "bounds; shrinkage is the Bayesian answer, and the two should "
+    "broadly agree on who is top). The pooled prior keeps EVERYTHING "
+    "rational: substituting m = kk/vv clears to the int64 fraction "
+    "(k*vv + 20*kk) / (vv*(v+20)), reported in truncating ppm and "
+    "ranked by its single-shape float value (numerator/denominator "
+    "stay exact; only the ORDERING division floats). One grouped "
+    "pass + a one-row broadcast of the pooled totals; top-20 is "
+    "TakeOrdered.",
+    oracle=_EB_SMOOTH_ORACLE,
+    tags=("ext", "ranking", "empirical-bayes", "shrinkage"),
+)
+def x189_eb_smoothed_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "v"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    ).filter(F.col("v") > 0)
+    pop = per_user.agg(
+        F.sum("k").alias("kk"), F.sum("v").alias("vv")
+    )
+    joined = per_user.crossJoin(F.broadcast(pop))
+    num = F.col("k") * F.col("vv") + 20 * F.col("kk")
+    den = F.col("vv") * (F.col("v") + 20)
+    return (
+        joined.select(
+            "user_id",
+            F.col("v").cast("long").alias("n_views"),
+            F.col("k").cast("long").alias("n_purchases"),
+            F.expr("CAST(k * 1000000 DIV v AS BIGINT)").alias("raw_ppm"),
+            F.expr(
+                "CAST((k * vv + 20 * kk) * 1000000 "
+                "DIV (vv * (v + 20)) AS BIGINT)"
+            ).alias("smoothed_ppm"),
+            (num.cast("double") / den.cast("double")).alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "user_id")
+        .limit(20)
+        .drop("_ord")
+    )
+
+
+_TV_DRIFT_ORACLE = """
+    WITH tagged AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
+                   AS period
+        FROM events
+    ), st AS (
+        SELECT event_type,
+               sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS n2
+        FROM tagged GROUP BY 1
+    ), tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM st)
+    SELECT CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(max(t1) AS BIGINT) AS n_period1,
+           CAST(max(t2) AS BIGINT) AS n_period2,
+           CAST(sum(abs(n1 * t2 - n2 * t1)) AS BIGINT) AS tv_num,
+           CAST(2 * max(t1) * max(t2) AS BIGINT) AS tv_den,
+           CAST(sum(abs(n1 * t2 - n2 * t1)) * 1000000
+                // (2 * max(t1) * max(t2)) AS BIGINT) AS tv_ppm
+    FROM st CROSS JOIN tot
+"""
+
+
+@register(
+    "x190_total_variation_drift",
+    "Total-variation distance between the first-half and second-half "
+    "event-type distributions — the distribution-drift monitor that "
+    "needs NO logarithms (KL and JS divergences are the usual choice "
+    "and are cross-engine unstable through ln; TV = half the L1 gap "
+    "is the metric with the cleanest operational reading: the "
+    "maximum probability mass any event reassignment can differ by). "
+    "Clearing denominators makes it EXACT: TV = sum|n1_i*T2 - "
+    "n2_i*T1| / (2*T1*T2), an int64 fraction emitted alongside its "
+    "truncating ppm — drift alarms compare tv_num*threshold_den "
+    "against tv_den*threshold_num in pure integers. One grouped "
+    "count pass, category-bounded rollup; the drift complement to "
+    "x103's per-quantile monitor (which watches one metric's shape; "
+    "this watches the categorical mix).",
+    oracle=_TV_DRIFT_ORACLE,
+    tags=("ext", "drift", "monitoring", "exact-stats"),
+)
+def x190_total_variation_drift(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("period"),
+    )
+    st = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    tot = st.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    joined = st.crossJoin(F.broadcast(tot))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.max("t1").cast("long").alias("n_period1"),
+        F.max("t2").cast("long").alias("n_period2"),
+        F.sum(
+            F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+        )
+        .cast("long")
+        .alias("tv_num"),
+        (2 * F.max("t1") * F.max("t2")).cast("long").alias("tv_den"),
+        F.expr(
+            "CAST(sum(abs(n1 * t2 - n2 * t1)) * 1000000 "
+            "DIV (2 * max(t1) * max(t2)) AS BIGINT)"
+        ).alias("tv_ppm"),
+    )
+
+
+_REL_DIVISION_ORACLE = """
+    WITH top_parts AS (
+        SELECT l_partkey FROM lineitem
+        GROUP BY 1 ORDER BY sum(l_quantity) DESC, l_partkey LIMIT 5
+    ), cover AS (
+        SELECT l.l_suppkey, count(DISTINCT l.l_partkey) AS n_cov
+        FROM lineitem l JOIN top_parts t USING (l_partkey)
+        GROUP BY 1
+    )
+    SELECT l_suppkey AS suppkey,
+           CAST(n_cov AS BIGINT) AS n_top_parts_supplied
+    FROM cover WHERE n_cov = 5
+"""
+
+
+@register(
+    "j24_relational_division",
+    "Relational DIVISION — suppliers that ship EVERY one of the 5 "
+    "highest-volume parts: the classic universally-quantified query "
+    "shape (FOR ALL x in S: exists a row) that no single join "
+    "expresses, completing the join-algebra tour (j5 EXISTS, j15 "
+    "anti, d6 set-subtract are the existential forms; this is the "
+    "universal one). The standard scalable encoding: count DISTINCT "
+    "covered divisor members per candidate and keep counts equal to "
+    "|divisor| — one semi-joined grouped distinct-count against the "
+    "broadcast 5-row divisor, no double-negation NOT-EXISTS nesting "
+    "(the textbook form Catalyst turns into two correlated "
+    "anti-joins). The divisor itself is a TakeOrdered top-5 on "
+    "part volume.",
+    oracle=_REL_DIVISION_ORACLE,
+    tags=("ext", "join", "relational-division"),
+)
+def j24_relational_division(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    top_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .orderBy(F.desc("q"), "l_partkey")
+        .limit(5)
+        .select("l_partkey")
+    )
+    cover = (
+        li.join(F.broadcast(top_parts), "l_partkey")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_cov"))
+    )
+    return cover.filter(F.col("n_cov") == 5).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("n_cov").cast("long").alias("n_top_parts_supplied"),
+    )
