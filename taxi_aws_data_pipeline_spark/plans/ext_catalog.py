@@ -15961,3 +15961,151 @@ def j24_relational_division(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_suppkey").alias("suppkey"),
         F.col("n_cov").cast("long").alias("n_top_parts_supplied"),
     )
+
+
+_CHURN_LABEL_ORACLE = """
+    WITH obs AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                   AS cents,
+               count(DISTINCT CAST(ts AS DATE)) AS n_days,
+               date_diff('day', max(CAST(ts AS DATE)), DATE '2024-01-24')
+                   AS days_since_last
+        FROM events WHERE ts < TIMESTAMP '2024-01-24'
+        GROUP BY 1
+    ), outcome AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-24'
+    )
+    SELECT o.user_id,
+           CAST(o.n_events AS BIGINT) AS n_events,
+           CAST(o.cents AS BIGINT) AS cents,
+           CAST(o.n_days AS BIGINT) AS n_days,
+           CAST(o.days_since_last AS BIGINT) AS days_since_last,
+           u.user_id IS NULL AS churned
+    FROM obs o LEFT JOIN outcome u USING (user_id)
+"""
+
+
+@register(
+    "x191_churn_label_builder",
+    "Supervised churn-label construction with a hard temporal wall: "
+    "features come ONLY from the observation window (before "
+    "2024-01-24 — counts, spend, active days, recency measured AT "
+    "the wall), the label ONLY from the outcome window (no activity "
+    "after the wall = churned) — the label factory where time "
+    "leakage is born in real pipelines (a feature that peeks past "
+    "the wall scores brilliantly offline and collapses in "
+    "production; x174 audits splits, this CONSTRUCTS the training "
+    "frame with the discipline built in). One filtered grouped pass "
+    "for features (the wall predicate pushes to the scan), one "
+    "distinct-user anti-probe for the label via left join + NULL "
+    "test; both sides shuffle on user_id once.",
+    oracle=_CHURN_LABEL_ORACLE,
+    tags=("ext", "labels", "churn", "training-data"),
+)
+def x191_churn_label_builder(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    wall = F.lit("2024-01-24").cast("timestamp")
+    obs = ev.filter(F.col("ts") < wall).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("cents"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_days"),
+        F.datediff(F.lit("2024-01-24").cast("date"), F.max(F.to_date("ts")))
+        .cast("long")
+        .alias("days_since_last"),
+    )
+    outcome = (
+        ev.filter(F.col("ts") >= wall)
+        .select("user_id")
+        .distinct()
+        .withColumn("_active", F.lit(1))
+    )
+    return obs.join(outcome, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "cents",
+        "n_days",
+        "days_since_last",
+        F.col("_active").isNull().alias("churned"),
+    )
+
+
+_MDE_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), mo AS (
+        SELECT count(*) AS n, sum(cents) AS s,
+               sum(cents * cents) AS q,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(n_a AS BIGINT) AS n_arm_a,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+           2.8e0 * sqrt(2e0 * ((CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) / 2e0)) AS mde_cents,
+           2.8e0 * sqrt(2e0 * ((CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) / 2e0))
+           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS mde_relative
+    FROM mo
+"""
+
+
+@register(
+    "a27_minimum_detectable_effect",
+    "Experiment power planning: the minimum detectable effect at "
+    "80% power / 5% two-sided alpha for the per-user spend metric "
+    "at the CURRENT population size — MDE = (z_a + z_b) * "
+    "sqrt(2*s^2/(n/2)) with the 1.96+0.84 = 2.8 constant folded in "
+    "— answering 'is this experiment even worth running' BEFORE "
+    "assignment (an effect below the MDE cannot be distinguished "
+    "from noise at this n, and running anyway produces the "
+    "underpowered false negatives that get misread as 'no effect'). "
+    "Sample variance from exact int64 moments; MDE and its "
+    "relative-to-mean form close in one shared IEEE shape. One "
+    "grouped pass, one row, the planning complement to a23's "
+    "post-hoc SRM gate.",
+    oracle=_MDE_ORACLE,
+    tags=("ext", "ab-test", "power-analysis", "exact-stats"),
+)
+def a27_minimum_detectable_effect(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy(
+        "user_id",
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    mo = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("q") - d("s") * d("s") / d("n")) / (F.col("n") - 1).cast(
+        "double"
+    )
+    mde = F.lit(2.8) * F.sqrt(F.lit(2.0) * var / (d("n") / F.lit(2.0)))
+    return mo.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n_a").cast("long").alias("n_arm_a"),
+        (d("s") / d("n")).alias("mean_cents"),
+        mde.alias("mde_cents"),
+        (mde / (d("s") / d("n"))).alias("mde_relative"),
+    )
