@@ -16109,3 +16109,99 @@ def a27_minimum_detectable_effect(spark: SparkSession, sf: str) -> DataFrame:
         mde.alias("mde_cents"),
         (mde / (d("s") / d("n"))).alias("mde_relative"),
     )
+
+
+_LUHN_ORACLE = """
+    WITH cand AS (
+        SELECT doc_id,
+               lpad(CAST(doc_id * 37 % 1000000 AS VARCHAR), 6, '0')
+               || lpad(CAST(doc_id * 91 % 1000000 AS VARCHAR), 6, '0')
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS number
+        FROM documents
+    ), digits AS (
+        SELECT doc_id, number,
+               list_transform(range(1, 17),
+                   i -> CAST(number[i:i] AS BIGINT)) AS ds
+        FROM cand
+    ), luhn AS (
+        SELECT doc_id, number,
+               list_reduce(
+                   list_transform(range(1, 17), i ->
+                       CASE WHEN (16 - i) % 2 = 1 THEN
+                           CASE WHEN ds[i] * 2 > 9
+                                THEN ds[i] * 2 - 9 ELSE ds[i] * 2 END
+                       ELSE ds[i] END),
+                   (a, b) -> a + b) AS s
+        FROM digits
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+           CAST(sum(CASE WHEN s % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_luhn_invalid,
+           min(CASE WHEN s % 10 = 0
+                    THEN '************' || number[13:16] END)
+               AS sample_masked
+    FROM luhn
+"""
+
+
+@register(
+    "x192_luhn_pii_filter",
+    "Luhn checksum validation of 16-digit card-number candidates — "
+    "the precision filter a numeric PII sweep (x63) needs: a bare "
+    "16-digit regex flags order ids and timestamps as card numbers, "
+    "while ~90% of random digit strings FAIL the Luhn check, so "
+    "validating before redaction cuts false positives an order of "
+    "magnitude. The mod-10 double-every-second-digit fold runs as a "
+    "pure array expression (transform + reduce over the char "
+    "digits — integer arithmetic end-to-end, position parity "
+    "counted from the check digit), candidates are deterministic "
+    "doc_id-derived strings (the x81 synthetic-input pattern: the "
+    "ALGORITHM is what's under the hash, and the oracle recomputes "
+    "it independently), and survivors are masked to last-4 — "
+    "validation and x22-style redaction in one zero-shuffle "
+    "projection + one scalar rollup.",
+    oracle=_LUHN_ORACLE,
+    tags=("ext", "pii", "luhn", "validation"),
+)
+def x192_luhn_pii_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    number = F.concat(
+        F.lpad((d * 37 % 1000000).cast("string"), 6, "0"),
+        F.lpad((d * 91 % 1000000).cast("string"), 6, "0"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    cand = load_table(spark, sf, "documents").select(
+        "doc_id", number.alias("number")
+    )
+    luhn = cand.withColumn(
+        "s",
+        F.expr(
+            "aggregate(transform(sequence(1, 16), i -> "
+            "CASE WHEN (16 - i) % 2 = 1 THEN "
+            "  CASE WHEN CAST(substring(number, i, 1) AS BIGINT) * 2 > 9 "
+            "       THEN CAST(substring(number, i, 1) AS BIGINT) * 2 - 9 "
+            "       ELSE CAST(substring(number, i, 1) AS BIGINT) * 2 END "
+            "ELSE CAST(substring(number, i, 1) AS BIGINT) END), "
+            "0L, (a, b) -> a + b)"
+        ),
+    )
+    valid = F.col("s") % 10 == 0
+    return luhn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias(
+            "n_luhn_valid"
+        ),
+        F.sum(F.when(valid, 0).otherwise(1)).cast("long").alias(
+            "n_luhn_invalid"
+        ),
+        F.min(
+            F.when(
+                valid,
+                F.concat(
+                    F.lit("************"), F.substring("number", 13, 4)
+                ),
+            )
+        ).alias("sample_masked"),
+    )
