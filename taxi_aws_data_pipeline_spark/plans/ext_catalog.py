@@ -16205,3 +16205,79 @@ def x192_luhn_pii_filter(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("sample_masked"),
     )
+
+
+_ASSORTATIVITY_ORACLE = f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+    de AS (
+        SELECT da.d AS x, db.d AS y
+        FROM e
+        JOIN deg da ON da.src = e.src
+        JOIN deg db ON db.src = e.dst
+    ), mo AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM de
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CAST(sx AS BIGINT) AS sum_deg,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS assortativity
+    FROM mo
+"""
+
+
+@register(
+    "x193_degree_assortativity",
+    "Degree assortativity of the co-supply graph: the Pearson "
+    "correlation of endpoint degrees over all (symmetric) edges — "
+    "the one-number answer to 'do hubs connect to hubs?' that "
+    "decides which failure/contagion model applies (assortative "
+    "networks fragment by hub removal; disassortative ones are "
+    "hub-robust) and whether x166's common-neighbor prediction will "
+    "be hub-dominated. On the symmetric edge list both endpoint "
+    "degree sequences are identical, so r is exactly the a14-family "
+    "Pearson over exact int64 moments (degrees are counts, products "
+    "bounded by |E|*maxdeg^2), closed in one shared IEEE shape. One "
+    "degree count, two broadcast-joinable degree attachments, one "
+    "moment rollup — no iteration, no float before the final "
+    "expression.",
+    oracle=_ASSORTATIVITY_ORACLE,
+    tags=("ext", "graph", "assortativity", "exact-stats"),
+)
+def x193_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e = _cosupply_edges(li)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    de = e.join(
+        F.broadcast(deg.select(F.col("src"), F.col("d").alias("x"))), "src"
+    ).join(
+        F.broadcast(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))
+        ),
+        "dst",
+    )
+    mo = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return mo.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.col("sx").cast("long").alias("sum_deg"),
+        r.alias("assortativity"),
+    )
