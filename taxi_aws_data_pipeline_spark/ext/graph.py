@@ -178,3 +178,67 @@ def label_propagation_fixed_rounds(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def personalized_pagerank_fixed_rounds(
+    edges: DataFrame,
+    seed: int,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank with ALL teleport mass on one seed node —
+    the 'related to X' variant of :func:`pagerank_fixed_rounds`: random
+    walks restart at the seed instead of uniformly, so rank concentrates
+    in the seed's neighborhood and the result ranks nodes by proximity
+    to it (recommendation / expansion queries). Same fixed-point integer
+    arithmetic and one-equi-join-one-partial-agg-per-round shape; the
+    initial vector is the seed indicator, teleport is
+    ``15% * SCALE`` at the seed and zero elsewhere, so every quantity
+    stays an exact int64 and the oracle can replay rounds verbatim.
+    Assumes the symmetric-graph no-dangling precondition of the caller
+    (co-supply edges are symmetric by construction)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = out_deg.select(F.col("src").alias("node"), "out_deg")
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node") == seed, F.lit(PR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    teleport = F.when(
+        F.col("node") == seed, F.lit(PR_SCALE * 15 // 100)
+    ).otherwise(F.lit(0))
+    for _ in range(rounds):
+        contribs = (
+            e.join(
+                ranks.join(nodes, "node").select(
+                    F.col("node").alias("src"), "r", "out_deg"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r DIV out_deg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr("COALESCE(s, 0) * 85 DIV 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    out = ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+    return out

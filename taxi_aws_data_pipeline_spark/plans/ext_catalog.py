@@ -16281,3 +16281,60 @@ def x193_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sx").cast("long").alias("sum_deg"),
         r.alias("assortativity"),
     )
+
+
+def _ppr_round(prev: str, s: str, cur: str, seed: int) -> str:
+    return f"""
+    {s} AS (
+        SELECT e.dst, sum(r.r // r.out_deg) AS s
+        FROM e JOIN {prev} r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    {cur} AS (
+        SELECT d.src AS node, d.out_deg,
+               CASE WHEN d.src = {seed} THEN 150000000000 ELSE 0 END
+               + COALESCE(s.s, 0) * 85 // 100 AS r
+        FROM deg d LEFT JOIN {s} s ON d.src = s.dst
+    )"""
+
+
+_PPR_ORACLE = f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+    p0 AS (
+        SELECT src AS node, out_deg,
+               CASE WHEN src = 1 THEN 1000000000000 ELSE 0 END AS r
+        FROM deg
+    ),{_ppr_round('p0', 'ps1', 'p1', 1)},{_ppr_round('p1', 'ps2', 'p2', 1)}
+    SELECT node AS supplier, CAST(r AS BIGINT) AS rank_scaled
+    FROM p2 WHERE r > 0
+"""
+
+
+@register(
+    "x194_personalized_pagerank",
+    "Personalized PageRank from seed supplier 1 on the co-supply "
+    "graph: all restart mass returns to the SEED instead of spreading "
+    "uniformly (x84's global variant), so rank measures random-walk "
+    "proximity to supplier 1 — the 'related suppliers' / graph-"
+    "expansion query behind recommendation candidates and "
+    "investigation fan-outs. Identical fixed-point integer machinery "
+    "to x84 (seed-indicator start vector, 15%-at-seed teleport, "
+    "85//100 damped contributions, rank DIV out_degree per edge), "
+    "two unrolled rounds replayed verbatim by the oracle; only "
+    "walk-reachable nodes carry mass, and the r > 0 filter makes "
+    "that reachability set part of the hashed surface. Per round: "
+    "one equi-join, one partial-agg — the x84 scale shape "
+    "unchanged.",
+    oracle=_PPR_ORACLE,
+    tags=("ext", "graph", "personalized-pagerank", "fixed-rounds"),
+)
+def x194_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    ranks = G.personalized_pagerank_fixed_rounds(
+        _cosupply_edges(li), seed=1, rounds=2
+    )
+    return ranks.filter(F.col("rank_scaled") > 0).select(
+        F.col("node").alias("supplier"),
+        F.col("rank_scaled").cast("long").alias("rank_scaled"),
+    )
