@@ -16338,3 +16338,196 @@ def x194_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         F.col("node").alias("supplier"),
         F.col("rank_scaled").cast("long").alias("rank_scaled"),
     )
+
+
+_LTV_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id,
+               date_trunc('week', min(CAST(ts AS DATE))) AS cohort_week
+        FROM events GROUP BY 1
+    ), spend AS (
+        SELECT e.user_id, f.cohort_week,
+               date_diff('week', f.cohort_week,
+                         date_trunc('week', CAST(e.ts AS DATE))) AS age_w,
+               CAST(floor(COALESCE(e.value, 0) * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM events e JOIN firsts f USING (user_id)
+    ), cell AS (
+        SELECT cohort_week, age_w,
+               sum(cents) AS cents,
+               count(DISTINCT user_id) AS active_users
+        FROM spend GROUP BY 1, 2
+    ), sized AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM firsts GROUP BY 1
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(c.age_w AS BIGINT) AS age_weeks,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(c.active_users AS BIGINT) AS active_users,
+           CAST(c.cents AS BIGINT) AS cents,
+           CAST(sum(c.cents) OVER (PARTITION BY c.cohort_week
+                                   ORDER BY c.age_w) AS BIGINT)
+               AS cum_cents,
+           CAST(sum(c.cents) OVER (PARTITION BY c.cohort_week
+                                   ORDER BY c.age_w)
+                * 100 // s.cohort_size AS BIGINT)
+               AS cum_ltv_cents_per_user_x100
+    FROM cell c JOIN sized s USING (cohort_week)
+"""
+
+
+@register(
+    "x195_cohort_ltv_curve",
+    "Cohort LTV curves: users grouped by first-seen week, spend "
+    "accumulated by week-age into the cohort x age matrix with "
+    "per-user cumulative LTV (x100 fixed-point) — the growth-"
+    "analytics deliverable x58's retention matrix is the presence "
+    "shadow of (retention says WHO came back; LTV says what that "
+    "was worth, and whether later cohorts monetize faster at equal "
+    "age). First-touch via one min-aggregate join-back (the x58 "
+    "shape), cumulative curve via a per-cohort ordered window over "
+    "age cells — the window runs over the bounded cohort x age "
+    "grid, never raw events; everything integer (cents, the x100 "
+    "per-user scaling by integer DIV).",
+    oracle=_LTV_ORACLE,
+    tags=("ext", "ltv", "cohort", "analytics"),
+)
+def x195_cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).alias("cohort_week")
+    )
+    spend = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.to_date("ts")), "cohort_week"
+                )
+                / 7
+            )
+        )
+        .cast("long")
+        .alias("age_w"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    cell = spend.groupBy("cohort_week", "age_w").agg(
+        F.sum("cents").alias("cents"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_w")
+    return (
+        cell.join(sized, "cohort_week")
+        .withColumn("cum_cents", F.sum("cents").over(w))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("age_w").alias("age_weeks"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.col("cents").cast("long").alias("cents"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.expr(
+                "CAST(cum_cents * 100 DIV cohort_size AS BIGINT)"
+            ).alias("cum_ltv_cents_per_user_x100"),
+        )
+    )
+
+
+_BOT_FLAGS_ORACLE = """
+    WITH obs AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type
+        FROM events
+    ), gaps AS (
+        SELECT user_id,
+               lead(t_us) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) - t_us AS g
+        FROM obs
+    ), gm AS (
+        SELECT user_id, count(*) AS n_g, sum(g) AS sg,
+               sum((g // 1000) * (g // 1000)) AS qg_ms2
+        FROM gaps WHERE g IS NOT NULL GROUP BY 1
+    ), em AS (
+        SELECT user_id, count(*) AS n_ev,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS n_err
+        FROM obs GROUP BY 1
+    )
+    SELECT e.user_id,
+           CAST(e.n_ev AS BIGINT) AS n_events,
+           CAST(g.sg // g.n_g AS BIGINT) AS mean_gap_us,
+           e.n_ev * 3600000000 > 200 * (g.sg + 1) AS fast_flag,
+           2 * (g.qg_ms2 // g.n_g)
+               < 3 * ((g.sg // g.n_g) // 1000)
+                   * ((g.sg // g.n_g) // 1000) AS regular_flag,
+           e.n_err * 5 > e.n_ev AS error_flag
+    FROM em e JOIN gm g USING (user_id)
+    WHERE g.n_g >= 10
+"""
+
+
+@register(
+    "x196_bot_likeness_flags",
+    "Bot/automation heuristics per user — the traffic-cleaning gate "
+    "a behavioral training corpus needs before any engagement "
+    "metric: (a) FAST — sustained rate above 200 events/hour over "
+    "the observed span, (b) REGULAR — inter-arrival variance "
+    "collapsed to under half the squared mean (humans are bursty; "
+    "cron is metronomic: the second-moment test catches fixed-"
+    "interval replayers a rate cap misses), (c) ERROR-heavy — over "
+    "20% error events. Every test is a CROSS-MULTIPLIED integer "
+    "inequality on exact epoch-us gap moments (the w22 discipline "
+    "-- no rate or variance is ever materialized as a float; the "
+    "q//1e6 and sg//1e3 rescalings keep the squared terms inside "
+    "int64 at month-of-microseconds spans). One lead window per "
+    "user + two grouped moment passes; min-10-gaps support floor.",
+    oracle=_BOT_FLAGS_ORACLE,
+    tags=("ext", "bot-detection", "data-cleaning", "exact-stats"),
+)
+def x196_bot_likeness_flags(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    obs = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gaps = obs.select(
+        "user_id", (F.lead("t_us").over(w) - F.col("t_us")).alias("g")
+    ).filter(F.col("g").isNotNull())
+    gm = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("g").alias("sg"),
+        F.sum(F.expr("(g DIV 1000) * (g DIV 1000)")).alias("qg_ms2"),
+    )
+    em = obs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+    joined = em.join(gm, "user_id").filter(F.col("n_g") >= 10)
+    return joined.select(
+        "user_id",
+        F.col("n_ev").cast("long").alias("n_events"),
+        F.expr("CAST(sg DIV n_g AS BIGINT)").alias("mean_gap_us"),
+        (F.col("n_ev") * F.lit(3600000000) > 200 * (F.col("sg") + 1)).alias(
+            "fast_flag"
+        ),
+        F.expr(
+            "2 * (qg_ms2 DIV n_g) < 3 * ((sg DIV n_g) DIV 1000) "
+            "* ((sg DIV n_g) DIV 1000)"
+        ).alias("regular_flag"),
+        (F.col("n_err") * 5 > F.col("n_ev")).alias("error_flag"),
+    )
