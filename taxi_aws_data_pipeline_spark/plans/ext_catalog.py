@@ -16531,3 +16531,98 @@ def x196_bot_likeness_flags(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("regular_flag"),
         (F.col("n_err") * 5 > F.col("n_ev")).alias("error_flag"),
     )
+
+
+_ASOF_SCD2_ORACLE = """
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment,
+               '1995-01-01' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                    ELSE 'UPDATED' END AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    changed AS (
+        SELECT u.c_custkey, u.c_mktsegment
+        FROM upd u JOIN dim d USING (c_custkey)
+        WHERE u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+    ),
+    scd AS (
+        SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+               CASE WHEN c.c_custkey IS NULL THEN NULL
+                    ELSE '1998-01-01' END AS valid_to
+        FROM dim d LEFT JOIN changed c USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, '1998-01-01', NULL FROM changed
+    )
+    SELECT s.c_mktsegment AS segment_asof,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o
+    JOIN scd s ON s.c_custkey = o.o_custkey
+              AND o.o_orderdate >= CAST(s.valid_from AS TIMESTAMP)
+              AND (s.valid_to IS NULL
+                   OR o.o_orderdate < CAST(s.valid_to AS TIMESTAMP))
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "x197_fact_scd2_asof_join",
+    "Point-in-time fact enrichment — the query SCD2 EXISTS to "
+    "answer: each order joins to the dimension version valid AT ITS "
+    "ORDER DATE (not today's), so a customer re-segmented in 1998 "
+    "has pre-1998 orders attributed to the OLD segment and later "
+    "ones to the new — the as-current join everyone writes first "
+    "silently rewrites history (x86 builds the versioned dimension; "
+    "this proves the temporal semantics by aggregating revenue under "
+    "the as-of attribute, where any validity-window mistake moves "
+    "whole year-buckets and breaks the hash). The validity predicate "
+    "rides a key equi-join (1-2 versions per key, Catalyst evaluates "
+    "the range as a post-join filter on a bounded match set — never "
+    "a true range join); NULL valid_to means open interval. Output "
+    "bounded by segments x years.",
+    oracle=_ASOF_SCD2_ORACLE,
+    tags=("ext", "scd2", "asof", "point-in-time"),
+)
+def x197_fact_scd2_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    dim = scd2_initial(cust, "c_custkey", ("c_mktsegment",), "1995-01-01")
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("UPDATED"))
+        .alias("c_mktsegment"),
+    )
+    scd = scd2_merge(
+        dim, updates, "c_custkey", ("c_mktsegment",), "1998-01-01"
+    )
+    orders = load_table(spark, sf, "orders")
+    joined = orders.join(
+        scd,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (
+            F.col("o_orderdate")
+            >= F.col("valid_from").cast("timestamp")
+        )
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to").cast("timestamp"))
+        ),
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment_asof"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )

@@ -37,6 +37,9 @@ _FIXED_CARDINALITY = {
     "e17_calendar_dimension": 366,
     # one row per first digit (the 9-row spine reports zero counts)
     "x140_benford_first_digit_audit": 9,
+    # one row per candidate join order — the 3-plan cost report is a
+    # fixed spine over (possibly zero) stats, like the advisors above
+    "z7_join_order_cost_rank": 3,
 }
 
 
