@@ -26,29 +26,26 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "a1_returnflag_performance"
 
 # The harness records verdicts for the FIRST 50 registered entries each
-# round. Rounds 1-3 drove 127 of the 151 catalog entries green; this
-# round's window leads with the 24 entries that have never been inside
-# a driver verification window — the round-3 additions (a8, g5/g6
-# [renamed from the colliding g3_pivot/g4_unpivot ids], j10-j12, k3/k4,
-# w8/w9, x80-x90, z1) plus x35/x38, which this round moved from
-# rows-only to full SQL-replay oracles (fixed-rounds Lloyd / PQ-ADC on
-# the x83 pattern). The remaining 26 slots re-pin representative
-# entries from every r1/r2-verified tier so driver evidence stays fresh
-# against regressions rather than resting on the local replica alone.
+# round. Rounds 1-3 drove 127 catalog entries green; round 4 grew the
+# catalog to 300+, so every window slot now goes to evidence
+# conversion: the 24 entries VERDICT r3 item 1 staged (the round-3
+# additions a8, g5/g6 [renamed from the colliding g3_pivot/g4_unpivot
+# ids], j10-j12, k3/k4, w8/w9, x80-x90, z1, plus x35/x38 — moved this
+# round from rows-only to full SQL-replay oracles on the x83
+# fixed-rounds pattern), followed by the first 26 round-4 additions in
+# catalog registration order. VERDICT r3 item 6 asked for re-pin slots
+# once the backlog was converted; with ~170 entries still awaiting
+# their first driver row, re-pins are deferred — regression freshness
+# for already-verified entries is carried by tests/test_oracle_parity.py
+# + test_vanilla_session.py, which run the IDENTICAL DuckDB compare
+# over the FULL catalog every session.
 #
-# WINDOW SCHEDULE (documented per VERDICT r3 item 6): once round 4
-# lands, every pre-r4 oracle-backed entry has a driver correctness row.
-# Subsequent rounds keep the first ~24 slots on whatever is newest /
-# changed and rotate the re-pin block through the tiers round-robin:
-# r5 = the round-4 additions (a9-a20, d7, e15-e17, g7-g9, j13-j22,
-# k5/k6, s8, w10-w21, x91-x164, z2-z5 — all local-green and green in
-# this round's full-catalog fresh-process driver simulations; they
-# overflow one 50-slot window, so r5 takes the first 50 by id and r6
-# leads with the remainder) + as slots allow, a/c/d/e families
-# + x1-x27 odds, r6 = j/w/g/k families + x28-x60 evens, r7 = s/p
-# families + x61-x90, then repeat. Entries outside the window stay
-# pinned every session by tests/test_oracle_parity.py +
-# test_vanilla_session.py (the full-catalog local replica).
+# WINDOW SCHEDULE: subsequent rounds continue draining the
+# never-windowed backlog 50 per round in catalog registration order
+# (r5 = a10-a14, j17-j21, w12-w14, x91-x12x..., r6 = the next 50, ...);
+# once the backlog is empty, windows rotate re-pins through the tiers
+# round-robin (a/c/d/e + x1-x27, then j/w/g/k + x28-x60, then s/p +
+# x61-x90, repeat).
 _NEVER_WINDOWED = (
     "a8_measure_correlations",
     "g5_pivot_daily_event_values",
@@ -75,35 +72,37 @@ _NEVER_WINDOWED = (
     "x35_kmeans_cells",
     "x38_pq_ann_topk",
 )
-_REPINS = (
-    "a1_returnflag_performance",
-    "a2_hourly_demand",
-    "a5_monthly_summary",
-    "a6_scalar_statistics",
-    "c1_median_impute_batch",
-    "c4_p99_outlier_cap",
-    "d1_exact_row_dedup",
-    "d6_manifest_anti_join",
-    "e2_rate_clip_div_zero",
-    "e6_time_of_day_binning",
-    "s1_parquet_scan_pruned",
-    "p1_typed_cast_enforce",
-    "j1_region_revenue_star_join",
-    "j2_asof_join_prior_click",
-    "j3_range_join_value_tiers",
-    "j5_exists_semi_join",
-    "w1_tumbling_hourly_value",
-    "w2_user_sessionization",
-    "w4_session_window_native",
-    "g1_rollup_year_priority",
-    "k1_salted_skew_agg",
-    "x5_exact_dedup_groups",
-    "x6_jaccard_near_dup_pairs",
-    "x8_minhash_lsh_candidate_pairs",
-    "x14_ivf_ann_topk",
-    "x27_training_data_pipeline",
+# First 26 round-4 additions in catalog registration order (see the
+# window-schedule note above).
+_ROUND4_BATCH = (
+    "j13_bi_national_volume",
+    "w10_percent_rank_cume_dist",
+    "a9_mergeable_rollup_maintenance",
+    "g7_grouped_mode",
+    "j14_disjunctive_pred_join",
+    "j15_null_tolerant_anti_join",
+    "w11_range_frame_rolling_count",
+    "e15_json_props_parse",
+    "j16_recursive_cte_ancestry",
+    "d7_intersect_except_all",
+    "g8_two_phase_dynamic_pivot",
+    "e16_map_column_ops",
+    "j17_top_supplier_by_revenue",
+    "w12_ratio_to_report",
+    "a10_retractable_rollup",
+    "w13_dynamic_gap_sessions",
+    "a11_weighted_median",
+    "j18_lateral_topn",
+    "e17_calendar_dimension",
+    "a12_ols_trend_per_group",
+    "j19_interval_concurrency",
+    "j20_asof_tolerance_bidi",
+    "k5_join_cardinality_estimate",
+    "j21_part_supplier_variety",
+    "w14_active_day_streaks",
+    "a13_trimmed_mean",
 )
-_PRIORITY = _NEVER_WINDOWED + _REPINS
+_PRIORITY = _NEVER_WINDOWED + _ROUND4_BATCH
 
 
 def _ordered() -> dict[str, object]:
