@@ -16626,3 +16626,838 @@ def x197_fact_scd2_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier-evaluation tier: the metrics a quality-filter / lang-ID model
+# is judged by before it gates a 100 TB corpus. Detector under test: the
+# x1 en-stopword evidence count (an integer score per document), labeled
+# by the metadata lang column. On this synthetic corpus the metadata lang
+# is only weakly coupled to the text, so AUC sits near 0.5 — the entries
+# verify the MATH (exact rank algebra, integer confusion counts), not the
+# detector's strength; swap in any integer score column unchanged.
+# ---------------------------------------------------------------------------
+
+_EN_SW = TX.STOPWORDS["en"]
+_SQL_EN_SCORE = (
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    f"t -> t IN {_EN_SW!r}))"
+)
+
+_ROC_AUC_ORACLE = f"""
+    WITH scored AS (
+        SELECT {_SQL_EN_SCORE} AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE text IS NOT NULL
+    ),
+    lv AS (
+        SELECT score, count(*) AS n_eq, sum(pos) AS n_pos_eq
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT *,
+               coalesce(sum(n_eq) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cnt_less
+        FROM lv
+    ),
+    mo AS (
+        SELECT sum(n_pos_eq) AS n_pos,
+               sum(n_eq - n_pos_eq) AS n_neg,
+               sum(n_pos_eq * (2 * cnt_less + n_eq + 1)) AS r_pos_x2
+        FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(r_pos_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
+           CAST(r_pos_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+               AS auc
+    FROM mo
+"""
+
+
+@register(
+    "x198_roc_auc_langid",
+    "ROC-AUC of the x1 en-stopword score as an 'is English' detector — "
+    "the threshold-free eval every quality/lang filter needs before it "
+    "gates a corpus. Computed EXACTLY via the rank identity AUC = "
+    "U/(n_pos*n_neg) with tie-averaged ranks kept integer by doubling "
+    "(a21's 2*avgrank = 2*cnt_less + n_eq + 1 machinery): one groupBy "
+    "on the DISTINCT score levels (the cumulative window runs over "
+    "score cardinality — ~9 levels — never document cardinality), so "
+    "the single-partition stage is O(distinct scores) at any corpus "
+    "size. u_x2 = 2*U is emitted as the exact integer surface; the "
+    "one closing division is the only float. int64 headroom: u_x2 <= "
+    "2*n_pos*n_neg, fine to ~2e9 docs; beyond that the same algebra "
+    "runs in decimal(38,0).",
+    oracle=_ROC_AUC_ORACLE,
+    tags=("ext", "eval", "classifier", "exact-stats"),
+)
+def x198_roc_auc_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    scored = docs.select(
+        TX.stopword_hits(TX.words("text"), _EN_SW).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    lv = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_eq"), F.sum("pos").alias("n_pos_eq")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = lv.withColumn(
+        "cnt_less", F.coalesce(F.sum("n_eq").over(w), F.lit(0))
+    )
+    mo = ranked.agg(
+        F.sum("n_pos_eq").alias("n_pos"),
+        F.sum(F.col("n_eq") - F.col("n_pos_eq")).alias("n_neg"),
+        F.sum(
+            F.col("n_pos_eq") * (2 * F.col("cnt_less") + F.col("n_eq") + 1)
+        ).alias("r_pos_x2"),
+    )
+    u_x2 = F.col("r_pos_x2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return mo.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        u_x2.cast("long").alias("u_x2"),
+        (
+            u_x2.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+_CONFUSION_ORACLE = f"""
+    WITH scored AS (
+        SELECT CASE WHEN {_SQL_EN_SCORE} >= 2 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT sum(pred * pos)             AS tp,
+               sum(pred * (1 - pos))       AS fp,
+               sum((1 - pred) * pos)       AS fn,
+               sum((1 - pred) * (1 - pos)) AS tn
+        FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(CASE WHEN tp + fp = 0 THEN NULL
+                     ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+               AS precision_ppm,
+           CAST(CASE WHEN tp + fn = 0 THEN NULL
+                     ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                     ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END
+                AS BIGINT) AS f1_ppm,
+           CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+               AS accuracy_ppm
+    FROM c
+"""
+
+
+@register(
+    "x199_classifier_confusion",
+    "Confusion matrix + precision/recall/F1/accuracy for the "
+    "thresholded en-detector (score >= 2 predicts English) — the "
+    "operating-point eval that complements x198's threshold-free AUC. "
+    "One conditional-aggregation pass (four products of 0/1 columns "
+    "partial-aggregate map-side); every derived metric is a truncating "
+    "integer ppm (tp*1e6 DIV denominator), so the whole row is "
+    "hash-exact with zero float arithmetic; empty denominators emit "
+    "NULL rather than a fake 0.",
+    oracle=_CONFUSION_ORACLE,
+    tags=("ext", "eval", "classifier", "exact-stats"),
+)
+def x199_classifier_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    scored = docs.select(
+        F.when(
+            TX.stopword_hits(TX.words("text"), _EN_SW) >= 2, 1
+        ).otherwise(0).alias("pred"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    c = scored.agg(
+        F.sum(F.col("pred") * F.col("pos")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("pos"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("pos")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("pos"))).alias("tn"),
+    )
+    return c.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.expr(
+            "CAST(CASE WHEN tp + fp = 0 THEN NULL"
+            " ELSE tp * 1000000 DIV (tp + fp) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn = 0 THEN NULL"
+            " ELSE tp * 1000000 DIV (tp + fn) END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+            " ELSE 2 * tp * 1000000 DIV (2 * tp + fp + fn) END AS BIGINT)"
+        ).alias("f1_ppm"),
+        F.expr(
+            "CAST((tp + tn) * 1000000 DIV (tp + fp + fn + tn) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )
+
+
+_CALIBRATION_ORACLE = f"""
+    WITH scored AS (
+        SELECT {_SQL_EN_SCORE} AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(score AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+    FROM scored GROUP BY score
+"""
+
+
+@register(
+    "x200_calibration_table",
+    "Reliability (calibration) table for the en-detector: per discrete "
+    "score level, document count, positive count, and the empirical "
+    "positive rate in truncating integer ppm — read alongside x198's "
+    "AUC to see WHERE the score is informative, and the input to any "
+    "isotonic/Platt recalibration step. One grouped pass over ~9 "
+    "score levels; every output cell is an integer, so the table is "
+    "hash-exact. At 100 TB this is the same single small groupBy — "
+    "score cardinality, not corpus cardinality.",
+    oracle=_CALIBRATION_ORACLE,
+    tags=("ext", "eval", "classifier", "calibration"),
+)
+def x200_calibration_table(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    scored = docs.select(
+        TX.stopword_hits(TX.words("text"), _EN_SW).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    return scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr("sum(pos) * 1000000 DIV count(*)").cast("long")
+        .alias("pos_rate_ppm"),
+    ).select(
+        F.col("score").cast("long").alias("score"),
+        "n_docs", "n_pos", "pos_rate_ppm",
+    )
+
+
+_CHI2_TOKEN_ORACLE = """
+    WITH pres AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS token,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+        SELECT token, sum(pos) AS a, count(*) AS n_tok
+        FROM pres WHERE token <> ''
+        GROUP BY token
+    ),
+    cells AS (
+        SELECT token, a, n_tok - a AS b, p - a AS c,
+               (n - p) - (n_tok - a) AS d, n
+        FROM tok CROSS JOIN tot
+        WHERE n_tok >= 25 AND n_tok <= n - 25
+    ),
+    scored AS (
+        SELECT token, a, b, c, d,
+               CAST(n AS DOUBLE)
+                   * (CAST(a * d - b * c AS DOUBLE)
+                      * CAST(a * d - b * c AS DOUBLE))
+                   / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                   AS chi2
+        FROM cells
+    )
+    SELECT token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d, chi2
+    FROM scored
+    ORDER BY chi2 DESC, token
+    LIMIT 30
+"""
+
+
+@register(
+    "x201_chi2_token_class",
+    "Chi-square token<->class association: the top-30 tokens whose "
+    "document presence is most associated with the en label — the "
+    "log-free feature-selection pass behind fastText-style quality/"
+    "language classifiers (mutual information needs ln; the chi-square "
+    "statistic ranks near-identically and stays in exactly-"
+    "reproducible arithmetic). Presence (not tf) contingency per "
+    "token: a/b/c/d cells from ONE distinct-explode + groupBy(token) "
+    "with the 2-value class total broadcast; chi2 = N*(ad-bc)^2/"
+    "((a+b)(c+d)(a+c)(b+d)) with the ad-bc difference formed in int64 "
+    "and the close in fixed-shape IEEE doubles. df bounds [25, N-25] "
+    "kill zero denominators and the useless always/never tokens. "
+    "int64 headroom on ad-bc holds to ~3e9 docs; the double close is "
+    "engine-exact at any scale.",
+    oracle=_CHI2_TOKEN_ORACLE,
+    tags=("ext", "text", "feature-selection", "exact-stats"),
+)
+def x201_chi2_token_class(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    pres = (
+        docs.select(
+            "doc_id",
+            F.explode(TX.words("text")).alias("token"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("p"),
+    )
+    tok = pres.groupBy("token").agg(
+        F.sum("pos").alias("a"), F.count(F.lit(1)).alias("n_tok")
+    )
+    cells = (
+        tok.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("n_tok") >= 25) & (F.col("n_tok") <= F.col("n") - 25)
+        )
+        .select(
+            "token",
+            "a",
+            (F.col("n_tok") - F.col("a")).alias("b"),
+            (F.col("p") - F.col("a")).alias("c"),
+            ((F.col("n") - F.col("p")) - (F.col("n_tok") - F.col("a")))
+            .alias("d"),
+            "n",
+        )
+    )
+    ad_bc = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    chi2 = (
+        F.col("n").cast("double")
+        * (ad_bc.cast("double") * ad_bc.cast("double"))
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    return (
+        cells.select(
+            "token",
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+            F.col("d").cast("long").alias("d"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "token")
+        .limit(30)
+    )
+
+
+_PMI_ORACLE = """
+    WITH w AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+        SELECT unnest(ws) AS t FROM w
+    ),
+    ucnt AS (
+        SELECT t, count(*) AS n_t FROM uni GROUP BY t
+    ),
+    utot AS (SELECT count(*) AS n_uni FROM uni),
+    big AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS pair,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS t1,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS t2
+        FROM w WHERE len(ws) >= 2
+    ),
+    bcnt AS (
+        SELECT pair, t1, t2, count(*) AS n_xy
+        FROM big GROUP BY pair, t1, t2
+    ),
+    btot AS (SELECT count(*) AS n_pairs FROM big),
+    scored AS (
+        SELECT b.pair, b.n_xy,
+               b.n_xy * t.n_pairs AS pmi_num,
+               u1.n_t * u2.n_t AS pmi_den
+        FROM bcnt b
+        JOIN ucnt u1 ON b.t1 = u1.t
+        JOIN ucnt u2 ON b.t2 = u2.t
+        CROSS JOIN btot t
+        WHERE b.n_xy >= 5
+    )
+    SELECT pair, CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(pmi_num AS BIGINT) AS pmi_num,
+           CAST(pmi_den AS BIGINT) AS pmi_den
+    FROM scored
+    ORDER BY CAST(pmi_num AS DOUBLE) / CAST(pmi_den AS DOUBLE) DESC,
+             pair
+    LIMIT 25
+"""
+
+
+@register(
+    "x202_pmi_collocations",
+    "Top-25 adjacent-word collocations by pointwise mutual information "
+    "— phrase discovery for tokenizer vocab seeding and stop-phrase "
+    "lists. PMI = ln(n_xy*N/(n_x*n_y)) is ranked WITHOUT the ln (log "
+    "is monotone, so ordering by the exact integer fraction "
+    "n_xy*N/(n_x*n_y) is PMI order — the x166 log-free discipline); "
+    "the fraction ships as int64 num/den under the hash and the one "
+    "float division ORDERS only. Bigrams form by index-transform over "
+    "the per-doc word array (no self-join); two token-keyed groupBys "
+    "+ two broadcast unigram joins; min support n_xy >= 5 kills the "
+    "noise tail. int64: num <= n_xy*N_pairs holds to ~3e9 pairs, den "
+    "to n_x*n_y ~ (3e9)^2 via the df-bounded join inputs — beyond "
+    "that, decimal(38,0).",
+    oracle=_PMI_ORACLE,
+    tags=("ext", "text", "collocation", "tokenizer"),
+)
+def x202_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = docs.select(
+        F.filter(TX.words("text"), lambda t: t != "").alias("ws")
+    )
+    uni = w.select(F.explode("ws").alias("t"))
+    ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    utot = uni.agg(F.count(F.lit(1)).alias("n_uni"))  # noqa: F841 (kept for parity with the SQL shape; N_pairs is the PMI normalizer)
+    idx = F.sequence(F.lit(1), F.size("ws") - 1)
+    big = w.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.concat(
+                        F.element_at(F.col("ws"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("ws"), i + F.lit(1)),
+                    ).alias("pair"),
+                    F.element_at(F.col("ws"), i).alias("t1"),
+                    F.element_at(F.col("ws"), i + F.lit(1)).alias("t2"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.pair", "s.t1", "s.t2")
+    bcnt = big.groupBy("pair", "t1", "t2").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    btot = big.agg(F.count(F.lit(1)).alias("n_pairs"))
+    scored = (
+        bcnt.filter(F.col("n_xy") >= 5)
+        .join(ucnt.select(F.col("t").alias("t1"), F.col("n_t").alias("n_1")), "t1")
+        .join(ucnt.select(F.col("t").alias("t2"), F.col("n_t").alias("n_2")), "t2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "pair",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            (F.col("n_xy") * F.col("n_pairs")).cast("long").alias("pmi_num"),
+            (F.col("n_1") * F.col("n_2")).cast("long").alias("pmi_den"),
+        )
+    )
+    return scored.orderBy(
+        F.desc(F.col("pmi_num").cast("double") / F.col("pmi_den").cast("double")),
+        "pair",
+    ).limit(25)
+
+
+_BM25_TERMS = ("join", "hash", "scan", "merge")
+_BM25_SAT_SQL = (
+    "(CAST(tf AS DOUBLE) * 2.2e0) / (CAST(tf AS DOUBLE) + 1.2e0 * "
+    "(0.25e0 + 0.75e0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) "
+    "/ CAST(dl_total AS DOUBLE)))"
+)
+_BM25_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (SELECT doc_id, len(ws) AS dl FROM w),
+    tot AS (SELECT count(*) AS n_docs, sum(dl) AS dl_total FROM d),
+    tf AS (
+        SELECT doc_id, t AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS t FROM w)
+        WHERE t IN {_BM25_TERMS!r}
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    st AS (
+        SELECT tf.doc_id, tf.term,
+               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+                / (CAST(df AS DOUBLE) + 0.5e0)) * ({_BM25_SAT_SQL}) AS s
+        FROM tf
+        JOIN df USING (term)
+        JOIN d USING (doc_id)
+        CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id,
+               coalesce(sum(CASE WHEN term = 'join' THEN s END), 0e0)
+               + coalesce(sum(CASE WHEN term = 'hash' THEN s END), 0e0)
+               + coalesce(sum(CASE WHEN term = 'scan' THEN s END), 0e0)
+               + coalesce(sum(CASE WHEN term = 'merge' THEN s END), 0e0)
+                   AS bm25
+        FROM st GROUP BY doc_id
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM agg
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+"""
+
+
+@register(
+    "x203_bm25_topk",
+    "BM25 top-10 retrieval for a fixed 4-term query (k1=1.2, b=0.75) "
+    "with the RATIONAL idf (N-df+0.5)/(df+0.5) in place of its ln — "
+    "x23's portable-idf discipline applied to the standard lexical "
+    "ranking function (per term, ln-idf and rational idf are monotone-"
+    "equivalent; the summed score is an honest ln-free BM25 VARIANT, "
+    "stated as such). Length normalization b*dl/avgdl clears avgdl's "
+    "division as dl*N/dl_total. The per-doc sum over query terms is "
+    "the x183 fixed-associativity shape — four conditional sums (each "
+    "over at most ONE row, hence order-free) added in written order — "
+    "never a float SUM over an unordered group. Plan: one tf groupBy "
+    "on (doc, term in Q) after an explode that drops every non-query "
+    "token map-side, a 4-row broadcast df join, a doc-length join, "
+    "top-10 via TakeOrderedAndProject. Corpus-scale cost is the token "
+    "scan; state is O(matching docs).",
+    oracle=_BM25_ORACLE,
+    tags=("ext", "retrieval", "bm25", "text"),
+)
+def x203_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = docs.select(
+        "doc_id", F.filter(TX.words("text"), lambda t: t != "").alias("ws")
+    )
+    d = w.select("doc_id", F.size("ws").alias("dl"))
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_total")
+    )
+    tf = (
+        w.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    idf = (dd("n_docs") - dd("df") + F.lit(0.5)) / (dd("df") + F.lit(0.5))
+    sat = (dd("tf") * F.lit(2.2)) / (
+        dd("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * dd("dl") * dd("n_docs") / dd("dl_total"))
+    )
+    st = (
+        tf.join(F.broadcast(df_), "term")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "term", (idf * sat).alias("s"))
+    )
+    term_sum = lambda t: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+    )
+    agg = st.groupBy("doc_id").agg(
+        (
+            term_sum("join") + term_sum("hash")
+            + term_sum("scan") + term_sum("merge")
+        ).alias("bm25")
+    )
+    win = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        agg.orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+    )
+
+
+_EPOCH_BUDGET = 5_000_000
+_EPOCH_ORACLE = f"""
+    WITH w AS (
+        SELECT source,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS dl
+        FROM documents WHERE text IS NOT NULL
+    ),
+    per_src AS (
+        SELECT source, sum(dl) AS tokens_avail FROM w GROUP BY source
+    ),
+    ns AS (SELECT count(*) AS n_sources FROM per_src)
+    SELECT source,
+           CAST(tokens_avail AS BIGINT) AS tokens_avail,
+           CAST({_EPOCH_BUDGET} // n_sources AS BIGINT) AS target_tokens,
+           CAST(({_EPOCH_BUDGET} // n_sources + tokens_avail - 1)
+                // tokens_avail AS BIGINT) AS epochs,
+           CAST((({_EPOCH_BUDGET} // n_sources + tokens_avail - 1)
+                 // tokens_avail) * tokens_avail
+                - {_EPOCH_BUDGET} // n_sources AS BIGINT)
+               AS overshoot_tokens
+    FROM per_src CROSS JOIN ns
+"""
+
+
+@register(
+    "x204_token_budget_epochs",
+    "Token-budget epoch planner: given a total training budget "
+    f"({_EPOCH_BUDGET:,} tokens) split equally across sources, how "
+    "many passes (epochs) over each source's available tokens are "
+    "needed, and how much the ceil rounds over — the repetition "
+    "planning step of data-mixture design (the practical knob behind "
+    "upsampling small high-quality sources; pairs with x49's "
+    "acceptance-rate rebalance, which DOWN-samples within one pass). "
+    "All integer: per-source token totals from one groupBy, target = "
+    "budget DIV n_sources, epochs by the (a+b-1) DIV b ceiling "
+    "identity. The 1-row source count is broadcast; output is "
+    "source-cardinality.",
+    oracle=_EPOCH_ORACLE,
+    tags=("ext", "mixture", "planning", "training-data"),
+)
+def x204_token_budget_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = docs.select(
+        "source",
+        F.size(F.filter(TX.words("text"), lambda t: t != "")).alias("dl"),
+    )
+    per_src = w.groupBy("source").agg(F.sum("dl").alias("tokens_avail"))
+    ns = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
+    target = F.expr(f"{_EPOCH_BUDGET} DIV n_sources")
+    epochs = F.expr(
+        f"({_EPOCH_BUDGET} DIV n_sources + tokens_avail - 1) DIV tokens_avail"
+    )
+    return per_src.crossJoin(F.broadcast(ns)).select(
+        "source",
+        F.col("tokens_avail").cast("long").alias("tokens_avail"),
+        target.cast("long").alias("target_tokens"),
+        epochs.cast("long").alias("epochs"),
+        (epochs * F.col("tokens_avail") - target)
+        .cast("long")
+        .alias("overshoot_tokens"),
+    )
+
+
+_ZIPF_ORACLE = """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+        SELECT t AS term, count(*) AS freq
+        FROM toks WHERE t <> ''
+        GROUP BY t
+    ),
+    tot AS (SELECT sum(freq) AS n_total FROM cnt),
+    ranked AS (
+        SELECT term, freq,
+               row_number() OVER (ORDER BY freq DESC, term) AS rank
+        FROM cnt
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, term,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(rank * freq AS BIGINT) AS rank_x_freq,
+           CAST(freq * 1000000 // n_total AS BIGINT) AS share_ppm
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= 50
+    ORDER BY rank
+"""
+
+
+@register(
+    "x205_zipf_rank_frequency",
+    "Zipf rank-frequency head: the top-50 terms with rank, frequency, "
+    "the rank*freq product (near-constant under Zipf's law — the "
+    "eyeball check that a corpus is natural-language-shaped rather "
+    "than template spam), and exact-ppm corpus share. One term "
+    "groupBy; the ranking window runs over VOCABULARY cardinality "
+    "(and at 100 TB the top-50 cut would ride a TakeOrderedAndProject "
+    "over the term aggregate, never a global sort of tokens). "
+    "Companion diagnostics: x30 repetition, x90 fluency, x206 "
+    "vocabulary growth.",
+    oracle=_ZIPF_ORACLE,
+    tags=("ext", "text", "corpus-stats", "zipf"),
+)
+def x205_zipf_rank_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    cnt = (
+        docs.select(F.explode(TX.words("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy(F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = cnt.agg(F.sum("freq").alias("n_total"))
+    ranked = cnt.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "term"))
+    ).filter(F.col("rank") <= 50)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            (F.col("rank") * F.col("freq")).cast("long").alias("rank_x_freq"),
+            F.expr("freq * 1000000 DIV n_total").cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+_HEAPS_ORACLE = """
+    WITH dr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) AS r,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS dl
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM dr),
+    first_r AS (
+        SELECT t AS term, min(r) AS first_rank
+        FROM (
+            SELECT dr.r, unnest(string_split_regex(lower(d.text), '\\s+')) AS t
+            FROM documents d JOIN dr USING (doc_id)
+            WHERE d.text IS NOT NULL
+        )
+        WHERE t <> ''
+        GROUP BY t
+    ),
+    grid AS (
+        SELECT pct, n_docs * pct // 100 AS n_prefix
+        FROM (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])
+                  AS pct) CROSS JOIN nd
+    )
+    SELECT CAST(g.pct AS BIGINT) AS pct,
+           CAST(g.n_prefix AS BIGINT) AS n_prefix_docs,
+           CAST((SELECT sum(dl) FROM dr WHERE r <= g.n_prefix) AS BIGINT)
+               AS tokens_prefix,
+           CAST((SELECT count(*) FROM first_r
+                 WHERE first_rank <= g.n_prefix) AS BIGINT) AS vocab_size
+    FROM grid g
+    ORDER BY pct
+"""
+
+
+@register(
+    "x206_heaps_vocab_growth",
+    "Heaps'-law vocabulary growth curve: distinct-term count and total "
+    "tokens after the first 10%..100% of documents (doc_id order) — "
+    "sublinear growth is the natural-corpus signature, and the curve "
+    "says whether tokenizer vocab training has seen enough data to "
+    "plateau. The cumulative-distinct trap is avoided by FIRST-"
+    "OCCURRENCE RANKS: each term reduces to min(doc rank) in one "
+    "groupBy, and every grid threshold is then a COUNT over that "
+    "small table — no per-threshold re-scan, no distinct-over-window. "
+    "The doc-rank window orders by doc_id (unique), and the 10-row "
+    "grid joins broadcast; corpus cost is one token scan + one "
+    "vocab-sized agg.",
+    oracle=_HEAPS_ORACLE,
+    tags=("ext", "text", "corpus-stats", "vocab"),
+)
+def x206_heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    dr = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
+        F.filter(TX.words("text"), lambda t: t != "").alias("ws"),
+    ).select("doc_id", "r", "ws", F.size("ws").alias("dl"))
+    nd = dr.agg(F.count(F.lit(1)).alias("n_docs"))
+    first_r = (
+        dr.select("r", F.explode("ws").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy(F.col("t").alias("term"))
+        .agg(F.min("r").alias("first_rank"))
+    )
+    grid = (
+        dr.sparkSession.range(1, 11)
+        .select((F.col("id") * 10).alias("pct"))
+        .crossJoin(F.broadcast(nd))
+        .select("pct", F.expr("n_docs * pct DIV 100").alias("n_prefix"))
+    )
+    tok_prefix = (
+        grid.join(dr, dr["r"] <= grid["n_prefix"])
+        .groupBy("pct", "n_prefix")
+        .agg(F.sum("dl").alias("tokens_prefix"))
+    )
+    vocab = (
+        grid.join(
+            F.broadcast(first_r.groupBy("first_rank").agg(
+                F.count(F.lit(1)).alias("n_new")
+            )),
+            F.col("first_rank") <= F.col("n_prefix"),
+        )
+        .groupBy("pct")
+        .agg(F.sum("n_new").alias("vocab_size"))
+    )
+    return (
+        tok_prefix.join(vocab, "pct")
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("n_prefix").cast("long").alias("n_prefix_docs"),
+            F.col("tokens_prefix").cast("long").alias("tokens_prefix"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+        )
+        .orderBy("pct")
+    )
+
+
+_BOTTOMK_ORACLE = """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':bk1') AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT 100
+"""
+
+
+@register(
+    "x207_bottomk_uniform_sample",
+    "Exact-k uniform sample (k=100) via bottom-k-by-hash: order by "
+    "md5(key || salt) and cut — the distributed equivalent of "
+    "reservoir sampling with NONE of its sequential state. Where "
+    "x16's hash-acceptance sampling yields a BINOMIAL sample size "
+    "(rate fixed, k random), bottom-k fixes k exactly — the form "
+    "stratified eval sets and debugging samples need. The plan is the "
+    "scale story: TakeOrderedAndProject keeps k rows per partition "
+    "and merges k at the driver — O(k) memory at any corpus size, "
+    "never a global sort (guarded in tests/test_plans.py). "
+    "Deterministic and repeatable across runs/engines by md5.",
+    oracle=_BOTTOMK_ORACLE,
+    tags=("ext", "sampling", "bottomk"),
+)
+def x207_bottomk_uniform_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bk1")))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )

@@ -2764,3 +2764,217 @@ def test_personalized_pagerank_concentrates_on_seed(spark):
     assert rows[4] < rows[2]
     assert rows[4] < rows[1]
     assert rows[1] > 0 and rows[2] > 0
+
+
+def _write_docs(tmp_path, name, rows):
+    """rows: (doc_id, text, lang, source) tuples → documents.parquet."""
+    import duckdb
+
+    d = tmp_path / name
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        "COPY (SELECT doc_id, text, lang, source, "
+        "CAST(length(text) AS BIGINT) AS n_chars FROM docs) "
+        f"TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    return str(d)
+
+
+def test_x198_auc_extremes_and_ties(spark, tmp_path):
+    """Perfect separation → AUC 1.0 with u_x2 = 2*n_pos*n_neg; a
+    constant score (all ties) → AUC exactly 0.5 via the tie-averaged
+    rank algebra."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    sep = _write_docs(
+        tmp_path,
+        "sf_auc_sep",
+        [(i, "the and is of to", "en", "s") for i in range(3)]
+        + [(i + 10, "xyz abc qqq", "de", "s") for i in range(3)],
+    )
+    r = CATALOG["x198_roc_auc_langid"].spark(spark, sep).collect()[0]
+    assert (r.n_pos, r.n_neg) == (3, 3)
+    assert r.u_x2 == 2 * 3 * 3 and r.auc == 1.0
+
+    tied = _write_docs(
+        tmp_path,
+        "sf_auc_tie",
+        [(i, "xyz abc", "en" if i < 4 else "fr", "s") for i in range(10)],
+    )
+    r = CATALOG["x198_roc_auc_langid"].spark(spark, tied).collect()[0]
+    assert r.auc == 0.5 and r.u_x2 == r.n_pos * r.n_neg
+
+
+def test_x199_confusion_counts_and_ppm(spark, tmp_path):
+    """Hand-checkable 2x2: 2 TP, 1 FN (en doc under threshold), 1 FP,
+    2 TN — precision 2/3, recall 2/3, F1 2/3 in truncating ppm."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_conf",
+        [
+            (1, "the and is", "en", "s"),   # score 3 → pred 1, pos → TP
+            (2, "the and", "en", "s"),      # score 2 → pred 1, pos → TP
+            (3, "the xyz", "en", "s"),      # score 1 → pred 0, pos → FN
+            (4, "the and is", "de", "s"),   # score 3 → pred 1, neg → FP
+            (5, "xyz", "de", "s"),          # score 0 → pred 0, neg → TN
+            (6, "abc", "fr", "s"),          # score 0 → pred 0, neg → TN
+        ],
+    )
+    r = CATALOG["x199_classifier_confusion"].spark(spark, d).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 1, 2)
+    assert r.precision_ppm == 2 * 1_000_000 // 3
+    assert r.recall_ppm == 2 * 1_000_000 // 3
+    assert r.f1_ppm == 4_000_000 // 6
+    assert r.accuracy_ppm == 4 * 1_000_000 // 6
+
+
+def test_x200_calibration_rates(spark, tmp_path):
+    """Each score level's pos_rate_ppm is its exact truncated share."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_cal",
+        [
+            (1, "the", "en", "s"),
+            (2, "the", "de", "s"),
+            (3, "the", "fr", "s"),   # level 1: 1/3 en
+            (4, "xyz", "en", "s"),   # level 0: 1/1 en
+        ],
+    )
+    rows = {
+        r.score: r
+        for r in CATALOG["x200_calibration_table"].spark(spark, d).collect()
+    }
+    assert rows[1].n_docs == 3 and rows[1].n_pos == 1
+    assert rows[1].pos_rate_ppm == 1_000_000 // 3
+    assert rows[0].pos_rate_ppm == 1_000_000
+
+
+def test_x201_planted_token_tops_chi2(spark, tmp_path):
+    """A token present in every en doc and no other doc (df inside the
+    [25, N-25] band) must rank first, with the hand-computed chi2."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = []
+    for i in range(30):  # 30 en docs, all with the planted marker
+        rows.append((i, "marker filler stuff", "en", "s"))
+    for i in range(30):  # 30 non-en docs, no marker
+        rows.append((i + 100, "filler stuff other", "de", "s"))
+    d = _write_docs(tmp_path, "sf_chi2", rows)
+    got = CATALOG["x201_chi2_token_class"].spark(spark, d).collect()
+    top = got[0]
+    # a=30 b=0 c=0 d=30 → chi2 = 60*(900)^2/(30*30*30*30) = 60
+    assert top.token == "marker"
+    assert (top.a, top.b, top.c, top.d) == (30, 0, 0, 30)
+    assert top.chi2 == 60.0
+
+
+def test_x202_planted_collocation_tops_pmi(spark, tmp_path):
+    """'alpha beta' always adjacent (perfect association) must out-rank
+    a pair of independently-frequent words: PMI order is the exact
+    fraction n_xy*N/(n_x*n_y)."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    # alpha beta occurs 6 times, alpha/beta never apart; 'big' and
+    # 'data' each frequent but paired only sometimes
+    rows = [(i, "alpha beta big data big q data w", "en", "s") for i in range(6)]
+    d = _write_docs(tmp_path, "sf_pmi", rows)
+    got = CATALOG["x202_pmi_collocations"].spark(spark, d).collect()
+    assert got[0].pair == "alpha beta"
+    ratios = [r.pmi_num / r.pmi_den for r in got]
+    assert ratios == sorted(ratios, reverse=True)
+
+
+def test_x203_bm25_tf_and_length_normalization(spark, tmp_path):
+    """More query-term mass ranks higher; at equal tf the SHORTER doc
+    wins (b=0.75 length normalization)."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_bm25",
+        [
+            (1, "join hash scan merge", "en", "s"),          # all 4 terms
+            (2, "join hash filler filler", "en", "s"),       # 2 terms
+            (3, "join filler filler filler filler filler filler filler",
+             "en", "s"),                                     # 1 term, long
+            (4, "join filler", "en", "s"),                   # 1 term, short
+            (5, "filler words only here", "en", "s"),        # no terms
+        ],
+    )
+    got = CATALOG["x203_bm25_topk"].spark(spark, d).collect()
+    order = [r.doc_id for r in got]
+    assert order[0] == 1 and order[1] == 2
+    assert order.index(4) < order.index(3)  # shorter doc beats longer
+    assert 5 not in order                   # zero-match docs don't rank
+
+
+def test_x204_epoch_ceiling_identity(spark, tmp_path):
+    """epochs = ceil(target/avail) by the (a+b-1) DIV b identity, and
+    overshoot = epochs*avail - target, per source."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_epoch",
+        [(1, " ".join(["w"] * 7), "en", "small"),
+         (2, " ".join(["w"] * 13), "en", "large")],
+    )
+    rows = {
+        r.source: r
+        for r in CATALOG["x204_token_budget_epochs"].spark(spark, d).collect()
+    }
+    target = 5_000_000 // 2
+    for src, avail in (("small", 7), ("large", 13)):
+        r = rows[src]
+        assert r.tokens_avail == avail
+        assert r.target_tokens == target
+        assert r.epochs == -(-target // avail)
+        assert r.overshoot_tokens == r.epochs * avail - target
+
+
+def test_x206_vocab_growth_counts_first_occurrences(spark, tmp_path):
+    """Each doc introduces one brand-new term on top of a shared one:
+    vocab at the 50% cut counts exactly the prefix's introductions."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = [(i, f"shared term{i}", "en", "s") for i in range(10)]
+    d = _write_docs(tmp_path, "sf_heaps", rows)
+    got = {
+        r.pct: r
+        for r in CATALOG["x206_heaps_vocab_growth"].spark(spark, d).collect()
+    }
+    assert got[50].n_prefix_docs == 5
+    assert got[50].vocab_size == 1 + 5   # 'shared' + term0..term4
+    assert got[50].tokens_prefix == 10
+    assert got[100].vocab_size == 11
+
+
+def test_x207_bottomk_is_exactly_the_k_smallest(spark, sf_dir):
+    """The TakeOrdered cut returns exactly k rows and they are the k
+    globally-smallest hashes — partitioning cannot change the set."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x207_bottomk_uniform_sample"].spark(spark, sf_dir).collect()
+    assert len(got) == 100
+    docs = load_table(spark, sf_dir, "documents")
+    full = (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bk1")))
+            .alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(100)
+        .collect()
+    )
+    assert {r.doc_id for r in got} == {r.doc_id for r in full}

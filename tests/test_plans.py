@@ -686,3 +686,30 @@ def test_x177_diversified_topk_uses_take_ordered(spark, sf_dir):
         df._jdf.queryExecution(), "simple"
     )
     assert "TakeOrdered" in plan
+
+
+def test_x207_bottomk_take_ordered_no_global_sort(spark, sf_dir):
+    # bottom-k-by-hash must be the O(k)-memory heap merge: a
+    # TakeOrderedAndProject with no global Sort and no single-partition
+    # exchange feeding one
+    plan = _plan(spark, sf_dir, "x207_bottomk_uniform_sample", "simple")
+    assert "TakeOrdered" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_x203_bm25_broadcasts_df_and_totals(spark, sf_dir):
+    # the 4-row document-frequency table and the 1-row corpus totals ride
+    # broadcasts; the only shuffles key on doc/term aggregates — never a
+    # sort-merge join against the corpus
+    plan = _plan(spark, sf_dir, "x203_bm25_topk", "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrdered" in plan
+
+
+def test_x198_auc_window_runs_over_score_levels(spark, sf_dir):
+    # the cumulative rank window must consume the score-level AGGREGATE
+    # (distinct-score cardinality), so the single-partition stage is
+    # bounded by score levels — HashAggregate feeds the Window, and the
+    # final result is one row
+    plan = _plan(spark, sf_dir, "x198_roc_auc_langid", "simple")
+    assert "Window" in plan and "HashAggregate" in plan
