@@ -159,6 +159,13 @@ BENCH_QUERIES = (
     "x185_matryoshka_funnel_topk",
     "x186_binary_hamming_topk",
     "w23_time_weighted_average",
+    # session-3 continuation: the classifier-eval / corpus-law tier's
+    # token-scan-heavy members — chi2 runs a distinct presence explode,
+    # PMI a bigram transform-explode + two unigram joins, BM25 the
+    # query-filtered tf scan with broadcast df
+    "x201_chi2_token_class",
+    "x202_pmi_collocations",
+    "x203_bm25_topk",
 )
 
 

@@ -17461,3 +17461,435 @@ def x207_bottomk_uniform_sample(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords, hash-verified sketches (HLL / KMV), burstiness,
+# seasonal-naive forecasting — session-3 continuation
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_ORACLE = f"""
+    WITH w AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    adj AS (
+        SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS t1,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS t2
+        FROM w WHERE len(ws) >= 2
+    ),
+    e AS (
+        SELECT t1 AS src, t2 AS dst FROM adj WHERE t1 <> t2
+        UNION
+        SELECT t2 AS src, t1 AS dst FROM adj WHERE t1 <> t2
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (
+        SELECT d.src AS node, d.out_deg,
+               1000000000000 // n_nodes AS r
+        FROM deg d CROSS JOIN n
+    ),{_pr_round('r0', 's1', 'r1')},{_pr_round('r1', 's2', 'r2')}
+    SELECT node AS keyword,
+           CAST(r AS BIGINT) AS rank_scaled
+    FROM r2
+    ORDER BY r DESC, node
+    LIMIT 20
+"""
+
+
+@register(
+    "x208_textrank_keywords",
+    "TextRank keyword extraction: PageRank (d=0.85, 2 fixed rounds) "
+    "over the word co-occurrence graph — adjacent-word edges "
+    "symmetrized, self-loops dropped — surfacing the corpus's most "
+    "central vocabulary (Mihalcea & Tarau's unsupervised keyphrase "
+    "baseline). Reuses graph.pagerank_fixed_rounds VERBATIM: the "
+    "whole iteration is fixed-point int64 (rank div out_degree, "
+    "sum*85 div 100), so ranks are bit-identical at any parallelism "
+    "and the oracle replays both rounds in SQL (x84's machinery on a "
+    "text graph). Symmetric-by-construction edges satisfy the "
+    "no-dangling precondition structurally. Edge build is one "
+    "index-transform explode + a distinct on (src,dst) word pairs — "
+    "vocabulary-sized state, corpus-sized scan.",
+    oracle=_TEXTRANK_ORACLE,
+    tags=("ext", "text", "graph", "pagerank", "keywords"),
+)
+def x208_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = docs.select(
+        F.filter(TX.words("text"), lambda t: t != "").alias("ws")
+    )
+    idx = F.sequence(F.lit(1), F.size("ws") - 1)
+    adj = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i).alias("t1"),
+                        F.element_at(F.col("ws"), i + F.lit(1)).alias("t2"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.t1", "s.t2")
+        .filter(F.col("t1") != F.col("t2"))
+    )
+    e = (
+        adj.select(F.col("t1").alias("src"), F.col("t2").alias("dst"))
+        .union(adj.select(F.col("t2").alias("src"), F.col("t1").alias("dst")))
+        .distinct()
+    )
+    ranks = G.pagerank_fixed_rounds(e, rounds=2, check_dangling=False)
+    return (
+        ranks.select(F.col("node").alias("keyword"), "rank_scaled")
+        .orderBy(F.desc("rank_scaled"), "keyword")
+        .limit(20)
+    )
+
+
+_HLL_ORACLE = """
+    WITH u AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events
+    ),
+    h AS (
+        SELECT CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 64 AS bucket,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        FROM u
+    ),
+    reg AS (
+        SELECT bucket,
+               max(CASE WHEN h2 = 0 THEN 33
+                        ELSE 33 - length(bin(h2)) END) AS m_j
+        FROM h GROUP BY bucket
+    ),
+    grid AS (SELECT unnest(range(64)) AS bucket),
+    full_reg AS (
+        SELECT g.bucket, coalesce(r.m_j, 0) AS m_j
+        FROM grid g LEFT JOIN reg r USING (bucket)
+    ),
+    est AS (
+        SELECT sum(1e0 / CAST(1 << m_j AS DOUBLE)) AS sum_inv,
+               sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS n_zero
+        FROM full_reg
+    ),
+    exact AS (SELECT count(*) AS n_exact FROM u)
+    SELECT CAST(64 AS BIGINT) AS m,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_zero AS BIGINT) AS n_zero_registers,
+           sum_inv,
+           0.709e0 * 64e0 * 64e0 / sum_inv AS hll_estimate
+    FROM est CROSS JOIN exact
+"""
+
+
+@register(
+    "x209_hll_distinct_sketch",
+    "HyperLogLog distinct-user estimate, HASH-VERIFIED end to end: "
+    "md5 splits into a 6-bit register index and a 32-bit pattern whose "
+    "leading-zero rank rho = 33 - len(bin(h)) both engines compute "
+    "identically; per-register maxima are exact integers, and the "
+    "harmonic close sum(2^-M_j) is EXACT in IEEE double (every term "
+    "is a power of two and the 64-term exponent spread < 53 bits, so "
+    "every partial sum is representable — the one float SUM in the "
+    "repo that is provably order-free), making even the estimate "
+    "hash-stable. Emits the exact count beside it (the accuracy "
+    "check) and the zero-register count a consumer needs for the "
+    "small-range linear-counting correction (deliberately not applied "
+    "— it needs ln). THE sketch for 100 TB distinct-counting: "
+    "register maxima are mergeable partial aggregates, 64 longs of "
+    "state per group vs a distinct shuffle.",
+    oracle=_HLL_ORACLE,
+    tags=("ext", "sketch", "hll", "distinct"),
+)
+def x209_hll_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    u = ev.select(F.col("user_id").cast("string").alias("s")).distinct()
+    md5 = F.md5("s")
+    h = u.select(
+        (F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % 64)
+        .alias("bucket"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    reg = h.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("h2") == 0, 33).otherwise(
+                33 - F.length(F.bin("h2"))
+            )
+        ).alias("m_j")
+    )
+    grid = u.sparkSession.range(64).select(F.col("id").alias("bucket"))
+    full_reg = grid.join(F.broadcast(reg), "bucket", "left").select(
+        "bucket", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    est = full_reg.agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(1L, CAST(m_j AS INT)) AS DOUBLE)")
+        ).alias("sum_inv"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    exact = u.agg(F.count(F.lit(1)).alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(64).cast("long").alias("m"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_zero").cast("long").alias("n_zero_registers"),
+        "sum_inv",
+        (F.lit(0.709) * F.lit(64.0) * F.lit(64.0) / F.col("sum_inv"))
+        .alias("hll_estimate"),
+    )
+
+
+_FANO_ORACLE = """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    mo AS (
+        SELECT user_id, count(*) AS n_days, sum(c) AS total,
+               sum(c * c) AS sum_sq
+        FROM daily GROUP BY user_id
+        HAVING count(*) >= 5
+    )
+    SELECT user_id,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(total AS BIGINT) AS total_events,
+           CAST(n_days * sum_sq - total * total AS BIGINT) AS fano_num,
+           CAST((n_days - 1) * total AS BIGINT) AS fano_den,
+           n_days * sum_sq - total * total > 2 * ((n_days - 1) * total)
+               AS overdispersed
+    FROM mo
+"""
+
+
+@register(
+    "x210_fano_burstiness",
+    "Per-user burstiness via the Fano factor of daily event counts: "
+    "variance-to-mean of the count series, the index-of-dispersion "
+    "that separates Poisson-like organic activity (~1) from bursty "
+    "humans (>1 clumped sessions) and metronomic bots (<1) — the "
+    "continuous companion to x196's threshold flags. Fano = "
+    "(n*sum_sq - total^2) / ((n-1)*total) ships as the exact int64 "
+    "num/den pair (the cleared-denominator discipline), with the "
+    "overdispersed>2 verdict as a cross-multiplied integer "
+    "inequality — no float anywhere. Two grouped passes (daily, then "
+    "per-user moments), both partitioned by user; min 5 active days.",
+    oracle=_FANO_ORACLE,
+    tags=("ext", "behavioral", "burstiness", "exact-stats"),
+)
+def x210_fano_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mo = (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("c").alias("total"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
+    num = F.col("n_days") * F.col("sum_sq") - F.col("total") * F.col("total")
+    den = (F.col("n_days") - 1) * F.col("total")
+    return mo.select(
+        "user_id",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total").cast("long").alias("total_events"),
+        num.cast("long").alias("fano_num"),
+        den.cast("long").alias("fano_den"),
+        (num > 2 * den).alias("overdispersed"),
+    )
+
+
+_MASE_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                   AS ed,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    e7 AS (
+        SELECT a.event_type, sum(abs(a.cents - b.cents)) AS sae,
+               count(*) AS n
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.ed = b.ed + 7
+        GROUP BY a.event_type
+    ),
+    e1 AS (
+        SELECT a.event_type, sum(abs(a.cents - b.cents)) AS sae,
+               count(*) AS n
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.ed = b.ed + 1
+        GROUP BY a.event_type
+    )
+    SELECT e7.event_type,
+           CAST(e7.n AS BIGINT) AS n7, CAST(e7.sae AS BIGINT) AS sae7,
+           CAST(e1.n AS BIGINT) AS n1, CAST(e1.sae AS BIGINT) AS sae1,
+           (CAST(e7.sae AS DOUBLE) / CAST(e7.n AS DOUBLE))
+               / (CAST(e1.sae AS DOUBLE) / CAST(e1.n AS DOUBLE)) AS mase
+    FROM e7 JOIN e1 USING (event_type)
+"""
+
+
+@register(
+    "w25_seasonal_naive_mase",
+    "Seasonal-naive forecast evaluation: per event type, the MAE of "
+    "the forecast 'same as 7 days ago' scaled by the MAE of the "
+    "one-day naive — MASE, the scale-free forecast-accuracy standard "
+    "(Hyndman-Koehler); < 1 means weekly seasonality genuinely "
+    "predicts. Lag pairing is by EXACT epoch-day equi-join (a18's "
+    "discipline: calendar gaps pair nothing, a window lag would "
+    "silently pair across them), absolute errors sum in int64 cents, "
+    "and only the final ratio-of-ratios floats in one fixed IEEE "
+    "shape. Joins and aggs all partition by event_type + day — "
+    "embarrassingly parallel at any history length.",
+    oracle=_MASE_ORACLE,
+    tags=("ext", "timeseries", "forecast", "eval"),
+)
+def w25_seasonal_naive_mase(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01")
+        ).alias("ed"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+
+    def lag_err(k: int) -> DataFrame:
+        a, b = daily.alias("a"), daily.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.ed") == F.col("b.ed") + k),
+            )
+            .groupBy(F.col("a.event_type").alias("event_type"))
+            .agg(
+                F.sum(F.abs(F.col("a.cents") - F.col("b.cents"))).alias("sae"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    e7 = lag_err(7).select(
+        "event_type", F.col("n").alias("n7"), F.col("sae").alias("sae7")
+    )
+    e1 = lag_err(1).select(
+        "event_type", F.col("n").alias("n1"), F.col("sae").alias("sae1")
+    )
+    return e7.join(e1, "event_type").select(
+        "event_type",
+        F.col("n7").cast("long").alias("n7"),
+        F.col("sae7").cast("long").alias("sae7"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("sae1").cast("long").alias("sae1"),
+        (
+            (F.col("sae7").cast("double") / F.col("n7").cast("double"))
+            / (F.col("sae1").cast("double") / F.col("n1").cast("double"))
+        ).alias("mase"),
+    )
+
+
+_KMV_K = 64
+_KMV_ORACLE = f"""
+    WITH labeled AS (
+        SELECT 'click' AS set_name, user_id FROM events
+        WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'view', user_id FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT 'union', user_id FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    hashed AS (
+        SELECT DISTINCT set_name,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS h
+        FROM labeled
+    ),
+    ranked AS (
+        SELECT set_name, h,
+               row_number() OVER (PARTITION BY set_name ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY set_name) AS n_exact
+        FROM hashed
+    )
+    SELECT set_name,
+           CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(max(CASE WHEN rn = {_KMV_K} THEN h END) AS BIGINT)
+               AS kth_hash,
+           CAST(({_KMV_K} - 1e0) * 4294967296e0
+                / max(CASE WHEN rn = {_KMV_K} THEN h END) AS DOUBLE)
+               AS est_distinct,
+           CAST(max(n_exact) AS BIGINT) AS exact_distinct
+    FROM ranked
+    WHERE n_exact >= {_KMV_K}
+    GROUP BY set_name
+"""
+
+
+@register(
+    "x211_kmv_sketch_setops",
+    "KMV (k-minimum-values) distinct sketches with a set operation: "
+    "the k=64 smallest md5 hashes of click users, view users, and "
+    "their UNION — the union sketch merges member sketches without "
+    "touching raw data, which is the entire 100 TB point (HLL's "
+    "register-max merge, x209, is the other classic; KMV adds "
+    "unbiased intersection/Jaccard algebra on top). Estimator "
+    "(k-1)*2^32/h_k is deterministic given md5, so even the float "
+    "estimate hash-verifies; the exact distinct count rides beside "
+    "it. Per-set state is k longs; the rank window partitions by "
+    "set. Sets below k members are excluded (the estimator is exact-"
+    "count territory there anyway).",
+    oracle=_KMV_ORACLE,
+    tags=("ext", "sketch", "kmv", "distinct"),
+)
+def x211_kmv_sketch_setops(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    click = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("set_name"), "user_id"
+    )
+    view = ev.filter(F.col("event_type") == "view").select(
+        F.lit("view").alias("set_name"), "user_id"
+    )
+    both = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.lit("union").alias("set_name"), "user_id"
+    )
+    labeled = click.union(view).union(both)
+    hashed = labeled.select(
+        "set_name",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    wr = Window.partitionBy("set_name").orderBy("h")
+    wc = Window.partitionBy("set_name")
+    ranked = hashed.select(
+        "set_name",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+    return (
+        ranked.filter(F.col("n_exact") >= _KMV_K)
+        .groupBy("set_name")
+        .agg(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            kth.cast("long").alias("kth_hash"),
+            (
+                F.lit(float(_KMV_K - 1))
+                * F.lit(4294967296.0)
+                / kth.cast("double")
+            ).alias("est_distinct"),
+            F.max("n_exact").cast("long").alias("exact_distinct"),
+        )
+    )

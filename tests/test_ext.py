@@ -2978,3 +2978,144 @@ def test_x207_bottomk_is_exactly_the_k_smallest(spark, sf_dir):
         .collect()
     )
     assert {r.doc_id for r in got} == {r.doc_id for r in full}
+
+
+def _write_events(tmp_path, name, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value) → events.parquet."""
+    import duckdb
+
+    d = tmp_path / name
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(
+        "COPY (SELECT event_id, ts, user_id, event_type, value, "
+        "'' AS props FROM ev) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    return str(d)
+
+
+def test_x208_hub_word_tops_textrank(spark, tmp_path):
+    """A hub word adjacent to every other word must out-rank the
+    spokes that each touch only the hub."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_textrank",
+        [(1, "hub aa hub bb hub cc hub dd", "en", "s")],
+    )
+    got = CATALOG["x208_textrank_keywords"].spark(spark, d).collect()
+    assert got[0].keyword == "hub"
+    assert got[0].rank_scaled > got[1].rank_scaled
+
+
+def test_x209_hll_registers_match_reference_md5(spark, tmp_path):
+    """Recompute every register in pure Python from hashlib md5 — the
+    Spark sketch (sum_inv, zero count, estimate) must agree exactly."""
+    import hashlib
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    users = list(range(1, 201))
+    rows = [
+        (i, "2024-01-01 00:00:00", u, "click", 1.0)
+        for i, u in enumerate(users)
+    ]
+    d = _write_events(tmp_path, "sf_hll", rows)
+    regs = [0] * 64
+    for u in users:
+        hx = hashlib.md5(str(u).encode()).hexdigest()
+        bucket = int(hx[:8], 16) % 64
+        h2 = int(hx[8:16], 16)
+        rho = 33 if h2 == 0 else 33 - h2.bit_length()
+        regs[bucket] = max(regs[bucket], rho)
+    sum_inv = sum(2.0 ** -m for m in regs)
+    r = CATALOG["x209_hll_distinct_sketch"].spark(spark, d).collect()[0]
+    assert r.n_exact == 200
+    assert r.n_zero_registers == regs.count(0)
+    assert r.sum_inv == sum_inv
+    assert r.hll_estimate == 0.709 * 64.0 * 64.0 / sum_inv
+
+
+def test_x210_fano_constant_vs_bursty(spark, tmp_path):
+    """A constant 1/day user has zero variance (Fano 0); a user with
+    one 9-event burst among single-event days is overdispersed."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = []
+    eid = 0
+    for day in range(1, 7):
+        rows.append((eid, f"2024-01-0{day} 10:00:00", 1, "click", 1.0))
+        eid += 1
+    for day in range(1, 7):
+        n = 9 if day == 1 else 1
+        for _ in range(n):
+            rows.append((eid, f"2024-01-0{day} 10:00:00", 2, "click", 1.0))
+            eid += 1
+    d = _write_events(tmp_path, "sf_fano", rows)
+    got = {
+        r.user_id: r
+        for r in CATALOG["x210_fano_burstiness"].spark(spark, d).collect()
+    }
+    assert got[1].fano_num == 0 and not got[1].overdispersed
+    # user 2: n=6, total=14, sumsq=81+5=86 → num=6*86-196=320, den=5*14=70
+    assert got[2].fano_num == 6 * 86 - 14 * 14
+    assert got[2].fano_den == 5 * 14
+    assert got[2].overdispersed
+
+
+def test_w25_perfect_weekly_pattern_zero_mase(spark, tmp_path):
+    """A series that repeats exactly every 7 days has sae7 = 0 (MASE
+    0.0) while the daily naive still errs; day pairing is by exact
+    epoch-day arithmetic."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = []
+    eid = 0
+    for day in range(14):  # two identical weeks, values cycle 1..7
+        v = float((day % 7) + 1)
+        rows.append(
+            (eid, f"2024-01-{day + 1:02d} 09:00:00", 1, "click", v)
+        )
+        eid += 1
+    d = _write_events(tmp_path, "sf_mase", rows)
+    r = CATALOG["w25_seasonal_naive_mase"].spark(spark, d).collect()[0]
+    assert r.n7 == 7 and r.sae7 == 0
+    assert r.n1 == 13 and r.sae1 > 0
+    assert r.mase == 0.0
+
+
+def test_x211_kth_hash_matches_reference_md5(spark, tmp_path):
+    """The 64th-smallest hash per set must equal the Python-side md5
+    reference; sets under k members are excluded."""
+    import hashlib
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = []
+    eid = 0
+    for u in range(1, 101):  # 100 click users (>= k)
+        rows.append((eid, "2024-01-01 00:00:00", u, "click", 1.0))
+        eid += 1
+    for u in range(1, 31):   # 30 view users (< k → excluded)
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 1.0))
+        eid += 1
+    d = _write_events(tmp_path, "sf_kmv", rows)
+    got = {
+        r.set_name: r
+        for r in CATALOG["x211_kmv_sketch_setops"].spark(spark, d).collect()
+    }
+    assert set(got) == {"click", "union"}  # view has only 30 members
+    hashes = sorted(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        for u in range(1, 101)
+    )
+    assert got["click"].kth_hash == hashes[63]
+    assert got["click"].exact_distinct == 100
+    assert got["click"].est_distinct == 63.0 * 4294967296.0 / hashes[63]
