@@ -17893,3 +17893,240 @@ def x211_kmv_sketch_setops(spark: SparkSession, sf: str) -> DataFrame:
             F.max("n_exact").cast("long").alias("exact_distinct"),
         )
     )
+
+
+_EXPECT_ORACLE = """
+    WITH checks AS (
+        SELECT 'lineitem.quantity_in_[1,50]' AS check_name,
+               count(*) AS n_checked,
+               sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                        THEN 0 ELSE 1 END) AS n_failed
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.discount_in_[0,0.1]',
+               count(*),
+               sum(CASE WHEN l_discount BETWEEN 0e0 AND 0.1e0
+                        THEN 0 ELSE 1 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders.orderkey_unique',
+               count(*),
+               count(*) - count(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.status_accepted_values',
+               count(*),
+               sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                        THEN 0 ELSE 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.totalprice_not_null',
+               count(*),
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.orderkey_fk_orders',
+               count(*),
+               sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'events.ts_not_in_future',
+               count(*),
+               sum(CASE WHEN ts > TIMESTAMP '2031-01-01 00:00:00'
+                        THEN 1 ELSE 0 END)
+        FROM events
+    )
+    SELECT check_name,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_failed AS BIGINT) AS n_failed,
+           n_failed = 0 AS passed
+    FROM checks
+"""
+
+
+@register(
+    "x212_data_expectations",
+    "Declarative data-quality expectation suite (the Great-"
+    "Expectations/dbt-test pattern as one relation): range bounds, "
+    "accepted value sets, not-null, primary-key uniqueness, an FK "
+    "existence probe, and a freshness sanity bound — each check one "
+    "conditional aggregation, unioned into a (check, n_checked, "
+    "n_failed, passed) ledger that gates a pipeline run. Every check "
+    "is a single scan-side aggregate (the FK probe is the one join, "
+    "same broadcast-dim shape as x68's full referential audit); "
+    "counts are exact integers, so the whole ledger hashes. At 100 TB "
+    "the union fans out to independent stages that AQE schedules "
+    "together, and per-check cost is a map-side fold — the cheapest "
+    "possible full-corpus assertion.",
+    oracle=_EXPECT_ORACLE,
+    tags=("ext", "data-quality", "expectations", "gate"),
+)
+def x212_data_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    ev = load_table(spark, sf, "events")
+
+    def check(df, name, fail_cond) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(fail_cond, 1).otherwise(0)).alias("n_failed"),
+        )
+
+    checks = [
+        check(
+            li,
+            "lineitem.quantity_in_[1,50]",
+            ~F.col("l_quantity").between(1, 50),
+        ),
+        check(
+            li,
+            "lineitem.discount_in_[0,0.1]",
+            ~F.col("l_discount").between(0.0, 0.1),
+        ),
+        orders.agg(
+            F.lit("orders.orderkey_unique").alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+            .alias("n_failed"),
+        ),
+        check(
+            orders,
+            "orders.status_accepted_values",
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        check(
+            orders,
+            "orders.totalprice_not_null",
+            F.col("o_totalprice").isNull(),
+        ),
+        check(
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left",
+            ),
+            "lineitem.orderkey_fk_orders",
+            F.col("o_orderkey").isNull(),
+        ),
+        check(
+            ev,
+            "events.ts_not_in_future",
+            F.col("ts") > F.lit("2031-01-01 00:00:00").cast("timestamp"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.union(c)
+    return out.select(
+        "check_name",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        (F.col("n_failed") == 0).alias("passed"),
+    )
+
+
+_WINSOR_ORACLE = """
+    WITH v AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    lv AS (
+        SELECT cents, count(*) AS cnt FROM v GROUP BY cents
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM lv),
+    cum AS (
+        SELECT cents, cnt,
+               sum(cnt) OVER (ORDER BY cents) AS c
+        FROM lv
+    ),
+    cuts AS (
+        SELECT min(CASE WHEN c >= greatest(n * 10 // 100, 1)
+                        THEN cents END) AS lo,
+               min(CASE WHEN c >= n - n * 10 // 100 + 1
+                        THEN cents END) AS hi,
+               max(n) AS n
+        FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(lo AS BIGINT) AS lo_cents,
+           CAST(hi AS BIGINT) AS hi_cents,
+           CAST((SELECT sum(cnt * CASE WHEN cents < lo THEN lo
+                                       WHEN cents > hi THEN hi
+                                       ELSE cents END)
+                 FROM lv, cuts) AS BIGINT) AS winsorized_sum_cents,
+           CAST((SELECT sum(cnt * CASE WHEN cents < lo THEN lo
+                                       WHEN cents > hi THEN hi
+                                       ELSE cents END)
+                 FROM lv, cuts) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS winsorized_mean_cents
+    FROM cuts
+"""
+
+
+@register(
+    "a28_winsorized_mean",
+    "10% winsorized mean of event spend: values below the 10th rank "
+    "percentile CLAMP to it and above the 90th clamp down, then the "
+    "mean — the robust-mean family member that (unlike a13's trimmed "
+    "mean, which DROPS the tails) keeps n constant and only caps "
+    "influence; the estimator behind metric guardrails that must not "
+    "let one whale move the average. Everything runs on the DISTINCT-"
+    "VALUE aggregate (the a21/x61 posture): the cumulative window and "
+    "the rank probes cover value cardinality, never row cardinality, "
+    "and the clamped total is sum(cnt * clamp(value)) over the same "
+    "small table — so the single-partition stage is bounded by "
+    "distinct cents at any corpus size. The clamped sum is int64 "
+    "under the hash; the one closing division is the only float.",
+    oracle=_WINSOR_ORACLE,
+    tags=("ext", "robust-stats", "winsorize", "exact-stats"),
+)
+def a28_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    lv = (
+        ev.select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = lv.agg(F.sum("cnt").alias("n"))
+    cum = lv.withColumn(
+        "c", F.sum("cnt").over(Window.orderBy("cents"))
+    )
+    cuts = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(
+                F.col("c") >= F.greatest(F.expr("n * 10 DIV 100"), F.lit(1)),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("c") >= F.col("n") - F.expr("n * 10 DIV 100") + 1,
+                F.col("cents"),
+            )
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    clamped = lv.crossJoin(F.broadcast(cuts)).agg(
+        F.sum(
+            F.col("cnt")
+            * F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+            .when(F.col("cents") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("cents"))
+        ).alias("wsum"),
+        F.max("n").alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    return clamped.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("lo").cast("long").alias("lo_cents"),
+        F.col("hi").cast("long").alias("hi_cents"),
+        F.col("wsum").cast("long").alias("winsorized_sum_cents"),
+        (F.col("wsum").cast("double") / F.col("n").cast("double"))
+        .alias("winsorized_mean_cents"),
+    )

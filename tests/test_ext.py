@@ -3119,3 +3119,71 @@ def test_x211_kth_hash_matches_reference_md5(spark, tmp_path):
     assert got["click"].kth_hash == hashes[63]
     assert got["click"].exact_distinct == 100
     assert got["click"].est_distinct == 63.0 * 4294967296.0 / hashes[63]
+
+
+def test_x212_expectations_bite_on_planted_violations(spark, tmp_path):
+    """Every check must flip to failed on a fixture violating it:
+    dup PK, bad status, null price, out-of-range quantity/discount,
+    orphan FK, and a far-future timestamp."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_expect"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES
+            (1, 'O', 100.0), (1, 'X', NULL), (2, 'F', 5.0))
+            t(o_orderkey, o_orderstatus, o_totalprice))
+            TO '{d}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES
+            (1, CAST(99 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+            (2, CAST(10 AS DOUBLE), CAST(0.05 AS DOUBLE)),
+            (777, CAST(10 AS DOUBLE), CAST(0.05 AS DOUBLE)))
+            t(l_orderkey, l_quantity, l_discount))
+            TO '{d}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-01-01 00:00:00'),
+            (2, TIMESTAMP '2099-01-01 00:00:00'))
+            t(event_id, ts)) TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    got = {
+        r.check_name: r
+        for r in CATALOG["x212_data_expectations"].spark(spark, str(d)).collect()
+    }
+    assert not got["orders.orderkey_unique"].passed
+    assert got["orders.status_accepted_values"].n_failed == 1
+    assert got["orders.totalprice_not_null"].n_failed == 1
+    assert got["lineitem.quantity_in_[1,50]"].n_failed == 1
+    assert got["lineitem.discount_in_[0,0.1]"].n_failed == 1
+    assert got["lineitem.orderkey_fk_orders"].n_failed == 1
+    assert got["events.ts_not_in_future"].n_failed == 1
+
+
+def test_a28_winsorized_clamps_whales(spark, tmp_path):
+    """10 values with one whale: lo = rank-1 value, hi = rank-9 value,
+    the whale contributes hi instead of its raw value, n unchanged."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    vals = (
+        [1.0] * 10
+        + [2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+        + [10.0, 1000.0]
+    )
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "click", v) for i, v in enumerate(vals)
+    ]
+    d = _write_events(tmp_path, "sf_winsor", rows)
+    r = CATALOG["a28_winsorized_mean"].spark(spark, d).collect()[0]
+    # n=20 → k_lo = 2 → lo = 100; k_hi = 19 → hi = 1000; the whale
+    # (100000) clamps to 1000, everything else is untouched
+    assert r.n == 20
+    assert r.lo_cents == 100
+    assert r.hi_cents == 1000
+    expected = 10 * 100 + sum(c * 100 for c in range(2, 10)) + 1000 + 1000
+    assert r.winsorized_sum_cents == expected
