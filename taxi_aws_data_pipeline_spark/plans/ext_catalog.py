@@ -18130,3 +18130,76 @@ def a28_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("wsum").cast("double") / F.col("n").cast("double"))
         .alias("winsorized_mean_cents"),
     )
+
+
+_STREAM_REPLAY_ORACLE = """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "s9_streaming_hourly_replay",
+    "Structured Streaming, HASH-VERIFIED against batch SQL: the events "
+    "table is re-read through readStream (file source), watermarked 1 "
+    "hour on event time, aggregated into tumbling hourly windows per "
+    "type, drained with Trigger.AvailableNow into a memory sink in "
+    "complete mode, and the sink's final table is returned — so the "
+    "driver's DuckDB comparison proves the STREAMING pipeline computes "
+    "exactly the batch answer (the Dataflow/kappa equivalence claim, "
+    "tested rather than asserted). Complete mode emits closed AND "
+    "open windows at drain, which is precisely batch semantics for a "
+    "bounded replay; the watermark bounds state for the unbounded "
+    "case. Exactly-once file ingestion, checkpointed restarts, and "
+    "late-data drop are pinned separately in tests/test_streaming.py; "
+    "this entry is the cross-engine correctness anchor. Uses a "
+    "throwaway checkpoint/sink name per invocation (safe under the "
+    "driver's repeated runs).",
+    oracle=_STREAM_REPLAY_ORACLE,
+    tags=("ext", "streaming", "watermark", "replay"),
+)
+def s9_streaming_hourly_replay(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    batch = load_table(spark, sf, "events")
+    name = f"s9_sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="s9_ckpt_")
+    # the parquet ts is TIMESTAMP_NTZ; watermarks require instant
+    # semantics — round-trip through TIMESTAMP under the pinned session
+    # timezone (value-preserving) and cast the window edge back below
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf)
+        .filter(F.col("value").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "cents",
+    )
