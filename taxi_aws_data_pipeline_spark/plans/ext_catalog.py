@@ -18203,3 +18203,240 @@ def s9_streaming_hourly_replay(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "cents",
     )
+
+
+_KRUSKAL_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id, event_type,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    lv AS (
+        SELECT cents, event_type, count(*) AS n_eq
+        FROM per_user GROUP BY 1, 2
+    ),
+    allv AS (
+        SELECT cents, sum(n_eq) AS n_all FROM lv GROUP BY cents
+    ),
+    ranked AS (
+        SELECT a.cents, a.n_all,
+               coalesce(sum(a2.n_all), 0) AS cnt_less
+        FROM allv a LEFT JOIN allv a2 ON a2.cents < a.cents
+        GROUP BY a.cents, a.n_all
+    ),
+    grp AS (
+        SELECT l.event_type,
+               sum(l.n_eq) AS n_j,
+               sum(l.n_eq * (2 * r.cnt_less + r.n_all + 1)) AS r_j_x2
+        FROM lv l JOIN ranked r USING (cents)
+        GROUP BY l.event_type
+    ),
+    tie AS (
+        SELECT sum(n_all * n_all * n_all - n_all) AS tt,
+               sum(n_all) AS nn
+        FROM allv
+    )
+    SELECT g.event_type,
+           CAST(g.n_j AS BIGINT) AS n_j,
+           CAST(g.r_j_x2 AS BIGINT) AS rank_sum_x2,
+           (12e0 / (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) + 1e0))
+            * ((CAST(g.r_j_x2 AS DOUBLE) / 2e0)
+               * (CAST(g.r_j_x2 AS DOUBLE) / 2e0)
+               / CAST(g.n_j AS DOUBLE))) AS h_term
+    FROM grp g CROSS JOIN tie t
+"""
+
+
+@register(
+    "a29_kruskal_wallis_terms",
+    "Kruskal-Wallis k-sample rank test over per-user spend by event "
+    "type — a21's two-arm Mann-Whitney generalized to all five groups "
+    "(the nonparametric ANOVA). Tie-averaged ranks stay EXACT by "
+    "doubling (2*avgrank = 2*cnt_less + n_all + 1) over the DISTINCT "
+    "spend levels, each group's rank sum ships as the integer "
+    "r_j_x2 surface, and the per-group H contribution 12/(N(N+1)) * "
+    "R_j^2/n_j closes in one fixed IEEE shape (consumer sums the k=5 "
+    "terms and subtracts 3(N+1), applying the tie correction from "
+    "a21's tt — k-row arithmetic). Cumulative counts via the "
+    "value-level self-join keep every stage at value cardinality.",
+    oracle=_KRUSKAL_ORACLE,
+    tags=("ext", "ab-test", "nonparametric", "exact-stats"),
+)
+def a29_kruskal_wallis_terms(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    lv = per_user.groupBy("cents", "event_type").agg(
+        F.count(F.lit(1)).alias("n_eq")
+    )
+    allv = lv.groupBy("cents").agg(F.sum("n_eq").alias("n_all"))
+    a, a2 = allv.alias("a"), allv.alias("a2")
+    ranked = (
+        a.join(a2, F.col("a2.cents") < F.col("a.cents"), "left")
+        .groupBy(F.col("a.cents").alias("cents"), F.col("a.n_all").alias("n_all"))
+        .agg(F.coalesce(F.sum("a2.n_all"), F.lit(0)).alias("cnt_less"))
+    )
+    grp = (
+        lv.join(ranked, "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_eq").alias("n_j"),
+            F.sum(
+                F.col("n_eq")
+                * (2 * F.col("cnt_less") + F.col("n_all") + 1)
+            ).alias("r_j_x2"),
+        )
+    )
+    tie = allv.agg(
+        F.sum(
+            F.col("n_all") * F.col("n_all") * F.col("n_all") - F.col("n_all")
+        ).alias("tt"),
+        F.sum("n_all").alias("nn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    h_term = (
+        F.lit(12.0) / (d("nn") * (d("nn") + F.lit(1.0)))
+        * ((d("r_j_x2") / F.lit(2.0)) * (d("r_j_x2") / F.lit(2.0)) / d("n_j"))
+    )
+    return grp.crossJoin(F.broadcast(tie)).select(
+        "event_type",
+        F.col("n_j").cast("long").alias("n_j"),
+        F.col("r_j_x2").cast("long").alias("rank_sum_x2"),
+        h_term.alias("h_term"),
+    )
+
+
+_OHLC_ORACLE = """
+    WITH t AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               printf('%020d', epoch_us(ts)) || printf('%010d', event_id)
+                   AS ord
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, d,
+           CAST(arg_min(cents, ord) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(arg_max(cents, ord) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM t GROUP BY 1, 2
+"""
+
+
+@register(
+    "w26_daily_ohlc",
+    "Daily OHLC candles per event type: open/close are argmin/argmax "
+    "by the (ts, event_id) TOTAL order (the event_id tiebreak makes "
+    "same-timestamp ticks deterministic — min_by on a bare ts would "
+    "be run-order-dependent and break the hash), high/low are plain "
+    "extrema, all in int64 cents. One grouped pass with min_by/max_by "
+    "over a zero-padded (epoch_us, event_id) string key — the portable "
+    "total order both engines agree on (w23 anchor) "
+    "— the classic bar resample as a single partial-aggregable "
+    "aggregation, embarrassingly parallel over (type, day).",
+    oracle=_OHLC_ORACLE,
+    tags=("ext", "timeseries", "resample", "ohlc"),
+)
+def w26_daily_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    # zero-padded (epoch_us, event_id) string: a portable TOTAL order
+    # (unix_micros ≡ epoch_us, the w23-verified anchor)
+    key = F.concat(
+        F.format_string(
+            "%020d", F.unix_micros(F.col("ts").cast("timestamp"))
+        ),
+        F.format_string("%010d", F.col("event_id")),
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.min_by(cents, key).cast("long").alias("open_cents"),
+        F.max(cents).cast("long").alias("high_cents"),
+        F.min(cents).cast("long").alias("low_cents"),
+        F.max_by(cents, key).cast("long").alias("close_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    )
+
+
+_STREAM_JOIN_ORACLE = """
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delay_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "s10_streaming_stream_join_replay",
+    "Stream-stream interval join, HASH-VERIFIED against batch SQL: "
+    "clicks and purchases re-read as two watermarked streams, inner-"
+    "joined per user on purchase time within [click, click+1h], "
+    "drained by Trigger.AvailableNow — the driver's comparison proves "
+    "the streaming join emits EXACTLY the batch join's pairs (s9's "
+    "equivalence anchor extended to the hardest streaming operator: "
+    "dual-sided state with time-range matching). The time bound plus "
+    "both watermarks is what lets Spark expire join state at 100 TB "
+    "stream scale — an unbounded-state join would be rejected. Delay "
+    "rides as exact integer microseconds.",
+    oracle=_STREAM_JOIN_ORACLE,
+    tags=("ext", "streaming", "stream-join", "replay"),
+)
+def s10_streaming_stream_join_replay(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    batch = load_table(spark, sf, "events")
+    name = f"s10_sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="s10_ckpt_")
+
+    def side(ev_type: str, prefix: str):
+        return (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+            .filter(F.col("event_type") == ev_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    )
+    (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("click_user").alias("user_id"),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).cast("long").alias("delay_us"),
+    )
