@@ -40,6 +40,9 @@ _FIXED_CARDINALITY = {
     # one row per candidate join order — the 3-plan cost report is a
     # fixed spine over (possibly zero) stats, like the advisors above
     "z7_join_order_cost_rank": 3,
+    # the expectation ledger is a fixed 7-check spine: every check row
+    # exists (n_checked = 0, passed) even over empty tables
+    "x212_data_expectations": 7,
 }
 
 
