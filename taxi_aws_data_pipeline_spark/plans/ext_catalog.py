@@ -18440,3 +18440,257 @@ def s10_streaming_stream_join_replay(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
         ).cast("long").alias("delay_us"),
     )
+
+
+_TRIANGLE_ORACLE = """
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45e0
+    ),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    o AS (
+        SELECT e.src AS u, e.dst AS v
+        FROM e
+        JOIN deg du ON e.src = du.node
+        JOIN deg dv ON e.dst = dv.node
+        WHERE (du.d, e.src) < (dv.d, e.dst)
+    ),
+    tri AS (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM o a JOIN o b ON a.v = b.u
+        JOIN o c ON c.u = a.u AND c.v = b.v
+    ),
+    per_node AS (
+        SELECT node, count(*) AS n_tri
+        FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        GROUP BY node
+    )
+    SELECT d.node AS supplier,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * coalesce(p.n_tri, 0) AS BIGINT) AS cc_num,
+           CAST(d.d * (d.d - 1) AS BIGINT) AS cc_den
+    FROM deg d LEFT JOIN per_node p USING (node)
+    WHERE d.d >= 2
+"""
+
+
+@register(
+    "x213_triangle_clustering",
+    "Triangle counting + local clustering coefficients on the high-"
+    "quantity co-supply graph via DEGREE-ORDERED ORIENTATION (the "
+    "scalable standard: orient each undirected edge low-(deg,id) -> "
+    "high, so every triangle is enumerated exactly once from its "
+    "lowest corner and the wedge join fans out from LOW-degree "
+    "vertices — the skew cap that makes triangle counting feasible "
+    "on power-law graphs where the naive wedge join explodes at the "
+    "hubs). Two equi-joins over the oriented DAG, one explode-count "
+    "for per-node participation; cc = 2T/(d(d-1)) ships as the exact "
+    "int64 num/den pair. Transitivity-vs-degree is the community-"
+    "structure read x193's assortativity can't give.",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("ext", "graph", "triangles", "clustering"),
+)
+def x213_triangle_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 45.0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    e = _cosupply_edges(li)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    o = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")), "dst")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .persist()  # three joins consume the oriented DAG
+    )
+    a = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    b = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    c = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = a.join(b, "y").join(c, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("supplier"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            (2 * F.coalesce("n_tri", F.lit(0))).cast("long").alias("cc_num"),
+            (F.col("d") * (F.col("d") - 1)).cast("long").alias("cc_den"),
+        )
+    )
+
+
+_PRF_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (SELECT doc_id, len(ws) AS dl FROM w),
+    tot AS (SELECT count(*) AS n_docs, sum(dl) AS dl_total FROM d),
+    tf AS (
+        SELECT doc_id, t AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS t FROM w)
+        WHERE t IN {_BM25_TERMS!r}
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    st AS (
+        SELECT tf.doc_id, tf.term,
+               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+                / (CAST(df AS DOUBLE) + 0.5e0)) * ({_BM25_SAT_SQL}) AS s
+        FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id,
+               coalesce(sum(CASE WHEN term = 'join' THEN s END), 0e0)
+               + coalesce(sum(CASE WHEN term = 'hash' THEN s END), 0e0)
+               + coalesce(sum(CASE WHEN term = 'scan' THEN s END), 0e0)
+               + coalesce(sum(CASE WHEN term = 'merge' THEN s END), 0e0)
+                   AS bm25
+        FROM st GROUP BY doc_id
+    ),
+    rel AS (
+        SELECT doc_id FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10
+    ),
+    pres AS (
+        SELECT DISTINCT w.doc_id,
+               unnest(list_distinct(w.ws)) AS term
+        FROM w JOIN rel USING (doc_id)
+    ),
+    cand AS (
+        SELECT term, count(*) AS df_rel
+        FROM pres
+        WHERE term NOT IN {_BM25_TERMS!r}
+        GROUP BY term
+    ),
+    corpus_df AS (
+        SELECT term, count(DISTINCT doc_id) AS df_corpus
+        FROM (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM w)
+        GROUP BY term
+    )
+    SELECT c.term,
+           CAST(c.df_rel AS BIGINT) AS df_rel,
+           CAST(cd.df_corpus AS BIGINT) AS df_corpus,
+           CAST(c.df_rel * t.n_docs AS BIGINT) AS weight_num,
+           CAST(10 * cd.df_corpus AS BIGINT) AS weight_den
+    FROM cand c JOIN corpus_df cd USING (term) CROSS JOIN tot t
+    ORDER BY CAST(c.df_rel * t.n_docs AS DOUBLE)
+                 / CAST(10 * cd.df_corpus AS DOUBLE) DESC,
+             c.term
+    LIMIT 10
+"""
+
+
+@register(
+    "x214_prf_expansion_terms",
+    "Pseudo-relevance-feedback query expansion (Rocchio/RM1 lite): "
+    "take x203's BM25 top-10 as the pseudo-relevant set, then rank "
+    "non-query terms by how over-represented they are there vs the "
+    "corpus — weight = (df_rel/10)/(df_corpus/N) as the exact integer "
+    "fraction df_rel*N / (10*df_corpus) (the x202 log-free ranking "
+    "discipline; the division orders only, num/den hash). The "
+    "composition entry: retrieval feeding retrieval, the standard "
+    "two-pass IR loop. Corpus df is one distinct-presence groupBy; "
+    "the relevant-set side touches 10 documents.",
+    oracle=_PRF_ORACLE,
+    tags=("ext", "retrieval", "prf", "composition"),
+)
+def x214_prf_expansion_terms(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = docs.select(
+        "doc_id", F.filter(TX.words("text"), lambda t: t != "").alias("ws")
+    )
+    d = w.select("doc_id", F.size("ws").alias("dl"))
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_total")
+    )
+    tf = (
+        w.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    idf = (dd("n_docs") - dd("df") + F.lit(0.5)) / (dd("df") + F.lit(0.5))
+    sat = (dd("tf") * F.lit(2.2)) / (
+        dd("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * dd("dl") * dd("n_docs") / dd("dl_total"))
+    )
+    st = (
+        tf.join(F.broadcast(df_), "term")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "term", (idf * sat).alias("s"))
+    )
+    term_sum = lambda t: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+    )
+    rel = (
+        st.groupBy("doc_id")
+        .agg(
+            (
+                term_sum("join") + term_sum("hash")
+                + term_sum("scan") + term_sum("merge")
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    pres_all = w.select(
+        "doc_id", F.explode(F.array_distinct("ws")).alias("term")
+    )
+    cand = (
+        pres_all.join(F.broadcast(rel), "doc_id")
+        .filter(~F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_rel"))
+    )
+    corpus_df = pres_all.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df_corpus")
+    )
+    return (
+        cand.join(corpus_df, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("df_rel").cast("long").alias("df_rel"),
+            F.col("df_corpus").cast("long").alias("df_corpus"),
+            (F.col("df_rel") * F.col("n_docs")).cast("long")
+            .alias("weight_num"),
+            (F.lit(10) * F.col("df_corpus")).cast("long").alias("weight_den"),
+        )
+        .orderBy(
+            F.desc(
+                F.col("weight_num").cast("double")
+                / F.col("weight_den").cast("double")
+            ),
+            "term",
+        )
+        .limit(10)
+    )

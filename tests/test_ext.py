@@ -3187,3 +3187,46 @@ def test_a28_winsorized_clamps_whales(spark, tmp_path):
     assert r.hi_cents == 1000
     expected = 10 * 100 + sum(c * 100 for c in range(2, 10)) + 1000 + 1000
     assert r.winsorized_sum_cents == expected
+
+
+def test_x213_planted_triangle_counts(spark, tmp_path):
+    """Order {1,2,3} forms K3 (one triangle, cc=1 at every corner);
+    order {3,4} adds a pendant edge — supplier 3's cc drops below 1
+    and degree-1 supplier 4 is excluded."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_tri"
+    d.mkdir()
+    con = duckdb.connect()
+    rows = [(1, s) for s in (1, 2, 3)] + [(2, s) for s in (3, 4)]
+    con.execute("CREATE TABLE li (l_orderkey BIGINT, l_suppkey BIGINT)")
+    con.executemany("INSERT INTO li VALUES (?, ?)", rows)
+    con.execute(
+        "COPY (SELECT l_orderkey, l_suppkey, CAST(50 AS DOUBLE) AS "
+        f"l_quantity FROM li) TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.supplier: r
+        for r in CATALOG["x213_triangle_clustering"].spark(spark, str(d)).collect()
+    }
+    assert set(got) == {1, 2, 3}  # supplier 4 has degree 1
+    assert got[1].n_triangles == 1 and got[1].cc_num == got[1].cc_den == 2
+    assert got[2].n_triangles == 1
+    assert got[3].degree == 3 and got[3].n_triangles == 1
+    assert got[3].cc_num == 2 and got[3].cc_den == 6
+
+
+def test_x214_expansion_excludes_query_terms(spark, sf_dir):
+    """PRF candidates never contain the query terms, df_rel <= 10, and
+    the emitted weight fraction is the actual ordering."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x214_prf_expansion_terms"].spark(spark, sf_dir).collect()
+    assert got, "expansion set should be non-empty on the fixture corpus"
+    terms = {r.term for r in got}
+    assert terms.isdisjoint({"join", "hash", "scan", "merge"})
+    assert all(1 <= r.df_rel <= 10 for r in got)
+    ratios = [r.weight_num / r.weight_den for r in got]
+    assert ratios == sorted(ratios, reverse=True)
