@@ -18694,3 +18694,205 @@ def x214_prf_expansion_terms(spark: SparkSession, sf: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+_BPE2_ORACLE = """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    t2 AS (SELECT t FROM toks WHERE length(t) >= 2),
+    p1 AS (
+        SELECT pair FROM (
+            SELECT unnest(list_transform(range(1, length(t)),
+                                         i -> substr(t, i, 2))) AS pair
+            FROM t2
+        )
+        GROUP BY pair
+        ORDER BY count(*) DESC, pair
+        LIMIT 1
+    ),
+    merged AS (
+        SELECT replace(t, pair, chr(57344)) AS t
+        FROM t2 CROSS JOIN p1
+    ),
+    pairs2 AS (
+        SELECT unnest(list_transform(range(1, length(t)),
+                                     i -> substr(t, i, 2))) AS pair
+        FROM merged WHERE length(t) >= 2
+    )
+    SELECT replace(pair, chr(57344), '<M>') AS pair,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pairs2 GROUP BY 1
+    ORDER BY n DESC, pair
+    LIMIT 20
+"""
+
+
+@register(
+    "x215_bpe_second_merge",
+    "BPE training, round two — VERIFIED iteration: the argmax pair "
+    "from x34's first count is APPLIED to every token (literal "
+    "replace(), greedy leftmost non-overlapping in both engines — "
+    "regex replace would be injectable by hostile pair bytes) with a "
+    "private-use fused symbol, then adjacent pairs are recounted over "
+    "the merged stream — exactly the tokenizer-training inner loop, "
+    "demonstrating that the iterative merge process (not just one "
+    "statistic) replays cross-engine. The merge pair arrives by "
+    "1-row broadcast (total-ordered argmax, no collect); the fused "
+    "symbol renders as '<M>' in the output so the surface stays "
+    "printable. Each round is one map pass + one pair groupBy — "
+    "linear in corpus bytes, the 100 TB tokenizer-training shape.",
+    oracle=_BPE2_ORACLE,
+    tags=("ext", "text", "tokenizer", "iterative"),
+)
+def x215_bpe_second_merge(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    t2 = docs.select(F.explode(TX.words("text")).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pair_col = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - 1),
+            lambda i: F.col("t").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    p1 = (
+        t2.select(pair_col)
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    merged = t2.crossJoin(F.broadcast(p1)).select(
+        F.expr("replace(t, pair, chr(57344))").alias("t")
+    )
+    pairs2 = merged.filter(F.length("t") >= 2).select(pair_col)
+    return (
+        pairs2.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.expr("replace(pair, chr(57344), '<M>')").alias("pair"), "n"
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+_SHAPLEY_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    ex AS (
+        SELECT hc, hv, hs, count(*) AS cnt
+        FROM per_user WHERE conv = 1
+        GROUP BY hc, hv, hs
+    ),
+    v AS (
+        SELECT
+          sum(CASE WHEN hc=0 AND hv=0 AND hs=0 THEN cnt ELSE 0 END) AS v0,
+          sum(CASE WHEN        hv=0 AND hs=0 THEN cnt ELSE 0 END) AS v_c,
+          sum(CASE WHEN hc=0        AND hs=0 THEN cnt ELSE 0 END) AS v_v,
+          sum(CASE WHEN hc=0 AND hv=0        THEN cnt ELSE 0 END) AS v_s,
+          sum(CASE WHEN               hs=0 THEN cnt ELSE 0 END) AS v_cv,
+          sum(CASE WHEN        hv=0        THEN cnt ELSE 0 END) AS v_cs,
+          sum(CASE WHEN hc=0               THEN cnt ELSE 0 END) AS v_vs,
+          sum(cnt) AS v_cvs
+        FROM ex
+    ),
+    phi AS (
+        SELECT 'click' AS channel,
+               2*(v_c - v0) + 1*(v_cv - v_v) + 1*(v_cs - v_s)
+                   + 2*(v_cvs - v_vs) AS phi_x6, v0, v_cvs FROM v
+        UNION ALL
+        SELECT 'view',
+               2*(v_v - v0) + 1*(v_cv - v_c) + 1*(v_vs - v_s)
+                   + 2*(v_cvs - v_cs), v0, v_cvs FROM v
+        UNION ALL
+        SELECT 'signup',
+               2*(v_s - v0) + 1*(v_cs - v_c) + 1*(v_vs - v_v)
+                   + 2*(v_cvs - v_cv), v0, v_cvs FROM v
+    )
+    SELECT channel,
+           CAST(phi_x6 AS BIGINT) AS shapley_x6,
+           CAST(v0 AS BIGINT) AS v_empty,
+           CAST(v_cvs AS BIGINT) AS v_full
+    FROM phi
+"""
+
+
+@register(
+    "x216_shapley_attribution",
+    "Closed-form Shapley-value channel attribution over the 3-channel "
+    "game (click/view/signup -> purchase): the characteristic "
+    "function v(S) counts converting users whose exposure set fits "
+    "inside S (cumulative-coverage semantics), and each channel's "
+    "Shapley value phi = sum over S of |S|!(n-|S|-1)!/n! * marginal "
+    "ships SIX-FOLD (n=3 -> weights 2/1/1/2 over integer marginals), "
+    "so the fair-division attribution is EXACT int64 — no sampling, "
+    "no floats; the efficiency axiom sum(phi_x6) = 6*(v_full - "
+    "v_empty) is pinned by test. One per-user presence rollup, one "
+    "8-cell exact-exposure group, one 1-row subset-cumulative "
+    "projection — constant state after the user pass; the "
+    "permutation-sampling estimators production systems use are "
+    "approximations of exactly this quantity.",
+    oracle=_SHAPLEY_ORACLE,
+    tags=("ext", "attribution", "shapley", "exact-stats"),
+)
+def x216_shapley_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    flag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        flag("click").alias("hc"),
+        flag("view").alias("hv"),
+        flag("signup").alias("hs"),
+        flag("purchase").alias("conv"),
+    )
+    ex = (
+        per_user.filter(F.col("conv") == 1)
+        .groupBy("hc", "hv", "hs")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cov = lambda cond: F.sum(F.when(cond, F.col("cnt")).otherwise(0))  # noqa: E731
+    c0, v0c = F.col("hc") == 0, F.col("hv") == 0
+    s0 = F.col("hs") == 0
+    v = ex.agg(
+        cov(c0 & v0c & s0).alias("v0"),
+        cov(v0c & s0).alias("v_c"),
+        cov(c0 & s0).alias("v_v"),
+        cov(c0 & v0c).alias("v_s"),
+        cov(s0).alias("v_cv"),
+        cov(v0c).alias("v_cs"),
+        cov(c0).alias("v_vs"),
+        F.sum("cnt").alias("v_cvs"),
+    )
+    rows = []
+    specs = {
+        "click": "2*(v_c - v0) + (v_cv - v_v) + (v_cs - v_s) + 2*(v_cvs - v_vs)",
+        "view": "2*(v_v - v0) + (v_cv - v_c) + (v_vs - v_s) + 2*(v_cvs - v_cs)",
+        "signup": "2*(v_s - v0) + (v_cs - v_c) + (v_vs - v_v) + 2*(v_cvs - v_cv)",
+    }
+    for ch, expr in specs.items():
+        rows.append(
+            v.select(
+                F.lit(ch).alias("channel"),
+                F.expr(expr).cast("long").alias("shapley_x6"),
+                F.col("v0").cast("long").alias("v_empty"),
+                F.col("v_cvs").cast("long").alias("v_full"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out

@@ -43,6 +43,8 @@ _FIXED_CARDINALITY = {
     # the expectation ledger is a fixed 7-check spine: every check row
     # exists (n_checked = 0, passed) even over empty tables
     "x212_data_expectations": 7,
+    # the 3-channel Shapley game always emits its channel spine
+    "x216_shapley_attribution": 3,
 }
 
 

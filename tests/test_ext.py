@@ -3230,3 +3230,52 @@ def test_x214_expansion_excludes_query_terms(spark, sf_dir):
     assert all(1 <= r.df_rel <= 10 for r in got)
     ratios = [r.weight_num / r.weight_den for r in got]
     assert ratios == sorted(ratios, reverse=True)
+
+
+def test_x216_shapley_efficiency_axiom(spark, sf_dir):
+    """sum of the six-fold Shapley values must equal 6*(v_full -
+    v_empty) — the efficiency axiom, exact in integers."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x216_shapley_attribution"].spark(spark, sf_dir).collect()
+    total = sum(r.shapley_x6 for r in got)
+    assert total == 6 * (got[0].v_full - got[0].v_empty)
+
+
+def test_x216_sole_channel_gets_everything(spark, tmp_path):
+    """Converting users exposed ONLY to clicks → click takes the full
+    6*(v_full - v_empty) and the other channels get zero."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        rows.append((eid, "2024-01-01 00:00:00", u, "click", 1.0)); eid += 1
+        rows.append((eid, "2024-01-02 00:00:00", u, "purchase", 1.0)); eid += 1
+    d = _write_events(tmp_path, "sf_shap", rows)
+    got = {
+        r.channel: r
+        for r in CATALOG["x216_shapley_attribution"].spark(spark, d).collect()
+    }
+    assert got["click"].shapley_x6 == 6 * 3
+    assert got["view"].shapley_x6 == 0
+    assert got["signup"].shapley_x6 == 0
+
+
+def test_x215_merge_symbol_and_counts(spark, tmp_path):
+    """On a corpus where 'ab' is the clear top pair, round two counts
+    pairs over the merged stream: 'abc' → '<M>c', and no raw 'ab'
+    pair survives."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_bpe2",
+        [(1, "abc abc abd ab xyz", "en", "s")],
+    )
+    got = CATALOG["x215_bpe_second_merge"].spark(spark, d).collect()
+    pairs = {r.pair: r.n for r in got}
+    assert "ab" not in pairs            # merged away
+    assert pairs.get("<M>c") == 2       # abc, abc
+    assert pairs.get("<M>d") == 1       # abd
+    assert pairs.get("xy") == 1 and pairs.get("yz") == 1
