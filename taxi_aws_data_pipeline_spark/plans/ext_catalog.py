@@ -18896,3 +18896,252 @@ def x216_shapley_attribution(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out = out.union(r)
     return out
+
+
+_UPLIFT_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 2 AS arm,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                             AND value IS NOT NULL
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS pre_cents,
+               max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    n_tot AS (SELECT count(*) AS n FROM per_user),
+    lv AS (
+        SELECT pre_cents, count(*) AS cnt FROM per_user GROUP BY pre_cents
+    ),
+    cumv AS (
+        SELECT a.pre_cents, coalesce(sum(b.cnt), 0) AS cnt_less
+        FROM lv a LEFT JOIN lv b ON b.pre_cents < a.pre_cents
+        GROUP BY a.pre_cents
+    ),
+    dec AS (
+        SELECT p.user_id, p.arm, p.conv,
+               c.cnt_less * 10 // n.n AS decile
+        FROM per_user p JOIN cumv c USING (pre_cents) CROSS JOIN n_tot n
+    ),
+    cells AS (
+        SELECT decile,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+               sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_t,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+               sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_c
+        FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_t AS BIGINT) AS n_t, CAST(conv_t AS BIGINT) AS conv_t,
+           CAST(n_c AS BIGINT) AS n_c, CAST(conv_c AS BIGINT) AS conv_c,
+           CAST(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                     ELSE conv_t * 1000000 // n_t
+                          - conv_c * 1000000 // n_c END AS BIGINT)
+               AS uplift_ppm
+    FROM cells
+"""
+
+
+@register(
+    "x217_uplift_deciles",
+    "Uplift-by-decile table (the Qini/uplift-curve input): users split "
+    "into md5 arms, scored by PRE-period spend, post-period purchase "
+    "conversion compared treatment-vs-control within each score decile "
+    "— heterogeneous-treatment-effect targeting, the step beyond "
+    "x161's single average effect. Deciles come from the DISTINCT-"
+    "value cumulative (cnt_less*10 DIV n — ties share a decile, value-"
+    "cardinality state, never a user-cardinality ntile window); "
+    "uplift is the exact difference of truncating integer ppm rates, "
+    "NULL where an arm is empty. Temporal wall (pre-score / post-"
+    "outcome) keeps the score causal, x191's leakage discipline.",
+    oracle=_UPLIFT_ORACLE,
+    tags=("ext", "ab-test", "uplift", "targeting"),
+)
+def x217_uplift_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    wall = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        F.sum(
+            F.when(
+                (F.col("ts") < wall) & F.col("value").isNotNull(),
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(0)
+        ).alias("pre_cents"),
+        F.max(
+            F.when(
+                (F.col("ts") >= wall) & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    n_tot = per_user.agg(F.count(F.lit(1)).alias("n"))
+    lv = per_user.groupBy("pre_cents").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = lv.alias("a"), lv.alias("b")
+    cumv = (
+        a.join(b, F.col("b.pre_cents") < F.col("a.pre_cents"), "left")
+        .groupBy(F.col("a.pre_cents").alias("pre_cents"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("cnt_less"))
+    )
+    dec = (
+        per_user.join(cumv, "pre_cents")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "arm", "conv", F.expr("cnt_less * 10 DIV n").alias("decile")
+        )
+    )
+    cells = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .alias("conv_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .alias("conv_c"),
+    )
+    return cells.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("conv_t").cast("long").alias("conv_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("conv_c").cast("long").alias("conv_c"),
+        F.expr(
+            "CAST(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL"
+            " ELSE conv_t * 1000000 DIV n_t - conv_c * 1000000 DIV n_c"
+            " END AS BIGINT)"
+        ).alias("uplift_ppm"),
+    )
+
+
+_HAAR_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '2024-01-01' AS di,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        FROM events WHERE value IS NOT NULL
+          AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type,
+               sum(CASE WHEN di BETWEEN 0 AND 7 THEN c ELSE 0 END) AS a,
+               sum(CASE WHEN di < 4 THEN c ELSE -c END) AS d1,
+               sum(CASE WHEN di < 2 THEN c WHEN di < 4 THEN -c
+                        ELSE 0 END) AS d2a,
+               sum(CASE WHEN di BETWEEN 4 AND 5 THEN c
+                        WHEN di BETWEEN 6 AND 7 THEN -c ELSE 0 END) AS d2b,
+               sum(CASE WHEN di = 0 THEN c WHEN di = 1 THEN -c
+                        ELSE 0 END) AS d3a,
+               sum(CASE WHEN di = 2 THEN c WHEN di = 3 THEN -c
+                        ELSE 0 END) AS d3b,
+               sum(CASE WHEN di = 4 THEN c WHEN di = 5 THEN -c
+                        ELSE 0 END) AS d3c,
+               sum(CASE WHEN di = 6 THEN c WHEN di = 7 THEN -c
+                        ELSE 0 END) AS d3d
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(a AS BIGINT) AS a,
+           CAST(d1 AS BIGINT) AS d1,
+           CAST(d2a AS BIGINT) AS d2a, CAST(d2b AS BIGINT) AS d2b,
+           CAST(d3a AS BIGINT) AS d3a, CAST(d3b AS BIGINT) AS d3b,
+           CAST(d3c AS BIGINT) AS d3c, CAST(d3d AS BIGINT) AS d3d
+    FROM g
+"""
+
+
+@register(
+    "w27_haar_pyramid",
+    "Unnormalized Haar wavelet pyramid over each type's first 8 daily "
+    "totals: the approximation sum plus 7 detail coefficients at 3 "
+    "dyadic scales — multi-resolution decomposition (trend vs half-"
+    "week vs day-pair vs daily structure) and the basis behind "
+    "wavelet synopses/compressed time-series storage. Unnormalized "
+    "coefficients are pure signed int64 sums, the transform is "
+    "PERFECTLY INVERTIBLE in integers (c_i recovers by halving sums "
+    "whose parity is even by construction — pinned by test), and the "
+    "whole pyramid is ONE conditional-aggregation pass over the daily "
+    "rollup — no window, no join, mergeable partials.",
+    oracle=_HAAR_ORACLE,
+    tags=("ext", "timeseries", "wavelet", "exact-stats"),
+)
+def w27_haar_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+        & (F.col("ts") < F.lit("2024-01-09 00:00:00").cast("timestamp_ntz"))
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+        ).alias("di"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c")
+    )
+    c, di = F.col("c"), F.col("di")
+    sgn = lambda expr: F.sum(expr).cast("long")  # noqa: E731
+    return daily.groupBy("event_type").agg(
+        sgn(F.when(di.between(0, 7), c).otherwise(0)).alias("a"),
+        sgn(F.when(di < 4, c).otherwise(-c)).alias("d1"),
+        sgn(F.when(di < 2, c).when(di < 4, -c).otherwise(0)).alias("d2a"),
+        sgn(
+            F.when(di.between(4, 5), c)
+            .when(di.between(6, 7), -c)
+            .otherwise(0)
+        ).alias("d2b"),
+        sgn(F.when(di == 0, c).when(di == 1, -c).otherwise(0)).alias("d3a"),
+        sgn(F.when(di == 2, c).when(di == 3, -c).otherwise(0)).alias("d3b"),
+        sgn(F.when(di == 4, c).when(di == 5, -c).otherwise(0)).alias("d3c"),
+        sgn(F.when(di == 6, c).when(di == 7, -c).otherwise(0)).alias("d3d"),
+    )
+
+
+_SKEW_ORACLE = """
+    WITH b AS (
+        SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 32 AS bucket,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(n_rows) AS total, max(n_rows) AS mx FROM b)
+    SELECT CAST(b.bucket AS BIGINT) AS bucket,
+           CAST(b.n_rows AS BIGINT) AS n_rows,
+           CAST(b.n_rows * 32 * 1000000 // t.total AS BIGINT)
+               AS load_ppm_of_ideal,
+           CAST(t.mx * 32 * 1000000 // t.total AS BIGINT)
+               AS max_load_ppm_of_ideal
+    FROM b CROSS JOIN t
+"""
+
+
+@register(
+    "k7_shuffle_skew_report",
+    "Shuffle-partition skew report for the l_orderkey exchange: rows "
+    "per hash bucket (portable md5 bucketing standing in for the "
+    "engine's murmur3 — same skew geometry) with each bucket's load "
+    "as exact-ppm of the ideal total/32 and the max-bucket headline "
+    "beside it — the straggler predictor read BEFORE sizing "
+    "spark.sql.shuffle.partitions or reaching for k1/k3's salting. A "
+    "load of 1e6 is perfectly balanced; the hot-key pathologies the "
+    "k-family repairs show up here as multi-million ppm buckets. One "
+    "groupBy on the bucket key + a 1-row broadcast of totals.",
+    oracle=_SKEW_ORACLE,
+    tags=("ext", "ops", "skew", "planning"),
+)
+def k7_shuffle_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    b = li.groupBy(
+        (X.base_hash(F.col("l_orderkey").cast("string")) % 32).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    t = b.agg(F.sum("n_rows").alias("total"), F.max("n_rows").alias("mx"))
+    return b.crossJoin(F.broadcast(t)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("n_rows * 32 * 1000000 DIV total").cast("long")
+        .alias("load_ppm_of_ideal"),
+        F.expr("mx * 32 * 1000000 DIV total").cast("long")
+        .alias("max_load_ppm_of_ideal"),
+    )

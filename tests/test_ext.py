@@ -3279,3 +3279,52 @@ def test_x215_merge_symbol_and_counts(spark, tmp_path):
     assert pairs.get("<M>c") == 2       # abc, abc
     assert pairs.get("<M>d") == 1       # abd
     assert pairs.get("xy") == 1 and pairs.get("yz") == 1
+
+
+def test_w27_haar_reconstructs_exactly(spark, tmp_path):
+    """Perfect integer invertibility: from (a, d1, d2a, d3a) the first
+    daily value recovers exactly — every halved sum is even by
+    construction."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    cents = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = [
+        (i, f"2024-01-{d + 1:02d} 12:00:00", 1, "click", c / 100.0 * 1)
+        for i, (d, c) in enumerate((d, c) for d, c in enumerate(cents))
+    ]
+    d = _write_events(tmp_path, "sf_haar", rows)
+    r = CATALOG["w27_haar_pyramid"].spark(spark, d).collect()[0]
+    assert r.a == sum(cents)
+    h1 = (r.a + r.d1) // 2          # first-half sum
+    assert (r.a + r.d1) % 2 == 0 and h1 == sum(cents[:4])
+    q1 = (h1 + r.d2a) // 2          # first-quarter sum
+    assert (h1 + r.d2a) % 2 == 0 and q1 == sum(cents[:2])
+    c0 = (q1 + r.d3a) // 2
+    assert (q1 + r.d3a) % 2 == 0 and c0 == cents[0]
+
+
+def test_x217_uplift_cells_partition_users(spark, sf_dir):
+    """Decile cells partition the user base: treatment+control counts
+    sum to the distinct-user total, conversions never exceed counts."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.tables import load_table as lt
+
+    got = CATALOG["x217_uplift_deciles"].spark(spark, sf_dir).collect()
+    n_users = (
+        lt(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_t + r.n_c for r in got) == n_users
+    assert all(r.conv_t <= r.n_t and r.conv_c <= r.n_c for r in got)
+    assert all(0 <= r.decile <= 9 for r in got)
+
+
+def test_k7_skew_loads_sum_to_ideal(spark, sf_dir):
+    """Bucket loads are exact ppm shares: n_rows sums to the total and
+    every load is its truncated 32x share."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["k7_shuffle_skew_report"].spark(spark, sf_dir).collect()
+    total = sum(r.n_rows for r in got)
+    for r in got:
+        assert r.load_ppm_of_ideal == r.n_rows * 32 * 1_000_000 // total
+    assert len({r.max_load_ppm_of_ideal for r in got}) == 1
