@@ -19145,3 +19145,90 @@ def k7_shuffle_skew_report(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("mx * 32 * 1000000 DIV total").cast("long")
         .alias("max_load_ppm_of_ideal"),
     )
+
+
+_AUDIO_RESAMPLE_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS channels,
+               8000 * (1 + doc_id % 4) AS rate,
+               1000 + doc_id % 9000 AS data_size
+        FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(data_size // (channels * 2) AS BIGINT) AS n_frames,
+           CAST((data_size // (channels * 2)) * 16000 // rate AS BIGINT)
+               AS out_frames_16k,
+           CAST(16000 AS BIGINT) AS ratio_num,
+           CAST(rate AS BIGINT) AS ratio_den,
+           rate = 16000 AS is_noop
+    FROM d
+"""
+
+
+@register(
+    "x218_audio_resample_plan",
+    "Audio resample plan to 16 kHz — the decode-free front half of a "
+    "speech-model ingest job, completing x170/x171's vision pair: "
+    "every document becomes a deterministic PCM WAV container "
+    "(byte-for-byte in SQL, the x81 constructor), the REAL byte "
+    "parser (ext/multimodal.parse_wav_meta over Arrow mapInPandas) "
+    "recovers channels/rate/frame geometry from the RIFF header, and "
+    "the plan emits exact frame math: n_frames = data_bytes / "
+    "block_align, out_frames = n_frames*16000 DIV rate, the rational "
+    "conversion ratio, and the no-op flag — all integers under the "
+    "hash (the resampler itself needs DSP libs; the Spark-side "
+    "plumbing, batch shape, and arithmetic are the verifiable part). "
+    "Pure projection + map pass, zero shuffle at any corpus size.",
+    oracle=_AUDIO_RESAMPLE_ORACLE,
+    tags=("ext", "multimodal", "audio", "mapInPandas"),
+)
+def x218_audio_resample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    ch = F.lit(1) + d % 2
+    rate = F.lit(8000) * (F.lit(1) + d % 4)
+    byte_rate = rate * ch * 2
+    data_size = F.lit(1000) + d % 9000
+    wav = F.concat(
+        F.lit("52494646"), _le32(F.lit(36) + data_size),
+        F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"),
+        F.lit("0100"),
+        _le16(ch), _le32(rate), _le32(byte_rate),
+        _le16(ch * 2), _le16(F.lit(16)),
+        F.lit("64617461"), _le32(data_size),
+    )
+    assets = load_table(spark, sf, "documents").select(
+        d.alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.unhex(wav).alias("content"),
+    )
+    meta = MM.probe_media_metadata(assets).select(
+        "asset_id", "channels", "sample_rate"
+    )
+    # the declared payload size lives in the LE32 'data' chunk length at
+    # byte offset 41-44 of the header-only container: byte-swap the hex
+    le = F.hex(F.substring(F.col("content"), 41, 4))
+    data_size = F.conv(
+        F.concat(
+            F.substring(le, 7, 2), F.substring(le, 5, 2),
+            F.substring(le, 3, 2), F.substring(le, 1, 2),
+        ),
+        16, 10,
+    ).cast("long")
+    sizes = assets.select("asset_id", data_size.alias("data_size"))
+    n_frames = F.expr("data_size DIV (channels * 2)").cast("long")
+    return meta.join(sizes, "asset_id").select(
+        "asset_id",
+        "channels",
+        "sample_rate",
+        n_frames.alias("n_frames"),
+        F.expr(
+            "(data_size DIV (channels * 2)) * 16000 DIV sample_rate"
+        ).cast("long").alias("out_frames_16k"),
+        F.lit(16000).cast("long").alias("ratio_num"),
+        F.col("sample_rate").cast("long").alias("ratio_den"),
+        (F.col("sample_rate") == 16000).alias("is_noop"),
+    )
