@@ -19232,3 +19232,577 @@ def x218_audio_resample_plan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sample_rate").cast("long").alias("ratio_den"),
         (F.col("sample_rate") == 16000).alias("is_noop"),
     )
+
+
+_STL_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '2024-01-01' AS di,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    trend AS (
+        SELECT a.event_type, a.di, a.c,
+               sum(b.c) AS trend_x7, count(*) AS n_win
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type
+         AND b.di BETWEEN a.di - 3 AND a.di + 3
+        GROUP BY a.event_type, a.di, a.c
+        HAVING count(*) = 7
+    ),
+    detr AS (
+        SELECT event_type, di, c, trend_x7,
+               7 * c - trend_x7 AS detrended_x7,
+               di % 7 AS dow
+        FROM trend
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               sum(detrended_x7) AS s_num, count(*) AS s_den
+        FROM detr GROUP BY event_type, dow
+    )
+    SELECT d.event_type, CAST(d.di AS BIGINT) AS di,
+           CAST(d.c AS BIGINT) AS cents,
+           CAST(d.trend_x7 AS BIGINT) AS trend_x7,
+           CAST(d.detrended_x7 AS BIGINT) AS detrended_x7,
+           CAST(s.s_num AS BIGINT) AS seasonal_num_x7,
+           CAST(s.s_den AS BIGINT) AS seasonal_den,
+           CAST(d.detrended_x7 * s.s_den - s.s_num AS BIGINT)
+               AS remainder_x7den
+    FROM detr d JOIN seas s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+"""
+
+
+@register(
+    "w28_stl_lite_decomposition",
+    "Additive trend/seasonal/remainder decomposition (STL-lite, one "
+    "pass of the classical method): trend = centered 7-day moving "
+    "total (kept x7 — never divided), detrended = 7*value - trend "
+    "(exact), weekly seasonal = day-of-week mean of the detrended "
+    "series kept as a num/den pair, remainder cleared to the common "
+    "denominator — the WHOLE decomposition is int64, so every "
+    "component hashes (the classical decompose() loses exactness to "
+    "float division at each step; clearing denominators keeps the "
+    "identity value = trend/7 + seasonal/(7*den) + remainder/(7*den) "
+    "checkable to the last unit, pinned by test). Window pairing is "
+    "the epoch-day range equi-join (gaps shrink the window and "
+    "interior-only HAVING n=7 drops the edges, as classical MA "
+    "does); all stages partition by type.",
+    oracle=_STL_ORACLE,
+    tags=("ext", "timeseries", "decomposition", "exact-stats"),
+)
+def w28_stl_lite_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+        ).alias("di"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    trend = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & F.col("b.di").between(F.col("a.di") - 3, F.col("a.di") + 3),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.di").alias("di"),
+            F.col("a.c").alias("c"),
+        )
+        .agg(F.sum("b.c").alias("trend_x7"), F.count(F.lit(1)).alias("n_win"))
+        .filter(F.col("n_win") == 7)
+    )
+    detr = trend.select(
+        "event_type",
+        "di",
+        "c",
+        "trend_x7",
+        (7 * F.col("c") - F.col("trend_x7")).alias("detrended_x7"),
+        (F.col("di") % 7).alias("dow"),
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.sum("detrended_x7").alias("s_num"),
+        F.count(F.lit(1)).alias("s_den"),
+    )
+    return detr.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        F.col("di").cast("long").alias("di"),
+        F.col("c").cast("long").alias("cents"),
+        F.col("trend_x7").cast("long").alias("trend_x7"),
+        F.col("detrended_x7").cast("long").alias("detrended_x7"),
+        F.col("s_num").cast("long").alias("seasonal_num_x7"),
+        F.col("s_den").cast("long").alias("seasonal_den"),
+        (F.col("detrended_x7") * F.col("s_den") - F.col("s_num"))
+        .cast("long")
+        .alias("remainder_x7den"),
+    )
+
+
+_INT8_QUANT_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    mm AS (
+        SELECT vec_id, v,
+               list_reduce(v, (x, y) -> CASE WHEN y < x THEN y ELSE x END)
+                   AS lo,
+               list_reduce(v, (x, y) -> CASE WHEN y > x THEN y ELSE x END)
+                   AS hi
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, v, lo, hi,
+               list_transform(v, x -> CASE WHEN hi = lo THEN 0
+                   ELSE CAST(floor((x - lo) * 255e0 / (hi - lo) + 0.5e0)
+                        AS BIGINT) END) AS codes
+        FROM mm
+    )
+    SELECT vec_id, lo, hi,
+           len(codes) AS dim,
+           list_reduce(list_transform(range(1, len(codes) + 1),
+               i -> abs(v[i] - (CASE WHEN hi = lo THEN lo
+                    ELSE lo + codes[i] * (hi - lo) / 255e0 END))),
+               (x, y) -> CASE WHEN y > x THEN y ELSE x END)
+               AS max_abs_err,
+           CAST(list_reduce(codes, (x, y) -> x + y) AS BIGINT)
+               AS code_checksum
+    FROM q
+"""
+
+
+@register(
+    "x219_int8_quantization_error",
+    "Per-vector affine int8 quantization with its reconstruction-"
+    "error audit — the serving-time compression step between full "
+    "floats and x186's 1-bit extreme: scale range [min, max] onto "
+    "0..255 with the portable floor(x*255/range + 0.5) rounding "
+    "(round-half-even vs half-away engine differences never enter), "
+    "dequantize, and report the max absolute error plus an integer "
+    "code checksum. Min/max/error folds are list_reduce/aggregate in "
+    "INDEX ORDER — deterministic float arithmetic both engines "
+    "replay, no unordered float sum anywhere. Pure projection over "
+    "the embedding column; the error table is what decides whether "
+    "int8 is safe for a given recall target before a 100 TB corpus "
+    "re-encode.",
+    oracle=_INT8_QUANT_ORACLE,
+    tags=("ext", "similarity", "quantization", "serving"),
+)
+def x219_int8_quantization_error(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select("vec_id", v.alias("v"))
+    fold_min = F.aggregate(
+        F.col("v"),
+        F.element_at(F.col("v"), 1),
+        lambda x, y: F.when(y < x, y).otherwise(x),
+    )
+    fold_max = F.aggregate(
+        F.col("v"),
+        F.element_at(F.col("v"), 1),
+        lambda x, y: F.when(y > x, y).otherwise(x),
+    )
+    mm = e.select("vec_id", "v", fold_min.alias("lo"), fold_max.alias("hi"))
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (x - F.col("lo")) * F.lit(255.0)
+                / (F.col("hi") - F.col("lo"))
+                + F.lit(0.5)
+            ).cast("long")
+        ),
+    )
+    q = mm.select("vec_id", "v", "lo", "hi", codes.alias("codes"))
+    recon = lambda i: F.when(  # noqa: E731
+        F.col("hi") == F.col("lo"), F.col("lo")
+    ).otherwise(
+        F.col("lo")
+        + F.element_at(F.col("codes"), i)
+        * (F.col("hi") - F.col("lo"))
+        / F.lit(255.0)
+    )
+    err_fold = F.aggregate(
+        F.sequence(F.lit(1), F.size("codes")),
+        F.lit(0.0),
+        lambda acc, i: F.when(
+            F.abs(F.element_at(F.col("v"), i) - recon(i)) > acc,
+            F.abs(F.element_at(F.col("v"), i) - recon(i)),
+        ).otherwise(acc),
+    )
+    return q.select(
+        "vec_id",
+        "lo",
+        "hi",
+        F.size("codes").cast("long").alias("dim"),
+        err_fold.alias("max_abs_err"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda x, y: x + y
+        ).alias("code_checksum"),
+    )
+
+
+_HARD_NEG_ORACLE = f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform({{shingles}}, s -> {{sqlh}}) AS hs
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, {{mh_cols}}
+        FROM hashed
+    ),
+    bands AS (
+{{band_selects}}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    ),
+    e AS (
+        SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b, {{cosine}} AS cos_sim
+        FROM cand c
+        JOIN e x ON x.doc_id = c.doc_a
+        JOIN e y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, cos_sim
+    FROM scored WHERE cos_sim < 0.2e0
+"""
+
+_HARD_NEG_ORACLE_SQL = _HARD_NEG_ORACLE.format(
+    shingles=sql_shingles("text"),
+    sqlh=SQL_H.format(s="s"),
+    mh_cols=_MH_COLS,
+    band_selects=_BAND_SELECTS,
+    cosine=sql_cosine("x.v", "y.v"),
+)
+
+
+@register(
+    "x220_hard_negative_mining",
+    "Contrastive hard-negative mining — the embedding-training data "
+    "op: pairs that LOOK alike lexically (share a MinHash-LSH bucket, "
+    "x8's banding) but are semantically FAR (cosine < 0.2 over the "
+    "aligned embedding, vec_id ≡ doc_id) are exactly the negatives "
+    "that teach a retriever the lexical/semantic distinction (random "
+    "negatives are too easy; these sit on the decision boundary). "
+    "Composition: the bucketed candidate join generates, the exact "
+    "cosine (index-ordered fold, x10's arithmetic) filters — no "
+    "all-pairs stage anywhere, so the 100 TB cost is the LSH shuffle "
+    "plus per-bucket verification, identical to the dedup path it "
+    "shares machinery with.",
+    oracle=_HARD_NEG_ORACLE_SQL,
+    tags=("ext", "similarity", "training-data", "contrastive"),
+)
+def x220_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cand = X.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    e = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    scored = (
+        cand.join(e.select(F.col("doc_id").alias("doc_a"),
+                           F.col("v").alias("va")), "doc_a")
+        .join(e.select(F.col("doc_id").alias("doc_b"),
+                       F.col("v").alias("vb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") < 0.2)
+
+
+_DELTA_RATIO_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+               count(*) AS n_ev
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+    ),
+    mo AS (
+        SELECT count(*) AS n,
+               sum(cents) AS sx, sum(n_ev) AS sy,
+               sum(cents * cents) AS sxx,
+               sum(n_ev * n_ev) AS syy,
+               sum(cents * n_ev) AS sxy
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sum_cents,
+           CAST(sy AS BIGINT) AS sum_events,
+           CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+           sqrt(greatest(0e0,
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               - 2e0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+               / (CAST(sy AS DOUBLE) * sqrt(CAST(n AS DOUBLE) - 1e0))
+               AS ratio_se
+    FROM mo
+"""
+
+
+@register(
+    "a30_delta_method_ratio_se",
+    "Delta-method standard error for a RATIO metric (cents per event, "
+    "the revenue-per-session family): user-level ratio metrics are "
+    "NOT averages of independent rows — the correct variance is "
+    "var(X) - 2R*cov(X,Y) + R^2*var(Y) over the per-user (numerator, "
+    "denominator) pairs, the linearization every experimentation "
+    "platform applies before a ratio-metric z-test (naive per-row SEs "
+    "are anti-conservative). All six moments are exact int64 from "
+    "one per-user rollup; the ratio and the SE close in ONE fixed "
+    "IEEE shape per dialect (sums-of-squares cleared by n, the a20/"
+    "a22 discipline).",
+    oracle=_DELTA_RATIO_ORACLE,
+    tags=("ext", "ab-test", "delta-method", "exact-stats"),
+)
+def a30_delta_method_ratio_se(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    mo = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum("n_ev").alias("sy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("n_ev") * F.col("n_ev")).alias("syy"),
+        F.sum(F.col("cents") * F.col("n_ev")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = d("sx") / d("sy")
+    var_term = (
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        - F.lit(2.0) * r * (d("n") * d("sxy") - d("sx") * d("sy"))
+        + r * r * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    # sqrt(var_term) = n * sigma_pop of (x - R*y); the sample-variance
+    # correction folds into the single closing shape: SE = that / (sy*sqrt(n-1))
+    se = F.sqrt(F.greatest(F.lit(0.0), var_term)) / (
+        d("sy") * F.sqrt(d("n") - F.lit(1.0))
+    )
+    return mo.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sum_cents"),
+        F.col("sy").cast("long").alias("sum_events"),
+        r.alias("ratio"),
+        se.alias("ratio_se"),
+    )
+
+
+_CANARIES = (
+    "c4n4ry-7f3a9b2e-guid-alpha",
+    "c4n4ry-d18c5e07-guid-beta",
+    "c4n4ry-92ab44f6-guid-gamma",
+)
+_CANARY_ORACLE = "\nUNION ALL\n".join(
+    f"""    SELECT '{c}' AS canary,
+           CAST(sum(CASE WHEN contains(text, '{c}') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN contains(text, '{c}')
+                THEN length(text) END), 0) AS BIGINT) AS total_chars
+    FROM documents WHERE text IS NOT NULL"""
+    for c in _CANARIES
+)
+
+
+@register(
+    "x221_canary_scan",
+    "Eval-integrity canary scan: every training shard is checked for "
+    "the published do-not-train canary GUIDs (the BIG-bench-style "
+    "marker that benchmark owners embed so contaminated corpora can "
+    "be detected IN the model later) — one literal contains() per "
+    "canary, fused into a single scan pass by the union's shared "
+    "source, each canary always emitting its ledger row (zero counts "
+    "prove the scan RAN — absence of evidence, made evidence). "
+    "Substring match, not tokenized: canaries are designed to survive "
+    "formatting. The cheapest possible full-corpus assertion at "
+    "100 TB, same posture as x212's expectation checks; the exact-"
+    "match complement of x17/x25's n-gram decontamination.",
+    oracle=_CANARY_ORACLE,
+    tags=("ext", "decontamination", "canary", "eval-integrity"),
+)
+def x221_canary_scan(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    parts = []
+    for c in _CANARIES:
+        hit = F.col("text").contains(c)
+        parts.append(
+            docs.agg(
+                F.lit(c).alias("canary"),
+                F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+                .alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.when(hit, F.length("text"))), F.lit(0)
+                ).cast("long").alias("total_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+_DROPOUT_ORACLE = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    kept AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(range(1, len(ws) + 1),
+                                  i -> {'i': i, 't': ws[i]}),
+                   s -> CAST('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR) || ':' ||
+                            CAST(s.i AS VARCHAR) || ':' || s.t), 1, 8)
+                        AS BIGINT) % 10 <> 0) AS keep,
+               len(ws) AS n_orig
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(n_orig AS BIGINT) AS n_orig,
+           CAST(len(keep) AS BIGINT) AS n_kept,
+           md5(array_to_string(list_transform(keep, s -> s.t), ' '))
+               AS aug_fp
+    FROM kept
+"""
+
+
+@register(
+    "x223_token_dropout_augment",
+    "Deterministic data augmentation (EDA-style token dropout): each "
+    "token drops iff md5(doc:position:token) lands in a 10% hash "
+    "band, so the augmented corpus is REPRODUCIBLE across runs, "
+    "engines, and partitionings — seeded-RNG augmentation pipelines "
+    "can't replay across frameworks; hash-gated ones can (the x16 "
+    "acceptance-sampling discipline applied inside the document). "
+    "Emits original/kept token counts and the md5 fingerprint of the "
+    "augmented text, so the exact augmented content is under the "
+    "hash without shipping it twice. Pure projection — index-"
+    "transform, filter, fold; zero shuffle at any corpus size.",
+    oracle=_DROPOUT_ORACLE,
+    tags=("ext", "augmentation", "training-data", "deterministic"),
+)
+def x223_token_dropout_augment(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = docs.select(
+        "doc_id", F.filter(TX.words("text"), lambda t: t != "").alias("ws")
+    )
+    structs = F.transform(
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda i: F.struct(
+            i.alias("i"), F.element_at(F.col("ws"), i).alias("t")
+        ),
+    )
+    gate = lambda s: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"),
+                        s["i"].cast("string"), F.lit(":"), s["t"],
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 10 != 0
+    )
+    kept = w.select(
+        "doc_id",
+        F.filter(structs, gate).alias("keep"),
+        F.size("ws").alias("n_orig"),
+    )
+    return kept.select(
+        "doc_id",
+        F.col("n_orig").cast("long").alias("n_orig"),
+        F.size("keep").cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("keep"), lambda s: s["t"]), " "
+            )
+        ).alias("aug_fp"),
+    )
+
+
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_CENSUS_ORACLE = f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{_EMAIL_RE}')))
+                AS BIGINT) AS n_email_spans,
+           CAST(sum(len(regexp_extract_all(text, '{_IPV4_RE}')))
+                AS BIGINT) AS n_ipv4_spans,
+           CAST(sum(len(regexp_extract_all(text, '{_PHONE_RE}')))
+                AS BIGINT) AS n_phone_spans,
+           CAST(sum(CASE WHEN regexp_matches(text, '{_EMAIL_RE}')
+                           OR regexp_matches(text, '{_IPV4_RE}')
+                           OR regexp_matches(text, '{_PHONE_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+"""
+
+
+@register(
+    "x222_pii_census",
+    "Per-source PII census: email, IPv4-shaped, and phone-shaped span "
+    "counts plus the any-hit document count, grouped by source — the "
+    "compliance dashboard that decides which sources need x22-style "
+    "redaction (span-level) or x192-style checksum validation "
+    "(precision) before release. All three regexes live in the Java-"
+    "regex ∩ RE2 common dialect (the x22 discipline) so spans agree "
+    "cross-engine; one projection + one source-keyed groupBy, counts "
+    "partial-aggregate map-side — full-corpus compliance at scan "
+    "cost.",
+    oracle=_PII_CENSUS_ORACLE,
+    tags=("ext", "pii", "compliance", "census"),
+)
+def x222_pii_census(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    n_email = F.regexp_count("text", F.lit(_EMAIL_RE))
+    n_ip = F.regexp_count("text", F.lit(_IPV4_RE))
+    n_phone = F.regexp_count("text", F.lit(_PHONE_RE))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_email).cast("long").alias("n_email_spans"),
+        F.sum(n_ip).cast("long").alias("n_ipv4_spans"),
+        F.sum(n_phone).cast("long").alias("n_phone_spans"),
+        F.sum(
+            F.when((n_email > 0) | (n_ip > 0) | (n_phone > 0), 1).otherwise(0)
+        ).cast("long").alias("n_docs_flagged"),
+    )

@@ -45,6 +45,9 @@ _FIXED_CARDINALITY = {
     "x212_data_expectations": 7,
     # the 3-channel Shapley game always emits its channel spine
     "x216_shapley_attribution": 3,
+    # the canary ledger always emits one row per canary (zero counts
+    # prove the scan ran)
+    "x221_canary_scan": 3,
 }
 
 

@@ -3328,3 +3328,156 @@ def test_k7_skew_loads_sum_to_ideal(spark, sf_dir):
     for r in got:
         assert r.load_ppm_of_ideal == r.n_rows * 32 * 1_000_000 // total
     assert len({r.max_load_ppm_of_ideal for r in got}) == 1
+
+
+def test_w28_decomposition_identity(spark, sf_dir):
+    """Cleared-denominator STL identity: 7*c*den = trend*den + s_num
+    + remainder on every interior row — exact in integers."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["w28_stl_lite_decomposition"].spark(spark, sf_dir).collect()
+    assert got, "interior rows expected on the 30-day fixture"
+    for r in got:
+        assert (
+            7 * r.cents * r.seasonal_den
+            == r.trend_x7 * r.seasonal_den
+            + r.seasonal_num_x7
+            + r.remainder_x7den
+        )
+
+
+def test_x219_quantization_error_bound_and_constant_vector(spark, tmp_path):
+    """Rounding-to-nearest bounds the reconstruction error by half a
+    step ((hi-lo)/510); a constant vector quantizes losslessly."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_quant"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES
+            (1, [0.0, 1.0, 0.25, 0.7]::FLOAT[], 0),
+            (2, [0.5, 0.5, 0.5, 0.5]::FLOAT[], 1))
+            t(vec_id, embedding, label))
+            TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    got = {
+        r.vec_id: r
+        for r in CATALOG["x219_int8_quantization_error"]
+        .spark(spark, str(d))
+        .collect()
+    }
+    r1 = got[1]
+    assert r1.max_abs_err <= (r1.hi - r1.lo) / 510 + 1e-12
+    r2 = got[2]
+    assert r2.max_abs_err == 0.0 and r2.code_checksum == 0
+
+
+def test_a30_delta_se_matches_numpy(spark, sf_dir):
+    """The one-shape IEEE close must equal the textbook per-user
+    linearization computed independently in numpy."""
+    import numpy as np
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    r = CATALOG["a30_delta_method_ratio_se"].spark(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pdf = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .toPandas()
+    )
+    x = pdf.x.values.astype(float)
+    y = pdf.y.values.astype(float)
+    ratio = x.sum() / y.sum()
+    d = x - ratio * y
+    se = np.sqrt(d.var(ddof=1) / len(x)) / y.mean()
+    assert abs(r.ratio - ratio) < 1e-9 * abs(ratio)
+    assert abs(r.ratio_se - se) < 1e-9 * se
+
+
+def test_x220_hard_negatives_are_lsh_candidates_below_cut(spark, sf_dir):
+    """Every mined pair is an x8 LSH candidate AND sits under the 0.2
+    cosine cut — the composition is exactly filter(cand)."""
+    from taxi_aws_data_pipeline_spark.ext import dedup as XD
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x220_hard_negative_mining"].spark(spark, sf_dir).collect()
+    assert got, "the random-embedding fixture should yield hard negatives"
+    assert all(r.cos_sim < 0.2 for r in got)
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in XD.lsh_candidate_pairs(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in got} <= cand
+
+
+def test_x221_canary_scan_finds_planted_canary(spark, tmp_path):
+    """A planted canary GUID is counted with its doc lengths; the
+    other canaries still emit zero rows (the ledger spine)."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.plans.ext_catalog import _CANARIES
+
+    d = _write_docs(
+        tmp_path,
+        "sf_canary",
+        [
+            (1, f"some text {_CANARIES[0]} embedded", "en", "s"),
+            (2, "clean doc", "en", "s"),
+            (3, f"{_CANARIES[0]}", "en", "s"),
+        ],
+    )
+    got = {
+        r.canary: r for r in CATALOG["x221_canary_scan"].spark(spark, d).collect()
+    }
+    assert got[_CANARIES[0]].n_docs == 2
+    assert got[_CANARIES[0]].total_chars == len(
+        f"some text {_CANARIES[0]} embedded"
+    ) + len(_CANARIES[0])
+    assert got[_CANARIES[1]].n_docs == 0
+    assert len(got) == 3
+
+
+def test_x223_dropout_is_reproducible_and_bounded(spark, sf_dir):
+    """Two runs produce identical fingerprints (hash-gated, not RNG);
+    kept counts never exceed originals and drop roughly 10%."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    a = CATALOG["x223_token_dropout_augment"].spark(spark, sf_dir).collect()
+    b = CATALOG["x223_token_dropout_augment"].spark(spark, sf_dir).collect()
+    assert {(r.doc_id, r.aug_fp) for r in a} == {
+        (r.doc_id, r.aug_fp) for r in b
+    }
+    assert all(0 <= r.n_kept <= r.n_orig for r in a)
+    tot_o = sum(r.n_orig for r in a)
+    tot_k = sum(r.n_kept for r in a)
+    assert 0.05 < 1 - tot_k / tot_o < 0.15
+
+
+def test_x222_pii_census_counts_planted_spans(spark, tmp_path):
+    """Planted email/IP/phone spans are counted per type; the flagged
+    count is any-hit docs, not span totals."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_pii",
+        [
+            (1, "mail a@b.com and c@d.org here", "en", "s1"),
+            (2, "server at 10.0.0.1 and 192.168.1.1", "en", "s1"),
+            (3, "call 555-123-4567 or a@b.com", "en", "s1"),
+            (4, "clean document", "en", "s1"),
+        ],
+    )
+    r = CATALOG["x222_pii_census"].spark(spark, d).collect()[0]
+    assert r.n_email_spans == 3
+    assert r.n_ipv4_spans == 2
+    assert r.n_phone_spans == 1
+    assert r.n_docs_flagged == 3 and r.n_docs == 4
