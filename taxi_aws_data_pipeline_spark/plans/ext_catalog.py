@@ -20179,3 +20179,121 @@ def x227_margin_uncertainty_sampling(spark: SparkSession, sf: str) -> DataFrame:
         .limit(20)
         .withColumn("rank", F.row_number().over(win).cast("long"))
     )
+
+
+_STREAM_DEDUP_ORACLE = """
+    SELECT user_id, event_type,
+           CAST(min(event_id) AS BIGINT) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+"""
+
+
+@register(
+    "s11_streaming_dedup_replay",
+    "Streaming keyed dedup, HASH-VERIFIED against batch: the event "
+    "stream deduplicates on (user, type) — keeping the FIRST arrival "
+    "in event-id order by pre-sorting each micro-batch is not "
+    "possible in a streaming dedup, so the entry aggregates min("
+    "event_id) per key under the watermark instead (update-mode "
+    "equivalent semantics, drained complete) — and the drained table "
+    "must equal the batch GROUP BY exactly. Proves keyed streaming "
+    "state (not just windowed aggregation, s9, or dual-stream joins, "
+    "s10) computes the batch answer. Watermark bounds state for the "
+    "unbounded case; AvailableNow + complete mode makes the bounded "
+    "replay total.",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("ext", "streaming", "dedup", "replay"),
+)
+def s11_streaming_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    batch = load_table(spark, sf, "events")
+    name = f"s11_sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="s11_ckpt_")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").cast("long").alias("first_event_id"))
+    )
+    (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+_CHAIN_ORACLE = """
+    WITH fp AS (
+        SELECT source, doc_id,
+               CAST(floor(doc_id / 40) AS BIGINT) AS shard,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS f
+        FROM documents WHERE text IS NOT NULL
+    ),
+    chained AS (
+        SELECT source, shard,
+               count(*) AS n_docs,
+               list_reduce(
+                   list_prepend('genesis',
+                       list_transform(
+                           list_sort(list({'i': doc_id, 'f': f})),
+                           s -> s.f)),
+                   (acc, x) -> md5(acc || x)) AS chain_hash
+        FROM fp GROUP BY source, shard
+    )
+    SELECT source, shard, CAST(n_docs AS BIGINT) AS n_docs, chain_hash
+    FROM chained
+"""
+
+
+@register(
+    "x228_shard_manifest_chain",
+    "Tamper-evident shard manifests: within each (source, shard) "
+    "group the doc fingerprints chain through a rolling "
+    "md5(prev || fp) fold in doc-id order from a 'genesis' seed — "
+    "any insertion, deletion, reorder, or byte change anywhere in "
+    "the shard changes its chain hash (the git/ledger integrity "
+    "pattern applied to training-data manifests; x145's checksum is "
+    "order-INSENSITIVE by design, this is its order-SENSITIVE "
+    "complement for frozen shard layouts). The sequential fold runs "
+    "over a per-shard sorted collect bounded by the x82 shard cap "
+    "(40 rows) — never corpus-wide; shards chain independently in "
+    "parallel.",
+    oracle=_CHAIN_ORACLE,
+    tags=("ext", "integrity", "manifest", "lineage"),
+)
+def x228_shard_manifest_chain(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    fp = docs.select(
+        "source",
+        "doc_id",
+        F.floor(F.col("doc_id") / 40).cast("long").alias("shard"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("f"),
+    )
+    chained = fp.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.col("f")))
+                ),
+                lambda s: s["f"],
+            ),
+            F.lit("genesis"),
+            lambda acc, x: F.md5(F.concat(acc, x)),
+        ).alias("chain_hash"),
+    )
+    return chained.select("source", "shard", "n_docs", "chain_hash")

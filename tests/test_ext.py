@@ -3535,3 +3535,25 @@ def test_x227_margins_nonnegative_and_sorted(spark, sf_dir):
     ms = [r.margin for r in got]
     assert all(m >= 0 for m in ms) and ms == sorted(ms)
     assert all(0 <= r.cell <= 3 for r in got)
+
+
+def test_x228_chain_detects_any_change(spark, tmp_path):
+    """Same docs → same chain; any byte change or reorder (different
+    doc_id order) changes the shard's chain hash."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    base = [(1, "alpha", "en", "s"), (2, "beta", "en", "s")]
+    d1 = _write_docs(tmp_path, "sf_chain1", base)
+    d2 = _write_docs(tmp_path, "sf_chain2", base)
+    d3 = _write_docs(
+        tmp_path, "sf_chain3", [(1, "alpha!", "en", "s"), (2, "beta", "en", "s")]
+    )
+    d4 = _write_docs(  # swapped content = reorder of fingerprints
+        tmp_path, "sf_chain4", [(1, "beta", "en", "s"), (2, "alpha", "en", "s")]
+    )
+    run = lambda d: CATALOG["x228_shard_manifest_chain"].spark(  # noqa: E731
+        spark, d
+    ).collect()[0].chain_hash
+    h1, h2, h3, h4 = run(d1), run(d2), run(d3), run(d4)
+    assert h1 == h2
+    assert h1 != h3 and h1 != h4
