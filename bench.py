@@ -166,6 +166,15 @@ BENCH_QUERIES = (
     "x201_chi2_token_class",
     "x202_pmi_collocations",
     "x203_bm25_topk",
+    # session-3 continuation: graph triangles (oriented wedge joins),
+    # density triage + item-CF (bucketed/basket self-joins), TextRank
+    # (iterative integer PageRank on the word graph), and the verified
+    # streaming window replay (readStream + watermark + AvailableNow)
+    "x213_triangle_clustering",
+    "x224_density_core_points",
+    "x225_item_item_cosine",
+    "x208_textrank_keywords",
+    "s9_streaming_hourly_replay",
 )
 
 

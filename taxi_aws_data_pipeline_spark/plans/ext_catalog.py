@@ -20297,3 +20297,146 @@ def x228_shard_manifest_chain(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("chain_hash"),
     )
     return chained.select("source", "shard", "n_docs", "chain_hash")
+
+
+_EMB_AUDIT_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               embedding IS NULL AS is_null,
+               CASE WHEN embedding IS NULL THEN NULL ELSE len(v) END AS dim,
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE len(list_filter(v, x -> isnan(x))) > 0 END
+                   AS has_nan,
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE list_reduce(list_transform(v, x -> x * x),
+                                     (a, b) -> a + b) END AS sq_norm
+        FROM e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_nan,
+           CAST(sum(CASE WHEN sq_norm = 0e0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+           min(sq_norm) AS min_sq_norm,
+           max(sq_norm) AS max_sq_norm
+    FROM per_vec
+"""
+
+
+@register(
+    "x229_embedding_quality_audit",
+    "Embedding-column quality audit — x212's expectation discipline "
+    "for the vector tier: null vectors, dimension consistency "
+    "(distinct dims + max), NaN contamination, zero-norm vectors "
+    "(which poison every cosine downstream: division by zero), and "
+    "the squared-norm envelope — run BEFORE any ANN/clustering entry "
+    "trusts the column. Squared norms come from the index-ordered "
+    "fold (deterministic IEEE, x219's discipline), min/max are "
+    "order-free, all counts exact integers. One projection + one "
+    "global conditional aggregation at corpus scan cost.",
+    oracle=_EMB_AUDIT_ORACLE,
+    tags=("ext", "data-quality", "embeddings", "audit"),
+)
+def x229_embedding_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    per_vec = emb.select(
+        F.col("embedding").isNull().alias("is_null"),
+        F.when(F.col("embedding").isNull(), None).otherwise(F.size(v))
+        .alias("dim"),
+        F.when(F.col("embedding").isNull(), None).otherwise(
+            F.size(F.filter(v, lambda x: F.isnan(x))) > 0
+        ).alias("has_nan"),
+        F.when(F.col("embedding").isNull(), None).otherwise(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("sq_norm"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("is_null"), 1).otherwise(0)).cast("long")
+        .alias("n_null"),
+        F.count_distinct("dim").cast("long").alias("n_distinct_dims"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.sum(F.when(F.col("has_nan"), 1).otherwise(0)).cast("long")
+        .alias("n_with_nan"),
+        F.sum(F.when(F.col("sq_norm") == 0.0, 1).otherwise(0)).cast("long")
+        .alias("n_zero_norm"),
+        F.min("sq_norm").alias("min_sq_norm"),
+        F.max("sq_norm").alias("max_sq_norm"),
+    )
+
+
+_FERTILITY_ORACLE = """
+    WITH t AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(CASE WHEN sum(ws_tokens) = 0 THEN NULL
+                     ELSE sum(n_chars) * 1000 // sum(ws_tokens) END
+                AS BIGINT) AS chars_per_ws_token_x1000,
+           CAST(CASE WHEN sum(bpe_tokens) = 0 THEN NULL
+                     ELSE sum(n_chars) * 1000 // sum(bpe_tokens) END
+                AS BIGINT) AS chars_per_bpe_token_x1000
+    FROM t GROUP BY lang
+"""
+
+
+@register(
+    "x230_tokenizer_fertility",
+    "Tokenizer fertility by language: chars per token under both the "
+    "whitespace and the BPE-ish regex tokenization (x3's counters, "
+    "aggregated per lang as exact milli-ratios) — the cross-lingual "
+    "cost metric that decides whether a tokenizer taxes some "
+    "languages with more tokens per character (CJK whitespace "
+    "tokenization degenerating to whole-sentence 'words' shows up "
+    "here instantly). One projection + one small groupBy; truncating "
+    "integer x1000 ratios, NULL-guarded denominators.",
+    oracle=_FERTILITY_ORACLE,
+    tags=("ext", "text", "tokenizer", "eval"),
+)
+def x230_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    t = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(TX.words("text"), lambda x: x != "")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(TX.TOKEN_PATTERN)).alias("bpe_tokens"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.expr(
+            "CAST(CASE WHEN sum(ws_tokens) = 0 THEN NULL"
+            " ELSE sum(n_chars) * 1000 DIV sum(ws_tokens) END AS BIGINT)"
+        ).alias("chars_per_ws_token_x1000"),
+        F.expr(
+            "CAST(CASE WHEN sum(bpe_tokens) = 0 THEN NULL"
+            " ELSE sum(n_chars) * 1000 DIV sum(bpe_tokens) END AS BIGINT)"
+        ).alias("chars_per_bpe_token_x1000"),
+    )
