@@ -20440,3 +20440,163 @@ def x230_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
             " ELSE sum(n_chars) * 1000 DIV sum(bpe_tokens) END AS BIGINT)"
         ).alias("chars_per_bpe_token_x1000"),
     )
+
+
+_MSG_PASS_ORACLE = """
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem WHERE l_quantity >= 45e0
+    ),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    feat AS (
+        SELECT l_suppkey AS node, sum(cents) AS h0 FROM li GROUP BY 1
+    ),
+    agg AS (
+        SELECT e.src AS node,
+               sum(f.h0) AS msg_sum, count(*) AS n_nb
+        FROM e JOIN feat f ON e.dst = f.node
+        GROUP BY e.src
+    )
+    SELECT f.node AS supplier,
+           CAST(f.h0 AS BIGINT) AS h0_cents,
+           CAST(a.msg_sum AS BIGINT) AS nb_sum_cents,
+           CAST(a.n_nb AS BIGINT) AS n_neighbors,
+           CAST(f.h0 * a.n_nb + a.msg_sum AS BIGINT) AS h1_num,
+           CAST(2 * a.n_nb AS BIGINT) AS h1_den
+    FROM feat f JOIN agg a ON f.node = a.node
+"""
+
+
+@register(
+    "x231_message_passing_round",
+    "One GNN message-passing layer as pure relational algebra: each "
+    "supplier's next representation is the average of its own feature "
+    "and its neighbors' mean — h1 = (h0 + mean_nb(h0))/2 over the "
+    "high-quantity co-supply graph, with the feature an exact int64 "
+    "(revenue cents) so the layer output ships as the num/den pair "
+    "h1 = (h0*n + sum_nb)/(2n). This is GraphSAGE-mean's aggregate "
+    "step — per layer: ONE edge-feature equi-join + ONE partial-"
+    "aggregated destination shuffle, adjacency never materialized — "
+    "the exact plan shape distributed GNN samplers implement, and "
+    "the same join geometry as x84's PageRank round with features "
+    "replacing rank mass.",
+    oracle=_MSG_PASS_ORACLE,
+    tags=("ext", "graph", "gnn", "message-passing"),
+)
+def x231_message_passing_round(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 45.0)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            .alias("cents"),
+        )
+    )
+    e = _cosupply_edges(li.select("l_orderkey", "l_suppkey"))
+    feat = li.groupBy(F.col("l_suppkey").alias("node")).agg(
+        F.sum("cents").alias("h0")
+    )
+    agg = (
+        e.join(feat.select(F.col("node").alias("dst"), "h0"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("h0").alias("msg_sum"), F.count(F.lit(1)).alias("n_nb"))
+    )
+    return feat.join(agg, "node").select(
+        F.col("node").alias("supplier"),
+        F.col("h0").cast("long").alias("h0_cents"),
+        F.col("msg_sum").cast("long").alias("nb_sum_cents"),
+        F.col("n_nb").cast("long").alias("n_neighbors"),
+        (F.col("h0") * F.col("n_nb") + F.col("msg_sum")).cast("long")
+        .alias("h1_num"),
+        (2 * F.col("n_nb")).cast("long").alias("h1_den"),
+    )
+
+
+_HLL_MERGE_ORACLE = """
+    WITH u AS (
+        SELECT DISTINCT event_type,
+               CAST(user_id AS VARCHAR) AS s
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 64 AS bucket,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        FROM u
+    ),
+    reg AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN h2 = 0 THEN 33
+                        ELSE 33 - length(bin(h2)) END) AS m_j
+        FROM h GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT bucket, max(m_j) AS m_j FROM reg GROUP BY bucket
+    ),
+    direct AS (
+        SELECT bucket,
+               max(CASE WHEN h2 = 0 THEN 33
+                        ELSE 33 - length(bin(h2)) END) AS m_j
+        FROM h GROUP BY bucket
+    )
+    SELECT m.bucket AS bucket,
+           CAST(m.m_j AS BIGINT) AS merged_m,
+           CAST(d.m_j AS BIGINT) AS direct_m,
+           m.m_j = d.m_j AS merge_equals_direct
+    FROM merged m JOIN direct d USING (bucket)
+"""
+
+
+@register(
+    "x232_hll_merge_proof",
+    "HLL mergeability, PROVEN on data rather than asserted: per-"
+    "source (click/view) register tables merge by register-wise max, "
+    "and the merged sketch is compared register-by-register against "
+    "the sketch built directly on the union — every row must say "
+    "merge_equals_direct = true (max is the lattice join; the "
+    "algebraic property IS the 100 TB selling point: per-partition "
+    "sketches union without revisiting data, x209's global sketch "
+    "decomposed). Occupied-register comparison; emptiness conventions "
+    "cancel in the join. All integers under the hash, including the "
+    "proof column.",
+    oracle=_HLL_MERGE_ORACLE,
+    tags=("ext", "sketch", "hll", "mergeable"),
+)
+def x232_hll_merge_proof(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    u = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("s")
+    ).distinct()
+    md5 = F.md5("s")
+    rho = F.when(
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long") == 0, 33
+    ).otherwise(
+        33
+        - F.length(
+            F.bin(F.conv(F.substring(md5, 9, 8), 16, 10).cast("long"))
+        )
+    )
+    h = u.select(
+        "event_type",
+        (F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % 64)
+        .alias("bucket"),
+        rho.alias("r"),
+    )
+    reg = h.groupBy("event_type", "bucket").agg(F.max("r").alias("m_j"))
+    merged = reg.groupBy("bucket").agg(F.max("m_j").alias("merged_m"))
+    direct = h.groupBy("bucket").agg(F.max("r").alias("direct_m"))
+    return merged.join(direct, "bucket").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("merged_m").cast("long").alias("merged_m"),
+        F.col("direct_m").cast("long").alias("direct_m"),
+        (F.col("merged_m") == F.col("direct_m")).alias("merge_equals_direct"),
+    )

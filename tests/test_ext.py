@@ -3557,3 +3557,29 @@ def test_x228_chain_detects_any_change(spark, tmp_path):
     h1, h2, h3, h4 = run(d1), run(d2), run(d3), run(d4)
     assert h1 == h2
     assert h1 != h3 and h1 != h4
+
+
+def test_x232_every_register_merges_exactly(spark, sf_dir):
+    """The lattice-join property holds on every occupied register."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x232_hll_merge_proof"].spark(spark, sf_dir).collect()
+    assert got and all(r.merge_equals_direct for r in got)
+
+
+def test_x231_h1_is_self_neighbor_average(spark, sf_dir):
+    """h1 num/den encodes (h0 + mean_nb)/2 exactly: h1_num/h1_den ==
+    (h0 + nb_sum/n)/2 for every supplier."""
+    from fractions import Fraction
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x231_message_passing_round"].spark(spark, sf_dir).collect()
+    assert got
+    for r in got[:50]:
+        lhs = Fraction(r.h1_num, r.h1_den)
+        rhs = (
+            Fraction(r.h0_cents)
+            + Fraction(r.nb_sum_cents, r.n_neighbors)
+        ) / 2
+        assert lhs == rhs
