@@ -20600,3 +20600,171 @@ def x232_hll_merge_proof(spark: SparkSession, sf: str) -> DataFrame:
         F.col("direct_m").cast("long").alias("direct_m"),
         (F.col("merged_m") == F.col("direct_m")).alias("merge_equals_direct"),
     )
+
+
+_PURITY_ORACLE = f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),{_lp_round('l0', 'pc1', 'pl1')},{_lp_round('pl1', 'pc2', 'pl2')},
+    lj AS (
+        SELECT p.lab, s.s_nationkey AS nation
+        FROM pl2 p JOIN supplier s ON p.node = s.s_suppkey
+    ),
+    cell AS (
+        SELECT lab, nation, count(*) AS n FROM lj GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT lab, nation, n FROM (
+            SELECT lab, nation, n,
+                   row_number() OVER (PARTITION BY lab
+                                      ORDER BY n DESC, nation) AS rn
+            FROM cell
+        ) WHERE rn = 1
+    ),
+    sz AS (SELECT lab, sum(n) AS size FROM cell GROUP BY lab)
+    SELECT CAST(t.lab AS BIGINT) AS community,
+           CAST(s.size AS BIGINT) AS size,
+           CAST(t.nation AS BIGINT) AS top_nation,
+           CAST(t.n AS BIGINT) AS top_nation_n,
+           CAST(t.n * 1000000 // s.size AS BIGINT) AS purity_ppm
+    FROM top t JOIN sz s USING (lab)
+"""
+
+
+@register(
+    "x233_community_purity",
+    "External validation of x91's label-propagation communities "
+    "against supplier nations: per community, its size, dominant "
+    "nation, and purity (dominant share, exact ppm) — the cluster-"
+    "quality read that needs GROUND-TRUTH labels where x180's "
+    "modularity needs only the graph; together they say whether "
+    "communities are both structurally real and semantically "
+    "meaningful. Shares the unrolled 2-round LP oracle with x91/x180 "
+    "(single source of truth — the entries cannot drift), then one "
+    "broadcast dim join + a community-keyed contingency groupBy.",
+    oracle=_PURITY_ORACLE,
+    tags=("ext", "graph", "community", "eval"),
+)
+def x233_community_purity(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    labels = G.label_propagation_fixed_rounds(
+        _cosupply_edges(li), rounds=2
+    )
+    sup = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    lj = labels.join(sup, labels["node"] == sup["s_suppkey"]).select(
+        F.col("label").alias("lab"), F.col("s_nationkey").alias("nation")
+    )
+    cell = lj.groupBy("lab", "nation").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lab").orderBy(F.desc("n"), "nation")
+    top = cell.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    sz = cell.groupBy("lab").agg(F.sum("n").alias("size"))
+    return top.join(sz, "lab").select(
+        F.col("lab").cast("long").alias("community"),
+        F.col("size").cast("long").alias("size"),
+        F.col("nation").cast("long").alias("top_nation"),
+        F.col("n").cast("long").alias("top_nation_n"),
+        F.expr("n * 1000000 DIV size").cast("long").alias("purity_ppm"),
+    )
+
+
+_THEIL_SEN_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '2024-01-01' AS di,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               b.c - a.c AS num,
+               b.di - a.di AS den
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.di < b.di
+    ),
+    ranked AS (
+        SELECT event_type, num, den,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                            num, den) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM pairs
+    )
+    SELECT event_type,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS slope_num,
+           CAST(den AS BIGINT) AS slope_den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+               AS slope_cents_per_day
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+@register(
+    "w29_theil_sen_slope",
+    "Theil-Sen robust trend: the MEDIAN of all pairwise day-to-day "
+    "slopes per event type — up to 29% contamination tolerance where "
+    "a12's OLS slope follows any single outlier day; the estimator "
+    "of record for monitoring trends on dirty operational series, "
+    "and the magnitude companion to x104's Mann-Kendall sign test. "
+    "Each slope stays an exact int64 fraction (cents diff / day "
+    "diff); the float division ORDERS only (ties broken on num, den "
+    "— deterministic in both engines) and the lower-median rank "
+    "probe picks one actual pair whose num/den ship under the hash. "
+    "Pair fanout is bounded by days^2 per type (~435 at a 30-day "
+    "window) — the window, not the corpus, prices the quadratic.",
+    oracle=_THEIL_SEN_ORACLE,
+    tags=("ext", "timeseries", "robust-stats", "trend"),
+)
+def w29_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+        ).alias("di"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.di") < F.col("b.di")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.c") - F.col("a.c")).alias("num"),
+        (F.col("b.di") - F.col("a.di")).cast("long").alias("den"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("num").cast("double") / F.col("den").cast("double"),
+        "num",
+        "den",
+    )
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "num",
+        "den",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("num").cast("long").alias("slope_num"),
+        F.col("den").cast("long").alias("slope_den"),
+        (F.col("num").cast("double") / F.col("den").cast("double"))
+        .alias("slope_cents_per_day"),
+    )

@@ -3583,3 +3583,22 @@ def test_x231_h1_is_self_neighbor_average(spark, sf_dir):
             + Fraction(r.nb_sum_cents, r.n_neighbors)
         ) / 2
         assert lhs == rhs
+
+
+def test_w29_theil_sen_ignores_one_outlier_day(spark, tmp_path):
+    """A perfectly linear series (slope 100 cents/day) with ONE wild
+    outlier day keeps its median slope exactly 100 — the robustness
+    OLS does not have; also covers the even-pair-count median probe."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = []
+    eid = 0
+    for day in range(10):
+        v = 10.0 + day if day != 5 else 10000.0  # outlier at day 5
+        rows.append((eid, f"2024-01-{day + 1:02d} 09:00:00", 1, "click", v))
+        eid += 1
+    d = _write_events(tmp_path, "sf_theil", rows)
+    r = CATALOG["w29_theil_sen_slope"].spark(spark, d).collect()[0]
+    assert r.n_pairs == 45
+    assert r.slope_num / r.slope_den == 100.0
+    assert r.slope_cents_per_day == 100.0
