@@ -20768,3 +20768,191 @@ def w29_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("num").cast("double") / F.col("den").cast("double"))
         .alias("slope_cents_per_day"),
     )
+
+
+def _gm_round(prev: str, pick: str, cur: str) -> str:
+    """One greedy-allocation round: argmax of quality/(1+epochs) by
+    cross-multiplied integer comparison (ORDER BY the exact fraction
+    via double, ties to the smaller source), then bump the winner."""
+    return f"""
+    {pick} AS (
+        SELECT source FROM {prev}
+        ORDER BY CAST(q AS DOUBLE) / (1 + e) DESC, source
+        LIMIT 1
+    ),
+    {cur} AS (
+        SELECT s.source, s.q,
+               s.e + CASE WHEN s.source = p.source THEN 1 ELSE 0 END AS e
+        FROM {prev} s CROSS JOIN {pick} p
+    )"""
+
+
+_GREEDY_MIX_ORACLE = f"""
+    WITH base AS (
+        SELECT source,
+               sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS q,
+               0 AS e
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source
+    ),{_gm_round('base', 'p1', 'g1')},{_gm_round('g1', 'p2', 'g2')},{_gm_round('g2', 'p3', 'g3')},{_gm_round('g3', 'p4', 'g4')},{_gm_round('g4', 'p5', 'g5')}
+    SELECT source,
+           CAST(q AS BIGINT) AS quality_chars,
+           CAST(e AS BIGINT) AS tranches_allocated
+    FROM g5
+"""
+
+
+@register(
+    "x234_greedy_mixture_allocation",
+    "Greedy mixture optimization (DoReMi-lite): five budget tranches "
+    "allocated one at a time to the source with the highest marginal "
+    "utility quality/(1+tranches_so_far) — diminishing returns per "
+    "repeated epoch, so quality-dense sources win early tranches but "
+    "saturate; the unrolled-rounds verified-optimizer pattern (x179's "
+    "submodular greedy applied to mixture design instead of "
+    "coverage). Per round: one 1-row TakeOrdered argmax broadcast "
+    "into a source-cardinality projection — no collect, state is "
+    "|sources| rows; the oracle replays all five rounds.",
+    oracle=_GREEDY_MIX_ORACLE,
+    tags=("ext", "mixture", "optimizer", "iterative"),
+)
+def x234_greedy_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    state = docs.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("n_chars")).otherwise(0)
+        ).alias("q"),
+        F.lit(0).alias("e"),
+    )
+    for _ in range(5):
+        pick = (
+            state.orderBy(
+                F.desc(F.col("q").cast("double") / (1 + F.col("e"))),
+                "source",
+            )
+            .limit(1)
+            .select(F.col("source").alias("picked"))
+        )
+        state = state.crossJoin(F.broadcast(pick)).select(
+            "source",
+            "q",
+            (
+                F.col("e")
+                + F.when(F.col("source") == F.col("picked"), 1).otherwise(0)
+            ).alias("e"),
+        )
+    return state.select(
+        "source",
+        F.col("q").cast("long").alias("quality_chars"),
+        F.col("e").cast("long").alias("tranches_allocated"),
+    )
+
+
+_NULL_SAFE_JOIN_ORACLE = """
+    WITH k AS (
+        SELECT event_id,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         % 7 = 0
+                    THEN NULL
+                    ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         % 10 END AS grp
+        FROM events
+    )
+    SELECT COALESCE(CAST(grp AS VARCHAR), 'NULL') AS grp_key,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+    FROM k GROUP BY grp
+"""
+
+
+@register(
+    "j25_null_safe_equi_join",
+    "Null-safe equi-join semantics (<=> / IS NOT DISTINCT FROM): a "
+    "nullable JSON-derived key where NULL must match NULL — standard "
+    "equi-joins silently drop every NULL-keyed row, the classic "
+    "silent-data-loss bug in late-bound keys. Verified through the "
+    "pair-count identity: the per-group self-join cardinality "
+    "n*(n-1)/2 computed FROM the null-safe join must equal the "
+    "grouped closed form — including the NULL group, which an "
+    "ordinary join would report as 0. (The Spark side genuinely "
+    "executes the eqNullSafe self-join and counts; the oracle takes "
+    "the closed form.) NULL renders as a sentinel key so the row "
+    "survives the hash compare.",
+    oracle=_NULL_SAFE_JOIN_ORACLE,
+    tags=("ext", "join", "null-semantics", "sql-surface"),
+)
+def j25_null_safe_equi_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    kv = F.get_json_object("props", "$.k").cast("long")
+    k = ev.select(
+        "event_id",
+        F.when(kv % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(kv % 10)
+        .alias("grp"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    pairs = a.join(
+        b,
+        F.col("a.grp").eqNullSafe(F.col("b.grp"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    ).groupBy(F.col("a.grp").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    members = k.groupBy("grp").agg(F.count(F.lit(1)).alias("n_members"))
+    return members.join(
+        pairs, members["grp"].eqNullSafe(pairs["grp"]), "left"
+    ).select(
+        F.coalesce(members["grp"].cast("string"), F.lit("NULL"))
+        .alias("grp_key"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+    )
+
+
+_TRY_CAST_ORACLE = """
+    WITH k AS (
+        SELECT json_extract_string(props, '$.k') AS raw
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN TRY_CAST(raw AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_int_ok,
+           CAST(sum(CASE WHEN TRY_CAST(raw AS DOUBLE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_double_ok,
+           CAST(sum(CASE WHEN TRY_CAST(raw AS DATE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_date_ok,
+           CAST(sum(CASE WHEN raw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing
+    FROM k
+"""
+
+
+@register(
+    "e19_try_cast_census",
+    "try_cast type census over a late-bound string field (the JSON "
+    "props key): how many values parse as BIGINT / DOUBLE / DATE, "
+    "and how many are missing — the schema-inference probe run "
+    "before promoting a semi-structured field to a typed column. "
+    "Matters doubly under ANSI mode (the engine self-pins it): a "
+    "plain CAST would THROW on the first bad value at row 3 billion "
+    "of a 100 TB scan; try_cast turns the failure mode into a "
+    "countable NULL in both engines. One projection + one global "
+    "conditional aggregation.",
+    oracle=_TRY_CAST_ORACLE,
+    tags=("ext", "schema", "try-cast", "sql-surface"),
+)
+def e19_try_cast_census(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    raw = F.get_json_object("props", "$.k")
+    k = ev.select(raw.alias("raw"))
+    ok = lambda t: F.sum(  # noqa: E731
+        F.when(F.expr(f"try_cast(raw AS {t})").isNotNull(), 1).otherwise(0)
+    )
+    return k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        ok("BIGINT").cast("long").alias("n_int_ok"),
+        ok("DOUBLE").cast("long").alias("n_double_ok"),
+        ok("DATE").cast("long").alias("n_date_ok"),
+        F.sum(F.when(F.col("raw").isNull(), 1).otherwise(0)).cast("long")
+        .alias("n_missing"),
+    )

@@ -3602,3 +3602,40 @@ def test_w29_theil_sen_ignores_one_outlier_day(spark, tmp_path):
     assert r.n_pairs == 45
     assert r.slope_num / r.slope_den == 100.0
     assert r.slope_cents_per_day == 100.0
+
+
+def test_j25_null_group_survives_and_pairs_check(spark, sf_dir):
+    """The NULL group exists with the exact n*(n-1)/2 pair count — an
+    ordinary equi-join would have dropped it to 0 pairs."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = {
+        r.grp_key: r
+        for r in CATALOG["j25_null_safe_equi_join"].spark(spark, sf_dir).collect()
+    }
+    assert "NULL" in got
+    r = got["NULL"]
+    assert r.n_members > 0
+    assert r.n_pairs == r.n_members * (r.n_members - 1) // 2
+
+
+def test_x234_diminishing_returns_spread_tranches(spark, tmp_path):
+    """With quality 100 vs 30: marginal utilities 100, 50, 33.3, 30,
+    25 → the leader takes tranches 1-3, the runner-up takes 4, the
+    leader retakes 5 (100/4=25 equals none... 100/4=25 < 30 → s2 gets
+    tranche 4; tranche 5: 100/4=25 vs 30/2=15 → s1)."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_mix",
+        [(1, "x" * 100, "en", "s1"), (2, "y" * 30, "en", "s2")],
+    )
+    got = {
+        r.source: r.tranches_allocated
+        for r in CATALOG["x234_greedy_mixture_allocation"]
+        .spark(spark, d)
+        .collect()
+    }
+    # s1: 100, 50, 33.3 then 25; s2: 30, 15. Order: s1,s1,s1,s2,s1
+    assert got == {"s1": 4, "s2": 1}
