@@ -20956,3 +20956,155 @@ def e19_try_cast_census(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("raw").isNull(), 1).otherwise(0)).cast("long")
         .alias("n_missing"),
     )
+
+
+_SEPARATION_ORACLE = f"""
+    WITH probes AS (
+        SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM (
+            SELECT label, vec_id, embedding,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY vec_id) AS rn
+            FROM embeddings WHERE embedding IS NOT NULL
+        ) WHERE rn <= 10
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(floor({{cosine}} * 1000000) AS BIGINT) AS cos_ppm
+        FROM probes a JOIN probes b ON a.vec_id < b.vec_id
+    ),
+    agg AS (
+        SELECT label_a = label_b AS intra,
+               sum(cos_ppm) AS s, count(*) AS n
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(max(CASE WHEN intra THEN n END) AS BIGINT) AS n_intra,
+           CAST(max(CASE WHEN intra THEN s END) AS BIGINT)
+               AS intra_cos_ppm_sum,
+           CAST(max(CASE WHEN NOT intra THEN n END) AS BIGINT) AS n_inter,
+           CAST(max(CASE WHEN NOT intra THEN s END) AS BIGINT)
+               AS inter_cos_ppm_sum,
+           CAST(max(CASE WHEN intra THEN s END)
+                    * max(CASE WHEN NOT intra THEN n END)
+                - max(CASE WHEN NOT intra THEN s END)
+                    * max(CASE WHEN intra THEN n END) AS BIGINT)
+               AS separation_num
+    FROM agg
+"""
+
+
+@register(
+    "x235_embedding_separation",
+    "Embedding-space separation audit (the alignment half of "
+    "alignment/uniformity): over a deterministic 10-per-label probe "
+    "set, mean same-label cosine vs mean cross-label cosine — if the "
+    "gap is ~0 the embeddings carry no label signal and every "
+    "downstream kNN/centroid entry (x188, x21) is guessing. Cosines "
+    "are quantized to integer ppm BEFORE summing (floor(cos*1e6) — "
+    "both engines compute identical doubles, so identical ints), "
+    "making the group sums order-free; the separation sign ships as "
+    "the cross-multiplied integer s_intra*n_inter - s_inter*n_intra. "
+    "The probe set bounds the pair count at (10L)^2 regardless of "
+    "corpus size — the fixed-budget audit shape.",
+    oracle=_SEPARATION_ORACLE.format(cosine=sql_cosine("a.v", "b.v")),
+    tags=("ext", "embeddings", "eval", "separation"),
+)
+def x235_embedding_separation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    probes = (
+        emb.select(
+            "label",
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .persist()
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        (F.col("a.label") == F.col("b.label")).alias("intra"),
+        F.floor(S.cosine(F.col("a.v"), F.col("b.v")) * 1000000)
+        .cast("long")
+        .alias("cos_ppm"),
+    )
+    agg = pairs.groupBy("intra").agg(
+        F.sum("cos_ppm").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    pick = lambda cond, c: F.max(F.when(cond, F.col(c)))  # noqa: E731
+    return agg.agg(
+        pick(F.col("intra"), "n").cast("long").alias("n_intra"),
+        pick(F.col("intra"), "s").cast("long").alias("intra_cos_ppm_sum"),
+        pick(~F.col("intra"), "n").cast("long").alias("n_inter"),
+        pick(~F.col("intra"), "s").cast("long").alias("inter_cos_ppm_sum"),
+        (
+            pick(F.col("intra"), "s") * pick(~F.col("intra"), "n")
+            - pick(~F.col("intra"), "s") * pick(F.col("intra"), "n")
+        ).cast("long").alias("separation_num"),
+    )
+
+
+_EXPIRY_ORACLE = """
+    WITH p AS (
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               count(*) AS n_rows,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    mx AS (SELECT max(ship_month) AS newest FROM p)
+    SELECT p.ship_month,
+           CAST(p.n_rows AS BIGINT) AS n_rows,
+           CAST(p.cents AS BIGINT) AS cents,
+           CAST((CAST(year(mx.newest) AS BIGINT) * 12
+                     + month(mx.newest))
+                - (CAST(year(p.ship_month) AS BIGINT) * 12
+                     + month(p.ship_month)) AS BIGINT) AS age_months,
+           ((CAST(year(mx.newest) AS BIGINT) * 12 + month(mx.newest))
+            - (CAST(year(p.ship_month) AS BIGINT) * 12
+               + month(p.ship_month))) > 48 AS expire
+    FROM p CROSS JOIN mx
+"""
+
+
+@register(
+    "z8_retention_expiry_plan",
+    "Partition retention/expiry plan over the e13 ship-month layout: "
+    "per partition, row count, revenue mass, age in whole months "
+    "behind the newest partition (exact integer month arithmetic — "
+    "no date subtraction ambiguity), and the 48-month TTL verdict — "
+    "the DROP PARTITION work list a lifecycle job executes, with the "
+    "at-risk revenue visible BEFORE anything is deleted. Partition-"
+    "level pruning means execution cost is metadata-shaped: one "
+    "grouped scan builds the whole plan; the z-family's storage-"
+    "lifecycle completion (z6 prunes reads, this prunes retention).",
+    oracle=_EXPIRY_ORACLE,
+    tags=("ext", "ops", "retention", "lifecycle"),
+)
+def z8_retention_expiry_plan(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .alias("cents"),
+    )
+    mx = p.agg(F.max("ship_month").alias("newest"))
+    months = lambda c: (  # noqa: E731
+        F.year(c).cast("long") * 12 + F.month(c)
+    )
+    age = months(F.col("newest")) - months(F.col("ship_month"))
+    return p.crossJoin(F.broadcast(mx)).select(
+        "ship_month",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("cents").cast("long").alias("cents"),
+        age.cast("long").alias("age_months"),
+        (age > 48).alias("expire"),
+    )
