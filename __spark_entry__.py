@@ -42,10 +42,11 @@ _FLAGSHIP = "a1_returnflag_performance"
 #
 # WINDOW SCHEDULE: subsequent rounds continue draining the
 # never-windowed backlog 50 per round in catalog registration order
-# (r5 = a10-a14, j17-j21, w12-w14, x91-x12x..., r6 = the next 50, ...);
-# once the backlog is empty, windows rotate re-pins through the tiers
-# round-robin (a/c/d/e + x1-x27, then j/w/g/k + x28-x60, then s/p +
-# x61-x90, repeat).
+# (session 3 extended the catalog through a28-a30, e19, j25, k7,
+# s9-s11, w25-w29, x198-x235, z8 — all local-parity-green, all
+# joining the backlog); once the backlog is empty, windows rotate
+# re-pins through the tiers round-robin (a/c/d/e + x1-x27, then
+# j/w/g/k + x28-x60, then s/p + x61-x90, repeat).
 _NEVER_WINDOWED = (
     "a8_measure_correlations",
     "g5_pivot_daily_event_values",

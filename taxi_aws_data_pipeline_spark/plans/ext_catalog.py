@@ -21108,3 +21108,301 @@ def z8_retention_expiry_plan(spark: SparkSession, sf: str) -> DataFrame:
         age.cast("long").alias("age_months"),
         (age > 48).alias("expire"),
     )
+
+
+_CONFORMAL_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '2024-01-01' AS di,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    err AS (
+        SELECT a.event_type, a.di,
+               abs(a.cents - b.cents) AS ae,
+               CASE WHEN a.di BETWEEN 7 AND 18 THEN 'cal'
+                    WHEN a.di >= 19 THEN 'test' END AS split
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.di = b.di + 7
+        WHERE a.di >= 7
+    ),
+    lv AS (
+        SELECT event_type, ae, count(*) AS cnt
+        FROM err WHERE split = 'cal'
+        GROUP BY 1, 2
+    ),
+    n_cal AS (
+        SELECT event_type, sum(cnt) AS n FROM lv GROUP BY 1
+    ),
+    cum AS (
+        SELECT a.event_type, a.ae,
+               sum(b.cnt) AS cum_le
+        FROM lv a JOIN lv b
+          ON a.event_type = b.event_type AND b.ae <= a.ae
+        GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT c.event_type,
+               min(c.ae) AS q_hat
+        FROM cum c JOIN n_cal n USING (event_type)
+        WHERE c.cum_le * 10 >= 9 * (n.n + 1)
+        GROUP BY 1
+    ),
+    cover AS (
+        SELECT e.event_type,
+               count(*) AS n_test,
+               sum(CASE WHEN e.ae <= q.q_hat THEN 1 ELSE 0 END) AS n_covered
+        FROM err e JOIN q USING (event_type)
+        WHERE e.split = 'test'
+        GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(n.n AS BIGINT) AS n_cal,
+           CAST(q.q_hat AS BIGINT) AS q_hat_cents,
+           CAST(c.n_test AS BIGINT) AS n_test,
+           CAST(c.n_covered AS BIGINT) AS n_covered,
+           CAST(c.n_covered * 1000000 // c.n_test AS BIGINT)
+               AS coverage_ppm
+    FROM cover c JOIN q USING (event_type) JOIN n_cal n USING (event_type)
+"""
+
+
+@register(
+    "x236_conformal_interval",
+    "Split-conformal prediction interval for the seasonal-naive "
+    "forecast (w25's model): calibration days 7-18 supply absolute "
+    "errors, q_hat = the ceil(0.9*(n+1))-smallest calibration error "
+    "(the finite-sample-valid conformal quantile, computed as a "
+    "distinct-value cumulative rank probe — cum_le*10 >= 9*(n+1) in "
+    "pure integers), and held-out days >= 19 report empirical "
+    "coverage in exact ppm — distribution-free uncertainty with a "
+    "guarantee, vs a22/a30's Gaussian closes. Every stage partitions "
+    "by event type; state is error-value cardinality. The marginal-"
+    "coverage guarantee (>= 90% in expectation under exchange-"
+    "ability) is what a forecast SLA can actually promise.",
+    oracle=_CONFORMAL_ORACLE,
+    tags=("ext", "forecast", "conformal", "uncertainty"),
+)
+def x236_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+        ).alias("di"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    err = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.di") == F.col("b.di") + 7),
+        )
+        .filter(F.col("a.di") >= 7)
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.di").alias("di"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).alias("ae"),
+            F.when(F.col("a.di").between(7, 18), "cal")
+            .when(F.col("a.di") >= 19, "test")
+            .alias("split"),
+        )
+        .persist()  # calibration quantile + test coverage both read it
+    )
+    lv = (
+        err.filter(F.col("split") == "cal")
+        .groupBy("event_type", "ae")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_cal = lv.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    la, lb = lv.alias("la"), lv.alias("lb")
+    cum = (
+        la.join(
+            lb,
+            (F.col("la.event_type") == F.col("lb.event_type"))
+            & (F.col("lb.ae") <= F.col("la.ae")),
+        )
+        .groupBy(
+            F.col("la.event_type").alias("event_type"),
+            F.col("la.ae").alias("ae"),
+        )
+        .agg(F.sum("lb.cnt").alias("cum_le"))
+    )
+    q = (
+        cum.join(n_cal, "event_type")
+        .filter(F.col("cum_le") * 10 >= 9 * (F.col("n") + 1))
+        .groupBy("event_type")
+        .agg(F.min("ae").alias("q_hat"))
+    )
+    cover = (
+        err.filter(F.col("split") == "test")
+        .join(q, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("ae") <= F.col("q_hat"), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        cover.join(q, "event_type")
+        .join(n_cal, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_cal"),
+            F.col("q_hat").cast("long").alias("q_hat_cents"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.expr("n_covered * 1000000 DIV n_test").cast("long")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+_CAPTURE_ORACLE = """
+    WITH c AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    v AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    m AS (
+        SELECT count(*) AS n_both FROM c JOIN v USING (user_id)
+    ),
+    t AS (
+        SELECT (SELECT count(*) FROM c) AS n1,
+               (SELECT count(*) FROM v) AS n2,
+               (SELECT count(DISTINCT user_id) FROM events) AS n_true
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n_sample1,
+           CAST(t.n2 AS BIGINT) AS n_sample2,
+           CAST(m.n_both AS BIGINT) AS n_recaptured,
+           CAST(CASE WHEN m.n_both = 0 THEN NULL
+                     ELSE ((t.n1 + 1) * (t.n2 + 1)) // (m.n_both + 1) - 1
+                END AS BIGINT) AS chapman_estimate,
+           CAST(t.n_true AS BIGINT) AS n_true
+    FROM t CROSS JOIN m
+"""
+
+
+@register(
+    "x237_capture_recapture",
+    "Capture-recapture population estimation (Chapman's bias-"
+    "corrected Lincoln-Petersen): treat clickers and viewers as two "
+    "capture samples, and estimate the TOTAL user population from "
+    "the overlap — N_hat = (n1+1)(n2+1)/(m+1) - 1, which needs no "
+    "scan of the full population at all, only two membership sets "
+    "and their intersection (the statistical third leg of the "
+    "distinct-estimation tier: HLL x209 hashes everything once, KMV "
+    "x211 keeps k values, capture-recapture never even SEES the "
+    "uncaptured mass). Pure integer floor arithmetic under the hash; "
+    "the true distinct count rides beside it as the accuracy check. "
+    "One semi-join + three distinct counts.",
+    oracle=_CAPTURE_ORACLE,
+    tags=("ext", "sketch", "estimation", "exact-stats"),
+)
+def x237_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    m = c.join(v, "user_id").agg(F.count(F.lit(1)).alias("n_both"))
+    t = (
+        c.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(
+            ev.agg(F.count_distinct("user_id").alias("n_true"))
+        )
+    )
+    return t.crossJoin(F.broadcast(m)).select(
+        F.col("n1").cast("long").alias("n_sample1"),
+        F.col("n2").cast("long").alias("n_sample2"),
+        F.col("n_both").cast("long").alias("n_recaptured"),
+        F.expr(
+            "CAST(CASE WHEN n_both = 0 THEN NULL"
+            " ELSE ((n1 + 1) * (n2 + 1)) DIV (n_both + 1) - 1"
+            " END AS BIGINT)"
+        ).alias("chapman_estimate"),
+        F.col("n_true").cast("long").alias("n_true"),
+    )
+
+
+_GOOD_TURING_ORACLE = """
+    WITH cnt AS (
+        SELECT t AS term, count(*) AS freq
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents WHERE text IS NOT NULL
+        )
+        WHERE t <> ''
+        GROUP BY t
+    ),
+    fof AS (
+        SELECT freq, count(*) AS n_r FROM cnt GROUP BY freq
+    ),
+    tot AS (
+        SELECT sum(freq * n_r) AS n_tokens, sum(n_r) AS vocab FROM fof
+    )
+    SELECT CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.vocab AS BIGINT) AS vocab,
+           CAST(coalesce(max(CASE WHEN f.freq = 1 THEN f.n_r END), 0)
+                AS BIGINT) AS n_singletons,
+           CAST(coalesce(max(CASE WHEN f.freq = 2 THEN f.n_r END), 0)
+                AS BIGINT) AS n_doubletons,
+           CAST(coalesce(max(CASE WHEN f.freq = 1 THEN f.n_r END), 0)
+                * 1000000 // t.n_tokens AS BIGINT) AS unseen_mass_ppm
+    FROM fof f CROSS JOIN tot t
+    GROUP BY t.n_tokens, t.vocab
+"""
+
+
+@register(
+    "x238_good_turing_unseen",
+    "Good-Turing unseen-mass estimate: the probability that the NEXT "
+    "token is a never-seen type is n_singletons/N — the frequency-of-"
+    "frequencies argument that prices vocabulary openness (how much "
+    "probability a language model must reserve for OOV, and whether "
+    "a corpus is big enough for its tokenizer; near-zero singleton "
+    "mass on this closed synthetic vocabulary, high on any real "
+    "crawl). One term count, one frequency-of-frequency rollup, "
+    "exact-ppm mass — the single cheapest corpus-openness statistic "
+    "beside x206's growth curve.",
+    oracle=_GOOD_TURING_ORACLE,
+    tags=("ext", "text", "corpus-stats", "good-turing"),
+)
+def x238_good_turing_unseen(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    cnt = (
+        docs.select(F.explode(TX.words("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    fof = cnt.groupBy("freq").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = fof.agg(
+        F.sum(F.col("freq") * F.col("n_r")).alias("n_tokens"),
+        F.sum("n_r").alias("vocab"),
+    )
+    pick = lambda k: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("freq") == k, F.col("n_r"))), F.lit(0)
+    )
+    return fof.crossJoin(F.broadcast(tot)).groupBy(
+        "n_tokens", "vocab"
+    ).agg(
+        pick(1).cast("long").alias("n_singletons"),
+        pick(2).cast("long").alias("n_doubletons"),
+        F.expr(
+            "coalesce(max(CASE WHEN freq = 1 THEN n_r END), 0)"
+            " * 1000000 DIV n_tokens"
+        ).cast("long").alias("unseen_mass_ppm"),
+    ).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        "n_singletons",
+        "n_doubletons",
+        "unseen_mass_ppm",
+    )

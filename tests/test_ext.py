@@ -3639,3 +3639,76 @@ def test_x234_diminishing_returns_spread_tranches(spark, tmp_path):
     }
     # s1: 100, 50, 33.3 then 25; s2: 30, 15. Order: s1,s1,s1,s2,s1
     assert got == {"s1": 4, "s2": 1}
+
+
+def test_x236_qhat_is_conformal_rank_probe(spark, sf_dir):
+    """q_hat equals the ceil(0.9*(n+1))-th smallest calibration error
+    recomputed independently, and coverage counts test errors under
+    it."""
+    import math
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = {
+        r.event_type: r
+        for r in CATALOG["x236_conformal_interval"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+            ).alias("di"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c")
+        )
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, {})[r.di] = r.c
+    for et, s in series.items():
+        errs = {
+            di: abs(s[di] - s[di - 7]) for di in s if di >= 7 and di - 7 in s
+        }
+        cal = sorted(v for di, v in errs.items() if 7 <= di <= 18)
+        k = math.ceil(0.9 * (len(cal) + 1))
+        assert got[et].q_hat_cents == cal[k - 1]
+        test = [v for di, v in errs.items() if di >= 19]
+        assert got[et].n_covered == sum(
+            1 for v in test if v <= got[et].q_hat_cents
+        )
+
+
+def test_x237_chapman_on_planted_overlap(spark, tmp_path):
+    """n1=6, n2=4, m=2 → Chapman = 7*5//3 - 1 = 10."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    rows = []
+    eid = 0
+    for u in range(1, 7):
+        rows.append((eid, "2024-01-01 00:00:00", u, "click", 1.0)); eid += 1
+    for u in (5, 6, 7, 8):
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 1.0)); eid += 1
+    d = _write_events(tmp_path, "sf_capture", rows)
+    r = CATALOG["x237_capture_recapture"].spark(spark, d).collect()[0]
+    assert (r.n_sample1, r.n_sample2, r.n_recaptured) == (6, 4, 2)
+    assert r.chapman_estimate == 7 * 5 // 3 - 1
+    assert r.n_true == 8
+
+
+def test_x238_singleton_mass_on_planted_corpus(spark, tmp_path):
+    """Three singletons among ten tokens → unseen mass 300000 ppm."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_gt",
+        [(1, "a a a b b c c d e f", "en", "s")],
+    )
+    r = CATALOG["x238_good_turing_unseen"].spark(spark, d).collect()[0]
+    assert r.n_tokens == 10 and r.vocab == 6
+    assert r.n_singletons == 3 and r.n_doubletons == 2
+    assert r.unseen_mass_ppm == 300000

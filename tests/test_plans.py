@@ -713,3 +713,35 @@ def test_x198_auc_window_runs_over_score_levels(spark, sf_dir):
     # final result is one row
     plan = _plan(spark, sf_dir, "x198_roc_auc_langid", "simple")
     assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_x213_triangles_no_cartesian(spark, sf_dir):
+    # oriented wedge enumeration must stay equi-join shaped: no
+    # cartesian product, no broadcast nested loop over the edge set
+    plan = _plan(spark, sf_dir, "x213_triangle_clustering", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x224_density_self_join_is_bucket_keyed(spark, sf_dir):
+    # the neighborhood predicate must ride the bucket equi-join —
+    # never an all-pairs nested loop
+    plan = _plan(spark, sf_dir, "x224_density_core_points", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x225_item_cf_joins_on_basket_key(spark, sf_dir):
+    # the pair build must join baskets on the order key (bounded ~7-row
+    # fanout), not cross items
+    plan = _plan(spark, sf_dir, "x225_item_item_cosine", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x231_message_passing_partial_aggregates(spark, sf_dir):
+    # the destination aggregation must partial-aggregate (HashAggregate
+    # above and below its exchange) — message passing's map-side combine
+    plan = _plan(spark, sf_dir, "x231_message_passing_round", "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
