@@ -21406,3 +21406,123 @@ def x238_good_turing_unseen(spark: SparkSession, sf: str) -> DataFrame:
         "n_doubletons",
         "unseen_mass_ppm",
     )
+
+
+_SIMPSON_ORACLE = """
+    WITH cell AS (
+        SELECT lang, source, count(*) AS n
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT lang, sum(n) AS nn FROM cell GROUP BY lang
+    )
+    SELECT c.lang,
+           CAST(t.nn AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(t.nn * t.nn - sum(c.n * c.n) AS BIGINT) AS simpson_num,
+           CAST(t.nn * t.nn AS BIGINT) AS simpson_den,
+           CAST((t.nn * t.nn - sum(c.n * c.n)) * 1000000
+                // (t.nn * t.nn) AS BIGINT) AS diversity_ppm
+    FROM cell c JOIN tot t USING (lang)
+    GROUP BY c.lang, t.nn
+"""
+
+
+@register(
+    "x239_simpson_diversity",
+    "Gini-Simpson source diversity per language: 1 - sum((n_i/N)^2) — "
+    "the probability two random docs come from DIFFERENT sources — "
+    "as the exact integer fraction (N^2 - sum n_i^2)/N^2 (Shannon "
+    "entropy needs ln; Simpson is the diversity index that stays in "
+    "exact arithmetic, the same log-free discipline as x190's TV "
+    "drift). A language whose diversity collapses toward 0 is single-"
+    "source — a contamination/monoculture risk the mixture tier "
+    "(x49/x204/x234) must know about. One (lang, source) groupBy + "
+    "one per-lang rollup; int64 safe to ~3e9 docs per language.",
+    oracle=_SIMPSON_ORACLE,
+    tags=("ext", "corpus-stats", "diversity", "exact-stats"),
+)
+def x239_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("nn"))
+    return (
+        cell.join(tot, "lang")
+        .groupBy("lang", "nn")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("n") * F.col("n")).alias("ss"),
+        )
+        .select(
+            "lang",
+            F.col("nn").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            (F.col("nn") * F.col("nn") - F.col("ss")).cast("long")
+            .alias("simpson_num"),
+            (F.col("nn") * F.col("nn")).cast("long").alias("simpson_den"),
+            F.expr("(nn * nn - ss) * 1000000 DIV (nn * nn)").cast("long")
+            .alias("diversity_ppm"),
+        )
+    )
+
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT from_type, sum(n) AS nn FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(r.nn AS BIGINT) AS row_total,
+           CAST(t.n * 1000000 // r.nn AS BIGINT) AS p_ppm
+    FROM trans t JOIN row_tot r USING (from_type)
+"""
+
+
+@register(
+    "x240_markov_transitions",
+    "First-order Markov transition matrix over each user's event "
+    "sequence: consecutive-pair counts by a per-user lead() window "
+    "(total-ordered on (ts, event_id) so same-timestamp events "
+    "sequence deterministically) row-normalized to exact-ppm "
+    "transition probabilities — the behavioral model under next-"
+    "event prediction, funnel simulation, and x102's top-paths "
+    "(which enumerates; this parameterizes). The window partitions "
+    "by user (never global), the matrix is |types|^2 — constant-size "
+    "output from any event volume; counts and ppm all hash-exact.",
+    oracle=_MARKOV_ORACLE,
+    tags=("ext", "behavioral", "markov", "sequence"),
+)
+def x240_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_tot = trans.groupBy("from_type").agg(F.sum("n").alias("nn"))
+    return trans.join(row_tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("nn").cast("long").alias("row_total"),
+        F.expr("n * 1000000 DIV nn").cast("long").alias("p_ppm"),
+    )

@@ -3712,3 +3712,42 @@ def test_x238_singleton_mass_on_planted_corpus(spark, tmp_path):
     assert r.n_tokens == 10 and r.vocab == 6
     assert r.n_singletons == 3 and r.n_doubletons == 2
     assert r.unseen_mass_ppm == 300000
+
+
+def test_x240_rows_normalize_and_pairs_conserve(spark, sf_dir):
+    """Each from-row's ppm sums to ~1e6 (truncation-bounded) and the
+    total pair count equals events minus one per active user."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x240_markov_transitions"].spark(spark, sf_dir).collect()
+    by_from = {}
+    for r in got:
+        by_from.setdefault(r.from_type, []).append(r)
+    for rows in by_from.values():
+        ppm = sum(r.p_ppm for r in rows)
+        assert 1_000_000 - len(rows) <= ppm <= 1_000_000
+        assert rows[0].row_total == sum(r.n for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in got) == n_events - n_users
+
+
+def test_x239_diversity_extremes(spark, tmp_path):
+    """Single-source language → 0 diversity; two equal sources →
+    exactly 500000 ppm."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_simpson",
+        [(1, "a", "fr", "only")]
+        + [(i + 10, "b", "en", "s1") for i in range(5)]
+        + [(i + 20, "c", "en", "s2") for i in range(5)],
+    )
+    got = {
+        r.lang: r
+        for r in CATALOG["x239_simpson_diversity"].spark(spark, d).collect()
+    }
+    assert got["fr"].diversity_ppm == 0
+    assert got["en"].diversity_ppm == 500000
