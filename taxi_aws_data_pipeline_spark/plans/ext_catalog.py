@@ -21526,3 +21526,130 @@ def x240_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
         F.col("nn").cast("long").alias("row_total"),
         F.expr("n * 1000000 DIV nn").cast("long").alias("p_ppm"),
     )
+
+
+_BITEXT_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, lang, source, n_chars,
+               n_chars // 50 AS len_band
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.lang AS lang_a, b.lang AS lang_b,
+           CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS len_diff,
+           CAST(least(a.n_chars, b.n_chars) * 1000000
+                // greatest(a.n_chars, b.n_chars) AS BIGINT)
+               AS len_ratio_ppm
+    FROM d a JOIN d b
+      ON a.source = b.source
+     AND a.len_band = b.len_band
+     AND a.lang < b.lang
+     AND a.lang = 'en'
+    WHERE abs(a.n_chars - b.n_chars) <= 25
+      AND greatest(a.n_chars, b.n_chars) > 0
+"""
+
+
+@register(
+    "x241_bitext_alignment_candidates",
+    "Bitext mining, stage one (Gale-Church's founding observation: "
+    "translations have correlated lengths): candidate en<->other "
+    "pairs from the SAME source whose lengths agree within 25 chars, "
+    "blocked on (source, 50-char length band) so the pair join never "
+    "goes all-pairs — the cheap filter that runs before any expensive "
+    "embedding alignment (x10/x185 would rerank these candidates) "
+    "when assembling parallel corpora for translation training. "
+    "Length affinity ships as exact-ppm min/max ratio. Band blocking "
+    "can split a qualifying pair across a boundary — stated, and the "
+    "25<=50 band width keeps the miss one-sided and bounded.",
+    oracle=_BITEXT_ORACLE,
+    tags=("ext", "bitext", "alignment", "training-data"),
+)
+def x241_bitext_alignment_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr("n_chars DIV 50").alias("len_band"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.lang") < F.col("b.lang"))
+            & (F.col("a.lang") == "en"),
+        )
+        .filter(
+            (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 25)
+            & (F.greatest(F.col("a.n_chars"), F.col("b.n_chars")) > 0)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")).cast("long")
+            .alias("len_diff"),
+            F.expr(
+                "least(a.n_chars, b.n_chars) * 1000000"
+                " DIV greatest(a.n_chars, b.n_chars)"
+            ).cast("long").alias("len_ratio_ppm"),
+        )
+    )
+
+
+_RAMP_ORACLE = """
+    WITH u AS (
+        SELECT DISTINCT user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ramp'),
+                                   1, 8) AS BIGINT) % 10000 AS slot
+        FROM events
+    )
+    SELECT user_id,
+           CAST(slot AS BIGINT) AS slot,
+           slot < 100 AS in_1pct,
+           slot < 500 AS in_5pct,
+           slot < 2500 AS in_25pct,
+           TRUE AS in_100pct
+    FROM u
+"""
+
+
+@register(
+    "x242_monotone_ramp_assignment",
+    "Feature-flag ramp assignment with the MONOTONE guarantee: each "
+    "user hashes once into a 10k-slot ring, and the 1% / 5% / 25% / "
+    "100% cohorts are nested prefixes (slot < threshold), so ramping "
+    "up never REMOVES a user from treatment — the property that "
+    "keeps pre-ramp exposure data usable and user experience sticky "
+    "(independent per-stage sampling silently churns users between "
+    "cohorts and poisons the longitudinal analysis; the subset "
+    "property is pinned by test). Salted md5 so this ring is "
+    "independent of every other arm split in the repo (a23's SRM "
+    "gate applies per ramp stage). Pure projection.",
+    oracle=_RAMP_ORACLE,
+    tags=("ext", "ab-test", "ramp", "infra"),
+)
+def x242_monotone_ramp_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ramp"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 10000
+    )
+    return ev.select("user_id").distinct().select(
+        "user_id",
+        slot.cast("long").alias("slot"),
+        (slot < 100).alias("in_1pct"),
+        (slot < 500).alias("in_5pct"),
+        (slot < 2500).alias("in_25pct"),
+        F.lit(True).alias("in_100pct"),
+    )

@@ -3751,3 +3751,34 @@ def test_x239_diversity_extremes(spark, tmp_path):
     }
     assert got["fr"].diversity_ppm == 0
     assert got["en"].diversity_ppm == 500000
+
+
+def test_x242_ramp_cohorts_are_nested(spark, sf_dir):
+    """1% ⊆ 5% ⊆ 25% ⊆ 100% — the monotone guarantee; and stage sizes
+    are plausible shares of the ring."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x242_monotone_ramp_assignment"].spark(spark, sf_dir).collect()
+    for r in got:
+        if r.in_1pct:
+            assert r.in_5pct
+        if r.in_5pct:
+            assert r.in_25pct
+        assert r.in_100pct
+    n = len(got)
+    n5 = sum(1 for r in got if r.in_5pct)
+    assert n5 <= n  # trivially, plus spot-check slots line up
+    assert all((r.slot < 500) == r.in_5pct for r in got)
+
+
+def test_x241_candidates_cross_lingual_same_source(spark, sf_dir):
+    """Every candidate pairs en with a different language, same
+    source, within the 25-char length tolerance."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x241_bitext_alignment_candidates"].spark(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        assert r.lang_a == "en" and r.lang_b != "en"
+        assert 0 <= r.len_diff <= 25
+        assert r.len_ratio_ppm <= 1_000_000
