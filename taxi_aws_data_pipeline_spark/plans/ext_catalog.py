@@ -21653,3 +21653,196 @@ def x242_monotone_ramp_assignment(spark: SparkSession, sf: str) -> DataFrame:
         (slot < 2500).alias("in_25pct"),
         F.lit(True).alias("in_100pct"),
     )
+
+
+_POS_PAIR_SQL_VIEW = """
+        list_filter(
+            list_transform(range(1, len(ws) + 1),
+                           i -> {{'i': i, 't': ws[i]}}),
+            s -> CAST('0x' || substr(md5(
+                     CAST(doc_id AS VARCHAR) || ':{salt}:' ||
+                     CAST(s.i AS VARCHAR) || ':' || s.t), 1, 8)
+                 AS BIGINT) % 10 <> 0)"""
+
+_POS_PAIR_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    views AS (
+        SELECT doc_id,
+               list_transform({_POS_PAIR_SQL_VIEW.format(salt='v1')},
+                              s -> s.t) AS va,
+               list_transform({_POS_PAIR_SQL_VIEW.format(salt='v2')},
+                              s -> s.t) AS vb
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(va) AS BIGINT) AS n_tokens_a,
+           CAST(len(vb) AS BIGINT) AS n_tokens_b,
+           md5(array_to_string(va, ' ')) AS view_a_fp,
+           md5(array_to_string(vb, ' ')) AS view_b_fp,
+           md5(array_to_string(va, ' '))
+               <> md5(array_to_string(vb, ' ')) AS views_differ
+    FROM views
+"""
+
+
+@register(
+    "x243_positive_pair_views",
+    "Contrastive positive-pair factory (SimCSE/dropout-views style): "
+    "TWO independent deterministic 10% token-dropout views per "
+    "document — x223's hash-gated augmentation under two different "
+    "salts — fingerprinted as a training-pair table; together with "
+    "x220's hard negatives this completes the contrastive-training "
+    "data diet (positives = same doc, different corruption; "
+    "negatives = lexically-close, semantically-far pairs). The "
+    "views_differ flag surfaces the degenerate identical-view pairs "
+    "a contrastive loss learns nothing from (short docs where "
+    "neither view dropped anything). Pure projection, reproducible "
+    "across engines and partitionings.",
+    oracle=_POS_PAIR_ORACLE,
+    tags=("ext", "augmentation", "contrastive", "training-data"),
+)
+def x243_positive_pair_views(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = docs.select(
+        "doc_id", F.filter(TX.words("text"), lambda t: t != "").alias("ws")
+    )
+
+    def view(salt: str):
+        structs = F.transform(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda i: F.struct(
+                i.alias("i"), F.element_at(F.col("ws"), i).alias("t")
+            ),
+        )
+        gate = lambda s: (  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(f":{salt}:"),
+                            s["i"].cast("string"),
+                            F.lit(":"),
+                            s["t"],
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 10 != 0
+        )
+        return F.transform(F.filter(structs, gate), lambda s: s["t"])
+
+    views = w.select(
+        "doc_id", view("v1").alias("va"), view("v2").alias("vb")
+    )
+    fp = lambda c: F.md5(F.array_join(F.col(c), " "))  # noqa: E731
+    return views.select(
+        "doc_id",
+        F.size("va").cast("long").alias("n_tokens_a"),
+        F.size("vb").cast("long").alias("n_tokens_b"),
+        fp("va").alias("view_a_fp"),
+        fp("vb").alias("view_b_fp"),
+        (fp("va") != fp("vb")).alias("views_differ"),
+    )
+
+
+_JARQUE_BERA_ORACLE = """
+    WITH v AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    mo AS (
+        SELECT count(*) AS n, sum(c) AS s1, sum(c * c) AS s2,
+               sum(c * c * c) AS s3,
+               sum(CAST(c * c AS HUGEINT) * CAST(c * c AS HUGEINT)) AS s4
+        FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(s1 AS BIGINT) AS sum_cents,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+            - 3e0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  * CAST(s2 AS DOUBLE)
+            + 2e0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+               AS skewness,
+           (CAST(n AS DOUBLE)
+            * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - 4e0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     * CAST(s3 AS DOUBLE)
+               + 6e0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     * CAST(s2 AS DOUBLE)
+               - 3e0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+               - 3e0 AS excess_kurtosis
+    FROM mo
+"""
+
+
+@register(
+    "a31_skewness_kurtosis",
+    "Distribution-shape diagnostics (the Jarque-Bera ingredients): "
+    "population skewness and excess kurtosis of event spend from "
+    "EXACT integer power sums — s1..s3 in int64 (cents^3 x 1e6 rows "
+    "stays under 2^63), and s4 (cents^4 overflows int64) in 128-bit "
+    "integer arithmetic: decimal(38,0) products in Spark, HUGEINT in "
+    "DuckDB — every moment is an exact order-free integer, and only "
+    "the closing skew/kurtosis shapes touch IEEE doubles (one "
+    "identical-bits cast of each exact total, then fixed-form "
+    "+-*/sqrt — the a20/a22 discipline). Heavy-tail screening before "
+    "trusting any Gaussian-based test in the a-family.",
+    oracle=_JARQUE_BERA_ORACLE,
+    tags=("ext", "stats", "moments", "shape"),
+)
+def a31_skewness_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    c = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    v = ev.select(c.alias("c"))
+    mo = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(
+            (F.col("c") * F.col("c")).cast("decimal(38,0)")
+            * (F.col("c") * F.col("c")).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    d = lambda x: F.col(x).cast("double")  # noqa: E731
+    m2n = d("n") * d("s2") - d("s1") * d("s1")
+    skew = (
+        d("n") * d("n") * d("s3")
+        - F.lit(3.0) * d("n") * d("s1") * d("s2")
+        + F.lit(2.0) * d("s1") * d("s1") * d("s1")
+    ) / F.sqrt(m2n * m2n * m2n)
+    kurt = (
+        d("n")
+        * (
+            d("n") * d("n") * F.col("s4").cast("double")
+            - F.lit(4.0) * d("n") * d("s1") * d("s3")
+            + F.lit(6.0) * d("s1") * d("s1") * d("s2")
+            - F.lit(3.0) * d("s1") * d("s1") * d("s1") * d("s1") / d("n")
+        )
+    ) / (m2n * m2n) - F.lit(3.0)
+    return mo.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s1").cast("long").alias("sum_cents"),
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )

@@ -3782,3 +3782,43 @@ def test_x241_candidates_cross_lingual_same_source(spark, sf_dir):
         assert r.lang_a == "en" and r.lang_b != "en"
         assert 0 <= r.len_diff <= 25
         assert r.len_ratio_ppm <= 1_000_000
+
+
+def test_a31_matches_scipy_style_numpy(spark, sf_dir):
+    """Skewness and excess kurtosis equal the population-moment numpy
+    computation to float precision."""
+    import numpy as np
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    r = CATALOG["a31_skewness_kurtosis"].spark(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = np.array(
+        [
+            row.c
+            for row in ev.select(
+                F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c")
+            ).collect()
+        ],
+        dtype=float,
+    )
+    m = c.mean()
+    m2 = ((c - m) ** 2).mean()
+    skew = ((c - m) ** 3).mean() / m2 ** 1.5
+    kurt = ((c - m) ** 4).mean() / m2 ** 2 - 3.0
+    assert abs(r.skewness - skew) < 1e-9 * max(1.0, abs(skew))
+    assert abs(r.excess_kurtosis - kurt) < 1e-9 * max(1.0, abs(kurt))
+
+
+def test_x243_views_are_reproducible_and_mostly_distinct(spark, sf_dir):
+    """Re-running yields identical fingerprints; the two salted views
+    differ for nearly all non-trivial documents."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    a = CATALOG["x243_positive_pair_views"].spark(spark, sf_dir).collect()
+    b = CATALOG["x243_positive_pair_views"].spark(spark, sf_dir).collect()
+    assert {(r.doc_id, r.view_a_fp, r.view_b_fp) for r in a} == {
+        (r.doc_id, r.view_a_fp, r.view_b_fp) for r in b
+    }
+    differ = sum(1 for r in a if r.views_differ)
+    assert differ > 0.9 * len(a)
