@@ -21846,3 +21846,186 @@ def a31_skewness_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+_CLUSTER_SAMPLE_ORACLE = """
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS f
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grp AS (
+        SELECT source, f, count(*) AS copies, min(doc_id) AS keeper
+        FROM fp GROUP BY source, f
+    ),
+    src AS (
+        SELECT source,
+               count(*) AS n_unique,
+               sum(copies) AS n_raw
+        FROM grp GROUP BY source
+    ),
+    tot AS (SELECT sum(n_raw) AS raw_total FROM src),
+    alloc AS (
+        SELECT s.source, s.n_unique, s.n_raw,
+               (s.n_raw * 100) // t.raw_total AS base_quota,
+               (s.n_raw * 100) % t.raw_total AS rem
+        FROM src s CROSS JOIN tot t
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, source) AS rr,
+               100 - sum(base_quota) OVER () AS leftover
+        FROM alloc
+    )
+    SELECT source,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS sample_quota
+    FROM ranked
+"""
+
+
+@register(
+    "x244_cluster_weighted_sample",
+    "Dedup-aware sample allocation: exact deduplication changes the "
+    "source mixture (template-heavy sources shrink), so a post-dedup "
+    "eval sample drawn uniformly from SURVIVORS misrepresents the "
+    "raw distribution — this entry allocates a 100-doc budget across "
+    "sources proportional to RAW (pre-dedup) mass using the largest-"
+    "remainder method (x144's exact integer apportionment: floor "
+    "quotas + the remainder ranking hands out the leftover, total "
+    "exactly 100 — pinned by test), with per-source unique/raw "
+    "counts beside the quota so the duplication factor is visible. "
+    "One fingerprint groupBy + source rollup; the remainder window "
+    "runs over source cardinality.",
+    oracle=_CLUSTER_SAMPLE_ORACLE,
+    tags=("ext", "sampling", "dedup", "mixture"),
+)
+def x244_cluster_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("f"),
+    )
+    grp = fp.groupBy("source", "f").agg(
+        F.count(F.lit(1)).alias("copies"), F.min("doc_id").alias("keeper")
+    )
+    src = grp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"), F.sum("copies").alias("n_raw")
+    )
+    tot = src.agg(F.sum("n_raw").alias("raw_total"))
+    alloc = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_unique",
+        "n_raw",
+        F.expr("(n_raw * 100) DIV raw_total").alias("base_quota"),
+        F.expr("(n_raw * 100) % raw_total").alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), "source")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = alloc.select(
+        "source",
+        "n_unique",
+        "n_raw",
+        "base_quota",
+        F.row_number().over(wr).alias("rr"),
+        (F.lit(100) - F.sum("base_quota").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("n_raw").cast("long").alias("n_raw"),
+        (
+            F.col("base_quota")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("sample_quota"),
+    )
+
+
+_PERM_AUDIT_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text,
+               array_to_string(list_sort(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')), ' ') AS permuted
+        FROM documents WHERE text IS NOT NULL
+    ),
+    fps AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp_orig,
+               md5(permuted) AS fp_perm,
+               md5(array_to_string(list_sort(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')), ' ')) AS bag_orig,
+               md5(array_to_string(list_sort(
+                   list_filter(string_split_regex(lower(permuted), '\\s+'),
+                               t -> t <> '')), ' ')) AS bag_perm
+        FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fp_orig = fp_perm THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_fp_catches,
+           CAST(sum(CASE WHEN bag_orig = bag_perm THEN 1 ELSE 0 END)
+                AS BIGINT) AS bag_fp_catches
+    FROM fps
+"""
+
+
+@register(
+    "x245_permutation_dedup_audit",
+    "Detector-sensitivity audit: every document is paired with its "
+    "word-sorted permutation (a trivially-rewritten duplicate an "
+    "adversary or a scraper reflow produces for free) and each dedup "
+    "fingerprint is scored on whether it still matches — the exact "
+    "text fingerprint (x4/x5's key) catches only already-sorted "
+    "docs, while the sorted-bag fingerprint catches ALL of them by "
+    "construction; the two counts quantify exactly how much of the "
+    "dedup surface is order-fragile (the shingle/MinHash tiers sit "
+    "between, degrading with shingle order). Permuted twins are "
+    "built in-query (the x81 constructed-input discipline), so the "
+    "audit is self-contained and hash-verified. Pure projection + "
+    "one global aggregate.",
+    oracle=_PERM_AUDIT_ORACLE,
+    tags=("ext", "dedup", "audit", "adversarial"),
+)
+def x245_permutation_dedup_audit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    words_sorted = F.array_join(
+        F.array_sort(F.filter(TX.words("text"), lambda t: t != "")), " "
+    )
+    d = docs.select("doc_id", "text", words_sorted.alias("permuted"))
+    bag = lambda col: F.md5(  # noqa: E731
+        F.array_join(
+            F.array_sort(
+                F.filter(TX.words(col), lambda t: t != "")
+            ),
+            " ",
+        )
+    )
+    fps = d.select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("fp_orig"),
+        F.md5("permuted").alias("fp_perm"),
+        bag("text").alias("bag_orig"),
+        bag("permuted").alias("bag_perm"),
+    )
+    return fps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("fp_orig") == F.col("fp_perm"), 1).otherwise(0)
+        ).cast("long").alias("exact_fp_catches"),
+        F.sum(
+            F.when(F.col("bag_orig") == F.col("bag_perm"), 1).otherwise(0)
+        ).cast("long").alias("bag_fp_catches"),
+    )

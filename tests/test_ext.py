@@ -3822,3 +3822,26 @@ def test_x243_views_are_reproducible_and_mostly_distinct(spark, sf_dir):
     }
     differ = sum(1 for r in a if r.views_differ)
     assert differ > 0.9 * len(a)
+
+
+def test_x244_quotas_total_exactly_100(spark, sf_dir):
+    """Largest-remainder apportionment: quotas sum to exactly the
+    100-doc budget and track raw mass within 1 unit."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = CATALOG["x244_cluster_weighted_sample"].spark(spark, sf_dir).collect()
+    assert sum(r.sample_quota for r in got) == 100
+    raw_total = sum(r.n_raw for r in got)
+    for r in got:
+        ideal = 100 * r.n_raw / raw_total
+        assert abs(r.sample_quota - ideal) < 1.0
+
+
+def test_x245_bag_catches_everything_exact_catches_sorted_only(spark, sf_dir):
+    """The sorted-bag fingerprint survives permutation for every doc;
+    the exact fingerprint only for docs already in sorted word order."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    r = CATALOG["x245_permutation_dedup_audit"].spark(spark, sf_dir).collect()[0]
+    assert r.bag_fp_catches == r.n_docs
+    assert r.exact_fp_catches < r.n_docs
