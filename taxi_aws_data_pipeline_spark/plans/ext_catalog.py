@@ -22029,3 +22029,202 @@ def x245_permutation_dedup_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("bag_orig") == F.col("bag_perm"), 1).otherwise(0)
         ).cast("long").alias("bag_fp_catches"),
     )
+
+
+def _ivf_sweep_sql(np_: int, p: str) -> str:
+    """IVF top-3 per probe at ``nprobe`` = np_, CTE names prefixed with
+    ``p`` (mirrors the x14 oracle with a parametric probe fan-out)."""
+    return f"""
+    {p}probes AS (
+        SELECT vec_id AS probe_id, v AS probe_vec, cell
+        FROM cellsim WHERE rn <= {np_} AND vec_id < 8
+    ),
+    {p}scored AS (
+        SELECT pr.probe_id, a.neighbor_id,
+               {sql_cosine('pr.probe_vec', 'a.cand_vec')} AS cos_sim
+        FROM assigned a JOIN {p}probes pr USING (cell)
+        WHERE a.neighbor_id <> pr.probe_id
+    ),
+    {p}top AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM {p}scored
+        ) WHERE rank <= 3
+    ),
+    {p}rec AS (
+        SELECT CAST({np_} AS BIGINT) AS nprobe,
+               count(*) AS n_hits
+        FROM {p}top t JOIN btop b
+          ON t.probe_id = b.probe_id AND t.neighbor_id = b.neighbor_id
+    )"""
+
+
+_IVF_SWEEP_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, v AS cv,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (a, b) -> a + b)) AS cnorm
+        FROM c
+        WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT 16)
+    ),
+    cellsim AS (
+        SELECT c.vec_id, c.v, cent.cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {SQL_DOT.format(a='c.v', b='cent.cv')}
+                                           / cent.cnorm DESC,
+                                           cent.cell DESC) AS rn
+        FROM c CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, v AS cand_vec, cell
+        FROM cellsim WHERE rn = 1
+    ),
+    bprobes AS (
+        SELECT vec_id AS probe_id, v AS probe_vec FROM c WHERE vec_id < 8
+    ),
+    bscored AS (
+        SELECT p.probe_id, x.vec_id AS neighbor_id,
+               {sql_cosine('p.probe_vec', 'x.v')} AS cos_sim
+        FROM bprobes p CROSS JOIN c x
+        WHERE x.vec_id <> p.probe_id
+    ),
+    btop AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM bscored
+        ) WHERE rank <= 3
+    ),{_ivf_sweep_sql(1, 's1_')},{_ivf_sweep_sql(2, 's2_')},{_ivf_sweep_sql(4, 's4_')},
+    denom AS (SELECT count(*) * 3 AS n_truth FROM bprobes)
+    SELECT r.nprobe,
+           CAST(r.n_hits AS BIGINT) AS n_hits,
+           CAST(d.n_truth AS BIGINT) AS n_truth,
+           CAST(r.n_hits * 1000000 // d.n_truth AS BIGINT) AS recall_ppm
+    FROM (SELECT * FROM s1_rec UNION ALL SELECT * FROM s2_rec
+          UNION ALL SELECT * FROM s4_rec) r
+    CROSS JOIN denom d
+"""
+
+
+@register(
+    "x246_ivf_nprobe_recall_sweep",
+    "IVF tuning curve: recall@3 against exact brute-force truth at "
+    "nprobe = 1, 2, 4 in ONE pass over a shared cell assignment — the "
+    "measured accuracy/cost frontier that picks nprobe BEFORE a "
+    "100 TB index build (x160 sweeps the LSH banding threshold; this "
+    "sweeps the IVF probe width — together they tune both ANN "
+    "families from data). The quantizer, fan-out, and ranking are "
+    "x14's deterministic machinery, so every point on the curve is "
+    "hash-verified; recall is exact integer ppm over the 8-probe x "
+    "top-3 truth set. The brute truth is probe-broadcast-sized (8 "
+    "rows x corpus — the same bounded shape as x10).",
+    oracle=_IVF_SWEEP_ORACLE,
+    tags=("ext", "similarity", "ann", "tuning"),
+)
+def x246_ivf_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").persist()
+    probes = emb.filter(F.col("vec_id") < 8)
+    truth = S.brute_force_topk(emb, probes, k=3).select(
+        "probe_id", "neighbor_id"
+    ).persist()
+    n_truth = truth.count()  # 8 probes x 3 — bounded scalar
+    parts = []
+    for np_ in (1, 2, 4):
+        ivf = S.ivf_topk(emb, probes, k=3, nprobe=np_).select(
+            "probe_id", "neighbor_id"
+        )
+        parts.append(
+            ivf.join(truth, ["probe_id", "neighbor_id"]).agg(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.count(F.lit(1)).alias("n_hits"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.union(x)
+    return out.select(
+        "nprobe",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.lit(n_truth).cast("long").alias("n_truth"),
+        (F.col("n_hits") * 1000000 / F.lit(n_truth)).cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+_KAPPA_ORACLE = """
+    WITH lf AS (
+        SELECT CASE WHEN len(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> t IN ('the', 'and', 'is', 'of', 'to', 'in',
+                              'that', 'it'))) >= 2
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT count(*) AS n,
+               sum(a * b) AS n11,
+               sum(a * (1 - b)) AS n10,
+               sum((1 - a) * b) AS n01,
+               sum((1 - a) * (1 - b)) AS n00
+        FROM lf
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           CAST(n * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kappa_num,
+           CAST(n * n
+                - ((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kappa_den
+    FROM c
+"""
+
+
+@register(
+    "x247_cohens_kappa",
+    "Cohen's kappa between the stopword labeling function and the "
+    "metadata lang label: chance-corrected agreement — x226's raw "
+    "agreement counts flatter correlated-but-uninformative LFs "
+    "(two raters who both say 'yes' 90% of the time agree 82% by "
+    "luck); kappa subtracts exactly that. Cleared to the exact int64 "
+    "fraction kappa = (n*agree - chance)/(n^2 - chance) where chance "
+    "= sum of marginal products — no float anywhere, the num/den "
+    "pair IS the statistic (consumer divides, or compares fractions "
+    "cross-multiplied). One conditional-aggregation pass.",
+    oracle=_KAPPA_ORACLE,
+    tags=("ext", "weak-supervision", "agreement", "exact-stats"),
+)
+def x247_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    lf = docs.select(
+        F.when(
+            TX.stopword_hits(TX.words("text"), _EN_SW) >= 2, 1
+        ).otherwise(0).alias("a"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("b"),
+    )
+    c = lf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    chance = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return c.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        (F.col("n") * (F.col("n11") + F.col("n00")) - chance)
+        .cast("long").alias("kappa_num"),
+        (F.col("n") * F.col("n") - chance).cast("long").alias("kappa_den"),
+    )

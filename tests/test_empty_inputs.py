@@ -48,6 +48,9 @@ _FIXED_CARDINALITY = {
     # the canary ledger always emits one row per canary (zero counts
     # prove the scan ran)
     "x221_canary_scan": 3,
+    # the nprobe sweep always emits its 3-point curve (zero hits on
+    # empty input)
+    "x246_ivf_nprobe_recall_sweep": 3,
 }
 
 

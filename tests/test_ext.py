@@ -3845,3 +3845,35 @@ def test_x245_bag_catches_everything_exact_catches_sorted_only(spark, sf_dir):
     r = CATALOG["x245_permutation_dedup_audit"].spark(spark, sf_dir).collect()[0]
     assert r.bag_fp_catches == r.n_docs
     assert r.exact_fp_catches < r.n_docs
+
+
+def test_x246_recall_is_monotone_in_nprobe(spark, sf_dir):
+    """Wider probe fan-out can only find more of the truth set:
+    recall(1) <= recall(2) <= recall(4) <= 1."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    got = {
+        r.nprobe: r
+        for r in CATALOG["x246_ivf_nprobe_recall_sweep"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert (
+        got[1].n_hits <= got[2].n_hits <= got[4].n_hits <= got[4].n_truth
+    )
+
+
+def test_x247_kappa_bounds_and_perfect_agreement(spark, tmp_path):
+    """Perfect agreement → kappa exactly 1 (num == den); the sf
+    fixture's kappa stays within [-1, 1]."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = _write_docs(
+        tmp_path,
+        "sf_kappa",
+        [(1, "the and is", "en", "s"), (2, "xyz", "fr", "s"),
+         (3, "the and of", "en", "s"), (4, "abc", "de", "s")],
+    )
+    r = CATALOG["x247_cohens_kappa"].spark(spark, d).collect()[0]
+    assert r.kappa_num == r.kappa_den and r.kappa_den > 0
