@@ -22228,3 +22228,107 @@ def x247_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long").alias("kappa_num"),
         (F.col("n") * F.col("n") - chance).cast("long").alias("kappa_den"),
     )
+
+
+_IVF_BALANCE_ORACLE = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, v AS cv,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (a, b) -> a + b)) AS cnorm
+        FROM c
+        WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT c.vec_id, cent.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {SQL_DOT.format(a='c.v', b='cent.cv')}
+                                / cent.cnorm DESC,
+                                cent.cell DESC) AS rn
+            FROM c CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    sz AS (
+        SELECT cent.cell, count(a.vec_id) AS n_vectors
+        FROM cent LEFT JOIN assigned a USING (cell)
+        GROUP BY cent.cell
+    ),
+    t AS (SELECT sum(n_vectors) AS total, max(n_vectors) AS mx FROM sz)
+    SELECT CAST(sz.cell AS BIGINT) AS cell,
+           CAST(sz.n_vectors AS BIGINT) AS n_vectors,
+           CAST(sz.n_vectors * 16 * 1000000 // t.total AS BIGINT)
+               AS load_ppm_of_ideal,
+           CAST(t.mx * 16 * 1000000 // t.total AS BIGINT)
+               AS max_load_ppm_of_ideal
+    FROM sz CROSS JOIN t
+"""
+
+
+@register(
+    "x248_ivf_cell_balance",
+    "IVF index balance report: vectors per cell under x14's "
+    "deterministic coarse quantizer, each cell's load as exact-ppm "
+    "of the total/16 ideal with the max-cell headline — the ANN-"
+    "index analogue of k7's shuffle-skew report: a hot cell is a "
+    "probe-latency straggler (every query probing it scans its whole "
+    "posting list) and the signal to retrain the quantizer or split "
+    "the cell before a 100 TB index build; read beside x246's recall "
+    "curve, this is the cost half of the accuracy/cost frontier. "
+    "Empty cells emit zero rows via the centroid left join — "
+    "invisible-empty cells would understate imbalance. One "
+    "assignment projection + one cell groupBy.",
+    oracle=_IVF_BALANCE_ORACLE,
+    tags=("ext", "similarity", "ann", "ops"),
+)
+def x248_ivf_cell_balance(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).persist()
+    cent = (
+        c.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ).alias("cnorm"),
+        )
+    )
+    sim = S.dot(F.col("v"), F.col("cv")) / F.col("cnorm")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(sim), F.desc("cell")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    sz = (
+        cent.select("cell")
+        .join(assigned, "cell", "left")
+        .groupBy("cell")
+        .agg(F.count("vec_id").alias("n_vectors"))
+    )
+    t = sz.agg(
+        F.sum("n_vectors").alias("total"), F.max("n_vectors").alias("mx")
+    )
+    return sz.crossJoin(F.broadcast(t)).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.expr("n_vectors * 16 * 1000000 DIV total").cast("long")
+        .alias("load_ppm_of_ideal"),
+        F.expr("mx * 16 * 1000000 DIV total").cast("long")
+        .alias("max_load_ppm_of_ideal"),
+    )

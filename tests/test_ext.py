@@ -3877,3 +3877,17 @@ def test_x247_kappa_bounds_and_perfect_agreement(spark, tmp_path):
     )
     r = CATALOG["x247_cohens_kappa"].spark(spark, d).collect()[0]
     assert r.kappa_num == r.kappa_den and r.kappa_den > 0
+
+
+def test_x248_cell_loads_account_every_vector(spark, sf_dir):
+    """All 16 cells emit (empty included), loads are exact ppm shares,
+    and vectors are conserved."""
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+    from taxi_aws_data_pipeline_spark.tables import load_table as lt
+
+    got = CATALOG["x248_ivf_cell_balance"].spark(spark, sf_dir).collect()
+    assert len(got) == 16
+    total = sum(r.n_vectors for r in got)
+    assert total == lt(spark, sf_dir, "embeddings").count()
+    for r in got:
+        assert r.load_ppm_of_ideal == r.n_vectors * 16 * 1_000_000 // total
