@@ -22332,3 +22332,65 @@ def x248_ivf_cell_balance(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("mx * 16 * 1000000 DIV total").cast("long")
         .alias("max_load_ppm_of_ideal"),
     )
+
+
+_DEDUP_SAVINGS_ORACLE = """
+    WITH fp AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS f
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grp AS (
+        SELECT f, count(*) AS k FROM fp GROUP BY f
+    ),
+    by_k AS (
+        SELECT k, count(*) AS n_clusters,
+               k * count(*) AS n_docs,
+               (k - 1) * count(*) AS n_removable
+        FROM grp GROUP BY k
+    ),
+    tot AS (SELECT sum(n_docs) AS total_docs FROM by_k)
+    SELECT CAST(b.k AS BIGINT) AS cluster_size,
+           CAST(b.n_clusters AS BIGINT) AS n_clusters,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.n_removable AS BIGINT) AS n_removable,
+           CAST(b.n_docs * 1000000 // t.total_docs AS BIGINT)
+               AS corpus_share_ppm
+    FROM by_k b CROSS JOIN tot t
+"""
+
+
+@register(
+    "x249_dedup_savings_profile",
+    "Dedup savings forecast: the exact-duplicate cluster-SIZE "
+    "distribution — for each size k, how many clusters, how many "
+    "documents they hold, and how many are removable ((k-1) per "
+    "cluster) with each size's exact-ppm corpus share — the number a "
+    "dedup job promises BEFORE it runs, and the shape (a heavy tail "
+    "of giant clusters vs scattered pairs) that decides whether "
+    "exact dedup alone is worth the pass or near-dup (x7/x85) is "
+    "needed. Frequency-of-frequencies over the fingerprint groupBy "
+    "(x238's rollup applied to clusters); output is cluster-size "
+    "cardinality — tiny at any corpus scale.",
+    oracle=_DEDUP_SAVINGS_ORACLE,
+    tags=("ext", "dedup", "planning", "profile"),
+)
+def x249_dedup_savings_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    fp = docs.select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("f")
+    )
+    grp = fp.groupBy("f").agg(F.count(F.lit(1)).alias("k"))
+    by_k = grp.groupBy("k").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = by_k.agg(F.sum(F.col("k") * F.col("n_clusters")).alias("total_docs"))
+    return by_k.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("k") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        ((F.col("k") - 1) * F.col("n_clusters")).cast("long")
+        .alias("n_removable"),
+        F.expr("k * n_clusters * 1000000 DIV total_docs").cast("long")
+        .alias("corpus_share_ppm"),
+    )
