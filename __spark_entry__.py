@@ -26,84 +26,80 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "a1_returnflag_performance"
 
 # The harness records verdicts for the FIRST 50 registered entries each
-# round. Rounds 1-3 drove 127 catalog entries green; round 4 grew the
-# catalog to 300+, so every window slot now goes to evidence
-# conversion: the 24 entries VERDICT r3 item 1 staged (the round-3
-# additions a8, g5/g6 [renamed from the colliding g3_pivot/g4_unpivot
-# ids], j10-j12, k3/k4, w8/w9, x80-x90, z1, plus x35/x38 — moved this
-# round from rows-only to full SQL-replay oracles on the x83
-# fixed-rounds pattern), followed by the first 26 round-4 additions in
-# catalog registration order. VERDICT r3 item 6 asked for re-pin slots
-# once the backlog was converted; with ~170 entries still awaiting
-# their first driver row, re-pins are deferred — regression freshness
-# for already-verified entries is carried by tests/test_oracle_parity.py
-# + test_vanilla_session.py, which run the IDENTICAL DuckDB compare
-# over the FULL catalog every session.
+# round. Evidence ledger: rounds 1-4 drove 177 of the 387 catalog
+# entries driver-green (CORRECTNESS_r01-r04); 210 entries remain
+# never-windowed. VERDICT r4 item 1 freezes catalog growth and spends
+# every window slot on draining that backlog; regression freshness for
+# already-verified entries is carried by tests/test_oracle_parity.py +
+# test_vanilla_session.py, which run the IDENTICAL DuckDB compare over
+# the FULL catalog every session.
 #
-# WINDOW SCHEDULE: subsequent rounds continue draining the
-# never-windowed backlog 50 per round in catalog registration order
-# (session 3 extended the catalog through a28-a30, e19, j25, k7,
-# s9-s11, w25-w29, x198-x235, z8 — all local-parity-green, all
-# joining the backlog); once the backlog is empty, windows rotate
-# re-pins through the tiers round-robin (a/c/d/e + x1-x27, then
-# j/w/g/k + x28-x60, then s/p + x61-x90, repeat).
-_NEVER_WINDOWED = (
-    "a8_measure_correlations",
-    "g5_pivot_daily_event_values",
-    "g6_unpivot_lineitem_measures",
-    "j10_small_quantity_revenue",
-    "j11_large_volume_orders",
-    "j12_interval_overlap_join",
-    "k3_salted_skew_join",
-    "k4_grouped_approx_percentiles",
-    "w8_time_grid_forward_fill",
-    "w9_time_grid_interpolate",
-    "x80_incremental_dedup_precomputed",
-    "x81_media_header_probe",
-    "x82_training_shard_layout",
-    "x83_kmeans_fixed_rounds",
-    "x84_supplier_pagerank",
-    "x85_prefix_filtered_jaccard",
-    "x86_scd2_dimension_merge",
-    "x87_global_row_number",
-    "x88_json_source_roundtrip",
-    "x89_csv_source_roundtrip",
-    "x90_bigram_lm_fluency",
-    "z1_zorder_locality_report",
-    "x35_kmeans_cells",
-    "x38_pq_ann_topk",
+# WINDOW SCHEDULE (actual rounds, per VERDICT r4 item 4):
+#   round 5 (this file): s9_streaming_hourly_replay pulled forward
+#     (VERDICT r4 item 7 — the only driver-verifiable streaming row,
+#     anchors SURVEY §2.9) + the next 49 never-windowed entries in
+#     catalog registration order (a14, x91-x138).
+#   rounds 6-8: continue draining 50/round in registration order
+#     (round 6 ≈ w15-w17, j22, x139-x183-ish; round 7/8 the session-3
+#     tail a15-a30, e18/e19, j23-j25, k6/k7, s10/s11, w18-w29,
+#     x184-x235, z2-z8). Backlog 210 → empty mid-round 9.
+#   round 9+: windows rotate RE-PINS through the verified tiers
+#     round-robin (a/c/d/e + x1-x27, then j/w/g/k + x28-x60, then
+#     s/p + x61-x90, repeat) so driver evidence for the parity core
+#     stays fresh.
+_ROUND5_WINDOW = (
+    "s9_streaming_hourly_replay",
+    "a14_spearman_rank_correlation",
+    "x91_label_propagation_communities",
+    "x92_power_iteration_top_pc",
+    "x93_simhash_hamming_pairs",
+    "x94_equidepth_histogram",
+    "x95_interarrival_profile",
+    "x96_stratified_holdout_split",
+    "x97_topic_lexicon_tagging",
+    "x98_containment_pairs",
+    "x99_token_span_merge",
+    "x100_orc_source_roundtrip",
+    "x101_corrupt_record_quarantine",
+    "x102_top_event_paths",
+    "x103_quantile_drift_monitor",
+    "x104_mann_kendall_trend",
+    "x105_bitmap_distinct_rollup",
+    "x106_hll_sketch_merge",
+    "x107_time_to_convert",
+    "x108_corpus_snapshot_diff",
+    "x109_hourly_anomaly_zscores",
+    "x110_contingency_residuals",
+    "x111_bootstrap_se_deterministic",
+    "x112_partition_pruned_read",
+    "x113_url_parsing",
+    "x114_boilerplate_line_report",
+    "x115_robust_scaling",
+    "x116_distribution_matched_sample",
+    "x117_time_decayed_user_value",
+    "x118_mergeschema_evolution_read",
+    "x119_incremental_refresh_pipeline",
+    "x120_event_cooccurrence_lift",
+    "x121_bucketed_colocated_join",
+    "x122_cdc_apply_changes",
+    "x123_triangle_count",
+    "x124_hour_of_week_seasonality",
+    "x125_chi2_term_selection",
+    "x126_length_gini_by_source",
+    "x127_clamped_running_balance",
+    "x128_last_touch_attribution",
+    "x129_cluster_canonical_fingerprint",
+    "x130_negative_sampling",
+    "x131_simpson_diversity",
+    "x132_quantile_transform",
+    "x133_inverted_index",
+    "x134_vocab_growth",
+    "x135_k_anonymity_audit",
+    "x136_int8_scalar_quantization",
+    "x137_count_min_sketch",
+    "x138_bfs_hops_fixed_rounds",
 )
-# First 26 round-4 additions in catalog registration order (see the
-# window-schedule note above).
-_ROUND4_BATCH = (
-    "j13_bi_national_volume",
-    "w10_percent_rank_cume_dist",
-    "a9_mergeable_rollup_maintenance",
-    "g7_grouped_mode",
-    "j14_disjunctive_pred_join",
-    "j15_null_tolerant_anti_join",
-    "w11_range_frame_rolling_count",
-    "e15_json_props_parse",
-    "j16_recursive_cte_ancestry",
-    "d7_intersect_except_all",
-    "g8_two_phase_dynamic_pivot",
-    "e16_map_column_ops",
-    "j17_top_supplier_by_revenue",
-    "w12_ratio_to_report",
-    "a10_retractable_rollup",
-    "w13_dynamic_gap_sessions",
-    "a11_weighted_median",
-    "j18_lateral_topn",
-    "e17_calendar_dimension",
-    "a12_ols_trend_per_group",
-    "j19_interval_concurrency",
-    "j20_asof_tolerance_bidi",
-    "k5_join_cardinality_estimate",
-    "j21_part_supplier_variety",
-    "w14_active_day_streaks",
-    "a13_trimmed_mean",
-)
-_PRIORITY = _NEVER_WINDOWED + _ROUND4_BATCH
+_PRIORITY = _ROUND5_WINDOW
 
 
 def _ordered() -> dict[str, object]:

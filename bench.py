@@ -208,18 +208,42 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "sf": float(sf_match.group(1)) if sf_match else None,
-            }
-        )
-    )
+    result = {
+        "metric": "headline suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "sf": float(sf_match.group(1)) if sf_match else None,
+    }
+    # The driver captures the TAIL of this process's output; BENCH_r04
+    # lost its head because the single JSON line (92 queries) exceeded
+    # the capture window, leaving an unparseable fragment (VERDICT r4
+    # item 2). Self-sufficient record, newest-last:
+    #   1. full result → BENCH_LOCAL.json beside this script,
+    #   2. per-query timings one-per-line (survive any tail cut),
+    #   3. LAST line = ONE short JSON line; the full per-query dict is
+    #      kept only while it fits a conservative tail budget, else it
+    #      is trimmed to the slowest queries and points at
+    #      BENCH_LOCAL.json for the rest.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    for name, sec in timings.items():
+        print(f"# query {name} sec={sec}")
+    line = json.dumps(result, separators=(",", ":"))
+    tail_budget = 1800
+    if len(line) > tail_budget:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        trimmed = dict(result, queries={}, n_queries=len(timings),
+                       queries_full_in="BENCH_LOCAL.json")
+        for name, sec in slowest:
+            candidate = dict(trimmed, queries={**trimmed["queries"], name: sec})
+            cline = json.dumps(candidate, separators=(",", ":"))
+            if len(cline) > tail_budget:
+                break
+            trimmed, line = candidate, cline
+    print(line)
     spark.stop()
 
 

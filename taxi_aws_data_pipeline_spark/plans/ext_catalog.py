@@ -14132,6 +14132,66 @@ def x175_rendezvous_sharding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BINARYFILE_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _binaryfile_fixture_dir(spark: SparkSession, sf: str) -> str:
+    """Write x176's deterministic image-container files ONCE per
+    (sf, process) and return the cached directory.
+
+    Fixture generation (bounded driver-side file writes) is setup, not
+    operator cost, so it lives outside the query path (VERDICT r4 item
+    3): repeat invocations — bench reps included — measure only the
+    ``binaryFile`` scan + Arrow header probe. The only driver-side read
+    here is a ONE-ROW min/max/count aggregate, asserted dense so the
+    locally generated id range provably equals the table's doc_ids —
+    no data-scaled ``.collect()`` anywhere in the path (enforced by
+    tests/test_audit.py::test_no_data_scaled_collect_in_catalog).
+    """
+    import os
+    import struct
+    import tempfile
+    from pathlib import Path
+
+    key = os.path.abspath(sf)
+    cached = _BINARYFILE_FIXTURE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    lo, hi, n = (
+        load_table(spark, sf, "documents")
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert (lo, hi) == (0, n - 1), f"doc_id not dense 0..n-1: {(lo, hi, n)}"
+    root = Path(tempfile.mkdtemp(prefix="binsrc_"))
+    for i in range(n):
+        m = i % 5
+        if m not in (0, 1, 4) or i % 29 == 0:
+            continue
+        if m == 0:
+            w, h = 1 + i % 2033, 1 + (i // 7) % 1021
+            blob = (
+                bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+                + struct.pack(">II", w, h)
+            )
+            name = f"{i}.png"
+        elif m == 1:
+            w, h = 1 + i % 499, 1 + (i // 3) % 307
+            blob = bytes.fromhex("474946383961") + struct.pack("<HH", w, h)
+            name = f"{i}.gif"
+        else:
+            w, h = 1 + i % 1999, 1 + (i // 11) % 1499
+            blob = bytes.fromhex("FFD8FFC0000B08") + struct.pack(">HH", h, w)
+            name = f"{i}.jpg"
+        (root / name).write_bytes(blob)
+    _BINARYFILE_FIXTURE_CACHE[key] = str(root)
+    return str(root)
+
+
 _BINARYFILE_ORACLE = """
     SELECT doc_id AS asset_id,
            CASE WHEN doc_id % 5 = 0 THEN 'png'
@@ -14166,44 +14226,18 @@ _BINARYFILE_ORACLE = """
     "recovery, every parsed dimension, AND the source-reported "
     "`length` against the expected container size, so path "
     "handling, listing metadata, and parsing are all under the "
-    "hash. Fixture files are written once driver-side (bounded "
-    "bytes, the same posture as x88/x89's temp-dir roundtrips); at "
+    "hash. Fixture files are written ONCE per (sf, process) by a "
+    "cached setup step outside the query path (bounded bytes, the "
+    "same posture as x88/x89's temp-dir roundtrips), so repeat "
+    "invocations measure only the binaryFile scan + probe; at "
     "scale the identical plan reads an object-store prefix.",
     oracle=_BINARYFILE_ORACLE,
     tags=("ext", "multimodal", "source", "binaryFile", "mapInPandas"),
 )
 def x176_binaryfile_source_probe(spark: SparkSession, sf: str) -> DataFrame:
-    import struct
-    import tempfile
-    from pathlib import Path
-
-    ids = [
-        r.doc_id
-        for r in load_table(spark, sf, "documents")
-        .select("doc_id")
-        .filter((F.col("doc_id") % 5).isin(0, 1, 4) & (F.col("doc_id") % 29 != 0))
-        .collect()
-    ]
-    root = Path(tempfile.mkdtemp(prefix="binsrc_"))
-    for i in ids:
-        m = i % 5
-        if m == 0:
-            w, h = 1 + i % 2033, 1 + (i // 7) % 1021
-            blob = (
-                bytes.fromhex("89504E470D0A1A0A0000000D49484452")
-                + struct.pack(">II", w, h)
-            )
-            name = f"{i}.png"
-        elif m == 1:
-            w, h = 1 + i % 499, 1 + (i // 3) % 307
-            blob = bytes.fromhex("474946383961") + struct.pack("<HH", w, h)
-            name = f"{i}.gif"
-        else:
-            w, h = 1 + i % 1999, 1 + (i // 11) % 1499
-            blob = bytes.fromhex("FFD8FFC0000B08") + struct.pack(">HH", h, w)
-            name = f"{i}.jpg"
-        (root / name).write_bytes(blob)
-    files = spark.read.format("binaryFile").load(str(root))
+    files = spark.read.format("binaryFile").load(
+        _binaryfile_fixture_dir(spark, sf)
+    )
     assets = files.select(
         F.regexp_extract(F.col("path"), r"(\d+)\.\w+$", 1)
         .cast("long")

@@ -397,3 +397,48 @@ def test_no_conditionless_broadcast_joins_in_tree():
             if pat.search(line):
                 offenders.append(f"{path.name}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_no_data_scaled_collect_in_catalog():
+    """No catalog entry body may ``.collect()`` anything that scales
+    with a data table (VERDICT r4 item 3 — x176 used to collect every
+    fixture doc_id per invocation). The only sanctioned driver-side
+    reads are ONE-ROW scalar aggregates (the SURVEY §2.7 batch-stats
+    shape) and bounded-cardinality pivot headers, allowlisted here with
+    their rationale; anything new must justify itself on this list."""
+    import inspect
+
+    allowed = {
+        # 1-row median scalar feeding the impute literal (SURVEY §2.7)
+        "c1_median_impute_batch": 1,
+        # 1-row p99 scalar feeding the cap literal (SURVEY §2.7)
+        "c4_p99_outlier_cap": 1,
+        # distinct event_type pivot headers — bounded enum cardinality
+        "g8_two_phase_dynamic_pivot": 1,
+    }
+    offenders = {}
+    for name, spec in CATALOG.items():
+        src = inspect.getsource(spec.spark)
+        n = src.count(".collect()")
+        if n != allowed.get(name, 0):
+            offenders[name] = n
+    assert not offenders, offenders
+
+
+def test_binaryfile_fixture_dir_is_cached(spark, sf_dir):
+    """x176's fixture generation is setup, not operator cost: the
+    second call for the same sf must return the identical directory
+    without rewriting files (same mtimes)."""
+    import os
+
+    from taxi_aws_data_pipeline_spark.plans.ext_catalog import (
+        _binaryfile_fixture_dir,
+    )
+
+    d1 = _binaryfile_fixture_dir(spark, sf_dir)
+    stamp = {f: os.stat(os.path.join(d1, f)).st_mtime_ns
+             for f in os.listdir(d1)}
+    d2 = _binaryfile_fixture_dir(spark, sf_dir)
+    assert d2 == d1
+    assert {f: os.stat(os.path.join(d2, f)).st_mtime_ns
+            for f in os.listdir(d2)} == stamp
