@@ -14166,9 +14166,12 @@ def _binaryfile_fixture_dir(spark: SparkSession, sf: str) -> str:
         )
         .collect()[0]
     )
-    assert (lo, hi) == (0, n - 1), f"doc_id not dense 0..n-1: {(lo, hi, n)}"
+    # doc_id must be a dense range so the locally generated ids provably
+    # equal the table's (empty table → empty fixture dir; binaryFile on
+    # an empty dir yields an empty frame under its fixed schema).
+    assert n == 0 or hi - lo + 1 == n, f"doc_id not dense: {(lo, hi, n)}"
     root = Path(tempfile.mkdtemp(prefix="binsrc_"))
-    for i in range(n):
+    for i in range(lo, hi + 1) if n else ():
         m = i % 5
         if m not in (0, 1, 4) or i % 29 == 0:
             continue
