@@ -442,3 +442,40 @@ def test_binaryfile_fixture_dir_is_cached(spark, sf_dir):
     assert d2 == d1
     assert {f: os.stat(os.path.join(d2, f)).st_mtime_ns
             for f in os.listdir(d2)} == stamp
+
+
+def test_driver_window_discipline():
+    """The 50-entry driver window must spend every slot on evidence
+    conversion (VERDICT r4 item 1): exactly 50 entries, all registered,
+    and none that already holds a driver-green row in a committed
+    CORRECTNESS_r*.json — re-pins only start once the never-windowed
+    backlog is empty (schedule in __spark_entry__.py). When that
+    rotation begins, this test's re-pin clause below documents itself
+    out of the way."""
+    import importlib.util
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", root / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    window = list(mod._PRIORITY)
+    assert len(window) == 50, f"window must fill all 50 slots, got {len(window)}"
+    assert len(set(window)) == 50, "duplicate window entries waste slots"
+    missing = [n for n in window if n not in CATALOG]
+    assert not missing, f"window entries absent from CATALOG: {missing}"
+
+    verified = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        verified |= set(json.loads(f.read_text()))
+    backlog = [n for n in CATALOG if n not in verified]
+    if backlog:
+        repins = [n for n in window if n in verified]
+        assert not repins, (
+            f"{len(backlog)} entries still lack driver evidence but the "
+            f"window re-pins already-verified ones: {repins}"
+        )
