@@ -745,3 +745,136 @@ def test_x231_message_passing_partial_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x231_message_passing_round", "simple")
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+# Catalog-wide join-strategy safety net (round 5). A CartesianProduct
+# node is never acceptable — at 100 TB it is quadratic shuffle-free
+# death, and every intentional pairing in this repo is either bucketed
+# or broadcast. BroadcastNestedLoopJoin appears ONLY in two sanctioned
+# shapes, pinned by name below; a new entry growing a BNLJ (or one of
+# these losing it) must consciously edit the list.
+#
+# Shape 1 — one-row/bounded scalar attach: explicit
+# ``.crossJoin(F.broadcast(scalar))`` where the broadcast side is a
+# global aggregate (one row) or a fixed spine (deciles, lag grid, day
+# spine). Plan shows ``BroadcastNestedLoopJoin Build*, Cross``.
+_BNLJ_SCALAR_ATTACH = {
+    "a15_ks_two_sample",
+    "a17_rfm_segmentation",
+    "a18_autocorrelation_lags",
+    "a25_mix_rate_decomposition",
+    "a26_quantile_treatment_effects",
+    "a28_winsorized_mean",
+    "j9_churned_rich_customers",
+    "k5_join_cardinality_estimate",
+    "k7_shuffle_skew_report",
+    "w12_ratio_to_report",
+    "w8_time_grid_forward_fill",
+    "w9_time_grid_interpolate",
+    "x107_time_to_convert",
+    "x116_distribution_matched_sample",
+    "x123_triangle_count",
+    "x124_hour_of_week_seasonality",
+    "x125_chi2_term_selection",
+    "x130_negative_sampling",
+    "x140_benford_first_digit_audit",
+    "x149_quantile_mapping",
+    "x155_lorenz_curve_deciles",
+    "x158_heavy_hitter_discovery",
+    "x159_cuped_adjustment",
+    "x160_lsh_recall_curve",
+    "x161_difference_in_differences",
+    "x170_aspect_bucket_resize_plan",
+    "x175_rendezvous_sharding",
+    "x180_modularity_score",
+    "x182_pseudonym_collision_audit",
+    "x187_discrete_hazard_table",
+    "x189_eb_smoothed_ranking",
+    "x190_total_variation_drift",
+    "x201_chi2_token_class",
+    "x202_pmi_collocations",
+    "x203_bm25_topk",
+    "x204_token_budget_epochs",
+    "x205_zipf_rank_frequency",
+    "x209_hll_distinct_sketch",
+    "x214_prf_expansion_terms",
+    "x215_bpe_second_merge",
+    "x234_greedy_mixture_allocation",
+    "x237_capture_recapture",
+    "x238_good_turing_unseen",
+    "x23_tfidf_top_terms",
+    "x244_cluster_weighted_sample",
+    "x248_ivf_cell_balance",
+    "x249_dedup_savings_profile",
+    "x43_vocab_coverage",
+    "x49_source_mix_rebalance",
+    "x67_key_skew_report",
+    "x70_mixture_token_budget_plan",
+    "x76_source_token_divergence",
+    "x79_temperature_mixture_sample",
+    "x94_equidepth_histogram",
+    "z7_join_order_cost_rank",
+    "z8_retention_expiry_plan",
+}
+# Shape 2 — conditioned non-equi join against a PROVABLY SMALL
+# broadcast side: the ANN/eval family (bounded query set x corpus —
+# the documented brute-force baseline or ADC codebook probe), the
+# range-tier lookup (j3), and pairwise-over-bounded-grid statistics
+# (a16 Theil-Sen days, a29 rank ties, x206 sample sizes, x217
+# decile edges). Plan shows a conditioned Inner/LeftOuter BNLJ; the
+# broadcast side's cardinality is fixed by construction, so the node
+# is O(n * k) with small constant k, never O(n^2).
+_BNLJ_SMALL_BROADCAST = {
+    "a16_theil_sen_slope",
+    "a29_kruskal_wallis_terms",
+    "j3_range_join_value_tiers",
+    "x10_cosine_topk_bruteforce",
+    "x142_reciprocal_rank_fusion",
+    "x162_ndcg_eval",
+    "x163_mrr_recall_at_k",
+    "x164_map_at_10",
+    "x172_kendall_tau_rankings",
+    "x183_colbert_maxsim_topk",
+    "x185_matryoshka_funnel_topk",
+    "x186_binary_hamming_topk",
+    "x188_knn_label_eval",
+    "x206_heaps_vocab_growth",
+    "x217_uplift_deciles",
+    "x235_embedding_separation",
+    "x246_ivf_nprobe_recall_sweep",
+    "x38_pq_ann_topk",
+}
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_no_unsanctioned_nested_loop_joins(spark, sf_dir, name):
+    plan = (
+        CATALOG[name]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+    has_bnlj = "BroadcastNestedLoopJoin" in plan
+    sanctioned = name in _BNLJ_SCALAR_ATTACH or name in _BNLJ_SMALL_BROADCAST
+    if has_bnlj and not sanctioned:
+        raise AssertionError(
+            f"{name} grew an unsanctioned BroadcastNestedLoopJoin — "
+            "either make the join an equi/bucketed one or add the entry "
+            "to the pinned list with its smallness argument"
+        )
+    if name in _BNLJ_SCALAR_ATTACH and has_bnlj:
+        import re
+
+        kinds = {
+            m.group(1)
+            for m in re.finditer(
+                r"BroadcastNestedLoopJoin Build(?:Left|Right), (\w+)", plan
+            )
+        }
+        assert kinds <= {"Cross"}, (
+            f"{name} is pinned as a scalar crossJoin attach but plans "
+            f"a conditioned BNLJ {kinds} — move it to "
+            "_BNLJ_SMALL_BROADCAST with a smallness argument"
+        )
