@@ -10412,17 +10412,17 @@ _RFM_ORACLE = """
     "exact integer rank formula ((r-1)*5 DIV n + 1) over a totalized "
     "(metric, custkey) order — x132's trick — rather than ntile, so "
     "boundary assignment is identical in both engines by arithmetic, "
-    "not by shared convention. Scoring windows run over the |custkey| "
-    "pre-aggregate; at 100 TB the three rankings swap in x87's "
-    "two-phase numbering unchanged. Recency scores INVERT (most "
+    "not by shared convention. The three rankings RUN on x87's "
+    "two-phase numbering (range-repartition + per-partition offsets, "
+    "ext/packing.py:global_row_number) over the |custkey| "
+    "pre-aggregate — no unpartitioned row_number window, no "
+    "single-task sort at any scale. Recency scores INVERT (most "
     "recent = 5) — the direction mistake every first RFM "
     "implementation makes, pinned here by the oracle.",
     oracle=_RFM_ORACLE,
     tags=("analytics", "rfm", "segmentation", "quantiles"),
 )
 def a17_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_table(spark, sf, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -10431,28 +10431,43 @@ def a17_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
-    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
-    anchored = (
-        per_cust.crossJoin(F.broadcast(anchor))
-        .withColumn("recency_days", F.datediff("anchor", "last_order"))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    # one broadcast scalar frame: the recency anchor (max over per-cust
+    # maxes == corpus max order date) and n for the quintile divisor —
+    # no data-sized count() OVER () window
+    scalars = per_cust.agg(
+        F.max("last_order").alias("anchor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    anchored = per_cust.crossJoin(F.broadcast(scalars)).withColumn(
+        "recency_days", F.datediff("anchor", "last_order")
+    )
+    # the three global rankings use x87's two-phase numbering
+    # (range-repartition + per-partition offsets) instead of an
+    # unpartitioned row_number window, which would funnel every
+    # customer through ONE task; (metric, o_custkey) is a total order
+    # so the numbering is bit-identical to the single-task form
+    ranked = PK.global_row_number(
+        anchored, ("recency_days", "o_custkey"), out_col="_rn_r"
+    )
+    ranked = PK.global_row_number(ranked, ("freq", "o_custkey"), out_col="_rn_f")
+    ranked = PK.global_row_number(
+        ranked, ("monetary_cents", "o_custkey"), out_col="_rn_m"
     )
 
-    def quintile(order_col):
-        rn = F.row_number().over(Window.orderBy(order_col, "o_custkey"))
-        return (rn - 1) * 5 / F.col("n")
+    def quintile(rn_col):
+        return (F.col(rn_col) - 1) * 5 / F.col("n")
 
     scored = (
-        anchored.withColumn(
+        ranked.withColumn(
             "r_score",
-            6 - (F.floor(quintile(F.col("recency_days"))).cast("int") + 1),
+            6 - (F.floor(quintile("_rn_r")).cast("int") + 1),
         )
         .withColumn(
-            "f_score", F.floor(quintile(F.col("freq"))).cast("int") + 1
+            "f_score", F.floor(quintile("_rn_f")).cast("int") + 1
         )
         .withColumn(
             "m_score",
-            F.floor(quintile(F.col("monetary_cents"))).cast("int") + 1,
+            F.floor(quintile("_rn_m")).cast("int") + 1,
         )
     )
     return scored.select(
