@@ -9752,9 +9752,10 @@ _WILSON_ORACLE = """
     "integers with decimal literals (z^2 = 3.8416 parses to the same "
     "double everywhere), written CHARACTER-IDENTICAL in both dialects "
     "so every IEEE intermediate matches and the ranking hash-"
-    "verifies. One grouped count then a top-k window over |users| "
-    "pre-aggregated rows; the certainty-vs-volume tradeoff is pinned "
-    "by a planted behavior test.",
+    "verifies. One grouped count then top-20 via orderBy+limit "
+    "(TakeOrderedAndProject per-partition heaps — no global sort, no "
+    "rank window over |users|); the certainty-vs-volume tradeoff is "
+    "pinned by a planted behavior test.",
     oracle=_WILSON_ORACLE,
     tags=("ext", "ranking", "wilson", "small-sample"),
 )
@@ -9780,11 +9781,11 @@ def x148_wilson_lower_bound_ranking(spark: SparkSession, sf: str) -> DataFrame:
         )
     ) / (F.lit(1.0) + F.lit(3.8416) / nd)
     scored = per_user.withColumn("wilson_lb", wilson)
-    w = Window.orderBy(F.desc("wilson_lb"), "user_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("user_id", "n_events", "n_purchases", "wilson_lb")
+    # top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, never a global sort or an unpartitioned rank window over
+    # |users| rows — the x203 top-k shape)
+    return scored.orderBy(F.desc("wilson_lb"), "user_id").limit(20).select(
+        "user_id", "n_events", "n_purchases", "wilson_lb"
     )
 
 
@@ -9984,36 +9985,45 @@ _QMAP_ORACLE = """
     "arithmetic is integer (target rank = ceil(r * n0 / n1) via the "
     "DIV identity), ranks totalize on (value, doc_id), and the mapped "
     "value joins by exact rank equality — zero floats, hash-exact. "
-    "Windows here order one source's documents globally (fine at "
-    "per-source report scale); at 100 TB the ranking swaps in x87's "
-    "two-phase distributed numbering and the rank-equality join is "
-    "unchanged.",
+    "Both per-source rankings RUN on x87's two-phase distributed "
+    "numbering (ext/packing.py:global_row_number) and the "
+    "rank-equality join is a plain shuffle join (the ref side is "
+    "source-sized, never broadcast) — no single-task sort at any "
+    "scale.",
     oracle=_QMAP_ORACLE,
     tags=("ext", "quantile-mapping", "distribution", "normalization"),
 )
 def x149_quantile_mapping(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf, "documents")
-    ref = (
-        docs.filter(F.col("source") == "src0")
-        .select("doc_id", F.col("n_chars").alias("v"))
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy("v", "doc_id"))
-        )
+    # both per-source rankings use x87's two-phase numbering (range
+    # repartition + partition offsets) — no unpartitioned row_number
+    # funnelling a whole source through one task
+    ref = PK.global_row_number(
+        docs.filter(F.col("source") == "src0").select(
+            "doc_id", F.col("n_chars").alias("v")
+        ),
+        ("v", "doc_id"),
+        out_col="rn",
     )
-    n0 = ref.agg(F.count(F.lit(1)).alias("n0"))
+    counts = docs.groupBy().agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("n0"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("n1"),
+    )
     tgt = (
-        docs.filter(F.col("source") == "src1")
-        .select("doc_id", F.col("n_chars").alias("v"))
-        .withColumn("r", F.row_number().over(Window.orderBy("v", "doc_id")))
-        .withColumn("n1", F.count(F.lit(1)).over(Window.partitionBy()))
-        .crossJoin(F.broadcast(n0))
+        PK.global_row_number(
+            docs.filter(F.col("source") == "src1").select(
+                "doc_id", F.col("n_chars").alias("v")
+            ),
+            ("v", "doc_id"),
+            out_col="r",
+        )
+        .crossJoin(F.broadcast(counts))
         .withColumn("ref_rank", F.expr("(r * n0 + n1 - 1) DIV n1"))
     )
+    # rank-equality shuffle join — the ref side is source-sized, so it
+    # is NOT broadcast; both sides hash-partition on ref_rank
     return tgt.join(
-        F.broadcast(ref.select(F.col("rn").alias("ref_rank"),
-                               F.col("v").alias("mv"))),
+        ref.select(F.col("rn").alias("ref_rank"), F.col("v").alias("mv")),
         "ref_rank",
     ).select(
         "doc_id",
@@ -17365,9 +17375,17 @@ def x205_zipf_rank_frequency(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     tot = cnt.agg(F.sum("freq").alias("n_total"))
-    ranked = cnt.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "term"))
-    ).filter(F.col("rank") <= 50)
+    # top-50 via orderBy+limit (TakeOrderedAndProject), then the rank
+    # column from a window over the 50 surviving rows — never a rank
+    # window over the full vocabulary (the x203 top-k shape)
+    ranked = (
+        cnt.orderBy(F.desc("freq"), "term")
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("freq"), "term")),
+        )
+    )
     return (
         ranked.crossJoin(F.broadcast(tot))
         .select(
@@ -17427,20 +17445,25 @@ _HEAPS_ORACLE = """
     "OCCURRENCE RANKS: each term reduces to min(doc rank) in one "
     "groupBy, and every grid threshold is then a COUNT over that "
     "small table — no per-threshold re-scan, no distinct-over-window. "
-    "The doc-rank window orders by doc_id (unique), and the 10-row "
-    "grid joins broadcast; corpus cost is one token scan + one "
+    "Doc ranks come from x87's two-phase distributed numbering (no "
+    "unpartitioned window), and the 10-row grid is the broadcast side "
+    "of both non-equi joins; corpus cost is one token scan + one "
     "vocab-sized agg.",
     oracle=_HEAPS_ORACLE,
     tags=("ext", "text", "corpus-stats", "vocab"),
 )
 def x206_heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
-    dr = docs.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
-        F.filter(TX.words("text"), lambda t: t != "").alias("ws"),
+    # x87's two-phase numbering orders the corpus by doc_id without an
+    # unpartitioned row_number window (which would sort every document
+    # — token arrays included — through ONE task)
+    dr = PK.global_row_number(
+        docs.select(
+            "doc_id",
+            F.filter(TX.words("text"), lambda t: t != "").alias("ws"),
+        ),
+        ("doc_id",),
+        out_col="r",
     ).select("doc_id", "r", "ws", F.size("ws").alias("dl"))
     nd = dr.agg(F.count(F.lit(1)).alias("n_docs"))
     first_r = (
@@ -17455,18 +17478,18 @@ def x206_heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select("pct", F.expr("n_docs * pct DIV 100").alias("n_prefix"))
     )
+    # the 10-row grid is ALWAYS the broadcast side of both non-equi
+    # joins — the doc table and the first-rank histogram are
+    # data-scaled and stay partitioned
     tok_prefix = (
-        grid.join(dr, dr["r"] <= grid["n_prefix"])
+        dr.join(F.broadcast(grid), dr["r"] <= grid["n_prefix"])
         .groupBy("pct", "n_prefix")
         .agg(F.sum("dl").alias("tokens_prefix"))
     )
     vocab = (
-        grid.join(
-            F.broadcast(first_r.groupBy("first_rank").agg(
-                F.count(F.lit(1)).alias("n_new")
-            )),
-            F.col("first_rank") <= F.col("n_prefix"),
-        )
+        first_r.groupBy("first_rank")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .join(F.broadcast(grid), F.col("first_rank") <= F.col("n_prefix"))
         .groupBy("pct")
         .agg(F.sum("n_new").alias("vocab_size"))
     )
