@@ -479,3 +479,56 @@ def test_driver_window_discipline():
             f"{len(backlog)} entries still lack driver evidence but the "
             f"window re-pins already-verified ones: {repins}"
         )
+
+
+def test_unpartitioned_windows_have_bounded_inputs():
+    """An unpartitioned window (``Window.orderBy`` with no partition
+    key, ``Window.partitionBy()``, bare ``Window.rowsBetween``)
+    funnels its whole input through ONE task, so every use must run
+    over a provably bounded frame. The allowlist pins each sanctioned
+    entry to its boundedness argument; round 5 converted the four
+    data-scaled offenders (a17 RFM, x148 Wilson, x149 quantile map,
+    x205 Zipf, x206 Heaps) to orderBy+limit or two-phase numbering —
+    a new unpartitioned window must argue its bound here."""
+    import inspect
+    import re
+
+    # value: why the window input is bounded
+    allowed = {
+        "x67_key_skew_report": "post-limit(10) rows",
+        "x69_event_lateness_profile": "distinct lateness-seconds histogram",
+        "x71_vocab_growth_curve": "doc-bucket spine",
+        "x74_daily_active_users": "day spine",
+        "x102_top_event_paths": "post-limit(20) rows",
+        "x110_contingency_residuals": "event_type x segment cells",
+        "x134_vocab_growth": "bucket spine",
+        "w18_rolling_correlation": "day spine",
+        "x147_vocab_encode": "post-limit(1000) vocab rows",
+        "a15_ks_two_sample": "distinct n_chars histogram",
+        "a16_theil_sen_slope": "bounded day-pair slope grid",
+        "a19_runs_test": "day spine",
+        "w21_rolling_median": "day spine",
+        "a21_mann_whitney_u": "distinct cents histogram",
+        "z7_join_order_cost_rank": "3 candidate plans",
+        "x173_curriculum_interleave": "distinct source spine",
+        "x177_diversified_topk": "post-limit(20) rows",
+        "x187_discrete_hazard_table": "bounded age grid",
+        "x198_roc_auc_langid": "distinct score-level histogram",
+        "x203_bm25_topk": "post-limit(10) rows",
+        "x205_zipf_rank_frequency": "post-limit(50) rows",
+        "a28_winsorized_mean": "distinct cents histogram",
+        "x227_margin_uncertainty_sampling": "post-limit(20) rows",
+        "x244_cluster_weighted_sample": "per-source allocation rows",
+    }
+    pat = re.compile(
+        r"Window\s*\.\s*orderBy|Window\s*\.\s*partitionBy\(\)"
+        r"|Window\s*\.\s*rowsBetween"
+    )
+    offenders = {}
+    for name, spec in CATALOG.items():
+        n = len(pat.findall(inspect.getsource(spec.spark)))
+        if n and name not in allowed:
+            offenders[name] = n
+    assert not offenders, (
+        f"unpartitioned windows without a boundedness argument: {offenders}"
+    )
