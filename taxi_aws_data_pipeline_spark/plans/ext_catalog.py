@@ -13954,8 +13954,10 @@ def x174_temporal_split_audit(spark: SparkSession, sf: str) -> DataFrame:
     train_users = (
         tagged.filter(F.col("split") == "train").select("user_id").distinct()
     )
+    # the distinct-train-user set is USER-sized — plain shuffle left
+    # join on user_id, no broadcast hint (AQE broadcasts if small)
     flagged = tagged.join(
-        F.broadcast(train_users.withColumn("seen_in_train", F.lit(1))),
+        train_users.withColumn("seen_in_train", F.lit(1)),
         "user_id",
         "left",
     )
@@ -16317,12 +16319,13 @@ def x193_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     e = _cosupply_edges(li)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # degree table is NODE-sized (grows with the graph) — plain shuffle
+    # joins on src/dst, no broadcast hint; AQE still broadcasts when the
+    # graph is genuinely small
     de = e.join(
-        F.broadcast(deg.select(F.col("src"), F.col("d").alias("x"))), "src"
+        deg.select(F.col("src"), F.col("d").alias("x")), "src"
     ).join(
-        F.broadcast(
-            deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))
-        ),
+        deg.select(F.col("src").alias("dst"), F.col("d").alias("y")),
         "dst",
     )
     mo = de.agg(
