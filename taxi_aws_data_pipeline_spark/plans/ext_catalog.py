@@ -8227,10 +8227,15 @@ def x138_bfs_hops_fixed_rounds(spark: SparkSession, sf: str) -> DataFrame:
     dist = seeds.withColumn("hop", F.lit(0).cast("int"))
     frontier = dist.select("node")
     for k in (1, 2, 3):
+        # eager node-sized checkpoint (x84's pattern): hop k's frontier
+        # is referenced both by hop k+1's expansion AND by the final
+        # union, so an unchecked lineage re-runs every earlier hop's
+        # join+distinct once per consumer
         frontier = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         dist = dist.unionByName(
             frontier.withColumn("hop", F.lit(k).cast("int"))
@@ -14529,7 +14534,17 @@ def x178_kcore_peeling(spark: SparkSession, sf: str) -> DataFrame:
     e = _cosupply_edges(li)
     for _ in range(3):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= 22).select("src")
+        # eager checkpoint (x84's per-round pattern): `keep` feeds TWO
+        # semi-joins, so an unchecked lineage re-embeds this round's
+        # edge subtree twice per round — 3x branch duplication that
+        # compounds to ~27x of the base scan by round 3 (A/B in
+        # BASELINE.md); the survivor set is node-sized, the smallest
+        # thing in the round, so it is the right thing to materialize
+        keep = (
+            deg.filter(F.col("d") >= 22)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
         e = e.join(keep, "src", "semi").join(
             keep.select(F.col("src").alias("dst")), "dst", "semi"
         )
@@ -14584,7 +14599,9 @@ _COVERAGE_PICKS_ORACLE = f"""
     "what forces diversity). Every round is one anti-join against "
     "the covered-word set + one grouped count + a 1-row "
     "TakeOrdered argmax — no collect, the pick flows back as a "
-    "1-row broadcast; rounds-as-a-cap is the x84/x178 pattern "
+    "1-row eagerly-checkpointed broadcast (x84's localCheckpoint "
+    "pattern, so later rounds never re-execute earlier rounds' "
+    "aggregations); rounds-as-a-cap is the x84/x178 pattern "
     "(production uses distributed lazy-greedy with the same "
     "per-round shape). Oracle unrolls the identical greedy in CTEs, "
     "so tie-breaks (gain desc, doc_id) and the whole marginal-gain "
@@ -14610,7 +14627,16 @@ def x179_greedy_coverage_picks(spark: SparkSession, sf: str) -> DataFrame:
         gains = remaining.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("gain")
         )
-        pick = gains.orderBy(F.desc("gain"), "doc_id").limit(1)
+        # eager 1-row checkpoint (the x84/x32 pattern): without it the
+        # pick's lineage embeds this round's whole aggregation, so
+        # round 2 re-executes round 1 and round 3 re-executes both —
+        # quadratic recompute that the greedy's sequential rounds turn
+        # into the entry's long pole (A/B in BASELINE.md)
+        pick = (
+            gains.orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
         out.append(
             pick.select(
                 F.lit(round_no).alias("pick_no"),
@@ -20903,6 +20929,9 @@ def x234_greedy_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).alias("e"),
     )
     for _ in range(5):
+        # eager 1-row checkpoint (x179's pattern): the pick otherwise
+        # re-embeds the previous state's whole subtree, so each round
+        # would double the plan (2^rounds leaf copies by round 5)
         pick = (
             state.orderBy(
                 F.desc(F.col("q").cast("double") / (1 + F.col("e"))),
@@ -20910,6 +20939,7 @@ def x234_greedy_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
             )
             .limit(1)
             .select(F.col("source").alias("picked"))
+            .localCheckpoint(eager=True)
         )
         state = state.crossJoin(F.broadcast(pick)).select(
             "source",
