@@ -532,3 +532,40 @@ def test_unpartitioned_windows_have_bounded_inputs():
     assert not offenders, (
         f"unpartitioned windows without a boundedness argument: {offenders}"
     )
+
+
+def test_next_window_tool_spends_slots_on_backlog():
+    """tools/next_window.py is how the next round's _PRIORITY gets
+    staged; its drain mode must emit exactly 50 registered entries,
+    none already driver-verified, in catalog registration order —
+    the same discipline test_driver_window_discipline pins on the
+    staged window itself. Once the backlog empties it must flip to
+    re-pin mode and emit the least-recently verified entries."""
+    import importlib.util
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "next_window", root / "tools" / "next_window.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    window, mode = mod.next_window()
+    assert len(window) == 50 and len(set(window)) == 50
+    assert all(n in CATALOG for n in window)
+
+    verified = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        verified |= set(json.loads(f.read_text()))
+    backlog = [n for n in CATALOG if n not in verified]
+    if len(backlog) >= 50:
+        assert mode == "drain"
+        assert window == backlog[:50], "drain must follow registration order"
+    elif backlog:
+        assert mode == "drain"
+        assert window[: len(backlog)] == backlog
+    else:
+        assert mode == "repin"
+        assert all(n in verified for n in window)
