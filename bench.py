@@ -195,8 +195,16 @@ def main() -> None:
     # intermediates are re-invoked fresh each rep (new cache entries; LRU
     # reclaims the old ones), so reps measure steady-state plan cost.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # optional subset for A/B work: `python bench.py x179_... x38_...`
+    # times just those entries (full-suite record files are NOT touched
+    # on subset runs, so BENCH_LOCAL.json always describes a full sweep)
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [a for a in subset if a not in CATALOG]
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
+    run_queries = tuple(subset) or BENCH_QUERIES
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in run_queries:
         spec = CATALOG[name]
         samples = []
         for _ in range(reps):
@@ -227,8 +235,9 @@ def main() -> None:
     #      is trimmed to the slowest queries and points at
     #      BENCH_LOCAL.json for the rest.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-        json.dump(result, f, indent=2)
+    if not subset:  # subset runs are throwaway A/Bs, not suite records
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(result, f, indent=2)
     for name, sec in timings.items():
         print(f"# query {name} sec={sec}")
     line = json.dumps(result, separators=(",", ":"))
