@@ -556,10 +556,17 @@ def test_next_window_tool_spends_slots_on_backlog():
     assert len(window) == 50 and len(set(window)) == 50
     assert all(n in CATALOG for n in window)
 
-    verified = set()
+    green = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
-        verified |= set(json.loads(f.read_text()))
-    backlog = [n for n in CATALOG if n not in verified]
+        for name, v in json.loads(f.read_text()).items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+                and not v.get("err")
+            ):
+                green.add(name)
+    backlog = [n for n in CATALOG if n not in green]
     if len(backlog) >= 50:
         assert mode == "drain"
         assert window == backlog[:50], "drain must follow registration order"
@@ -568,4 +575,24 @@ def test_next_window_tool_spends_slots_on_backlog():
         assert window[: len(backlog)] == backlog
     else:
         assert mode == "repin"
-        assert all(n in verified for n in window)
+        assert all(n in green for n in window)
+
+    # red rows retry AHEAD of never-windowed entries (the r1->r2
+    # precedent), and only GREEN rows count as verified
+    names = list(CATALOG)
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": None}
+    r = {"rows_match": True, "schema_match": False, "hash_match": False,
+         "err": None}
+    fabricated = {1: {names[0]: g, names[1]: r, names[2]: g}}
+    w2, m2 = mod.next_window(n=3, records=fabricated)
+    assert m2 == "drain"
+    assert w2[0] == names[1], "red-only entry must retry first"
+    assert names[0] not in w2 and names[2] not in w2
+
+    # backlog empty -> re-pin least-recently-green first
+    all_green = {1: {n_: g for n_ in names}}
+    all_green[2] = {names[0]: g}
+    w3, m3 = mod.next_window(n=2, records=all_green)
+    assert m3 == "repin"
+    assert names[0] not in w3, "freshest re-pin must sort last"
