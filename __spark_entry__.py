@@ -43,10 +43,14 @@ _FLAGSHIP = "a1_returnflag_performance"
 #     (round 6 ≈ w15-w17, j22, x139-x183-ish; round 7/8 the session-3
 #     tail a15-a30, e18/e19, j23-j25, k6/k7, s10/s11, w18-w29,
 #     x184-x235, z2-z8). Backlog 210 → empty mid-round 9.
-#   round 9+: windows rotate RE-PINS through the verified tiers
-#     round-robin (a/c/d/e + x1-x27, then j/w/g/k + x28-x60, then
-#     s/p + x61-x90, repeat) so driver evidence for the parity core
-#     stays fresh.
+#   round 9+: windows rotate RE-PINS through the verified tiers,
+#     least-recently-green first, so driver evidence for the parity
+#     core stays fresh.
+#   Staging is mechanical: `python tools/next_window.py` computes the
+#   next window from the committed CORRECTNESS records (red rows retry
+#   first, then never-windowed in registration order, then re-pins);
+#   tests/test_audit.py pins both the tool's contract and this file's
+#   window discipline.
 _ROUND5_WINDOW = (
     "s9_streaming_hourly_replay",
     "a14_spearman_rank_correlation",
