@@ -179,6 +179,16 @@ BENCH_QUERIES = (
 
 
 def main() -> None:
+    # validate args BEFORE the session spins up so a typo fails in
+    # milliseconds instead of silently running (or paying for) a sweep
+    flags = [a for a in sys.argv[1:] if a.startswith("-")]
+    if flags:  # no flags exist; a typo must not silently run a full sweep
+        raise SystemExit(f"unrecognized arguments: {flags}")
+    subset = list(sys.argv[1:])
+    unknown = [a for a in subset if a not in CATALOG]
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
+
     spark = vanilla_spark() if VANILLA else get_spark(app_name="taxi-engine-bench")
     # warm the JVM/session + page cache/parquet footers so query 1 doesn't
     # pay one-time startup costs
@@ -198,10 +208,6 @@ def main() -> None:
     # optional subset for A/B work: `python bench.py x179_... x38_...`
     # times just those entries (full-suite record files are NOT touched
     # on subset runs, so BENCH_LOCAL.json always describes a full sweep)
-    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
-    unknown = [a for a in subset if a not in CATALOG]
-    if unknown:
-        raise SystemExit(f"unknown bench queries: {unknown}")
     run_queries = tuple(subset) or BENCH_QUERIES
     timings: dict[str, float] = {}
     for name in run_queries:
@@ -216,14 +222,22 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    # subset A/B runs get a distinct metric label + explicit subset list
+    # so a captured tail can never be mistaken for a full-suite record
     result = {
-        "metric": "headline suite wall time",
+        "metric": (
+            "subset wall time (A/B, not a suite record)"
+            if subset
+            else "headline suite wall time"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "reps": reps,
         "sf": float(sf_match.group(1)) if sf_match else None,
     }
+    if subset:
+        result["subset"] = sorted(subset)
     # The driver captures the TAIL of this process's output; BENCH_r04
     # lost its head because the single JSON line (92 queries) exceeded
     # the capture window, leaving an unparseable fragment (VERDICT r4

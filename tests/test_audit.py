@@ -556,43 +556,84 @@ def test_next_window_tool_spends_slots_on_backlog():
     assert len(window) == 50 and len(set(window)) == 50
     assert all(n in CATALOG for n in window)
 
-    green = set()
+    # replay the tool's "verified" definition: the LATEST row decides
+    latest = {}
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         for name, v in json.loads(f.read_text()).items():
-            if (
+            latest[name] = bool(
                 v.get("rows_match")
                 and v.get("schema_match")
                 and v.get("hash_match")
                 and not v.get("err")
-            ):
-                green.add(name)
-    backlog = [n for n in CATALOG if n not in green]
+            )
+    verified = {n for n, green in latest.items() if green}
+    red = [n for n in CATALOG if n in latest and not latest[n]]
+    never = [n for n in CATALOG if n not in latest]
+    pulled = [n for n in mod.PULL_FORWARD if n in never]
+    backlog = red + pulled + [n for n in never if n not in set(pulled)]
     if len(backlog) >= 50:
         assert mode == "drain"
-        assert window == backlog[:50], "drain must follow registration order"
+        assert window == backlog[:50], (
+            "drain order is reds, pull-forwards, then registration order"
+        )
     elif backlog:
         assert mode == "drain"
         assert window[: len(backlog)] == backlog
     else:
         assert mode == "repin"
-        assert all(n in green for n in window)
+        assert all(n in verified for n in window)
+
+    # the staged module derives _PRIORITY from this very function at
+    # import time (VERDICT r5 item 1), so staleness is impossible —
+    # pin the wiring
+    espec = importlib.util.spec_from_file_location(
+        "__spark_entry__", root / "__spark_entry__.py"
+    )
+    emod = importlib.util.module_from_spec(espec)
+    espec.loader.exec_module(emod)
+    assert list(emod._PRIORITY) == window
 
     # red rows retry AHEAD of never-windowed entries (the r1->r2
-    # precedent), and only GREEN rows count as verified
+    # precedent), and only GREEN rows count as verified; fabricated
+    # cases disable pull-forward to isolate the ordering rules
     names = list(CATALOG)
     g = {"rows_match": True, "schema_match": True, "hash_match": True,
          "err": None}
     r = {"rows_match": True, "schema_match": False, "hash_match": False,
          "err": None}
     fabricated = {1: {names[0]: g, names[1]: r, names[2]: g}}
-    w2, m2 = mod.next_window(n=3, records=fabricated)
+    w2, m2 = mod.next_window(n=3, records=fabricated, pull_forward=())
     assert m2 == "drain"
     assert w2[0] == names[1], "red-only entry must retry first"
     assert names[0] not in w2 and names[2] not in w2
 
+    # green-then-red REGRESSION re-enters the drain backlog and retries
+    # first (ADVICE r5 medium: the latest verdict is authoritative — an
+    # old green row must not shield a now-failing entry)
+    regressed = {1: {names[0]: g, names[1]: g}, 2: {names[1]: r}}
+    w2b, m2b = mod.next_window(n=3, records=regressed, pull_forward=())
+    assert m2b == "drain"
+    assert w2b[0] == names[1], "regressed entry must re-enter and retry first"
+    assert names[0] not in w2b, "still-green entry must not be re-pinned"
+
+    # pull-forward entries jump never-windowed registration order but
+    # never outrank regression retries, and drop out once verified
+    pf = (names[5], names[2])
+    w2c, _ = mod.next_window(n=4, records=regressed, pull_forward=pf)
+    assert w2c[:3] == [names[1], names[5], names[2]]
+    w2d, _ = mod.next_window(
+        n=4, records={1: {names[5]: g}}, pull_forward=pf
+    )
+    assert w2d[0] == names[2] and names[5] not in w2d
+
+    # an explicitly empty records dict means NO records (ADVICE r5:
+    # `records or _load_records()` used to silently read disk)
+    w2e, m2e = mod.next_window(n=2, records={}, pull_forward=())
+    assert m2e == "drain" and w2e == names[:2]
+
     # backlog empty -> re-pin least-recently-green first
     all_green = {1: {n_: g for n_ in names}}
     all_green[2] = {names[0]: g}
-    w3, m3 = mod.next_window(n=2, records=all_green)
+    w3, m3 = mod.next_window(n=2, records=all_green, pull_forward=())
     assert m3 == "repin"
     assert names[0] not in w3, "freshest re-pin must sort last"

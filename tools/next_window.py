@@ -1,22 +1,30 @@
-"""Print the next round's 50-entry driver window.
+"""Compute the next round's 50-entry driver window.
 
 The driver records verdicts for the FIRST 50 registered entries each
-round (`__spark_entry__._PRIORITY`). This tool makes staging the next
-round mechanical and mistake-proof:
+round (`__spark_entry__._PRIORITY`). Since round 6, `__spark_entry__`
+calls :func:`next_window` AT IMPORT TIME, so the window can never go
+stale between rounds (VERDICT r5 item 1 — the r5→r6 gap left a stale
+hand-pasted window and a red audit test). This module stays importable
+without Spark: it reads only the committed CORRECTNESS records and the
+catalog registry.
 
-* While unverified entries remain, emit the next 50 in catalog
-  registration order — the drain schedule documented in
-  `__spark_entry__.py`. "Verified" means a GREEN row (rows+schema+hash
-  all matched, no err) in some committed CORRECTNESS_r*.json; an entry
-  whose only rows are red is queued AHEAD of never-windowed ones, the
-  way the r1 reds were re-windowed first in r2.
-* Once the backlog is empty, emit re-pins: the 50 least-recently
-  verified entries (earliest round first, registration order as the
-  tie-break), so driver evidence for the parity core stays fresh —
-  the round-9+ rotation in the same schedule comment.
+Ordering contract (pinned by tests/test_audit.py):
 
-Usage: python tools/next_window.py  (run from anywhere; prints a
-Python tuple body ready to paste into `_ROUND{N}_WINDOW`).
+* An entry's LATEST committed verdict is authoritative (ADVICE r5,
+  medium): if the most recent CORRECTNESS row for an entry is red, the
+  entry re-enters the drain backlog and retries FIRST — a green row in
+  some earlier round does not mark a regressed entry verified forever.
+* While unverified entries remain, the window drains them: regressed
+  reds first, then PULL_FORWARD entries (never-windowed entries a
+  verdict ordered ahead of schedule), then never-windowed entries in
+  catalog registration order.
+* Once the backlog is empty, the window re-pins the 50 least-recently
+  verified entries (earliest latest-green round first, registration
+  order as the tie-break) so driver evidence for the parity core stays
+  fresh.
+
+Usage: python tools/next_window.py  (prints the computed window; purely
+informational now that __spark_entry__ derives _PRIORITY itself).
 """
 
 from __future__ import annotations
@@ -29,6 +37,16 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 from taxi_aws_data_pipeline_spark.plans import CATALOG  # noqa: E402
+
+# Never-windowed entries pulled ahead of registration order, newest
+# verdict first. VERDICT r5 item 2: s10/s11 are the remaining
+# driver-verifiable streaming rows anchoring SURVEY §2.9 — same
+# argument that pulled s9 forward in round 5. Entries drop out of this
+# list's effect automatically once they hold a driver row.
+PULL_FORWARD: tuple[str, ...] = (
+    "s10_streaming_stream_join_replay",
+    "s11_streaming_dedup_replay",
+)
 
 
 def _is_green(v: dict) -> bool:
@@ -48,34 +66,45 @@ def _load_records() -> dict[int, dict]:
 
 
 def next_window(
-    n: int = 50, records: dict[int, dict] | None = None
+    n: int = 50,
+    records: dict[int, dict] | None = None,
+    pull_forward: tuple[str, ...] = PULL_FORWARD,
 ) -> tuple[list[str], str]:
     """Return (window, mode) where mode is 'drain' or 'repin'.
 
     ``records`` (round -> CORRECTNESS dict) defaults to the committed
-    CORRECTNESS_r*.json files; injectable for tests."""
-    last_green = {}  # entry -> latest round with a GREEN driver row
-    seen = set()  # entries with ANY driver row, green or red
-    for rnd, rec in sorted((records or _load_records()).items()):
+    CORRECTNESS_r*.json files; injectable for tests (an explicitly
+    passed empty dict means "no records", not "load from disk")."""
+    records = records if records is not None else _load_records()
+    latest: dict[str, tuple[int, bool]] = {}  # entry -> (round, green?)
+    last_green: dict[str, int] = {}  # entry -> latest round with a GREEN row
+    for rnd, rec in sorted(records.items()):
         for name, verdict in rec.items():
             if name not in CATALOG:
                 continue
-            seen.add(name)
-            if _is_green(verdict):
+            green = _is_green(verdict)
+            latest[name] = (rnd, green)
+            if green:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     order = {name: i for i, name in enumerate(CATALOG)}
-    red_only = sorted(seen - set(last_green), key=order.__getitem__)
-    never = [n_ for n_ in CATALOG if n_ not in seen]
-    backlog = red_only + never  # failures retry first, like r1->r2
+    # latest verdict authoritative: most-recent-row-red entries are
+    # regressions and retry ahead of everything (r1->r2 precedent)
+    red = sorted(
+        (nm for nm, (_, green) in latest.items() if not green),
+        key=order.__getitem__,
+    )
+    never = [nm for nm in CATALOG if nm not in latest]
+    pulled = [nm for nm in pull_forward if nm in never]
+    rest = [nm for nm in never if nm not in set(pulled)]
+    backlog = red + pulled + rest
+    # re-pin pool: entries whose LATEST row is green, least recent first
+    verified = [nm for nm, (_, green) in latest.items() if green]
+    repins = sorted(verified, key=lambda x: (last_green[x], order[x]))
     if backlog:
         window = backlog[:n]
         if len(window) < n:  # backlog tail + oldest re-pins fill the rest
-            repins = sorted(
-                last_green, key=lambda x: (last_green[x], order[x])
-            )
             window += repins[: n - len(window)]
         return window, "drain"
-    repins = sorted(last_green, key=lambda x: (last_green[x], order[x]))
     return repins[:n], "repin"
 
 
