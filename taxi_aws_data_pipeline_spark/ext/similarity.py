@@ -466,33 +466,55 @@ def _sql_double(x: float) -> str:
     return f"CAST('{x!r}' AS DOUBLE)"
 
 
-def _nearest_centroid_cell(vec_sql: str, centroids: list[list[float]]) -> Column:
+def _nearest_centroid_cell(
+    vec_sql: str, centroids: list[list[float]]
+) -> Column:
     """Index of the squared-L2-nearest centroid, deterministic tie-break
     on the lower cell index: argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c),
     so each cell costs one dot product. ``vec_sql`` is a SQL expression
-    string (e.g. ``"v"`` or ``"slice(v, 17, 16)"``), and the whole
-    argmin is built as ONE F.expr: the earlier Column-API formulations
-    were dominated by per-operator py4j round trips at construction
-    time (a k x dim unrolled tree is thousands of Column calls; the
-    zip_with+aggregate fold avoided those but runs interpreted at
-    execution) — a generated SQL string is one gateway call, parses in
-    milliseconds, and codegens. Arithmetic is IEEE-identical to the
-    previous fold: the unrolled left-chained sum equals the fold (its
-    0.0 init is exact against the first term), and argmin is
-    array_position(d, array_min(d)) — comparisons only, first match =
-    lowest index, the same tie-break as a (dist, cell) struct sort."""
-    dists = []
-    for cvec in centroids:
-        terms = " + ".join(
-            f"CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE) * "
-            f"{_sql_double(float(x))}"
-            for i, x in enumerate(cvec)
+    string (e.g. ``"v"`` or ``"slice(v, 17, 16)"``).
+
+    Formulation (r6 A/B winner — BASELINE.md): the codebook rides as a
+    nested array() of literals that Catalyst constant-folds into ONE
+    complex Literal carried in the codegen ``references`` table, and the
+    per-cell distance is ``ss[c] - 2·(x·centroid[c])`` via
+    zip_with/aggregate. Because no centroid double reaches the generated
+    source, the source is IDENTICAL across codebooks/training rounds and
+    janino compiles once per plan SHAPE — the scalar-literal unroll this
+    replaced (in git history) re-generated k x dim constants into the
+    source and paid a recompile + giant-expression analysis cost per
+    codebook (measured at sf0.1: x35 kmeans 4.9→1.5 s, x83 2.3→0.9 s,
+    x38 PQ 7.0→2.8 s median, hashes unchanged). Arithmetic is
+    IEEE-identical to the unrolled chain: the fold's 0.0 init is exact
+    against the first term and zip_with preserves element order; argmin
+    is array_position(d, array_min(d)) — comparisons only, first match
+    = lowest index, the same tie-break as a (dist, cell) struct sort.
+    Per-row HOF evaluation is interpreted (k x dim multiply-adds), the
+    right trade while compile cost dominates; at extreme per-row
+    budgets the codegen'd unroll is one `git log` away."""
+    cb = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_sql_double(float(x)) for x in c) + ")"
+            for c in centroids
         )
-        sumsq = sum(x * x for x in cvec)
-        dists.append(f"({_sql_double(sumsq)} - 2.0D * ({terms}))")
-    arr = f"array({', '.join(dists)})"
+        + ")"
+    )
+    ss = (
+        "array("
+        + ", ".join(
+            _sql_double(sum(x * x for x in c)) for c in centroids
+        )
+        + ")"
+    )
+    dists = (
+        f"zip_with({ss}, {cb}, (s, c) -> s - 2.0D * "
+        f"aggregate(zip_with({vec_sql}, c, (a, b) -> "
+        f"CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x))"
+    )
     return F.expr(
-        f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+        f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
     )
 
 
@@ -799,11 +821,11 @@ def pq_train_fixed(
             ).alias(f"c{j}")
             for j in range(m)
         ]
-        # per-round cost at bench scale is DOMINATED by codegen compile
-        # of the unrolled k x dim assignment (new centroid literals each
-        # round -> new generated source -> janino recompile, ~2-5 s,
-        # CONSTANT in data size); the row work itself is k x dim flops
-        # inside whole-stage codegen, which is what matters at 100 TB
+        # the assignment's centroid constants fold into a complex
+        # Literal (references table), so every round reuses ONE compiled
+        # plan shape — the r6 formulation that removed the old per-round
+        # janino recompile (~2-5 s/round, constant in data size); row
+        # work is k x dim multiply-adds per assignment
         assigned = vecs.select("v", *cells)
         stats = (
             assigned.select(
@@ -854,8 +876,8 @@ def pq_encode(
 ) -> DataFrame:
     """(id, pq_code) — per subspace, the index of the nearest codebook
     centroid (squared-L2, tie-break on the lower index). Pure projection:
-    codebooks ride the plan as literals, so encoding 100 TB is one
-    codegen'd map pass with no shuffle and no Python."""
+    codebooks ride the plan as constant-folded array literals, so
+    encoding 100 TB is one map pass with no shuffle and no Python."""
     sub = len(codebooks[0][0])
     codes = F.array(
         *[
@@ -914,41 +936,41 @@ def pq_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
-    # per-subspace squared L2 against the coded centroid, built as SQL
-    # strings (one F.expr each — the Column-API formulations paid
-    # thousands of py4j calls at build time, and the zip_with+aggregate
-    # fold ran interpreted at execution). The coded centroid is
-    # projected ONCE per subspace as a cen{j} column, then the unrolled
-    # left-chained sum of squared diffs references it by name — the
-    # chain is IEEE-identical to the fold (0.0 init exact vs first term)
-    cen_cols = []
-    for j, book in enumerate(codebooks):
-        book_arr = (
+    # all m codebooks as ONE nested literal (constant-folded into the
+    # codegen references table → plan-shape-stable source, janino cache
+    # hits across reps — the r6 A/B winner over the scalar-literal
+    # unroll, x38 7.0→2.8 s median at sf0.1, hash unchanged); ADC =
+    # Σ_j fold over the j-th probe slice vs the coded centroid — same
+    # left-to-right order and 0.0-exact inits as an unrolled chain, so
+    # every double is bit-identical to the replayed oracle arithmetic
+    cb_all = (
+        "array("
+        + ", ".join(
             "array("
             + ", ".join(
-                "array(" + ", ".join(_sql_double(float(x)) for x in c) + ")"
+                "array("
+                + ", ".join(_sql_double(float(x)) for x in c)
+                + ")"
                 for c in book
             )
             + ")"
+            for book in codebooks
         )
-        cen_cols.append(
-            F.expr(
-                f"element_at({book_arr}, "
-                f"element_at(pq_code, {j + 1}) + 1)"
-            ).alias(f"cen{j}")
-        )
-    sub_chains = []
-    for j in range(len(codebooks)):
-        diffs = [
-            f"(CAST(element_at(probe_vec, {j * sub + i + 1}) AS DOUBLE)"
-            f" - element_at(cen{j}, {i + 1}))"
-            for i in range(sub)
-        ]
-        sub_chains.append(" + ".join(f"{d} * {d}" for d in diffs))
-    adc_sql = " + ".join(f"({c})" for c in sub_chains)
+        + ")"
+    )
+    adc_sql = (
+        f"aggregate(zip_with(pq_code, sequence(1, {len(codebooks)}), "
+        f"(code, j) -> aggregate(zip_with("
+        f"slice(probe_vec, (j - 1) * {sub} + 1, {sub}), "
+        f"element_at(element_at({cb_all}, j), code + 1), "
+        f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)"
+        f"), CAST(0.0 AS DOUBLE), (acc2, x2) -> acc2 + x2)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
     scored = (
-        codes.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id", "probe_vec", *cen_cols)
+        codes.join(
+            F.broadcast(p), F.col("neighbor_id") != F.col("probe_id")
+        )
         .withColumn("adc_dist", F.expr(adc_sql))
         .select("probe_id", "neighbor_id", "adc_dist")
     )

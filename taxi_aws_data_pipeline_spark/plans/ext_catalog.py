@@ -1806,8 +1806,9 @@ _PQ_ANN_ORACLE = f"""
     "(2 unrolled rounds each), the code assignment, and the exact ADC "
     "ranking in SQL, so the driver hash covers training, encoding, and "
     "search. Scale shape: codes-only corpus projection (persisted), "
-    "probes broadcast, per-candidate cost m lookups + literal "
-    "arithmetic inside codegen.",
+    "probes broadcast, per-candidate cost m lookups into constant-"
+    "folded codebook literals (plan-shape-stable codegen source — the "
+    "r6 A/B in BASELINE.md).",
     oracle=_PQ_ANN_ORACLE,
     tags=("ext", "embedding", "ann", "pq"),
 )

@@ -17,7 +17,16 @@ import time
 import duckdb
 import pandas as pd
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+# args: an integer = first N window queries (default 50); any
+# non-integer args = explicit entry names (targeted re-verification of
+# just-changed entries through the canonical compare)
+N = 50
+NAMES_ARG = []
+for a in sys.argv[1:]:
+    if a.isdigit():
+        N = int(a)
+    else:
+        NAMES_ARG.append(a)
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
@@ -74,7 +83,10 @@ qs = mod.queries()
 oracles = mod.oracle_sql()
 assert set(oracles) <= set(qs), "oracle keys not a subset of queries"
 
-names = list(qs)[:N]
+if NAMES_ARG:
+    unknown = [n for n in NAMES_ARG if n not in qs]
+    assert not unknown, f"unknown queries: {unknown}"
+names = NAMES_ARG or list(qs)[:N]
 fails = []
 t0 = time.time()
 for i, name in enumerate(names):
