@@ -206,8 +206,8 @@ def main() -> None:
     # reclaims the old ones), so reps measure steady-state plan cost.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # optional subset for A/B work: `python bench.py x179_... x38_...`
-    # times just those entries (full-suite record files are NOT touched
-    # on subset runs, so BENCH_LOCAL.json always describes a full sweep)
+    # times just those entries (record files are NOT touched on subset
+    # runs, so BENCH_SWEEP/BENCH_LOCAL always describe full sweeps)
     run_queries = tuple(subset) or BENCH_QUERIES
     timings: dict[str, float] = {}
     for name in run_queries:
@@ -242,16 +242,26 @@ def main() -> None:
     # lost its head because the single JSON line (92 queries) exceeded
     # the capture window, leaving an unparseable fragment (VERDICT r4
     # item 2). Self-sufficient record, newest-last:
-    #   1. full result → BENCH_LOCAL.json beside this script,
+    #   1. full result → BENCH_SWEEP.json beside this script,
     #   2. per-query timings one-per-line (survive any tail cut),
     #   3. LAST line = ONE short JSON line; the full per-query dict is
     #      kept only while it fits a conservative tail budget, else it
     #      is trimmed to the slowest queries and points at
-    #      BENCH_LOCAL.json for the rest.
+    #      BENCH_SWEEP.json for the rest.
+    # Artifact discipline (VERDICT r5 item 4): every full sweep writes
+    # BENCH_SWEEP.json (gitignored — the always-fresh latest run, which
+    # is what the per-round driver bench produces), and the COMMITTED
+    # record BENCH_LOCAL.json updates only on an explicit
+    # SPARK_GRAFT_BENCH_RECORD=1 run that is committed immediately — so
+    # a driver bench run leaves `git status` clean and BASELINE.md's
+    # narrative always points at a committed artifact.
     here = os.path.dirname(os.path.abspath(__file__))
     if not subset:  # subset runs are throwaway A/Bs, not suite records
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        with open(os.path.join(here, "BENCH_SWEEP.json"), "w") as f:
             json.dump(result, f, indent=2)
+        if os.environ.get("SPARK_GRAFT_BENCH_RECORD") == "1":
+            with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+                json.dump(result, f, indent=2)
     for name, sec in timings.items():
         print(f"# query {name} sec={sec}")
     line = json.dumps(result, separators=(",", ":"))
@@ -259,7 +269,7 @@ def main() -> None:
     if len(line) > tail_budget:
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])
         trimmed = dict(result, queries={}, n_queries=len(timings),
-                       queries_full_in="BENCH_LOCAL.json")
+                       queries_full_in="BENCH_SWEEP.json")
         for name, sec in slowest:
             candidate = dict(trimmed, queries={**trimmed["queries"], name: sec})
             cline = json.dumps(candidate, separators=(",", ":"))

@@ -1046,10 +1046,11 @@ def power_iteration_top_component(
     x92 oracle unrolls the whole iteration in SQL. Sign is
     deterministic (no RNG anywhere).
 
-    Scale: per round one codegen'd projection + one partial-aggregated
-    (pos) shuffle of dim-sized groups; collects are dim rows. The
-    per-round dot is an unrolled SQL-string chain (IEEE-equal to the
-    aggregate fold — see _nearest_centroid_cell).
+    Scale: per round one projection + one partial-aggregated (pos)
+    shuffle of dim-sized groups; collects are dim rows. The per-round
+    dot folds v as a constant-folded array literal (plan-shape-stable
+    codegen source across rounds — see _nearest_centroid_cell), IEEE-
+    equal to an unrolled chain.
 
     Output: (pos, loading, lambda_est) — dim rows, loading the
     normalized component, lambda_est = ||Av|| (the Rayleigh estimate
@@ -1069,9 +1070,20 @@ def power_iteration_top_component(
     v = [1.0 / math.sqrt(dim)] * dim
 
     def matvec_qsums(vlist: list[float]) -> DataFrame:
-        d_sql = " + ".join(
-            f"CAST(element_at(v, {i + 1}) AS DOUBLE) * {_sql_double(float(x))}"
-            for i, x in enumerate(vlist)
+        # v rides as ONE constant-folded array literal (references
+        # table), so every round reuses the same compiled plan shape —
+        # the unrolled chain this replaced regenerated codegen source
+        # (64 scalar literals) per round; fold 0.0 init is exact
+        # against the first product, so the dot is bit-identical
+        vlit = (
+            "array("
+            + ", ".join(_sql_double(float(x)) for x in vlist)
+            + ")"
+        )
+        d_sql = (
+            f"aggregate(zip_with(v, {vlit}, (a, b) -> "
+            f"CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x)"
         )
         return (
             vecs.withColumn("d", F.expr(d_sql))

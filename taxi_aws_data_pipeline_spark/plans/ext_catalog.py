@@ -20257,17 +20257,30 @@ def x227_margin_uncertainty_sampling(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0.0).alias("margin"),
             F.lit(0).cast("long").alias("rank"),
         )
-    dists = []
+    # centroids + their norms as constant-folded array literals (the r6
+    # plan-shape-stable formulation — see _nearest_centroid_cell); the
+    # fold's 0.0 init is exact against the first product, so each
+    # distance is bit-identical to the unrolled chain the oracle replays
+    norms = []
     for cvec in centroids:
         cnorm = 0.0
         for x in cvec:
             cnorm = cnorm + float(x) * float(x)
-        terms = " + ".join(
-            f"CAST(element_at(v, {i + 1}) AS DOUBLE) * {_sql_double(float(x))}"
-            for i, x in enumerate(cvec)
+        norms.append(cnorm)
+    cb = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_sql_double(float(x)) for x in c) + ")"
+            for c in centroids
         )
-        dists.append(f"({_sql_double(cnorm)} - 2.0 * ({terms}))")
-    d_arr = f"array({', '.join(dists)})"
+        + ")"
+    )
+    ss = "array(" + ", ".join(_sql_double(n) for n in norms) + ")"
+    d_arr = (
+        f"zip_with({ss}, {cb}, (s, c) -> s - 2.0 * "
+        f"aggregate(zip_with(v, c, (a, b) -> CAST(a AS DOUBLE) * b), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
     scored = vecs.select(
         F.col("vid").alias("vec_id"),
         F.expr(
