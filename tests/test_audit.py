@@ -637,3 +637,47 @@ def test_next_window_tool_spends_slots_on_backlog():
     w3, m3 = mod.next_window(n=2, records=all_green, pull_forward=())
     assert m3 == "repin"
     assert names[0] not in w3, "freshest re-pin must sort last"
+
+
+def test_pull_forward_entries_are_registered():
+    """A typo in tools/next_window.PULL_FORWARD would silently pull
+    nothing forward (unknown names are filtered by `in never`); pin
+    that every pull-forward name is a registered catalog entry."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "next_window", root / "tools" / "next_window.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    missing = [n for n in mod.PULL_FORWARD if n not in CATALOG]
+    assert not missing, f"PULL_FORWARD names not in CATALOG: {missing}"
+
+
+def test_bench_rejects_bad_args_before_spark_starts():
+    """ADVICE r5: a dash-typo ('--reps 3') or an unknown query name
+    must fail fast — BEFORE a JVM spins up or any record file is
+    touched — instead of silently running (and overwriting) a full
+    sweep. Runs bench.py in a subprocess with a poisoned JAVA_HOME so
+    any attempt to start Spark would itself fail loudly."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ, JAVA_HOME="/nonexistent-java")
+    for argv, needle in (
+        (["--reps", "3"], b"unrecognized arguments"),
+        (["no_such_query"], b"unknown bench queries"),
+    ):
+        proc = subprocess.run(
+            [sys.executable, str(root / "bench.py"), *argv],
+            capture_output=True,
+            timeout=60,
+            env=env,
+        )
+        assert proc.returncode != 0
+        assert needle in proc.stderr, proc.stderr[-500:]
