@@ -14,7 +14,6 @@ incremental runs; these batch helpers are the explicit-manifest fallback
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,25 +36,35 @@ def list_files(
 ) -> DataFrame:
     """S2 file-discovery scan (dp:282-307) as a listing DataFrame.
 
-    Local-FS implementation; on a cluster the same frame comes from the
-    Hadoop FileSystem API or S3 inventory — schema and downstream
-    operators are identical.
+    Store-agnostic since r6: the listing comes from the Hadoop
+    FileSystem API dispatched on the directory's scheme (the ingest.py
+    path), so file:// (tested), s3a:// and hdfs:// all produce the same
+    frame. Bare local paths keep their plain ``/dir/name`` form (the
+    pre-r6 contract manifests/oracles pin); URI-schemed inputs keep
+    their full URI so downstream reads resolve the right store. mtime
+    is epoch-millis → naive-UTC, the same conversion the os.stat
+    implementation used.
     """
+    from .ingest import _fs_for
+
+    fs, P, _ = _fs_for(spark, directory)
+    has_scheme = "://" in directory
     rows = []
-    for entry in sorted(os.listdir(directory)):
-        full = os.path.join(directory, entry)
-        if entry.endswith(suffix) and os.path.isfile(full):
-            st = os.stat(full)
+    for st in fs.listStatus(P(directory)):
+        p = st.getPath()
+        entry = p.getName()
+        if st.isFile() and entry.endswith(suffix):
             rows.append(
                 (
-                    full,
+                    p.toString() if has_scheme else p.toUri().getPath(),
                     entry,
-                    st.st_size,
-                    datetime.fromtimestamp(st.st_mtime, tz=timezone.utc).replace(
-                        tzinfo=None
-                    ),
+                    st.getLen(),
+                    datetime.fromtimestamp(
+                        st.getModificationTime() / 1000.0, tz=timezone.utc
+                    ).replace(tzinfo=None),
                 )
             )
+    rows.sort(key=lambda r: r[1])
     return spark.createDataFrame(rows, LISTING_SCHEMA)
 
 
