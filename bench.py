@@ -268,8 +268,11 @@ def main() -> None:
     tail_budget = 1800
     if len(line) > tail_budget:
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-        trimmed = dict(result, queries={}, n_queries=len(timings),
-                       queries_full_in="BENCH_SWEEP.json")
+        trimmed = dict(result, queries={}, n_queries=len(timings))
+        if not subset:
+            # subset runs never write BENCH_SWEEP.json, so the pointer
+            # would name a stale file (ADVICE r6) — full sweeps only
+            trimmed["queries_full_in"] = "BENCH_SWEEP.json"
         for name, sec in slowest:
             candidate = dict(trimmed, queries={**trimmed["queries"], name: sec})
             cline = json.dumps(candidate, separators=(",", ":"))

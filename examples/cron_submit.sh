@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Cron wiring for the daily incremental run — the scheduler half of the
+# reference's Prefect deployment (prefect.yaml:13-15 `cron: "0 6 * * *"`,
+# prefect_flows.py:1024-1051). Install with:
+#
+#   crontab -e
+#   7 6 * * *  /path/to/repo/examples/cron_submit.sh >> /var/log/taxi_daily.log 2>&1
+#
+# (An hourly twin of the reference's `taxi-pipeline-hourly` is the same
+# line with `7 * * * *`.) flock makes overlapping fires a no-op instead
+# of a double-run — cron has no built-in concurrency guard, Prefect did.
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+LANDING="${TAXI_LANDING:-file:///data/taxi/landing/latest}"
+OUTPUT="${TAXI_OUTPUT:-file:///data/taxi/warehouse}"
+MANIFEST="${TAXI_MANIFEST:-file:///data/taxi/state/processed_manifest}"
+
+exec flock -n /tmp/taxi_daily.lock \
+  spark-submit \
+    --master "${SPARK_MASTER:-local[*]}" \
+    --deploy-mode client \
+    --py-files <(cd "$REPO" && zip -qr - taxi_aws_data_pipeline_spark) \
+    "$REPO/examples/daily_incremental.py" \
+    --input-dir "$LANDING" \
+    --output-dir "$OUTPUT" \
+    --manifest "$MANIFEST"

@@ -112,12 +112,20 @@ def ingest_raw_files(
 
     matches = src_fs.globStatus(P(src_glob)) or []
     valid, invalid = [], []
-    for st in matches:
+    seen_basenames: set[str] = set()
+    # sort before validation so duplicate-basename policy is
+    # deterministic (first path in name order wins; ADVICE r6: a glob
+    # spanning directories can match two files with the same basename,
+    # and landing both into one session would collide)
+    for st in sorted(matches, key=lambda s: str(s.getPath())):
         name = st.getPath().getName()
-        if st.isFile() and name.endswith(suffix) and st.getLen() > 0:
-            valid.append(st)
-        else:
+        if not (st.isFile() and name.endswith(suffix) and st.getLen() > 0):
             invalid.append(name)
+        elif name in seen_basenames:
+            invalid.append(f"{name} (duplicate basename in glob)")
+        else:
+            seen_basenames.add(name)
+            valid.append(st)
 
     existing = _existing_basenames(dst_fs, P, landing_root)
     session = session_id or datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -133,18 +141,23 @@ def ingest_raw_files(
         if not uploaded:  # create dirs lazily: empty sessions leave no mark
             dst_fs.mkdirs(session_dir)
             dst_fs.mkdirs(latest_dir)
-        # store-agnostic copy (FileUtil dispatches on each side's FS;
-        # same-store S3 copies stay server-side like the reference's
-        # copy_object) — never deleteSource, overwrite only `latest/`
+        # store-agnostic copy (FileUtil dispatches on each side's FS) —
+        # never deleteSource, overwrite only `latest/`
+        landed = P(f"{session_dir}/{name}")
         jvm.org.apache.hadoop.fs.FileUtil.copy(
-            src_fs, st.getPath(), dst_fs, P(f"{session_dir}/{name}"),
-            False, False, conf,
+            src_fs, st.getPath(), dst_fs, landed, False, False, conf,
         )
+        # refresh latest/ from the just-landed object so the alias is a
+        # genuinely SAME-STORE copy like the reference's copy_object
+        # (s3_uploader.py:185-204) — on s3a this stays a server-side
+        # COPY; a cross-store ingest moves the bytes over the wire once,
+        # not twice (ADVICE r6)
         jvm.org.apache.hadoop.fs.FileUtil.copy(
-            src_fs, st.getPath(), dst_fs, P(f"{latest_dir}/{name}"),
+            dst_fs, landed, dst_fs, P(f"{latest_dir}/{name}"),
             False, True, conf,
         )
         uploaded.append(name)
+        existing.add(name)  # a later same-basename match must skip, not collide
     return {
         "session": session,
         "uploaded": uploaded,

@@ -76,6 +76,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # per-process warehouse isolation for the sharded suite runner
+    # (tools/parallel_suite.sh): saveAsTable entries (x121, z3) would
+    # otherwise race on ./spark-warehouse across concurrent pytest JVMs
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

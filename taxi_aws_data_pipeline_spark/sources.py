@@ -39,16 +39,25 @@ def list_files(
     Store-agnostic since r6: the listing comes from the Hadoop
     FileSystem API dispatched on the directory's scheme (the ingest.py
     path), so file:// (tested), s3a:// and hdfs:// all produce the same
-    frame. Bare local paths keep their plain ``/dir/name`` form (the
-    pre-r6 contract manifests/oracles pin); URI-schemed inputs keep
+    frame. Schemeless local paths — absolute or relative — keep their
+    plain ``dir/name`` form (the pre-r6 os.listdir contract that
+    manifests/oracles pin; ADVICE r6 flagged that the FileSystem path
+    round-trip absolutized relative inputs); URI-schemed inputs keep
     their full URI so downstream reads resolve the right store. mtime
-    is epoch-millis → naive-UTC, the same conversion the os.stat
-    implementation used.
+    is epoch-MILLIS → naive-UTC (Hadoop's getModificationTime
+    granularity; the old os.stat path carried microseconds — callers
+    comparing against sub-millisecond watermarks must truncate theirs
+    the same way). A missing directory raises FileNotFoundError, as
+    before.
     """
+    import os
+
     from .ingest import _fs_for
 
     fs, P, _ = _fs_for(spark, directory)
     has_scheme = "://" in directory
+    if not fs.exists(P(directory)):
+        raise FileNotFoundError(directory)
     rows = []
     for st in fs.listStatus(P(directory)):
         p = st.getPath()
@@ -56,7 +65,9 @@ def list_files(
         if st.isFile() and entry.endswith(suffix):
             rows.append(
                 (
-                    p.toString() if has_scheme else p.toUri().getPath(),
+                    p.toString()
+                    if has_scheme
+                    else os.path.join(directory, entry),
                     entry,
                     st.getLen(),
                     datetime.fromtimestamp(

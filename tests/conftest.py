@@ -12,6 +12,31 @@ from taxi_aws_data_pipeline_spark.session import get_spark  # noqa: E402
 TESTDATA_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Deterministic test sharding for tools/parallel_suite.sh.
+
+    ``SPARK_GRAFT_SHARD=i/n`` keeps only items whose stable nodeid hash
+    lands in shard ``i`` (0-based) of ``n``; unset → no-op. Each shard
+    runs in its own process (own Spark JVM, own warehouse dir), so the
+    union of the n shards is exactly one full suite — pytest-xdist
+    without the plugin (VERDICT r6 item 4; xdist is not installed and
+    installs are off-limits)."""
+    import hashlib
+
+    spec = os.environ.get("SPARK_GRAFT_SHARD")
+    if not spec:
+        return
+    idx, _, total = spec.partition("/")
+    idx, total = int(idx), int(total)
+    assert 0 <= idx < total, f"bad SPARK_GRAFT_SHARD: {spec}"
+    keep, drop = [], []
+    for item in items:
+        h = int(hashlib.md5(item.nodeid.encode()).hexdigest(), 16)
+        (keep if h % total == idx else drop).append(item)
+    items[:] = keep
+    config.hook.pytest_deselected(items=drop)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="taxi-engine-tests", shuffle_partitions=8)

@@ -639,6 +639,99 @@ def test_next_window_tool_spends_slots_on_backlog():
     assert names[0] not in w3, "freshest re-pin must sort last"
 
 
+def test_post_backlog_repin_rotation_is_staged(tmp_path):
+    """VERDICT r6 item 5: make the round-9 transition mechanical by
+    simulating rounds 7-8 going green on their staged windows and
+    pinning what the tool must emit next — the backlog remainder first,
+    then the 40 least-recently-green entries (earliest latest-green
+    round, registration order as tie-break); one more green round flips
+    it to pure re-pin mode. Expected sets are recomputed here from the
+    records independently of next_window's own internals."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "next_window", root / "tools" / "next_window.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": None}
+    records = mod._load_records()
+    base_round = max(records)
+    for rnd in (base_round + 1, base_round + 2):
+        win, mode = mod.next_window(records=records)
+        assert mode == "drain"
+        records[rnd] = {n: g for n in win}
+
+    win_next, mode_next = mod.next_window(records=records)
+    # independent reconstruction: what's still never-windowed, and each
+    # verified entry's latest GREEN round
+    windowed = {n for rec in records.values() for n in rec}
+    order = {n: i for i, n in enumerate(CATALOG)}
+    never = [n for n in CATALOG if n not in windowed]
+    latest_green = {}
+    for rnd in sorted(records):
+        for n, v in records[rnd].items():
+            if n in CATALOG and v.get("hash_match") and not v.get("err"):
+                latest_green[n] = rnd
+    repin_order = sorted(latest_green, key=lambda n: (latest_green[n], order[n]))
+
+    assert 0 < len(never) < 50, (
+        f"two staged drains should leave a sub-window backlog, got "
+        f"{len(never)}"
+    )
+    assert mode_next == "drain"
+    assert win_next[: len(never)] == never
+    assert win_next[len(never):] == repin_order[: 50 - len(never)]
+
+    # one more green round empties the backlog -> pure re-pin mode,
+    # and the freshly re-pinned fill rotates to the BACK of the queue
+    records[base_round + 3] = {n: g for n in win_next}
+    win_rot, mode_rot = mod.next_window(records=records)
+    assert mode_rot == "repin"
+    assert not set(win_rot) & set(win_next), (
+        "just-verified entries must not be re-pinned immediately"
+    )
+
+
+def test_record_loader_survives_stray_and_damaged_files(tmp_path, capsys):
+    """ADVICE r6 (medium): _load_records runs at import time of the
+    driver entry, so a stray CORRECTNESS_r06_backup.json (int() on the
+    stem used to raise) or a truncated capture must be SKIPPED with a
+    warning, never raise — an ImportError there fails the whole round.
+    Only exact CORRECTNESS_r<digits>.json stems count."""
+    import importlib.util
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "next_window", root / "tools" / "next_window.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    good = {"a1": {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
+    # stray stem variants: must be ignored entirely (no int() crash)
+    (tmp_path / "CORRECTNESS_r06_backup.json").write_text(json.dumps(good))
+    (tmp_path / "CORRECTNESS_rXX.json").write_text(json.dumps(good))
+    # truncated capture: skipped with a stderr warning
+    (tmp_path / "CORRECTNESS_r02.json").write_text('{"a1": {"rows_ma')
+    # parseable but not a dict: skipped too
+    (tmp_path / "CORRECTNESS_r03.json").write_text("[1, 2]")
+
+    records = mod._load_records(tmp_path)
+    assert records == {1: good}
+    err = capsys.readouterr().err
+    assert "CORRECTNESS_r02.json" in err
+    assert "CORRECTNESS_r03.json" in err
+
+
 def test_pull_forward_entries_are_registered():
     """A typo in tools/next_window.PULL_FORWARD would silently pull
     nothing forward (unknown names are filtered by `in never`); pin
@@ -654,6 +747,43 @@ def test_pull_forward_entries_are_registered():
     spec.loader.exec_module(mod)
     missing = [n for n in mod.PULL_FORWARD if n not in CATALOG]
     assert not missing, f"PULL_FORWARD names not in CATALOG: {missing}"
+
+
+def test_shard_selection_partitions_the_suite():
+    """tools/parallel_suite.sh relies on SPARK_GRAFT_SHARD=i/n
+    (conftest) selecting DISJOINT slices whose union is the full
+    suite — a drifting hash or an off-by-one would silently drop
+    tests from every 'full' parallel run. Verify on collection only
+    (no Spark): 2 shards of one test module must partition the
+    unsharded collection exactly."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def collect(shard: str | None) -> set[str]:
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_SHARD", None)
+        if shard:
+            env["SPARK_GRAFT_SHARD"] = shard
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_ingest.py",
+             "--collect-only", "-q", "-p", "no:cacheprovider"],
+            capture_output=True, text=True, timeout=120, env=env, cwd=root,
+        )
+        return {
+            ln for ln in proc.stdout.splitlines()
+            if ln.startswith("tests/") and "::" in ln
+        }
+
+    full = collect(None)
+    s0, s1 = collect("0/2"), collect("1/2")
+    assert full, "collection produced no test ids"
+    assert s0 | s1 == full
+    assert not (s0 & s1)
+    assert s0 and s1, "degenerate shard split (all tests in one shard)"
 
 
 def test_bench_rejects_bad_args_before_spark_starts():

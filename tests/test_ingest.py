@@ -98,6 +98,30 @@ def test_invalid_files_reported_not_uploaded(spark, raw_dir, tmp_path):
     assert "empty.parquet" not in verify_landing(spark, landing)["latest"]
 
 
+def test_duplicate_basenames_across_dirs_land_once(spark, raw_dir, tmp_path):
+    """ADVICE r6: a glob spanning directories can match two files with
+    the same basename; the first (path order) must land, the second be
+    reported invalid — never a mid-run copy collision that aborts with
+    files half-landed."""
+    b1, b2 = raw_dir / "batch1", raw_dir / "batch2"
+    b1.mkdir(), b2.mkdir()
+    shutil.copy(f"{SRC}/region.parquet", b1 / "region.parquet")
+    shutil.copy(f"{SRC}/orders.parquet", b2 / "region.parquet")
+    shutil.copy(f"{SRC}/supplier.parquet", b2 / "supplier.parquet")
+    landing = str(tmp_path / "landing")
+    out = ingest_raw_files(
+        spark, f"{raw_dir}/batch*/*.parquet", landing, session_id="s1"
+    )
+    # batch1/region.parquet sorts first in path order and wins
+    assert out["uploaded"] == ["region.parquet", "supplier.parquet"]
+    assert out["invalid"] == ["region.parquet (duplicate basename in glob)"]
+    assert not out["ok"]
+    v = verify_landing(spark, landing)
+    assert v["sessions"] == ["s1"]
+    # the landed region.parquet is the batch1 copy (region-sized)
+    assert v["latest"]["region.parquet"] == (b1 / "region.parquet").stat().st_size
+
+
 def test_bootstrap_and_bad_root(spark, tmp_path):
     root = str(tmp_path / "fresh" / "nested")
     assert ensure_landing_root(spark, root) is True

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import re
 import sys
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
@@ -58,11 +59,47 @@ def _is_green(v: dict) -> bool:
     )
 
 
-def _load_records() -> dict[int, dict]:
-    return {
-        int(f.stem.split("_r")[1]): json.loads(f.read_text())
-        for f in sorted(ROOT.glob("CORRECTNESS_r*.json"))
-    }
+_RECORD_STEM = re.compile(r"^CORRECTNESS_r(\d+)$")
+
+
+def _load_records(root: pathlib.Path = ROOT) -> dict[int, dict]:
+    """Read every on-disk CORRECTNESS record the window derives from.
+
+    This runs at import time of ``__spark_entry__`` (the driver entry),
+    so it must never raise on a stray or damaged file (ADVICE r6,
+    medium): a name that isn't exactly ``CORRECTNESS_r<digits>.json``
+    (e.g. a ``_backup`` copy) is ignored, and a truncated/non-dict JSON
+    body is skipped with a stderr warning — losing one round's rows
+    only re-drains those entries, which is safe; an ImportError would
+    fail the whole round.
+
+    Working-tree semantics are intentional: the driver writes the
+    round's record to disk before committing it, and reading the
+    on-disk file is what lets the window advance for the NEXT round the
+    moment the record lands. Within one builder session the set of
+    record files never changes, so the window is stable per round.
+    """
+    records: dict[int, dict] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _RECORD_STEM.match(f.stem)
+        if not m:
+            continue
+        try:
+            body = json.loads(f.read_text())
+        except (OSError, ValueError) as exc:
+            print(
+                f"next_window: skipping unreadable record {f.name}: {exc}",
+                file=sys.stderr,
+            )
+            continue
+        if not isinstance(body, dict):
+            print(
+                f"next_window: skipping non-dict record {f.name}",
+                file=sys.stderr,
+            )
+            continue
+        records[int(m.group(1))] = body
+    return records
 
 
 def next_window(
