@@ -1,0 +1,68 @@
+"""The scheduler example (examples/daily_incremental.py — the
+spark-submit/cron twin of the reference's Prefect daily deployment,
+prefect_flows.py:1024-1051) must stay runnable: one subprocess run over
+the taxi fixture lands the fact table, five metric CSVs and the latest/
+alias; the re-run is a manifest no-op."""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import subprocess
+import sys
+
+from .taxi_fixture import write_fixture_files
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _run(landing, out, manifest):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_DRIVER_MEM="4g",
+    )
+    return subprocess.run(
+        [
+            sys.executable,
+            str(ROOT / "examples" / "daily_incremental.py"),
+            "--input-dir", str(landing),
+            "--output-dir", str(out),
+            "--manifest", str(manifest),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=ROOT,
+    )
+
+
+def test_daily_incremental_example_end_to_end(tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_fixture_files(str(landing))
+    out = tmp_path / "out"
+    manifest = tmp_path / "manifest"
+
+    first = _run(landing, out, manifest)
+    assert first.returncode == 0, first.stderr[-2000:]
+    assert "processed 2 file(s)" in first.stdout
+
+    fact_parts = list(
+        out.glob("processed/taxi/*/pickup_year=*/pickup_month=*/*.parquet")
+    )
+    assert fact_parts, "partitioned fact table missing"
+    metrics = {p.parent.name for p in out.glob("processed/metrics/*/*/*.csv")}
+    assert metrics == {
+        "vendor_performance", "hourly_demand", "pickup_location_analysis",
+        "payment_analysis", "monthly_summary",
+    }
+    assert list(out.glob("processed/taxi/latest/*.parquet"))
+
+    # idempotent re-run: manifest gates everything, outputs untouched
+    before = sorted(str(p) for p in out.rglob("*.parquet"))
+    second = _run(landing, out, manifest)
+    assert second.returncode == 0, second.stderr[-2000:]
+    assert "no new files" in second.stdout
+    assert sorted(str(p) for p in out.rglob("*.parquet")) == before
