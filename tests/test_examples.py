@@ -38,6 +38,15 @@ def _run(landing, out, manifest):
     )
 
 
+def test_cron_submit_script_parses_and_is_executable():
+    script = ROOT / "examples" / "cron_submit.sh"
+    assert os.access(script, os.X_OK), "cron_submit.sh must be executable"
+    proc = subprocess.run(
+        ["bash", "-n", str(script)], capture_output=True, text=True, timeout=30
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
 def test_daily_incremental_example_end_to_end(tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
