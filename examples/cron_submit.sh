@@ -15,11 +15,17 @@ LANDING="${TAXI_LANDING:-file:///data/taxi/landing/latest}"
 OUTPUT="${TAXI_OUTPUT:-file:///data/taxi/warehouse}"
 MANIFEST="${TAXI_MANIFEST:-file:///data/taxi/state/processed_manifest}"
 
-exec flock -n /tmp/taxi_daily.lock \
+# package the engine as a real zip file — spark-submit copies --py-files
+# by path, so it must be a seekable file, not a process-substitution fifo
+PYZIP=$(mktemp /tmp/taxi_pkg.XXXXXX.zip)
+trap 'rm -f "$PYZIP"' EXIT
+(cd "$REPO" && zip -qr "$PYZIP" taxi_aws_data_pipeline_spark -x '*__pycache__*')
+
+flock -n /tmp/taxi_daily.lock \
   spark-submit \
     --master "${SPARK_MASTER:-local[*]}" \
     --deploy-mode client \
-    --py-files <(cd "$REPO" && zip -qr - taxi_aws_data_pipeline_spark) \
+    --py-files "$PYZIP" \
     "$REPO/examples/daily_incremental.py" \
     --input-dir "$LANDING" \
     --output-dir "$OUTPUT" \
