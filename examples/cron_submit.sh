@@ -16,9 +16,12 @@ OUTPUT="${TAXI_OUTPUT:-file:///data/taxi/warehouse}"
 MANIFEST="${TAXI_MANIFEST:-file:///data/taxi/state/processed_manifest}"
 
 # package the engine as a real zip file — spark-submit copies --py-files
-# by path, so it must be a seekable file, not a process-substitution fifo
-PYZIP=$(mktemp /tmp/taxi_pkg.XXXXXX.zip)
-trap 'rm -f "$PYZIP"' EXIT
+# by path, so it must be a seekable file, not a process-substitution fifo.
+# zip into a fresh tempdir: Info-ZIP refuses to write INTO the zero-byte
+# file `mktemp <template>.zip` pre-creates ("Zip file structure invalid")
+PKGDIR=$(mktemp -d /tmp/taxi_pkg.XXXXXX)
+trap 'rm -rf "$PKGDIR"' EXIT
+PYZIP="$PKGDIR/taxi_aws_data_pipeline_spark.zip"
 (cd "$REPO" && zip -qr "$PYZIP" taxi_aws_data_pipeline_spark -x '*__pycache__*')
 
 flock -n /tmp/taxi_daily.lock \

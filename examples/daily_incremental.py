@@ -28,7 +28,7 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-from taxi_aws_data_pipeline_spark import metrics, pipeline, sinks, streaming
+from taxi_aws_data_pipeline_spark import pipeline, streaming
 from taxi_aws_data_pipeline_spark.session import get_spark
 
 
@@ -48,21 +48,14 @@ def main() -> int:
     processing_id = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
 
     def process(df, paths):
-        intermediates = []
-        cleaned = pipeline.transform_trips(
+        result = pipeline.run_batch_df(
             df,
+            args.output_dir,
+            processing_id=processing_id,
             validate_filenames=not args.no_validate_filenames,
-            intermediates=intermediates,
         )
-        cleaned.cache()
-        fact = sinks.write_fact_table(cleaned, args.output_dir, processing_id)
-        metric_frames = metrics.create_taxi_metrics(cleaned)
-        sinks.write_metrics(metric_frames, args.output_dir, processing_id)
-        sinks.publish_latest(cleaned, args.output_dir, "taxi")
-        for frame in intermediates:
-            frame.unpersist()
-        cleaned.unpersist()
-        print(f"processed {len(paths)} file(s) -> {fact}")
+        result.unpersist()
+        print(f"processed {len(paths)} file(s) -> {result.fact_path}")
 
     done = streaming.incremental_batch(
         spark, args.input_dir, args.manifest, process

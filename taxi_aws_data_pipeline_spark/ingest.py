@@ -157,7 +157,6 @@ def ingest_raw_files(
             False, True, conf,
         )
         uploaded.append(name)
-        existing.add(name)  # a later same-basename match must skip, not collide
     return {
         "session": session,
         "uploaded": uploaded,

@@ -56,10 +56,28 @@ def run_batch(
     validate_filenames: bool = True,
 ) -> PipelineResult:
     """End-to-end batch run over a directory/glob of trip files."""
+    raw = sources.read_trip_files(spark, input_path)
+    return run_batch_df(
+        raw,
+        output_path,
+        processing_id=processing_id,
+        validate_filenames=validate_filenames,
+    )
+
+
+def run_batch_df(
+    raw: DataFrame,
+    output_path: str,
+    processing_id: str | None = None,
+    validate_filenames: bool = True,
+) -> PipelineResult:
+    """run_batch's core over an already-loaded raw frame — the entry
+    point for callers that select their own files (the manifest-gated
+    incremental scheduler, examples/daily_incremental.py) so the
+    write/unpersist choreography lives in exactly one place."""
     processing_id = processing_id or datetime.now(timezone.utc).strftime(
         "%Y%m%d_%H%M%S"
     )
-    raw = sources.read_trip_files(spark, input_path)
     intermediates: list[DataFrame] = []
     cleaned = transform_trips(
         raw, validate_filenames=validate_filenames, intermediates=intermediates

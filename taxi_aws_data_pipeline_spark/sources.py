@@ -40,10 +40,15 @@ def list_files(
     FileSystem API dispatched on the directory's scheme (the ingest.py
     path), so file:// (tested), s3a:// and hdfs:// all produce the same
     frame. Schemeless local paths — absolute or relative — keep their
-    plain ``dir/name`` form (the pre-r6 os.listdir contract that
-    manifests/oracles pin; ADVICE r6 flagged that the FileSystem path
-    round-trip absolutized relative inputs); URI-schemed inputs keep
-    their full URI so downstream reads resolve the right store. mtime
+    plain ``dir/name`` form, normpath-normalized (the pre-r6 os.listdir
+    contract that manifests/oracles pin; ADVICE r6 flagged that the
+    FileSystem path round-trip absolutized relative inputs, and
+    normalization keeps ``/data//landing`` and ``/data/./landing``
+    manifest-stable); URI-schemed inputs keep their full URI so
+    downstream reads resolve the right store. Manifest keys are these
+    path STRINGS — callers feeding a processed-files manifest should
+    pass the same (ideally absolute or URI) directory form every run,
+    since a relative form resolves against the working directory. mtime
     is epoch-MILLIS → naive-UTC (Hadoop's getModificationTime
     granularity; the old os.stat path carried microseconds — callers
     comparing against sub-millisecond watermarks must truncate theirs
@@ -67,7 +72,7 @@ def list_files(
                 (
                     p.toString()
                     if has_scheme
-                    else os.path.join(directory, entry),
+                    else os.path.normpath(os.path.join(directory, entry)),
                     entry,
                     st.getLen(),
                     datetime.fromtimestamp(

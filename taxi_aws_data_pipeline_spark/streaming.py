@@ -29,7 +29,6 @@ batch recomputes its own medians/modes/percentiles like the reference.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -195,8 +194,18 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     """Processed-files manifest as a parquet table (path, processed_at).
     Unlike the reference's 1000-key JSON ledger with arbitrary set-order
     eviction (dp:269-271), the manifest is unbounded parquet — eviction,
-    if ever needed, is by mtime, not hash order."""
-    if os.path.exists(manifest_path):
+    if ever needed, is by mtime, not hash order.
+
+    Existence is checked through the Hadoop FileSystem API, not
+    ``os.path.exists``: a URI-schemed manifest path (``file://``,
+    ``s3a://``, ``hdfs://``) is never a local OS path, and the old check
+    silently returned an EMPTY manifest for those — every incremental
+    run would reprocess all landed files while claiming idempotency
+    (round-7 review finding)."""
+    from .ingest import _fs_for
+
+    fs, P, _ = _fs_for(spark, manifest_path)
+    if fs.exists(P(manifest_path)):
         return spark.read.parquet(manifest_path)
     return spark.createDataFrame([], "path string, processed_at timestamp")
 

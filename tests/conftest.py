@@ -26,9 +26,16 @@ def pytest_collection_modifyitems(config, items):
     spec = os.environ.get("SPARK_GRAFT_SHARD")
     if not spec:
         return
-    idx, _, total = spec.partition("/")
-    idx, total = int(idx), int(total)
-    assert 0 <= idx < total, f"bad SPARK_GRAFT_SHARD: {spec}"
+    idx_s, sep, total_s = spec.partition("/")
+    if not (sep and idx_s.isdigit() and total_s.isdigit()):
+        raise pytest.UsageError(
+            f"SPARK_GRAFT_SHARD must be 'i/n' (e.g. 0/4), got {spec!r}"
+        )
+    idx, total = int(idx_s), int(total_s)
+    if not 0 <= idx < total:
+        raise pytest.UsageError(
+            f"SPARK_GRAFT_SHARD index out of range: {spec!r}"
+        )
     keep, drop = [], []
     for item in items:
         h = int(hashlib.md5(item.nodeid.encode()).hexdigest(), 16)

@@ -660,36 +660,46 @@ def test_post_backlog_repin_rotation_is_staged(tmp_path):
     g = {"rows_match": True, "schema_match": True, "hash_match": True,
          "err": None}
     records = mod._load_records()
-    base_round = max(records)
-    for rnd in (base_round + 1, base_round + 2):
+    rnd = max(records)
+
+    def never_windowed() -> list[str]:
+        windowed = {n for rec in records.values() for n in rec}
+        return [n for n in CATALOG if n not in windowed]
+
+    # drain full windows until less than one window of backlog remains —
+    # round count ADAPTS as real CORRECTNESS records land on disk, so
+    # this test stays truthful in every future round (round-7 review:
+    # a hard-coded two-drain simulation would start failing once the
+    # real r7/r8 records shrink the backlog)
+    while len(never_windowed()) >= 50:
         win, mode = mod.next_window(records=records)
         assert mode == "drain"
+        rnd += 1
         records[rnd] = {n: g for n in win}
 
+    never = never_windowed()
     win_next, mode_next = mod.next_window(records=records)
-    # independent reconstruction: what's still never-windowed, and each
-    # verified entry's latest GREEN round
-    windowed = {n for rec in records.values() for n in rec}
+    # independent reconstruction of the expected fill: each verified
+    # entry's latest GREEN round, least recent first
     order = {n: i for i, n in enumerate(CATALOG)}
-    never = [n for n in CATALOG if n not in windowed]
     latest_green = {}
-    for rnd in sorted(records):
-        for n, v in records[rnd].items():
+    for r_ in sorted(records):
+        for n, v in records[r_].items():
             if n in CATALOG and v.get("hash_match") and not v.get("err"):
-                latest_green[n] = rnd
+                latest_green[n] = r_
     repin_order = sorted(latest_green, key=lambda n: (latest_green[n], order[n]))
 
-    assert 0 < len(never) < 50, (
-        f"two staged drains should leave a sub-window backlog, got "
-        f"{len(never)}"
-    )
-    assert mode_next == "drain"
-    assert win_next[: len(never)] == never
-    assert win_next[len(never):] == repin_order[: 50 - len(never)]
+    if never:  # transition window: backlog remainder + oldest re-pins
+        assert mode_next == "drain"
+        assert win_next[: len(never)] == never
+        assert win_next[len(never):] == repin_order[: 50 - len(never)]
+    else:  # backlog already empty on disk: straight to rotation
+        assert mode_next == "repin"
+        assert win_next == repin_order[:50]
 
-    # one more green round empties the backlog -> pure re-pin mode,
-    # and the freshly re-pinned fill rotates to the BACK of the queue
-    records[base_round + 3] = {n: g for n in win_next}
+    # one more green round -> pure re-pin mode, and the freshly
+    # verified entries rotate to the BACK of the queue
+    records[rnd + 1] = {n: g for n in win_next}
     win_rot, mode_rot = mod.next_window(records=records)
     assert mode_rot == "repin"
     assert not set(win_rot) & set(win_next), (

@@ -52,9 +52,14 @@ def test_daily_incremental_example_end_to_end(tmp_path):
     landing.mkdir()
     write_fixture_files(str(landing))
     out = tmp_path / "out"
-    manifest = tmp_path / "manifest"
+    # URI-schemed input + manifest, as a cluster deployment would pass
+    # (s3a://, hdfs://) — pins the round-7 read_manifest URI fix through
+    # the example itself; output stays a bare path so the glob asserts
+    # below read the local tree directly
+    landing_uri = f"file://{landing}"
+    manifest = f"file://{tmp_path}/manifest"
 
-    first = _run(landing, out, manifest)
+    first = _run(landing_uri, out, manifest)
     assert first.returncode == 0, first.stderr[-2000:]
     assert "processed 2 file(s)" in first.stdout
 
@@ -71,7 +76,7 @@ def test_daily_incremental_example_end_to_end(tmp_path):
 
     # idempotent re-run: manifest gates everything, outputs untouched
     before = sorted(str(p) for p in out.rglob("*.parquet"))
-    second = _run(landing, out, manifest)
+    second = _run(landing_uri, out, manifest)
     assert second.returncode == 0, second.stderr[-2000:]
     assert "no new files" in second.stdout
     assert sorted(str(p) for p in out.rglob("*.parquet")) == before

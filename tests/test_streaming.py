@@ -167,6 +167,36 @@ def test_manifest_batch_fallback_idempotent(spark, tmp_path):
     assert len(seen) == 3
 
 
+def test_manifest_batch_fallback_with_uri_paths(spark, tmp_path):
+    """URI-schemed input dir AND manifest path must keep the idempotency
+    gate working: round-7 review found read_manifest used
+    ``os.path.exists`` on the manifest path, which is always False for
+    ``file://`` / ``s3a://`` URIs — every run silently reprocessed all
+    landed files. The existence check now dispatches through the Hadoop
+    FileSystem API, the same code path ingest.py uses."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    input_uri = f"file://{src}"
+    manifest_uri = f"file://{tmp_path}/manifest"
+    seen: list[str] = []
+
+    def process(df, paths):
+        seen.extend(paths)
+
+    _land(src, 2024, 1, seed=1)
+    first = streaming.incremental_batch(spark, input_uri, manifest_uri, process)
+    # Hadoop Path.toString() canonicalizes file://host-less to file:/
+    assert len(first) == 1 and first[0].startswith("file:/")
+    # re-run: the URI manifest must be READ BACK, not treated as absent
+    assert streaming.incremental_batch(
+        spark, input_uri, manifest_uri, process
+    ) == []
+    _land(src, 2024, 2, seed=2)
+    third = streaming.incremental_batch(spark, input_uri, manifest_uri, process)
+    assert len(third) == 1 and "2024-02" in third[0]
+    assert len(seen) == 2
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Re-sent rows (same key, same event time) landing in a later file are
     emitted once; the memory sink matches a batch dropDuplicates over the

@@ -36,7 +36,11 @@ done
 
 fail=0
 for i in $(seq 0 $((N - 1))); do
-  wait "${pids[$i]}" || fail=1
+  wait "${pids[$i]}"
+  rc=$?
+  # pytest exit 5 = "no tests collected": an empty shard (tiny suite or
+  # huge N) is not a failure — the union across shards is still complete
+  [ $rc -ne 0 ] && [ $rc -ne 5 ] && fail=1
   tail -n 2 "$RUNDIR/shard-$i.log" | sed "s/^/shard $i: /"
 done
 echo "overall: $([ $fail -eq 0 ] && echo PASS || echo FAIL) (logs: $RUNDIR)"
