@@ -759,6 +759,17 @@ def test_pull_forward_entries_are_registered():
     assert not missing, f"PULL_FORWARD names not in CATALOG: {missing}"
 
 
+def test_bnlj_allowlist_names_are_registered():
+    """Every sanctioned nested-loop entry in tests/plan_invariants.py
+    must be a live catalog name — a typo or a renamed entry would leave
+    a stale sanction (harmless) while the real entry trips the guard
+    with a confusing message."""
+    from .plan_invariants import BNLJ_SANCTIONED
+
+    missing = [n for n in BNLJ_SANCTIONED if n not in CATALOG]
+    assert not missing, f"sanctioned BNLJ names not in CATALOG: {missing}"
+
+
 def test_shard_selection_partitions_the_suite():
     """tools/parallel_suite.sh relies on SPARK_GRAFT_SHARD=i/n
     (conftest) selecting DISJOINT slices whose union is the full

@@ -8,6 +8,7 @@ import pytest
 from taxi_aws_data_pipeline_spark.plans import CATALOG
 
 from .oracle_utils import compare_frames, duckdb_connection
+from .plan_invariants import check_plan_invariants
 
 SQL_BACKED = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
 ROWS_ONLY = sorted(n for n, s in CATALOG.items() if s.oracle is None)
@@ -23,7 +24,14 @@ def oracle(sf_dir):
 @pytest.mark.parametrize("name", SQL_BACKED)
 def test_query_matches_oracle(spark, sf_dir, oracle, name):
     spec = CATALOG[name]
-    got = spec.spark(spark, sf_dir).toPandas()
+    df = spec.spark(spark, sf_dir)
+    # catalog-wide physical invariants ride along for free: the plan is
+    # built here anyway (tests/plan_invariants.py — no CartesianProduct
+    # ever; BroadcastNestedLoopJoin only with a boundedness argument)
+    check_plan_invariants(
+        name, df._jdf.queryExecution().executedPlan().toString()
+    )
+    got = df.toPandas()
     want = oracle.execute(spec.oracle).fetchdf()
     res = compare_frames(got, want)
     assert res.ok, f"{name}: {res.detail}"
