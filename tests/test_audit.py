@@ -759,6 +759,30 @@ def test_pull_forward_entries_are_registered():
     assert not missing, f"PULL_FORWARD names not in CATALOG: {missing}"
 
 
+def test_zero_python_udf_rule():
+    """SURVEY §2.10: the engine ships ZERO row-at-a-time Python UDFs —
+    every parity-surface expression is a native pyspark.sql.function
+    (JVM-side, codegen-able). Python crosses the boundary only as
+    Arrow-batched mapInPandas / applyInPandas(WithState), which this
+    guard deliberately permits. Bans F.udf / @udf / @pandas_udf /
+    spark.udf.register so the rule survives future contributors."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "taxi_aws_data_pipeline_spark"
+    )
+    pat = re.compile(
+        r"\bF\.udf\s*\(|@\s*udf\b|\bpandas_udf\b|\budf\.register\s*\("
+    )
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
+
+
 def test_bnlj_allowlist_names_are_registered():
     """Every sanctioned nested-loop entry in tests/plan_invariants.py
     must be a live catalog name — a typo or a renamed entry would leave
