@@ -59,12 +59,20 @@ def list_files(
 
     from .ingest import _fs_for
 
-    fs, P, _ = _fs_for(spark, directory)
     has_scheme = "://" in directory
-    if not fs.exists(P(directory)):
+    # resolve schemeless RELATIVE inputs against the Python cwd (the
+    # pre-r6 os.listdir contract) — the Hadoop FileSystem would resolve
+    # them against the driver JVM's working directory instead
+    lookup = (
+        directory
+        if has_scheme or os.path.isabs(directory)
+        else os.path.abspath(directory)
+    )
+    fs, P, _ = _fs_for(spark, lookup)
+    if not fs.exists(P(lookup)):
         raise FileNotFoundError(directory)
     rows = []
-    for st in fs.listStatus(P(directory)):
+    for st in fs.listStatus(P(lookup)):
         p = st.getPath()
         entry = p.getName()
         if st.isFile() and entry.endswith(suffix):

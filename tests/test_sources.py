@@ -27,6 +27,36 @@ def test_listing_filter_and_schema(spark, tmp_path):
     assert all(r.size > 0 for r in rows)
 
 
+def test_listing_path_form_and_missing_dir_contract(spark, tmp_path, monkeypatch):
+    """The r7 listing contract (ADVICE r6): schemeless inputs keep the
+    plain normpath'd dir/name form (relative stays relative — manifests
+    key on these strings), URI inputs keep a URI, and a missing
+    directory raises FileNotFoundError rather than a raw py4j error."""
+    import pytest
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    d = tmp_path / "landing"
+    d.mkdir()
+    _touch(str(d / "a.parquet"), base)
+
+    # absolute schemeless: absolute dir/name, normpath-stable
+    abs_rows = sources.list_files(spark, f"{d}//.").collect()
+    assert abs_rows[0].path == str(d / "a.parquet")
+
+    # relative schemeless: stays relative (resolved against cwd)
+    monkeypatch.chdir(tmp_path)
+    rel_rows = sources.list_files(spark, "landing").collect()
+    assert rel_rows[0].path == os.path.join("landing", "a.parquet")
+
+    # URI-schemed: stays a URI so downstream reads hit the right store
+    uri_rows = sources.list_files(spark, f"file://{d}").collect()
+    assert uri_rows[0].path.startswith("file:/")
+    assert uri_rows[0].path.endswith("/a.parquet")
+
+    with pytest.raises(FileNotFoundError):
+        sources.list_files(spark, str(tmp_path / "nope"))
+
+
 def test_watermark_bounding(spark, tmp_path):
     base = datetime(2024, 1, 1, 12, 0, 0)
     for i in range(4):
