@@ -474,11 +474,22 @@ def test_driver_window_discipline():
         verified |= set(json.loads(f.read_text()))
     backlog = [n for n in CATALOG if n not in verified]
     if backlog:
-        repins = [n for n in window if n in verified]
-        assert not repins, (
+        # every still-unverified entry must outrank any re-pin: the
+        # window's FIRST len(backlog) slots are exactly the backlog
+        # (in priority order), and only the remaining fill may re-pin
+        # already-verified entries (the transition round's shape once
+        # the backlog shrinks below a full window)
+        head = window[: len(backlog)] if len(backlog) <= 50 else window
+        early_repins = [n for n in head if n in verified]
+        assert not early_repins, (
             f"{len(backlog)} entries still lack driver evidence but the "
-            f"window re-pins already-verified ones: {repins}"
+            f"window re-pins already-verified ones ahead of them: "
+            f"{early_repins}"
         )
+        if len(backlog) <= 50:
+            assert set(head) == set(backlog), (
+                "window head must drain the entire remaining backlog"
+            )
 
 
 def test_unpartitioned_windows_have_bounded_inputs():
