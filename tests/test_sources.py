@@ -56,6 +56,10 @@ def test_listing_path_form_and_missing_dir_contract(spark, tmp_path, monkeypatch
     with pytest.raises(FileNotFoundError):
         sources.list_files(spark, str(tmp_path / "nope"))
 
+    # mtimes are millisecond-granular (Hadoop getModificationTime) —
+    # the documented contract callers must truncate watermarks to
+    assert all(r.mtime.microsecond % 1000 == 0 for r in abs_rows)
+
 
 def test_watermark_bounding(spark, tmp_path):
     base = datetime(2024, 1, 1, 12, 0, 0)
