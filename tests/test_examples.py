@@ -38,6 +38,42 @@ def _run(landing, out, manifest):
     )
 
 
+def test_continuous_ingest_example_end_to_end(tmp_path):
+    """The checkpoint-backed hourly twin: first run drains the landing
+    dir through the pipeline exactly once; the re-run is a checkpoint
+    no-op (no manifest anywhere)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_fixture_files(str(landing))
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_GRAFT_DRIVER_MEM="4g")
+
+    def run():
+        return subprocess.run(
+            [
+                sys.executable,
+                str(ROOT / "examples" / "continuous_ingest.py"),
+                "--input-dir", str(landing),
+                "--output-dir", str(out),
+                "--checkpoint", str(ckpt),
+            ],
+            capture_output=True, text=True, timeout=300, env=env, cwd=ROOT,
+        )
+
+    first = run()
+    assert first.returncode == 0, first.stderr[-2000:]
+    assert "batch 0 ->" in first.stdout
+    fact_parts = list(
+        out.glob("processed/taxi/*/pickup_year=*/pickup_month=*/*.parquet")
+    )
+    assert fact_parts, "partitioned fact table missing"
+
+    second = run()
+    assert second.returncode == 0, second.stderr[-2000:]
+    assert "no new files" in second.stdout
+
+
 def test_cron_submit_script_parses_and_is_executable():
     script = ROOT / "examples" / "cron_submit.sh"
     assert os.access(script, os.X_OK), "cron_submit.sh must be executable"
