@@ -305,6 +305,25 @@ def prefix_filtered_jaccard_pairs(
     suffix and never generate candidates. Verification then ships full
     shingle arrays only for surviving candidate pairs.
 
+    Two further provably-complete prunes run INSIDE the prefix join
+    (the PPJoin refinements of the same AllPairs family), added after
+    an r7 profile showed verification dominating at 1600x candidate
+    overshoot (409k candidates for 256 true pairs at sf0.1):
+
+    * size filter — J >= t forces min(|A|,|B|) >= ceil(t*max(|A|,|B|)),
+      so pairs whose set sizes differ by more than 1/t never qualify;
+    * positional filter — both docs' shingles follow the SAME global
+      order, so a pair's common shingles form aligned ascending runs;
+      at a match on positions (i, j) the remaining possible overlap is
+      1 + min(|A|-i, |B|-j), and a qualifying pair needs
+      |A∩B| >= ceil(t*(|A|+|B|)/(1+t)). The pair's FIRST common shingle
+      always satisfies that bound when J >= t (every common shingle
+      sits at-or-after it on both sides), so keeping pairs where ANY
+      prefix match passes loses nothing.
+
+    Together: 3.3x fewer candidates, 2.6x faster verification at sf0.1,
+    byte-identical result set (A/B in BASELINE.md round 7).
+
     Scale posture: two shuffles ((shingle) for df-ranking + the prefix
     self-join) and one window sort per doc; the quadratic term is
     sum over prefix shingles of df_prefix^2 — bounded by construction
@@ -338,14 +357,28 @@ def prefix_filtered_jaccard_pairs(
         sh.join(dfreq, "s")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n_sh") - alpha + 1)
-        .select("doc", "s")
+        .select("doc", "s", "pos", "n_sh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    # PPJoin prunes (docstring): size filter + first-match positional
+    # bound, both epsilon-nudged DOWN (can only keep more, never drop a
+    # qualifying pair — the same safe direction as alpha above)
+    size_ok = F.least(na, nb) >= F.ceil(
+        F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (na + nb) - F.lit(1e-9)
+    )
+    pos_ok = (
+        1 + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
+    ) >= min_overlap
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
         )
+        .filter(size_ok & pos_ok)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
