@@ -175,6 +175,14 @@ BENCH_QUERIES = (
     "x225_item_item_cosine",
     "x208_textrank_keywords",
     "s9_streaming_hourly_replay",
+    # round-7 window tier's heavy members: graph link prediction
+    # (oriented neighbor self-join), personalized PageRank (seeded
+    # integer power iteration), modularity (LP + broadcast label join,
+    # single-pass linear rollup), and the SCD2 temporal as-of fact join
+    "x166_common_neighbor_link_prediction",
+    "x194_personalized_pagerank",
+    "x180_modularity_score",
+    "x197_fact_scd2_asof_join",
 )
 
 

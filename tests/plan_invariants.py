@@ -84,6 +84,11 @@ BNLJ_SANCTIONED: dict[str, str] = {
             "x244_cluster_weighted_sample",
             "x248_ivf_cell_balance",
             "x249_dedup_savings_profile",
+            # BNLJ appearance is SF-dependent (broadcast thresholds see
+            # different stats per scale): a17's scalar attach surfaces
+            # at sizes the sf0.001 sweep didn't, per test_plans' older
+            # per-entry list — keep the union
+            "a17_rfm_segmentation",
         ),
         _SCALAR,
     ),

@@ -804,6 +804,17 @@ def test_bnlj_allowlist_names_are_registered():
     missing = [n for n in BNLJ_SANCTIONED if n not in CATALOG]
     assert not missing, f"sanctioned BNLJ names not in CATALOG: {missing}"
 
+    # plan_invariants is the SINGLE membership source; test_plans' finer
+    # kind lists (scalar-attach vs small-broadcast) must stay subsets
+    from . import test_plans as TP
+
+    fine = TP._BNLJ_SCALAR_ATTACH | TP._BNLJ_SMALL_BROADCAST
+    drift = sorted(fine - set(BNLJ_SANCTIONED))
+    assert not drift, (
+        f"test_plans kind lists name entries missing from "
+        f"plan_invariants.BNLJ_SANCTIONED: {drift}"
+    )
+
 
 def test_shard_selection_partitions_the_suite():
     """tools/parallel_suite.sh relies on SPARK_GRAFT_SHARD=i/n

@@ -855,15 +855,13 @@ def test_no_unsanctioned_nested_loop_joins(spark, sf_dir, name):
         .executedPlan()
         .toString()
     )
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+    # membership lives in ONE place (tests/plan_invariants.py, shared
+    # with the parity-sweep hook); the kind-specific assertions below
+    # keep this module's finer scalar-attach vs small-broadcast split
+    from .plan_invariants import check_plan_invariants
+
+    check_plan_invariants(name, plan)
     has_bnlj = "BroadcastNestedLoopJoin" in plan
-    sanctioned = name in _BNLJ_SCALAR_ATTACH or name in _BNLJ_SMALL_BROADCAST
-    if has_bnlj and not sanctioned:
-        raise AssertionError(
-            f"{name} grew an unsanctioned BroadcastNestedLoopJoin — "
-            "either make the join an equi/bucketed one or add the entry "
-            "to the pinned list with its smallness argument"
-        )
     if name in _BNLJ_SCALAR_ATTACH and has_bnlj:
         import re
 
