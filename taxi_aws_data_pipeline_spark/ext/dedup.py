@@ -843,7 +843,12 @@ def write_signature_table(
     prunes whole directories. Appending a new batch's keys after it
     clears dedup keeps the table current (``mode('append')`` on the same
     path) — the signature pass over any document happens exactly once in
-    the corpus's lifetime."""
+    the corpus's lifetime.
+
+    No intra-file ordering contract: band keys are probed by equi-join,
+    never read sequentially, so the V1 partitioned writer's own inserted
+    sort on ``band`` (its required ordering — see BASELINE.md's
+    inserted-sort trap) is harmless here."""
     (
         banded_signature_keys(df, bands, text_col, id_col, n)
         .write.mode("overwrite")

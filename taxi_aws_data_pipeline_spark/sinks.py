@@ -78,6 +78,10 @@ def write_bucketed_table(
     them. Bucket count should put one bucket ≈ one task's worth of data
     (128-512 MB) at the target scale; both join sides must agree on
     (col, n_buckets) for the exchange to be elided.
+
+    Ordering contract is declared via the bucketed writer's own
+    ``sortBy``, which the writer plans itself — no inserted-sort risk
+    (see BASELINE.md's inserted-sort trap for the partitionBy sibling).
     """
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
@@ -108,6 +112,17 @@ def write_training_shards(
     the sort is within-partition. For sources too large for one task,
     pre-split the source label into (source, shard_of(id)) upstream;
     the layout contract is unchanged.
+
+    Inserted-sort trap (VERDICT r7): the partitioned V1 parquet writer
+    REQUIRES each task's rows ordered by the ``partitionBy`` columns; if
+    the explicit sort doesn't lead with them, the planner inserts its
+    own sort on ``source`` ALONE, discarding the (bin_id, id) order.
+    That broke the layout nondeterministically whenever one task held
+    two sources (hash collision / AQE coalescing at low parallelism) —
+    5/8 fresh-JVM failures at local[8], invisible at local[32]. Hence
+    the explicit sort below leads with ``source_col``: it satisfies the
+    writer's required ordering, so no planner sort is inserted and the
+    per-source (bin_id, id) order survives verbatim.
     """
     from .ext.packing import contiguous_pack_bins
 
@@ -119,7 +134,7 @@ def write_training_shards(
     (
         df.join(bins, id_col)
         .repartition(source_col)
-        .sortWithinPartitions("bin_id", id_col)
+        .sortWithinPartitions(source_col, "bin_id", id_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", shard_max_rows)
         .partitionBy(source_col)
