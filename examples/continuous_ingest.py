@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from datetime import datetime, timezone
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,17 +45,26 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark(app_name="taxi-continuous-ingest")
-    stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
     n_batches = 0
 
     def process(df, batch_id: int):
         nonlocal n_batches
         if df.isEmpty():
             return
+        # processing_id derives from batch_id ALONE (ADVICE r7, medium):
+        # after a mid-batch crash, foreachBatch replays the same batch_id
+        # from the checkpoint, and because write_fact_table/write_metrics
+        # use mode('overwrite') on the id-keyed path, the replay lands on
+        # the SAME processed/taxi/batch_<id>/ directory the crashed run
+        # left partial — overwritten atomically, so readers never see
+        # duplicates. A per-process timestamp in the id would break this:
+        # the replay would write a second directory beside the partial
+        # one. batch_id is unique for the lifetime of one checkpoint;
+        # pair each --checkpoint with its own --output-dir.
         result = pipeline.run_batch_df(
             df,
             args.output_dir,
-            processing_id=f"{stamp}_b{batch_id}",
+            processing_id=f"batch_{batch_id:09d}",
             validate_filenames=not args.no_validate_filenames,
         )
         result.unpersist()

@@ -7,8 +7,11 @@
 #   7 6 * * *  /path/to/repo/examples/cron_submit.sh >> /var/log/taxi_daily.log 2>&1
 #
 # (An hourly twin of the reference's `taxi-pipeline-hourly` is the same
-# line with `7 * * * *`.) flock makes overlapping fires a no-op instead
-# of a double-run — cron has no built-in concurrency guard, Prefect did.
+# line with `7 * * * *`.) flock makes overlapping fires a SILENT no-op
+# instead of a double-run — cron has no built-in concurrency guard,
+# Prefect did. The `|| { ...; exit 0; }` on the flock line matters under
+# `set -e` (ADVICE r7): a bare contended `flock -n` exits 1, so cron
+# would record a failure (and may alert) on every overlap.
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 LANDING="${TAXI_LANDING:-file:///data/taxi/landing/latest}"
@@ -24,7 +27,9 @@ trap 'rm -rf "$PKGDIR"' EXIT
 PYZIP="$PKGDIR/taxi_aws_data_pipeline_spark.zip"
 (cd "$REPO" && zip -qr "$PYZIP" taxi_aws_data_pipeline_spark -x '*__pycache__*')
 
-flock -n /tmp/taxi_daily.lock \
+# -E 200: distinct conflict exit code, so a lock collision (→ silent
+# skip) is distinguishable from spark-submit itself failing with 1
+flock -n -E 200 /tmp/taxi_daily.lock \
   spark-submit \
     --master "${SPARK_MASTER:-local[*]}" \
     --deploy-mode client \
@@ -32,4 +37,5 @@ flock -n /tmp/taxi_daily.lock \
     "$REPO/examples/daily_incremental.py" \
     --input-dir "$LANDING" \
     --output-dir "$OUTPUT" \
-    --manifest "$MANIFEST"
+    --manifest "$MANIFEST" \
+  || { rc=$?; if [ "$rc" -eq 200 ]; then echo "previous run still active; skipping"; exit 0; else exit "$rc"; fi; }

@@ -20,9 +20,9 @@ for the s3a committer confs). Schedule it with examples/cron_submit.sh.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
 import sys
-from datetime import datetime, timezone
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -45,13 +45,22 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark(app_name="taxi-daily-incremental")
-    processing_id = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
 
     def process(df, paths):
+        # processing_id keys on the BATCH CONTENT, not the wall clock
+        # (ADVICE r7): if run_batch_df succeeds but append_manifest
+        # fails (or the process dies between them), the re-run sees the
+        # same new-file set, recomputes the same id, and its
+        # mode('overwrite') writes land on the SAME directory — the
+        # retry is idempotent instead of leaving a duplicate fact
+        # directory under a fresh timestamp.
+        batch_key = hashlib.sha256(
+            "\n".join(sorted(paths)).encode("utf-8")
+        ).hexdigest()[:16]
         result = pipeline.run_batch_df(
             df,
             args.output_dir,
-            processing_id=processing_id,
+            processing_id=f"batch_{batch_key}",
             validate_filenames=not args.no_validate_filenames,
         )
         result.unpersist()

@@ -14728,8 +14728,21 @@ def x180_modularity_score(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     # localCheckpoint: materialized once for the eager LP phase AND the
     # lazy rollup below, with lineage truncated so the rollup plan stays
-    # shallow; the ContextCleaner reclaims it when the plan is released
-    e = _cosupply_edges(li).localCheckpoint(eager=True)
+    # shallow; the ContextCleaner reclaims it when the plan is released.
+    # Lineage truncation blinds the parity sweep's plan guard to
+    # everything upstream (ADVICE r7), so the PRE-checkpoint edge plan
+    # is checked here inline before the checkpoint job runs.
+    pre = _cosupply_edges(li)
+    try:  # tests/ is absent in a deployed --py-files zip; guard is CI-only
+        from tests.plan_invariants import check_plan_invariants
+    except ImportError:
+        pass
+    else:
+        check_plan_invariants(
+            "x180_modularity_score (pre-checkpoint edges)",
+            pre._jdf.queryExecution().executedPlan().toString(),
+        )
+    e = pre.localCheckpoint(eager=True)
     labels = G.label_propagation_fixed_rounds(e, rounds=2).select(
         "node", F.col("label").alias("lab")
     )

@@ -47,8 +47,16 @@ def list_files(
     manifest-stable); URI-schemed inputs keep their full URI so
     downstream reads resolve the right store. Manifest keys are these
     path STRINGS — callers feeding a processed-files manifest should
-    pass the same (ideally absolute or URI) directory form every run,
-    since a relative form resolves against the working directory. mtime
+    pass the same (ideally absolute or URI) directory form every run.
+    WARNING — relative inputs and chdir (ADVICE r7): a relative path is
+    resolved against the PYTHON process cwd for the listing itself, but
+    the relative path strings returned here are later resolved by
+    ``spark.read`` against the JVM's LAUNCH-TIME working directory,
+    which never moves. A ``chdir`` after the session starts (e.g.
+    ``monkeypatch.chdir`` in tests) therefore makes an incremental run
+    list one directory and read another. Pass absolute or URI-schemed
+    directories from any code that may change cwd mid-session; the
+    relative form is only safe when the Python cwd never moves. mtime
     is epoch-MILLIS → naive-UTC (Hadoop's getModificationTime
     granularity; the old os.stat path carried microseconds — callers
     comparing against sub-millisecond watermarks must truncate theirs

@@ -127,7 +127,22 @@ BNLJ_SANCTIONED: dict[str, str] = {
 
 def check_plan_invariants(name: str, plan: str) -> None:
     """Raise if `plan` (executedPlan string) violates a catalog-wide
-    physical invariant. Called per entry from the parity sweep."""
+    physical invariant. Called per entry from the parity sweep.
+
+    Known blind spot (ADVICE r7): an entry that ``localCheckpoint``s
+    eagerly at plan-construction time truncates lineage, so this check
+    sees only the post-checkpoint plan — a cross join UPSTREAM of the
+    checkpoint would be invisible. x180 now runs this check on its
+    pre-checkpoint edge plan inline (ext_catalog.py, guarded so a
+    deployed zip without tests/ skips it). The remaining checkpoint
+    sites hold audited shapes: agg/explode edge builds (x84/x91 via
+    ext/graph.py, x123/x131-family self-join anchors), 1-row scalar
+    picks (x179-family), per-round iterative state (ext/dedup.py CC,
+    ext/packing.py), and ANN codebooks (ext/similarity.py) — none joins
+    two unbounded sides upstream. Any NEW localCheckpoint in a catalog
+    entry must either run check_plan_invariants on the PRE-checkpoint
+    plan inline (the x180 pattern) or extend this list with its audited
+    upstream shape."""
     assert "CartesianProduct" not in plan, (
         f"{name}: CartesianProduct in the physical plan — neither side "
         f"broadcastable; a data x data cross join cannot survive scale"
