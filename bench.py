@@ -33,6 +33,48 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 VANILLA = os.environ.get("SPARK_GRAFT_VANILLA") == "1"
 
 
+def cpu_probe() -> float:
+    """Single-core machine-speed probe: seconds for a fixed 20M-iteration
+    integer loop. Recorded in every bench JSON so cross-round per-query
+    comparisons can be read against the box's speed THAT run — round 8
+    measured the same probe oscillating 0.8 s ↔ 2.3 s minute-to-minute
+    on this host (suite totals 218 s and 145 s back-to-back with zero
+    plan changes), which makes an uncalibrated record comparison
+    meaningless on a bad day. Nominal fast-state value on the round-8
+    box: ~0.8 s."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 3)
+
+
+def _burn(_=None) -> float:
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return time.perf_counter() - t0
+
+
+def effective_cores(n: int = 32) -> float:
+    """Host-delivery probe: run ``n`` concurrent single-core loops and
+    report how many cores' worth of throughput the host actually
+    delivered (n * solo_time / wall_time). A local[32] suite's wall
+    time scales with THIS number, not nproc: the round-8 box delivered
+    ~20 of its 32 advertised cores under full fan-out while the
+    single-core probe read normal — parallel stages ran ~1.6× slower
+    with zero plan changes, which only this probe makes visible."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    solo = _burn()
+    with ProcessPoolExecutor(n) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(_burn, range(n)))
+        wall = time.perf_counter() - t0
+    return round(n * solo / wall, 1)
+
+
 def vanilla_spark():
     from pyspark.sql import SparkSession
 
@@ -217,6 +259,7 @@ def main() -> None:
     # times just those entries (record files are NOT touched on subset
     # runs, so BENCH_SWEEP/BENCH_LOCAL always describe full sweeps)
     run_queries = tuple(subset) or BENCH_QUERIES
+    probe_before = cpu_probe()
     timings: dict[str, float] = {}
     for name in run_queries:
         spec = CATALOG[name]
@@ -243,6 +286,13 @@ def main() -> None:
         "queries": timings,
         "reps": reps,
         "sf": float(sf_match.group(1)) if sf_match else None,
+        # machine-speed calibration: fixed single-core loop, seconds,
+        # sampled before and after the suite (~0.8 s fast-state nominal;
+        # see cpu_probe docstring) — read per-query drift against these
+        "cpu_probe": [probe_before, cpu_probe()],
+        # cores the host actually delivered under 32-way fan-out (of
+        # default_parallelism() advertised) — suite wall scales with this
+        "effective_cores": effective_cores(default_parallelism()),
     }
     if subset:
         result["subset"] = sorted(subset)

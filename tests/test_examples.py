@@ -116,3 +116,67 @@ def test_daily_incremental_example_end_to_end(tmp_path):
     assert second.returncode == 0, second.stderr[-2000:]
     assert "no new files" in second.stdout
     assert sorted(str(p) for p in out.rglob("*.parquet")) == before
+
+
+def test_daily_incremental_retry_is_idempotent(tmp_path):
+    """ADVICE r7: if run_batch_df succeeds but append_manifest fails (or
+    the process dies between them), the retry must land on the SAME
+    content-keyed fact directory — not a second one under a fresh
+    timestamp. Simulated by deleting the manifest after a successful
+    run: the retry reprocesses the identical new-file set and must
+    leave exactly one fact directory."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_fixture_files(str(landing))
+    out = tmp_path / "out"
+    manifest = tmp_path / "manifest"
+
+    first = _run(str(landing), out, str(manifest))
+    assert first.returncode == 0, first.stderr[-2000:]
+    dirs_first = sorted(
+        p.name for p in (out / "processed" / "taxi").iterdir()
+        if p.is_dir() and p.name != "latest"
+    )
+    assert len(dirs_first) == 1 and dirs_first[0].startswith("batch_")
+
+    import shutil
+
+    shutil.rmtree(manifest)  # crash between run_batch_df and append_manifest
+    retry = _run(str(landing), out, str(manifest))
+    assert retry.returncode == 0, retry.stderr[-2000:]
+    dirs_retry = sorted(
+        p.name for p in (out / "processed" / "taxi").iterdir()
+        if p.is_dir() and p.name != "latest"
+    )
+    assert dirs_retry == dirs_first, (
+        "retry wrote a duplicate fact directory instead of overwriting "
+        f"the content-keyed one: {dirs_retry}"
+    )
+
+
+def test_continuous_ingest_replay_id_is_checkpoint_stable(tmp_path):
+    """ADVICE r7 (medium): processing_id derives from batch_id alone, so
+    a foreachBatch replay after a crash overwrites the same directory.
+    Pinned at the observable surface: the first batch's output directory
+    is batch_000000000 (no per-process timestamp component)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_fixture_files(str(landing))
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_GRAFT_DRIVER_MEM="4g")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(ROOT / "examples" / "continuous_ingest.py"),
+            "--input-dir", str(landing),
+            "--output-dir", str(out),
+            "--checkpoint", str(ckpt),
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=ROOT,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    dirs = sorted(
+        p.name for p in (out / "processed" / "taxi").iterdir() if p.is_dir()
+    )
+    assert dirs == ["batch_000000000"], dirs
