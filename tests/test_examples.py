@@ -177,6 +177,7 @@ def test_continuous_ingest_replay_id_is_checkpoint_stable(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     dirs = sorted(
-        p.name for p in (out / "processed" / "taxi").iterdir() if p.is_dir()
+        p.name for p in (out / "processed" / "taxi").iterdir()
+        if p.is_dir() and p.name != "latest"
     )
     assert dirs == ["batch_000000000"], dirs
