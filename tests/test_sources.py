@@ -257,3 +257,114 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
     ).parquet(static_path)
     left = spark.read.parquet(static_path)
     assert left.filter(F.col("pickup_month") == 1).count() == 0
+
+
+def test_training_shard_sink_forced_multisource_tasks(spark, tmp_path):
+    """The inserted-sort trap with its precondition pinned: with
+    shuffle.partitions=2 and six sources, every write task holds ≥3
+    sources — the state where the V1 partitioned writer demands
+    partition-column-led ordering and (before the round-8 fix) silently
+    re-sorted on source alone. The hash-collision precondition is forced
+    every run (the 90-row sibling test needs collision luck); the FAILURE
+    under the old code still manifested probabilistically (~1/5 measured)
+    because it also needs an unlucky shuffle-fetch arrival order, which
+    no conf pins — with the fix the layout holds for EVERY arrival
+    order, by construction. Conf is restored after."""
+    from itertools import groupby
+
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark import sinks
+
+    rows = [
+        (i, f"src{i % 6}", f"text number {i} with several words here")
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        path = sinks.write_training_shards(
+            df, str(tmp_path), budget=16, shard_max_rows=10
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    back = spark.read.parquet(path)
+    assert back.count() == 240
+    facts = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("bin_id").alias("lo"),
+            F.max("bin_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert all(r.n <= 10 for r in facts)
+    assert all(r.n_sources == 1 for r in facts)
+    by_file = sorted(
+        ((r.f, r.lo, r.hi) for r in facts),
+        key=lambda t: (t[0].rsplit("/", 1)[0], t[0]),
+    )
+    # name order within a source dir == bin order: consecutive shards'
+    # ranges may only touch at a straddling bin, never invert
+    for _, grp in groupby(by_file, key=lambda t: t[0].rsplit("/", 1)[0]):
+        shards = list(grp)
+        for (fa, loa, hia), (fb, lob, hib) in zip(shards, shards[1:]):
+            assert hia <= lob, (
+                f"bin ranges invert between consecutive shards "
+                f"{fa}({loa}-{hia}) and {fb}({lob}-{hib})"
+            )
+
+
+def test_training_shard_sink_skewed_source(spark, tmp_path):
+    """100 TB posture under source skew: one source holding ~90% of rows
+    must still respect the per-file row bound (maxRecordsPerFile cuts
+    independently of source size) and keep its bin order across the MANY
+    files the hot source splits into — the case where an ordering bug
+    multiplies, since a skewed source is exactly the one a sequential
+    loader streams longest."""
+    from itertools import groupby
+
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark import sinks
+
+    rows = [
+        (i, "hot" if i % 10 else "cold", f"text number {i} some words here")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    path = sinks.write_training_shards(
+        df, str(tmp_path), budget=12, shard_max_rows=25
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    facts = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("bin_id").alias("lo"),
+            F.max("bin_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert all(r.n <= 25 for r in facts), "row bound broken under skew"
+    assert all(r.n_sources == 1 for r in facts)
+    hot_files = [r for r in facts if "source=hot" in r.f]
+    assert len(hot_files) >= 270 // 25, "hot source must split into many files"
+    by_file = sorted(
+        ((r.f, r.lo, r.hi) for r in facts),
+        key=lambda t: (t[0].rsplit("/", 1)[0], t[0]),
+    )
+    for _, grp in groupby(by_file, key=lambda t: t[0].rsplit("/", 1)[0]):
+        shards = list(grp)
+        for (fa, loa, hia), (fb, lob, hib) in zip(shards, shards[1:]):
+            assert hia <= lob, (
+                f"bin ranges invert between {fa}({loa}-{hia}) "
+                f"and {fb}({lob}-{hib})"
+            )
