@@ -75,7 +75,7 @@ def contiguous_pack_bins(
     budget: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
-    partition_col: str = "source",
+    partition_col: str | tuple = "source",
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget training bin by
     contiguous packing: within each ``partition_col`` group, lay documents
@@ -83,24 +83,33 @@ def contiguous_pack_bins(
     ``budget``-sized bins (bin = floor((cumsative_total - n_words) /
     budget) — i.e. the bin the document STARTS in).
 
+    ``partition_col`` may be a single column name or a tuple of names —
+    a composite pack key is how a source too large for one window
+    partition splits into independently-packed subshards (the
+    ``write_training_shards`` ``n_subshards`` lever).
+
     This is the deterministic, order-based approximation of greedy bin
     packing every large-scale pretraining pipeline uses (exact first-fit
     is sequential; contiguous packing is one window scan and loses only a
-    few percent of fill). Output: (id, partition, n_words, bin_id).
+    few percent of fill). Output: (id, *partition, n_words, bin_id).
     """
-    w = Window.partitionBy(partition_col).orderBy(id_col)
+    cols = (
+        (partition_col,) if isinstance(partition_col, str)
+        else tuple(partition_col)
+    )
+    w = Window.partitionBy(*cols).orderBy(id_col)
     toks = F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
-            F.col(partition_col),
+            *[F.col(c) for c in cols],
             toks.alias("n_words"),
         )
         .withColumn("_end", F.sum("n_words").over(w))
         .select(
             F.col(id_col),
-            F.col(partition_col),
+            *[F.col(c) for c in cols],
             "n_words",
             F.floor((F.col("_end") - F.col("n_words")) / F.lit(budget)).alias(
                 "bin_id"

@@ -97,6 +97,7 @@ def write_training_shards(
     source_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_subshards: int = 1,
 ) -> str:
     """Training-shard writer: the output edge of the curation pipeline.
     Documents get their contiguous-packing bin assignment, are co-located
@@ -108,10 +109,16 @@ def write_training_shards(
 
     At 100 TB: partition column pruning picks sources, ``shard_max_rows``
     (``maxRecordsPerFile``) bounds shard size independently of source
-    skew, and the single repartition on source is the only shuffle —
-    the sort is within-partition. For sources too large for one task,
-    pre-split the source label into (source, shard_of(id)) upstream;
-    the layout contract is unchanged.
+    skew, and the single repartition on the layout key is the only
+    shuffle — the sort is within-partition. For sources too large for
+    one task, set ``n_subshards > 1``: rows split deterministically by
+    ``pmod(xxhash64(id), n)`` into a ``subshard`` layout column, bins
+    are packed per (source, subshard), and the output gains one
+    directory level (``source=X/subshard=K/``) — the name-order
+    contract then holds WITHIN each subshard directory, and a loader
+    streams subshards as independent sequential units (training
+    shuffles across them anyway). One source's write parallelism
+    becomes n_subshards tasks instead of one.
 
     Inserted-sort trap (VERDICT r7): the partitioned V1 parquet writer
     REQUIRES each task's rows ordered by the ``partitionBy`` columns; if
@@ -124,20 +131,30 @@ def write_training_shards(
     writer's required ordering, so no planner sort is inserted and the
     per-source (bin_id, id) order survives verbatim.
     """
+    from pyspark.sql import functions as F
+
     from .ext.packing import contiguous_pack_bins
 
+    if n_subshards > 1:
+        df = df.withColumn(
+            "subshard",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_subshards)).cast("int"),
+        )
+        layout_cols = (source_col, "subshard")
+    else:
+        layout_cols = (source_col,)
     bins = contiguous_pack_bins(
         df, budget=budget, text_col=text_col, id_col=id_col,
-        partition_col=source_col,
+        partition_col=layout_cols,
     ).select(id_col, "bin_id")
     path = os.path.join(base_path, "training_shards")
     (
         df.join(bins, id_col)
-        .repartition(source_col)
-        .sortWithinPartitions(source_col, "bin_id", id_col)
+        .repartition(*layout_cols)
+        .sortWithinPartitions(*layout_cols, "bin_id", id_col)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", shard_max_rows)
-        .partitionBy(source_col)
+        .partitionBy(*layout_cols)
         .parquet(path)
     )
     return path

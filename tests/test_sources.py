@@ -368,3 +368,72 @@ def test_training_shard_sink_skewed_source(spark, tmp_path):
                 f"bin ranges invert between {fa}({loa}-{hia}) "
                 f"and {fb}({lob}-{hib})"
             )
+
+
+def test_training_shard_sink_subshards(spark, tmp_path):
+    """The n_subshards scale lever: a source too large for one task
+    splits deterministically by pmod(xxhash64(id), n) into subshard
+    directories, bins pack per (source, subshard), and the name-order
+    layout contract holds within each subshard directory. Also pins
+    determinism: the subshard assignment derives from the id alone, so
+    two writes of the same data produce identical directory contents."""
+    from itertools import groupby
+
+    from pyspark.sql import functions as F
+
+    from taxi_aws_data_pipeline_spark import sinks
+
+    rows = [
+        (i, "hot" if i % 10 else "cold", f"text number {i} some words here")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    path = sinks.write_training_shards(
+        df, str(tmp_path), budget=12, shard_max_rows=20, n_subshards=4
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert set(back.columns) == {"doc_id", "source", "text", "bin_id", "subshard"}
+    # subshard derives from the id alone and is stable
+    sub = {r.doc_id: r.subshard for r in back.select("doc_id", "subshard").collect()}
+    expect = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("s"),
+        ).collect()
+    }
+    assert sub == expect
+    assert set(sub.values()) == {0, 1, 2, 3}
+    # bins pack per (source, subshard): nondecreasing in id order, start at 0
+    groups = {}
+    for r in back.select("source", "subshard", "doc_id", "bin_id").collect():
+        groups.setdefault((r.source, r.subshard), []).append((r.doc_id, r.bin_id))
+    for key, docs in groups.items():
+        docs.sort()
+        bins = [b for _, b in docs]
+        assert bins[0] == 0, key
+        assert all(a <= b for a, b in zip(bins, bins[1:])), key
+    # per-file: row bound, single (source, subshard), name-order bin layout
+    facts = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("source", "subshard").alias("n_keys"),
+            F.min("bin_id").alias("lo"),
+            F.max("bin_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert all(r.n <= 20 for r in facts)
+    assert all(r.n_keys == 1 for r in facts)
+    by_file = sorted(
+        ((r.f, r.lo, r.hi) for r in facts),
+        key=lambda t: (t[0].rsplit("/", 1)[0], t[0]),
+    )
+    for d, grp in groupby(by_file, key=lambda t: t[0].rsplit("/", 1)[0]):
+        assert "/subshard=" in d
+        shards = list(grp)
+        for (fa, loa, hia), (fb, lob, hib) in zip(shards, shards[1:]):
+            assert hia <= lob, (fa, hia, fb, lob)
