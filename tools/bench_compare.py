@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Compare a bench sweep against the committed per-query records,
+machine-calibrated.
+
+Usage: python tools/bench_compare.py [SWEEP.json] [RECORD.json]
+(defaults: BENCH_SWEEP.json vs BENCH_LOCAL.json at the repo root).
+
+Why this exists (round 8): two back-to-back full sweeps with zero plan
+changes measured 218 s and 145 s against an 88.7 s record, with
+DIFFERENT queries "drifting" in each — the box's single-core speed was
+oscillating 0.8↔2.3 s on a fixed probe loop and delivering ~19 of 32
+cores under fan-out. Raw ratios against records are meaningless on such
+a box. bench.py now embeds `cpu_probe` (single-core seconds, [before,
+after]) and `effective_cores` in every sweep; this tool reads both
+sides' probes and reports per-query ratios BOTH raw and divided by the
+host-speed ratio, flagging only queries whose calibrated ratio exceeds
+the threshold (default 1.5, env BENCH_DRIFT_THRESHOLD).
+
+A record file without probes (pre-round-8) is assumed to be fast-state
+(probe 0.8 s / full cores) — conservative: it never hides drift, it
+only excuses uniform host slowness.
+
+The host ratio is (probe_sweep/probe_record) x (cores_record/
+cores_sweep): suite wall ~ work / (cores x speed). Validated on the
+round-8 runs — delivered cores 32 -> 19.1 predicts 1.67x, the observed
+plan-unchanged suite ratio was 1.64x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+FAST_STATE_PROBE = 0.8  # round-8 box, fast state, seconds
+
+
+def probe_of(rec: dict) -> float:
+    p = rec.get("cpu_probe")
+    if isinstance(p, list) and p:
+        return sum(p) / len(p)
+    return FAST_STATE_PROBE
+
+
+def cores_of(rec: dict) -> float:
+    return float(rec.get("effective_cores") or 32.0)
+
+
+def main() -> int:
+    sweep_path = sys.argv[1] if len(sys.argv) > 1 else ROOT / "BENCH_SWEEP.json"
+    record_path = sys.argv[2] if len(sys.argv) > 2 else ROOT / "BENCH_LOCAL.json"
+    sweep = json.loads(pathlib.Path(sweep_path).read_text())
+    record = json.loads(pathlib.Path(record_path).read_text())
+    threshold = float(os.environ.get("BENCH_DRIFT_THRESHOLD", "1.5"))
+
+    host_ratio = (probe_of(sweep) / probe_of(record)) * (
+        cores_of(record) / cores_of(sweep)
+    )
+    print(
+        f"host speed: sweep probe {probe_of(sweep):.2f}s / "
+        f"{cores_of(sweep):.0f} cores vs record "
+        f"{probe_of(record):.2f}s / {cores_of(record):.0f} cores "
+        f"-> host ratio {host_ratio:.2f}x"
+    )
+    flagged = []
+    for name, sec in sweep.get("queries", {}).items():
+        rec_sec = record.get("queries", {}).get(name)
+        if not rec_sec or rec_sec < 0.15:
+            continue  # sub-150ms records are scheduling noise
+        raw = sec / rec_sec
+        calibrated = raw / host_ratio
+        if calibrated > threshold:
+            flagged.append((calibrated, raw, name, rec_sec, sec))
+    for cal, raw, name, rec_sec, sec in sorted(flagged, reverse=True):
+        print(
+            f"DRIFT {name}: {rec_sec:.2f}s -> {sec:.2f}s "
+            f"(raw {raw:.2f}x, calibrated {cal:.2f}x)"
+        )
+    total_s = sweep.get("value")
+    total_r = record.get("value")
+    if total_s and total_r:
+        print(
+            f"suite: {total_r:.1f}s -> {total_s:.1f}s "
+            f"(raw {total_s / total_r:.2f}x, calibrated "
+            f"{total_s / total_r / host_ratio:.2f}x)"
+        )
+    print(f"{len(flagged)} queries over calibrated {threshold}x")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
