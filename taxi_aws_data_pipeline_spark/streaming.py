@@ -225,13 +225,31 @@ def incremental_batch(
 ) -> list[str]:
     """One manifest-gated batch run: list → anti-join manifest →
     process → append manifest. Returns the processed paths (empty list ≡
-    the reference's watermark-advance-on-empty no-op, dp:347-351)."""
+    the reference's watermark-advance-on-empty no-op, dp:347-351).
+
+    Relative listing paths stay relative as MANIFEST KEYS (the
+    list_files path-form contract) but are absolutized for the actual
+    read: ``spark.read`` resolves schemeless relative paths against the
+    JVM's launch-time working directory, which does not follow a Python
+    ``chdir`` — without the absolutization, a chdir between session
+    start and this call would list one directory and read another
+    (ADVICE r7; the list_files docstring documents the hazard)."""
+    import os
+    import re
+
     listing = list_files(spark, input_dir, suffix=suffix)
     todo = anti_join_processed(listing, read_manifest(spark, manifest_path))
     paths = [r.path for r in todo.select("path").collect()]
     if not paths:
         return []
-    df = spark.read.schema(TRIP_READ_SCHEMA).parquet(*paths)
+    # URI detection must accept Hadoop's single-slash rendering
+    # (Path.toString() gives file:/tmp/..., not file:///tmp/...)
+    has_scheme = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:").match
+    read_paths = [
+        p if has_scheme(p) or os.path.isabs(p) else os.path.abspath(p)
+        for p in paths
+    ]
+    df = spark.read.schema(TRIP_READ_SCHEMA).parquet(*read_paths)
     process_fn(df, paths)
     append_manifest(spark, manifest_path, todo)
     return paths

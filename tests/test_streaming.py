@@ -4,6 +4,8 @@ checkpoint path and the explicit-manifest batch fallback."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -500,3 +502,29 @@ def test_streaming_sliding_windows_match_batch_and_conserve_mass(spark, tmp_path
         assert got[k][1] == pytest.approx(rev, rel=1e-9)
     n_trips = raw.count()
     assert sum(n for n, _ in got.values()) == 4 * n_trips
+
+
+def test_manifest_batch_relative_input_survives_chdir(spark, tmp_path, monkeypatch):
+    """ADVICE r7: a RELATIVE input dir listed after a post-launch chdir
+    must still be READ correctly — the Python-side listing follows the
+    process cwd, but spark.read resolves relative paths against the
+    JVM's launch-time cwd, so incremental_batch absolutizes the read
+    paths while keeping the relative strings as manifest keys."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    _land(src, 2024, 1, seed=1)
+    manifest = str(tmp_path / "manifest")
+    monkeypatch.chdir(tmp_path)  # after session start
+
+    rows_seen: list[int] = []
+
+    def process(df, paths):
+        rows_seen.append(df.count())
+
+    first = streaming.incremental_batch(spark, "raw", manifest, process)
+    assert len(first) == 1
+    # manifest key keeps the relative form the caller listed with
+    assert first[0] == os.path.join("raw", os.path.basename(first[0]))
+    assert rows_seen and rows_seen[0] > 0
+    # idempotent rerun from the same cwd
+    assert streaming.incremental_batch(spark, "raw", manifest, process) == []
