@@ -225,6 +225,12 @@ BENCH_QUERIES = (
     "x194_personalized_pagerank",
     "x180_modularity_score",
     "x197_fact_scd2_asof_join",
+    # round-8 window tier's heavy members: the one-pass IVF nprobe
+    # sweep (brute truth + shared cell assignment) and community
+    # purity (the 2-round LP machinery + contingency rollup); the
+    # rest of the x226-x249 tier is sub-second report shapes at sf0.1
+    "x246_ivf_nprobe_recall_sweep",
+    "x233_community_purity",
 )
 
 

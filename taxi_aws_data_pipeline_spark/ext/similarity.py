@@ -303,6 +303,47 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The deterministic coarse quantizer shared by the IVF family:
+    centroids are the ``n_centroids`` lowest-id corpus vectors (no RNG,
+    reproducible plans); a k-means refinement would drop in without
+    changing any query shape. Bounded collect — n_centroids rows."""
+    return [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    ]
+
+
+def ivf_nearest_cells(
+    centroids: list[tuple[int, list[float]]], vec: Column, n: int
+) -> Column:
+    """Array of the ``n`` closest centroid ids by cosine (descending;
+    ties broken by HIGHER cell id, matching the oracles' ``cell DESC``).
+    The query vector's own norm is constant across cells, so ranking by
+    dot/|centroid| is cosine-equivalent at a third of the cost."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    dot(vec, F.array(*[F.lit(x) for x in cvec]))
+                    / F.lit(math.sqrt(sum(x * x for x in cvec)))
+                ).alias("sim"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("cell")
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -313,23 +354,15 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: assign every vector
-    to its nearest coarse centroid, then scan only the probe's ``nprobe``
-    closest cells.
+    to its nearest coarse centroid (:func:`ivf_centroids`), then scan
+    only the probe's ``nprobe`` closest cells.
 
-    The quantizer is deterministic — centroids are the ``n_centroids``
-    lowest-id corpus vectors (no RNG, reproducible plans); a k-means
-    refinement would drop in without changing the query shape. At 100 TB
-    the corpus is hash-partitioned by ``cell`` (one shuffle at build
-    time), probes broadcast, and each probe touches nprobe/n_centroids of
-    the data. Same output shape as :func:`brute_force_topk`.
+    At 100 TB the corpus is hash-partitioned by ``cell`` (one shuffle at
+    build time), probes broadcast, and each probe touches
+    nprobe/n_centroids of the data. Same output shape as
+    :func:`brute_force_topk`.
     """
-    centroids = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
-    ]
+    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     if not centroids:
         # empty corpus: no quantizer exists — return a correctly-typed
         # empty result instead of an unresolvable zero-width array plan
@@ -346,22 +379,7 @@ def ivf_topk(
         )
 
     def nearest_cells(vec: Column, n: int) -> Column:
-        """Array of the n closest centroid ids by cosine (descending).
-        The query vector's own norm is constant across cells, so ranking
-        by dot/|centroid| is cosine-equivalent at a third of the cost."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        dot(vec, F.array(*[F.lit(x) for x in cvec]))
-                        / F.lit(math.sqrt(sum(x * x for x in cvec)))
-                    ).alias("sim"),
-                    F.lit(cid).alias("cell"),
-                )
-                for cid, cvec in centroids
-            ]
-        )
-        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("cell")
+        return ivf_nearest_cells(centroids, vec, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
