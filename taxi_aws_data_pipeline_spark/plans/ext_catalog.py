@@ -14532,8 +14532,13 @@ def x178_kcore_peeling(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("l_quantity") >= 45.0)
         .select("l_orderkey", "l_suppkey")
     )
-    e = _cosupply_edges(li)
-    for _ in range(3):
+    # materialize the co-supply self-join ONCE (x180's edge pattern;
+    # r8 fix): without this, each round's eager `keep` action replays
+    # the whole chain from the base scan — the self-join ran 4x (3
+    # rounds + final agg). _cosupply_edges is the audited agg+explode
+    # shape (tests/plan_invariants.py checkpoint list).
+    e = _cosupply_edges(li).localCheckpoint(eager=True)
+    for r in range(3):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         # eager checkpoint (x84's per-round pattern): `keep` feeds TWO
         # semi-joins, so an unchecked lineage re-embeds this round's
@@ -14549,6 +14554,13 @@ def x178_kcore_peeling(spark: SparkSession, sf: str) -> DataFrame:
         e = e.join(keep, "src", "semi").join(
             keep.select(F.col("src").alias("dst")), "dst", "semi"
         )
+        # per-round edge materialization (the dedup-CC iterative
+        # pattern): the next round's degree count reads a stored,
+        # SHRINKING edge list instead of replaying prior rounds' semi-
+        # joins; the final round stays lazy — the closing agg is its
+        # only consumer
+        if r < 2:
+            e = e.localCheckpoint(eager=True)
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
