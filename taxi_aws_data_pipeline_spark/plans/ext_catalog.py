@@ -20973,11 +20973,20 @@ _GREEDY_MIX_ORACLE = f"""
 )
 def x234_greedy_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
-    state = docs.groupBy("source").agg(
-        F.sum(
-            F.when(F.col("lang") == "en", F.col("n_chars")).otherwise(0)
-        ).alias("q"),
-        F.lit(0).alias("e"),
+    # source-cardinality state, checkpointed eagerly ONCE: without this,
+    # every round's eager 1-row pick ACTION replayed the documents
+    # aggregation from the scan — 5 rounds = 6 scans (the x178 replay
+    # class, r8 audit). The state is |sources| rows, the cheapest thing
+    # in the entry to materialize.
+    state = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("n_chars")).otherwise(0)
+            ).alias("q"),
+            F.lit(0).alias("e"),
+        )
+        .localCheckpoint(eager=True)
     )
     for _ in range(5):
         # eager 1-row checkpoint (x179's pattern): the pick otherwise
@@ -20992,13 +21001,22 @@ def x234_greedy_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("source").alias("picked"))
             .localCheckpoint(eager=True)
         )
-        state = state.crossJoin(F.broadcast(pick)).select(
-            "source",
-            "q",
-            (
-                F.col("e")
-                + F.when(F.col("source") == F.col("picked"), 1).otherwise(0)
-            ).alias("e"),
+        # per-round state checkpoint (source-cardinality — trivial):
+        # keeps every later pick action reading stored rows, never a
+        # replayed chain
+        state = (
+            state.crossJoin(F.broadcast(pick))
+            .select(
+                "source",
+                "q",
+                (
+                    F.col("e")
+                    + F.when(F.col("source") == F.col("picked"), 1).otherwise(
+                        0
+                    )
+                ).alias("e"),
+            )
+            .localCheckpoint(eager=True)
         )
     return state.select(
         "source",
