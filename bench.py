@@ -49,12 +49,25 @@ def cpu_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _burn(_=None) -> float:
+_EFFECTIVE_CORES_SCRIPT = """\
+import sys, time
+from concurrent.futures import ProcessPoolExecutor
+
+def burn(_=None):
     t0 = time.perf_counter()
     s = 0
     for i in range(20_000_000):
         s += i
     return time.perf_counter() - t0
+
+n = int(sys.argv[1])
+solo = burn()
+with ProcessPoolExecutor(n) as ex:
+    t0 = time.perf_counter()
+    list(ex.map(burn, range(n)))
+    wall = time.perf_counter() - t0
+print(round(n * solo / wall, 1))
+"""
 
 
 def effective_cores(n: int = 32) -> float:
@@ -64,15 +77,24 @@ def effective_cores(n: int = 32) -> float:
     time scales with THIS number, not nproc: the round-8 box delivered
     ~20 of its 32 advertised cores under full fan-out while the
     single-core probe read normal — parallel stages ran ~1.6× slower
-    with zero plan changes, which only this probe makes visible."""
-    from concurrent.futures import ProcessPoolExecutor
+    with zero plan changes, which only this probe makes visible.
 
-    solo = _burn()
-    with ProcessPoolExecutor(n) as ex:
-        t0 = time.perf_counter()
-        list(ex.map(_burn, range(n)))
-        wall = time.perf_counter() - t0
-    return round(n * solo / wall, 1)
+    Runs in a freshly spawned interpreter (ADVICE r8): by the time this
+    is sampled the bench process carries live JVM/py4j threads, and a
+    fork-based pool forked from a multithreaded process is deprecated
+    (3.12+) and can intermittently deadlock. The clean child is a
+    single-threaded plain-Python process, so its fork pool is safe and
+    the reading isn't skewed by the parent's JVM."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-c", _EFFECTIVE_CORES_SCRIPT, str(n)],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=600,
+    )
+    return float(out.stdout.strip())
 
 
 def vanilla_spark():
@@ -244,6 +266,11 @@ def main() -> None:
     unknown = [a for a in subset if a not in CATALOG]
     if unknown:
         raise SystemExit(f"unknown bench queries: {unknown}")
+    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "")
+    if order not in ("", "forward", "reverse"):
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ORDER must be forward|reverse, got {order!r}"
+        )
 
     spark = vanilla_spark() if VANILLA else get_spark(app_name="taxi-engine-bench")
     # warm the JVM/session + page cache/parquet footers so query 1 doesn't
@@ -265,6 +292,15 @@ def main() -> None:
     # times just those entries (record files are NOT touched on subset
     # runs, so BENCH_SWEEP/BENCH_LOCAL always describe full sweeps)
     run_queries = tuple(subset) or BENCH_QUERIES
+    # SPARK_GRAFT_BENCH_ORDER=reverse runs the same queries back-to-front:
+    # the position-vs-query discriminator for in-suite drift flags
+    # (VERDICT r8 item 4 — x137/x122/x139/j19/x121 read 1.6-2.7x
+    # calibrated IN-SUITE yet 0.6-1.1x standalone on the same box; if a
+    # forward+reverse pair moves the spikes with POSITION, the cause is
+    # accumulated JVM/page-cache pressure, not those plans). Reversed
+    # runs never overwrite the committed record.
+    if order == "reverse":
+        run_queries = tuple(reversed(run_queries))
     probe_before = cpu_probe()
     timings: dict[str, float] = {}
     for name in run_queries:
@@ -302,6 +338,9 @@ def main() -> None:
     }
     if subset:
         result["subset"] = sorted(subset)
+    if order == "reverse":
+        result["order"] = "reverse"
+        result["metric"] += " (REVERSED order, not a suite record)"
     # The driver captures the TAIL of this process's output; BENCH_r04
     # lost its head because the single JSON line (92 queries) exceeded
     # the capture window, leaving an unparseable fragment (VERDICT r4
@@ -320,7 +359,9 @@ def main() -> None:
     # a driver bench run leaves `git status` clean and BASELINE.md's
     # narrative always points at a committed artifact.
     here = os.path.dirname(os.path.abspath(__file__))
-    if not subset:  # subset runs are throwaway A/Bs, not suite records
+    # subset runs and reversed-order runs are throwaway A/Bs, not suite
+    # records — they must never overwrite BENCH_SWEEP/BENCH_LOCAL
+    if not subset and order != "reverse":
         with open(os.path.join(here, "BENCH_SWEEP.json"), "w") as f:
             json.dump(result, f, indent=2)
         if os.environ.get("SPARK_GRAFT_BENCH_RECORD") == "1":

@@ -7,16 +7,29 @@
 #   7 6 * * *  /path/to/repo/examples/cron_submit.sh >> /var/log/taxi_daily.log 2>&1
 #
 # (An hourly twin of the reference's `taxi-pipeline-hourly` is the same
-# line with `7 * * * *`.) flock makes overlapping fires a SILENT no-op
+# line with `7 * * * *` and its own TAXI_LOCKFILE so the two schedules
+# don't exclude each other.) flock makes overlapping fires a SILENT no-op
 # instead of a double-run — cron has no built-in concurrency guard,
-# Prefect did. The `|| { ...; exit 0; }` on the flock line matters under
-# `set -e` (ADVICE r7): a bare contended `flock -n` exits 1, so cron
-# would record a failure (and may alert) on every overlap.
+# Prefect did.
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 LANDING="${TAXI_LANDING:-file:///data/taxi/landing/latest}"
 OUTPUT="${TAXI_OUTPUT:-file:///data/taxi/warehouse}"
 MANIFEST="${TAXI_MANIFEST:-file:///data/taxi/state/processed_manifest}"
+LOCKFILE="${TAXI_LOCKFILE:-/tmp/taxi_daily.lock}"
+
+# Hold the lock on a script-scoped FD instead of wrapping spark-submit in
+# `flock -E <code>` (ADVICE r8): the -E conflict code shared spark-submit's
+# exit-code space, so a job that itself exited 200 would be misread as lock
+# contention and cron would never alert. With the FD pattern the lock test
+# and the job are separate statements — spark-submit's exit code reaches
+# cron untouched (set -e), and the kernel drops the lock when the script
+# (and any children holding FD 9) exits.
+exec 9>"$LOCKFILE"
+if ! flock -n 9; then
+  echo "previous run still active; skipping"
+  exit 0
+fi
 
 # package the engine as a real zip file — spark-submit copies --py-files
 # by path, so it must be a seekable file, not a process-substitution fifo.
@@ -27,15 +40,11 @@ trap 'rm -rf "$PKGDIR"' EXIT
 PYZIP="$PKGDIR/taxi_aws_data_pipeline_spark.zip"
 (cd "$REPO" && zip -qr "$PYZIP" taxi_aws_data_pipeline_spark -x '*__pycache__*')
 
-# -E 200: distinct conflict exit code, so a lock collision (→ silent
-# skip) is distinguishable from spark-submit itself failing with 1
-flock -n -E 200 /tmp/taxi_daily.lock \
-  spark-submit \
-    --master "${SPARK_MASTER:-local[*]}" \
-    --deploy-mode client \
-    --py-files "$PYZIP" \
-    "$REPO/examples/daily_incremental.py" \
-    --input-dir "$LANDING" \
-    --output-dir "$OUTPUT" \
-    --manifest "$MANIFEST" \
-  || { rc=$?; if [ "$rc" -eq 200 ]; then echo "previous run still active; skipping"; exit 0; else exit "$rc"; fi; }
+spark-submit \
+  --master "${SPARK_MASTER:-local[*]}" \
+  --deploy-mode client \
+  --py-files "$PYZIP" \
+  "$REPO/examples/daily_incremental.py" \
+  --input-dir "$LANDING" \
+  --output-dir "$OUTPUT" \
+  --manifest "$MANIFEST"

@@ -23,6 +23,8 @@ Cross-engine anchors verified empirically (see tests/test_oracle_parity):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -14745,11 +14747,14 @@ def x180_modularity_score(spark: SparkSession, sf: str) -> DataFrame:
     # everything upstream (ADVICE r7), so the PRE-checkpoint edge plan
     # is checked here inline before the checkpoint job runs.
     pre = _cosupply_edges(li)
-    try:  # tests/ is absent in a deployed --py-files zip; guard is CI-only
+    # The inline guard is CI-only and gated on an explicit env flag set
+    # by tests/conftest.py (ADVICE r8): a bare try-import of `tests`
+    # from library code would execute whatever unrelated package happens
+    # to own that name in a deployed environment (or silently disable
+    # the guard via the ImportError catch).
+    if os.environ.get("SPARK_GRAFT_PLAN_GUARD") == "1":
         from tests.plan_invariants import check_plan_invariants
-    except ImportError:
-        pass
-    else:
+
         check_plan_invariants(
             "x180_modularity_score (pre-checkpoint edges)",
             pre._jdf.queryExecution().executedPlan().toString(),
@@ -22328,12 +22333,15 @@ def x246_ivf_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
         # the sweep spine with zero hits instead of an unresolvable
         # zero-width centroid array expression
         spine = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+        # n_truth is necessarily 0 on this branch (empty corpus -> empty
+        # probes -> empty truth), so 0*1e6/n_truth would be 0/0 -> NULL
+        # under the pinned non-ANSI mode (ADVICE r8). Recall over an
+        # empty truth set is vacuously 0 — emit the literal.
         return spine.select(
             F.col("nprobe").cast("long").alias("nprobe"),
             F.lit(0).cast("long").alias("n_hits"),
             F.lit(n_truth).cast("long").alias("n_truth"),
-            (F.lit(0) * 1000000 / F.lit(n_truth)).cast("long")
-            .alias("recall_ppm"),
+            F.lit(0).cast("long").alias("recall_ppm"),
         )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),

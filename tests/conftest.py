@@ -7,6 +7,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# CI-only inline plan guards in library code (x180's pre-checkpoint edge
+# check) are gated on this flag so a deployed job never imports a foreign
+# package that happens to be named `tests` (ADVICE r8). Set here, every
+# pytest run — including the full-catalog parity sweep — exercises them.
+os.environ.setdefault("SPARK_GRAFT_PLAN_GUARD", "1")
+
 from taxi_aws_data_pipeline_spark.session import get_spark  # noqa: E402
 
 TESTDATA_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -649,6 +649,32 @@ def test_next_window_tool_spends_slots_on_backlog():
     assert m3 == "repin"
     assert names[0] not in w3, "freshest re-pin must sort last"
 
+    # stale-evidence promotion (VERDICT r8 item 2): a fix-touched entry
+    # whose latest green predates its REPIN_FIRST round jumps the
+    # re-pin queue ...
+    rf = {names[3]: 3}
+    recs = {1: {n_: g for n_ in names}, 2: {names[0]: g}}
+    w4, m4 = mod.next_window(
+        n=2, records=recs, pull_forward=(), repin_first=rf
+    )
+    assert m4 == "repin" and w4[0] == names[3]
+    # ... drops out once a green at/after the fix round lands ...
+    recs[3] = {names[3]: g}
+    w5, _ = mod.next_window(
+        n=2, records=recs, pull_forward=(), repin_first=rf
+    )
+    assert names[3] not in w5, (
+        "a green at the fix round must expire the promotion"
+    )
+    # ... and a REGRESSED entry retries via the red backlog, never via
+    # the stale list (no double-scheduling)
+    recs_reg = {1: {n_: g for n_ in names}, 2: {names[3]: r}}
+    w6, m6 = mod.next_window(
+        n=3, records=recs_reg, pull_forward=(), repin_first=rf
+    )
+    assert m6 == "drain" and w6[0] == names[3]
+    assert w6.count(names[3]) == 1
+
 
 def test_post_backlog_repin_rotation_is_staged(tmp_path):
     """VERDICT r6 item 5: make the round-9 transition mechanical by
@@ -699,6 +725,14 @@ def test_post_backlog_repin_rotation_is_staged(tmp_path):
             if n in CATALOG and v.get("hash_match") and not v.get("err"):
                 latest_green[n] = r_
     repin_order = sorted(latest_green, key=lambda n: (latest_green[n], order[n]))
+    # stale-evidence promotion (VERDICT r8 item 2): fix-touched entries
+    # whose latest green predates the fix round jump the re-pin queue
+    stale = sorted(
+        (n for n in mod.REPIN_FIRST
+         if n in latest_green and latest_green[n] < mod.REPIN_FIRST[n]),
+        key=order.__getitem__,
+    )
+    repin_order = stale + [n for n in repin_order if n not in set(stale)]
 
     if never:  # transition window: backlog remainder + oldest re-pins
         assert mode_next == "drain"
@@ -768,6 +802,8 @@ def test_pull_forward_entries_are_registered():
     spec.loader.exec_module(mod)
     missing = [n for n in mod.PULL_FORWARD if n not in CATALOG]
     assert not missing, f"PULL_FORWARD names not in CATALOG: {missing}"
+    bad = [n for n in mod.REPIN_FIRST if n not in CATALOG]
+    assert not bad, f"REPIN_FIRST names not in CATALOG: {bad}"
 
 
 def test_zero_python_udf_rule():
@@ -878,3 +914,13 @@ def test_bench_rejects_bad_args_before_spark_starts():
         )
         assert proc.returncode != 0
         assert needle in proc.stderr, proc.stderr[-500:]
+    # a typo'd order lever (the r9 position-vs-query discriminator)
+    # fails fast too, instead of silently running a forward sweep
+    proc = subprocess.run(
+        [sys.executable, str(root / "bench.py")],
+        capture_output=True,
+        timeout=60,
+        env=dict(env, SPARK_GRAFT_BENCH_ORDER="bogus"),
+    )
+    assert proc.returncode != 0
+    assert b"SPARK_GRAFT_BENCH_ORDER" in proc.stderr, proc.stderr[-500:]

@@ -83,6 +83,83 @@ def test_cron_submit_script_parses_and_is_executable():
     assert proc.returncode == 0, proc.stderr
 
 
+def test_cron_submit_lock_and_exit_code_semantics(tmp_path):
+    """ADVICE r8: the old `flock -E 200 spark-submit ...` shared the
+    conflict code with spark-submit's own exit-code space, so a job that
+    exited 200 was misread as lock contention and cron never alerted.
+    The FD-held lock separates the two: run the script against a shimmed
+    spark-submit and pin (a) a job exit code — including 200 — reaches
+    cron untouched, (b) a held lock is a silent exit-0 skip, (c) a
+    normal run succeeds and actually invoked the shim."""
+    shim = tmp_path / "bin"
+    shim.mkdir()
+    calls = tmp_path / "calls.log"
+    fake = shim / "spark-submit"
+    fake.write_text(
+        "#!/usr/bin/env bash\n"
+        f"echo \"$@\" >> {calls}\n"
+        'exit "${FAKE_SPARK_EXIT:-0}"\n'
+    )
+    fake.chmod(0o755)
+    lockfile = tmp_path / "cron.lock"
+    env = dict(
+        os.environ,
+        PATH=f"{shim}:{os.environ['PATH']}",
+        TAXI_LOCKFILE=str(lockfile),
+        TAXI_LANDING=str(tmp_path / "landing"),
+        TAXI_OUTPUT=str(tmp_path / "out"),
+        TAXI_MANIFEST=str(tmp_path / "manifest"),
+    )
+    script = str(ROOT / "examples" / "cron_submit.sh")
+
+    def run(**extra):
+        return subprocess.run(
+            ["bash", script], capture_output=True, text=True,
+            timeout=120, env={**env, **extra},
+        )
+
+    # (c) normal run: exit 0, shim invoked with the configured args
+    ok = run()
+    assert ok.returncode == 0, ok.stderr
+    assert str(tmp_path / "landing") in calls.read_text()
+
+    # (a) job failure codes propagate untouched — 200 especially, the
+    # code the old pattern swallowed as "lock contention, exit 0"
+    for code in (1, 200):
+        failed = run(FAKE_SPARK_EXIT=str(code))
+        assert failed.returncode == code, (
+            f"spark-submit exit {code} must reach cron, got "
+            f"{failed.returncode}: {failed.stdout} {failed.stderr}"
+        )
+        assert "skipping" not in failed.stdout
+
+    # (b) contended lock: silent skip, exit 0, spark-submit NOT run
+    holder = subprocess.Popen(["flock", str(lockfile), "sleep", "30"])
+    try:
+        # wait until the holder actually owns the lock
+        import time
+
+        for _ in range(100):
+            probe = subprocess.run(
+                ["flock", "-n", str(lockfile), "true"], timeout=10
+            )
+            if probe.returncode != 0:
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("background flock never acquired the lock")
+        n_calls = len(calls.read_text().splitlines())
+        skipped = run()
+        assert skipped.returncode == 0, skipped.stderr
+        assert "previous run still active" in skipped.stdout
+        assert len(calls.read_text().splitlines()) == n_calls, (
+            "a lock-contended fire must not reach spark-submit"
+        )
+    finally:
+        holder.kill()
+        holder.wait()
+
+
 def test_daily_incremental_example_end_to_end(tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()

@@ -49,6 +49,20 @@ PULL_FORWARD: tuple[str, ...] = (
     "s11_streaming_dedup_replay",
 )
 
+# Fix-touched entries whose latest driver GREEN predates a plan/sink
+# change (VERDICT r8 item 2): their evidence is stale even though the
+# latest row is green, so the re-pin fill takes them FIRST (registration
+# order among themselves). Each maps to the first round whose green row
+# makes the evidence current again; an entry drops out automatically
+# once it holds a green at or after that round. x246 (also fix-touched)
+# is absent: it is never-windowed, so the drain backlog already owns it.
+REPIN_FIRST: dict[str, int] = {
+    "x82_training_shard_layout": 9,  # r8 shard-sink sort fix (sinks.py:154)
+    "x178_kcore_peeling": 9,  # r8 replay fix: checkpointed self-join base
+    "x180_modularity_score": 9,  # r7 rollup rework + r8 inline plan guard
+    "x234_greedy_mixture_allocation": 9,  # r8 checkpointed greedy state
+}
+
 
 def _is_green(v: dict) -> bool:
     return bool(
@@ -106,12 +120,15 @@ def next_window(
     n: int = 50,
     records: dict[int, dict] | None = None,
     pull_forward: tuple[str, ...] = PULL_FORWARD,
+    repin_first: dict[str, int] | None = None,
 ) -> tuple[list[str], str]:
     """Return (window, mode) where mode is 'drain' or 'repin'.
 
     ``records`` (round -> CORRECTNESS dict) defaults to the committed
     CORRECTNESS_r*.json files; injectable for tests (an explicitly
-    passed empty dict means "no records", not "load from disk")."""
+    passed empty dict means "no records", not "load from disk").
+    ``repin_first`` (entry -> first evidence-current round) defaults to
+    REPIN_FIRST; pass {} to disable stale-evidence promotion."""
     records = records if records is not None else _load_records()
     latest: dict[str, tuple[int, bool]] = {}  # entry -> (round, green?)
     last_green: dict[str, int] = {}  # entry -> latest round with a GREEN row
@@ -134,9 +151,23 @@ def next_window(
     pulled = [nm for nm in pull_forward if nm in never]
     rest = [nm for nm in never if nm not in set(pulled)]
     backlog = red + pulled + rest
-    # re-pin pool: entries whose LATEST row is green, least recent first
+    # re-pin pool: entries whose LATEST row is green, least recent first;
+    # stale-evidence entries (green predates a plan/sink fix) jump the
+    # queue so fix-touched plans regain driver currency in one round
+    repin_first = REPIN_FIRST if repin_first is None else repin_first
     verified = [nm for nm, (_, green) in latest.items() if green]
     repins = sorted(verified, key=lambda x: (last_green[x], order[x]))
+    verified_set = set(verified)  # latest-row-green only: a regressed
+    # entry already retries via the red backlog, never via re-pin
+    stale = sorted(
+        (
+            nm
+            for nm in repin_first
+            if nm in verified_set and last_green[nm] < repin_first[nm]
+        ),
+        key=order.__getitem__,
+    )
+    repins = stale + [nm for nm in repins if nm not in set(stale)]
     if backlog:
         window = backlog[:n]
         if len(window) < n:  # backlog tail + oldest re-pins fill the rest
