@@ -924,3 +924,68 @@ def test_bench_rejects_bad_args_before_spark_starts():
     )
     assert proc.returncode != 0
     assert b"SPARK_GRAFT_BENCH_ORDER" in proc.stderr, proc.stderr[-500:]
+
+
+def test_bench_compare_flags_and_stall_cluster_note(tmp_path):
+    """tools/bench_compare.py is the lens every future round reads its
+    bench numbers through; pin its three behaviors on fabricated
+    records: (a) calibrated flagging divides out the host ratio, (b)
+    >=3 flags at consecutive suite positions print the
+    transient-host-stall note (the r8 signature: five flags at
+    positions 64-68, all clean standalone — BASELINE.md round 9), (c)
+    scattered flags do NOT claim positional clustering."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    tool = str(root / "tools" / "bench_compare.py")
+
+    def run(sweep, record):
+        s, r = tmp_path / "s.json", tmp_path / "r.json"
+        s.write_text(json.dumps(sweep))
+        r.write_text(json.dumps(record))
+        return subprocess.run(
+            [sys.executable, tool, str(s), str(r)],
+            capture_output=True, text=True, timeout=60,
+        )
+
+    record = {
+        "queries": {f"q{i}": 1.0 for i in range(98)}, "value": 98.0,
+        "cpu_probe": [0.8, 0.8], "effective_cores": 32,
+    }
+
+    # (a) a uniformly 2x-slower box with matching probes: zero flags
+    uniform = {
+        "queries": {f"q{i}": 2.0 for i in range(98)}, "value": 196.0,
+        "cpu_probe": [1.6, 1.6], "effective_cores": 32,
+    }
+    out = run(uniform, record)
+    assert out.returncode == 0, out.stdout
+    assert "0 queries over" in out.stdout
+    assert "DRIFT" not in out.stdout
+
+    # (b) five consecutive 3x spikes: flagged AND stall-cluster note
+    stall = {
+        "queries": {f"q{i}": (3.0 if 60 <= i <= 64 else 1.0)
+                    for i in range(98)},
+        "value": 108.0, "cpu_probe": [0.8, 0.8], "effective_cores": 32,
+    }
+    out = run(stall, record)
+    assert out.returncode == 1
+    assert out.stdout.count("DRIFT") == 5
+    assert "positionally clustered" in out.stdout
+    assert "re-measure flagged queries standalone" in out.stdout
+
+    # (c) five scattered 3x spikes: flagged, but no clustering claim
+    scattered = {
+        "queries": {f"q{i}": (3.0 if i in (3, 25, 50, 75, 95) else 1.0)
+                    for i in range(98)},
+        "value": 108.0, "cpu_probe": [0.8, 0.8], "effective_cores": 32,
+    }
+    out = run(scattered, record)
+    assert out.returncode == 1
+    assert out.stdout.count("DRIFT") == 5
+    assert "positionally clustered" not in out.stdout
+    assert "re-measure flagged queries standalone" in out.stdout
