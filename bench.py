@@ -253,6 +253,10 @@ BENCH_QUERIES = (
     # rest of the x226-x249 tier is sub-second report shapes at sf0.1
     "x246_ivf_nprobe_recall_sweep",
     "x233_community_purity",
+    # round-9 addition: the r8 replay fix checkpointed x234's greedy
+    # state (VERDICT r8 item 3 wants a post-fix record); it was the one
+    # fix-touched heavy entry with no bench coverage at all
+    "x234_greedy_mixture_allocation",
 )
 
 
