@@ -53,6 +53,17 @@ def main() -> int:
     record_path = sys.argv[2] if len(sys.argv) > 2 else ROOT / "BENCH_LOCAL.json"
     sweep = json.loads(pathlib.Path(sweep_path).read_text())
     record = json.loads(pathlib.Path(record_path).read_text())
+    # the driver's BENCH_r<N>.json is a wrapper {n, rc, cpus, sf, tail,
+    # parsed} around the bench result; comparing the wrapper directly
+    # found no queries/probes and reported a vacuous all-clear (round 9)
+    sweep = sweep.get("parsed", sweep)
+    record = record.get("parsed", record)
+    for side, rec, path in (("sweep", sweep, sweep_path),
+                            ("record", record, record_path)):
+        if not rec.get("queries"):
+            print(f"WARNING: {side} {path} has no per-query timings — "
+                  "comparison is vacuous (tail-trimmed capture? pass "
+                  "BENCH_SWEEP.json or a full record instead)")
     threshold = float(os.environ.get("BENCH_DRIFT_THRESHOLD", "1.5"))
 
     host_ratio = (probe_of(sweep) / probe_of(record)) * (
