@@ -70,7 +70,7 @@ print(round(n * solo / wall, 1))
 """
 
 
-def effective_cores(n: int = 32) -> float:
+def effective_cores(n: int = 32) -> float | None:
     """Host-delivery probe: run ``n`` concurrent single-core loops and
     report how many cores' worth of throughput the host actually
     delivered (n * solo_time / wall_time). A local[32] suite's wall
@@ -84,17 +84,29 @@ def effective_cores(n: int = 32) -> float:
     fork-based pool forked from a multithreaded process is deprecated
     (3.12+) and can intermittently deadlock. The clean child is a
     single-threaded plain-Python process, so its fork pool is safe and
-    the reading isn't skewed by the parent's JVM."""
+    the reading isn't skewed by the parent's JVM.
+
+    Returns None (recorded as JSON null) if the probe child fails or
+    stalls (ADVICE r9): this samples AFTER a sweep that can run ~2h, and
+    a raised CalledProcessError/TimeoutExpired here would discard the
+    entire sweep's results before the JSON line prints — most likely on
+    exactly the degraded box the probe exists to characterize.
+    bench_compare already defaults a missing/null value to 32.0."""
     import subprocess
 
-    out = subprocess.run(
-        [sys.executable, "-c", _EFFECTIVE_CORES_SCRIPT, str(n)],
-        capture_output=True,
-        text=True,
-        check=True,
-        timeout=600,
-    )
-    return float(out.stdout.strip())
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _EFFECTIVE_CORES_SCRIPT, str(n)],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=600,
+        )
+        return float(out.stdout.strip())
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            ValueError) as exc:
+        print(f"# effective_cores probe failed: {exc!r}", file=sys.stderr)
+        return None
 
 
 def vanilla_spark():
@@ -307,7 +319,26 @@ def main() -> None:
         run_queries = tuple(reversed(run_queries))
     probe_before = cpu_probe()
     timings: dict[str, float] = {}
-    for name in run_queries:
+    # Per-rep raw samples (VERDICT r9 item 2): the median alone cannot
+    # distinguish one straggler rep (host stall — weather) from a
+    # uniformly slow plan (regression) without re-running; with the rep
+    # vector recorded, ONE sweep answers it, and bench_compare
+    # calibrates on the per-query MIN (the host's best delivery for
+    # that plan, least contaminated by transient stalls).
+    reps_sec: dict[str, list[float]] = {}
+    # Mid-suite host-state timestamps (VERDICT r9 item 7): on a box whose
+    # speed swings minute-to-minute, one before/after probe pair cannot
+    # say what state the host was in when a FLAGGED query ran. A ~1 s
+    # re-probe every PROBE_EVERY queries (~5 probes on the 99-query
+    # suite) timestamps the host along the sweep; bench_compare
+    # annotates each drift flag with the nearest reading.
+    probe_every = max(
+        1, int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "20"))
+    )
+    mid_probes: list[list[float]] = []  # [query_index, probe_sec]
+    for i, name in enumerate(run_queries):
+        if i and i % probe_every == 0:
+            mid_probes.append([i, cpu_probe()])
         spec = CATALOG[name]
         samples = []
         for _ in range(reps):
@@ -317,6 +348,7 @@ def main() -> None:
             ).save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        reps_sec[name] = [round(s, 3) for s in samples]
 
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     # subset A/B runs get a distinct metric label + explicit subset list
@@ -330,12 +362,15 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "reps_sec": reps_sec,
         "reps": reps,
         "sf": float(sf_match.group(1)) if sf_match else None,
         # machine-speed calibration: fixed single-core loop, seconds,
         # sampled before and after the suite (~0.8 s fast-state nominal;
         # see cpu_probe docstring) — read per-query drift against these
         "cpu_probe": [probe_before, cpu_probe()],
+        # in-flight host-state samples: [run-order query index, probe s]
+        "mid_probes": mid_probes,
         # cores the host actually delivered under 32-way fan-out (of
         # default_parallelism() advertised) — suite wall scales with this
         "effective_cores": effective_cores(default_parallelism()),
@@ -377,13 +412,22 @@ def main() -> None:
     tail_budget = 1800
     if len(line) > tail_budget:
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-        trimmed = dict(result, queries={}, n_queries=len(timings))
+        trimmed = dict(
+            result, queries={}, reps_sec={}, n_queries=len(timings)
+        )
         if not subset:
             # subset runs never write BENCH_SWEEP.json, so the pointer
             # would name a stale file (ADVICE r6) — full sweeps only
             trimmed["queries_full_in"] = "BENCH_SWEEP.json"
         for name, sec in slowest:
-            candidate = dict(trimmed, queries={**trimmed["queries"], name: sec})
+            # the rep vector rides along with its query so the driver's
+            # trimmed capture stays self-consistent (median + raw reps
+            # for the same slowest-N set)
+            candidate = dict(
+                trimmed,
+                queries={**trimmed["queries"], name: sec},
+                reps_sec={**trimmed["reps_sec"], name: reps_sec[name]},
+            )
             cline = json.dumps(candidate, separators=(",", ":"))
             if len(cline) > tail_budget:
                 break

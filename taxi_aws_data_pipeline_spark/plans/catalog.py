@@ -1339,9 +1339,13 @@ def k2_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def within(approx: Column, exact: Column, tol: float) -> Column:
-        return (
+        # vacuously TRUE when either side is NULL (empty input — both
+        # sketch and exact are NULL, so the accuracy contract holds by
+        # vacuity, matching the oracle's literal TRUEs; round 10)
+        return F.coalesce(
             F.abs(approx.cast("double") - exact.cast("double"))
-            <= F.lit(tol) * F.abs(exact.cast("double"))
+            <= F.lit(tol) * F.abs(exact.cast("double")),
+            F.lit(True),
         ).alias("w")
 
     return sketched.select(

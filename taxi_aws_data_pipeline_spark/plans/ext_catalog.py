@@ -3164,22 +3164,25 @@ _LSH_RECALL_ORACLE = f"""
                (c.doc_a IS NOT NULL) AS is_cand
         FROM exact e FULL JOIN cand c USING (doc_a, doc_b)
     )
-    SELECT CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+    SELECT CAST(count(*) FILTER (WHERE is_exact) AS BIGINT)
                AS n_true_pairs,
-           CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(count(*) FILTER (WHERE is_cand) AS BIGINT)
                AS n_candidates,
-           CAST(sum(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+           CAST(count(*) FILTER (WHERE is_exact AND is_cand)
                 AS BIGINT) AS n_recalled,
-           CASE WHEN sum(CASE WHEN is_exact THEN 1 ELSE 0 END) > 0 THEN
-               CAST(sum(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+           CASE WHEN count(*) FILTER (WHERE is_exact) > 0 THEN
+               CAST(count(*) FILTER (WHERE is_exact AND is_cand)
                     AS DOUBLE)
-               / sum(CASE WHEN is_exact THEN 1 ELSE 0 END) END AS recall,
-           CASE WHEN sum(CASE WHEN is_cand THEN 1 ELSE 0 END) > 0 THEN
-               CAST(sum(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+               / count(*) FILTER (WHERE is_exact) END AS recall,
+           CASE WHEN count(*) FILTER (WHERE is_cand) > 0 THEN
+               CAST(count(*) FILTER (WHERE is_exact AND is_cand)
                     AS DOUBLE)
-               / sum(CASE WHEN is_cand THEN 1 ELSE 0 END) END AS precision
+               / count(*) FILTER (WHERE is_cand) END AS precision
     FROM j
 """
+# ^ count(*) FILTER, not sum(CASE 1/0): over the EMPTY full-outer join
+# (no documents) sum reads NULL where Spark's count reads 0
+# (empty-input parity, round 10); identical on any non-empty corpus.
 
 
 @register(
@@ -3206,8 +3209,11 @@ def x65_lsh_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     j = exact.join(cand, ["doc_a", "doc_b"], "full_outer")
     n_true = F.count("is_exact")
     n_cand = F.count("is_cand")
-    n_hit = F.sum(
-        F.when((F.col("is_exact") == 1) & (F.col("is_cand") == 1), 1).otherwise(0)
+    # count(when), not sum(when/otherwise 0): sum over the empty outer
+    # join is NULL where the oracle's count(*) FILTER reads 0
+    # (empty-input parity, round 10); identical on non-empty input
+    n_hit = F.count(
+        F.when((F.col("is_exact") == 1) & (F.col("is_cand") == 1), 1)
     )
     return j.agg(
         n_true.alias("n_true_pairs"),
@@ -9949,14 +9955,22 @@ def a15_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     d2 = d.withColumn("dmax", F.max("diff").over(Window.partitionBy()))
-    return d2.agg(
-        F.first("n1").cast("long").alias("n1"),
-        F.first("n2").cast("long").alias("n2"),
+    # n1/n2/d_den come from the always-one-row global count frame, not
+    # first() over the per-value frame: on an EMPTY corpus the oracle's
+    # scalar subqueries still read n1 = n2 = 0 while first() over zero
+    # rows is NULL (empty-input parity, round 10)
+    ks = d2.agg(
         F.max("diff").cast("long").alias("d_num"),
-        (F.first("n1") * F.first("n2")).cast("long").alias("d_den"),
         F.min(F.when(F.col("diff") == F.col("dmax"), F.col("v")))
         .cast("long")
         .alias("d_at_value"),
+    )
+    return ks.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "d_num",
+        (F.col("n1") * F.col("n2")).cast("long").alias("d_den"),
+        "d_at_value",
     )
 
 
@@ -11336,9 +11350,12 @@ def a19_runs_test(spark: SparkSession, sf: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
+    # count(when), not sum(when/otherwise 0): on an EMPTY series the
+    # oracle's count(*) FILTER reads 0 while sum over zero rows is NULL
+    # (empty-input parity, round 10); identical on any non-empty input
     agg = flips.agg(
-        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0)).alias("np"),
-        F.sum(F.when(F.col("sg") == -1, 1).otherwise(0)).alias("nm"),
+        F.count(F.when(F.col("sg") == 1, 1)).alias("np"),
+        F.count(F.when(F.col("sg") == -1, 1)).alias("nm"),
         F.sum("new_run").alias("n_runs"),
     )
     n = F.col("np") + F.col("nm")
@@ -15879,17 +15896,22 @@ def a26_quantile_treatment_effects(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("percentile(cents, 0.5)").alias("q50"),
         F.expr("percentile(cents, 0.75)").alias("q75"),
     )
-    a_0 = q.filter(F.col("arm") == 0).select(
-        F.col("q25").alias("a25"),
-        F.col("q50").alias("a50"),
-        F.col("q75").alias("a75"),
+    # one global conditional agg, not two filters + a crossJoin: the
+    # global aggregate always emits ONE row (NULL quantiles when an arm
+    # is absent), so the 3-row spine survives an empty or one-armed
+    # corpus exactly like the oracle's scalar subqueries (empty-input
+    # parity, round 10); identical values whenever both arms exist
+    wide = q.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(c))).alias(out)
+            for arm, pre in ((0, "a"), (1, "b"))
+            for c, out in (
+                ("q25", f"{pre}25"),
+                ("q50", f"{pre}50"),
+                ("q75", f"{pre}75"),
+            )
+        ]
     )
-    a_1 = q.filter(F.col("arm") == 1).select(
-        F.col("q25").alias("b25"),
-        F.col("q50").alias("b50"),
-        F.col("q75").alias("b75"),
-    )
-    wide = a_1.crossJoin(F.broadcast(a_0))
     return wide.selectExpr(
         "stack(3, 'p25', b25 - a25, 'p50', b50 - a50, "
         "'p75', b75 - a75) AS (p, qte)"
@@ -17565,13 +17587,22 @@ def x206_heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("pct")
         .agg(F.sum("n_new").alias("vocab_size"))
     )
+    # the 10-row grid is the preserved spine: a threshold whose prefix
+    # holds no documents (empty corpus, or n_docs < 10 making some
+    # n_prefix = 0) must still emit its row — the oracle's scalar
+    # subqueries read NULL tokens / 0 vocab there, so the inner joins
+    # become left joins FROM the grid with the (<= 10-row) aggregate
+    # results broadcast (empty-input parity, round 10)
     return (
-        tok_prefix.join(vocab, "pct")
+        grid.join(F.broadcast(tok_prefix), ["pct", "n_prefix"], "left")
+        .join(F.broadcast(vocab), ["pct"], "left")
         .select(
             F.col("pct").cast("long").alias("pct"),
             F.col("n_prefix").cast("long").alias("n_prefix_docs"),
             F.col("tokens_prefix").cast("long").alias("tokens_prefix"),
-            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.coalesce(F.col("vocab_size"), F.lit(0))
+            .cast("long")
+            .alias("vocab_size"),
         )
         .orderBy("pct")
     )
@@ -19711,10 +19742,15 @@ _DELTA_RATIO_ORACLE = """
                      * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
-               / (CAST(sy AS DOUBLE) * sqrt(CAST(n AS DOUBLE) - 1e0))
+               / (CAST(sy AS DOUBLE)
+                  * sqrt(greatest(0e0, CAST(n AS DOUBLE) - 1e0)))
                AS ratio_se
     FROM mo
 """
+# ^ greatest(0, n-1) inside the denominator sqrt: on an EMPTY corpus
+# n = 0 and DuckDB RAISES on sqrt(-1) where Spark's IEEE sqrt yields
+# NaN folded away by the NULL sums (empty-input parity, round 10);
+# for every n >= 1 the guard is the identity.
 
 
 @register(
@@ -22285,7 +22321,8 @@ _IVF_SWEEP_ORACLE = f"""
     SELECT r.nprobe,
            CAST(r.n_hits AS BIGINT) AS n_hits,
            CAST(d.n_truth AS BIGINT) AS n_truth,
-           CAST(r.n_hits * 1000000 // d.n_truth AS BIGINT) AS recall_ppm
+           CAST(coalesce(r.n_hits * 1000000 // nullif(d.n_truth, 0), 0)
+                AS BIGINT) AS recall_ppm
     FROM (SELECT * FROM s1_rec UNION ALL SELECT * FROM s2_rec
           UNION ALL SELECT * FROM s4_rec) r
     CROSS JOIN denom d

@@ -61,7 +61,9 @@ BNLJ_SANCTIONED: dict[str, str] = {
             "x182_pseudonym_collision_audit",
             "x187_discrete_hazard_table",
             "a25_mix_rate_decomposition",
-            "a26_quantile_treatment_effects",
+            # a26 left this list in round 10: its arm pivot became one
+            # global conditional aggregate, so the entry no longer
+            # contains any crossJoin/BNLJ to sanction
             "x189_eb_smoothed_ranking",
             "x190_total_variation_drift",
             "x201_chi2_token_class",

@@ -989,3 +989,39 @@ def test_bench_compare_flags_and_stall_cluster_note(tmp_path):
     assert out.stdout.count("DRIFT") == 5
     assert "positionally clustered" not in out.stdout
     assert "re-measure flagged queries standalone" in out.stdout
+
+    # (d) ADVICE r9: a driver wrapper with "parsed": null (the
+    # BENCH_r04 failed-parse case) must fall back to the wrapper and
+    # hit the vacuous-comparison path — exit 2 (machine-distinguishable
+    # from both clean=0 and drift=1), not an AttributeError traceback
+    out = run({"n": 99, "rc": 0, "tail": "...", "parsed": None}, record)
+    assert out.returncode == 2, (out.stdout, out.stderr)
+    assert "vacuous" in out.stdout
+    assert "Traceback" not in out.stderr
+
+    # (e) VERDICT r9 item 2: when rep vectors are present, calibration
+    # uses the per-query MIN — one straggler rep (median 3.0, min 1.0)
+    # is weather, not a flag; a uniformly slow plan (all reps 3.0)
+    # still flags
+    straggler = {
+        "queries": {**{f"q{i}": 1.0 for i in range(98)}, "q10": 3.0,
+                    "q20": 3.0},
+        "reps_sec": {"q10": [3.0, 1.0, 3.2], "q20": [3.0, 2.9, 3.1]},
+        "value": 102.0, "cpu_probe": [0.8, 0.8], "effective_cores": 32,
+    }
+    out = run(straggler, record)
+    assert out.returncode == 1, out.stdout
+    assert out.stdout.count("DRIFT") == 1
+    assert "DRIFT q20" in out.stdout and "q10" not in out.stdout
+
+    # (f) VERDICT r9 item 7: a flag is annotated with the mid-suite
+    # probe reading nearest its run position, timestamping the host
+    # state the flag landed on
+    probed = {
+        "queries": {f"q{i}": (3.0 if i == 41 else 1.0) for i in range(98)},
+        "mid_probes": [[20, 0.81], [40, 2.1], [60, 0.83]],
+        "value": 100.0, "cpu_probe": [0.8, 0.8], "effective_cores": 32,
+    }
+    out = run(probed, record)
+    assert out.returncode == 1
+    assert "nearest probe 2.10s @pos 40 (query @pos 41)" in out.stdout

@@ -51,13 +51,64 @@ _FIXED_CARDINALITY = {
     # the nprobe sweep always emits its 3-point curve (zero hits on
     # empty input)
     "x246_ivf_nprobe_recall_sweep": 3,
+    # the QTE spine is the fixed 3-quantile readout (NULL effects on
+    # empty input), and the Heaps grid its fixed 10-threshold curve
+    "a26_quantile_treatment_effects": 3,
+    "x206_heaps_vocab_growth": 10,
+}
+
+# Entries whose empty-input DIVERGENCE from the oracle is inherent, with
+# the reason on record (ADVICE r9 surfaced this class via x246's 0/0
+# hole; a catalog-wide scan found exactly these four after the round-10
+# fixes — every other oracle-backed entry hash-matches on empty input):
+#
+# * g1/g2/g3 — Spark emits NO grouping-set rows over empty input where
+#   standard SQL (DuckDB, Postgres) emits the grand-total row of
+#   ROLLUP/CUBE/GROUPING SETS with zero counts. Matching it would need
+#   a second full aggregation pass unioned in for a degenerate case —
+#   the wrong trade at 100 TB, so the engine keeps Spark's semantics
+#   and the divergence is documented instead.
+# * g8 — the DYNAMIC pivot's columns are discovered from the data by
+#   design (that is the entry's whole point); an empty corpus yields
+#   the spine-only schema while the static-SQL oracle must hardcode
+#   the full event-type vocabulary. Schema-on-empty is data-determined,
+#   inherently.
+EMPTY_PARITY_INHERENT = {
+    "g1_rollup_year_priority",
+    "g2_cube_flag_status",
+    "g3_grouping_sets_explicit",
+    "g8_two_phase_dynamic_pivot",
 }
 
 
+@pytest.fixture(scope="module")
+def empty_oracle(empty_sf_dir):
+    from .oracle_utils import duckdb_connection
+
+    con = duckdb_connection(empty_sf_dir)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
-def test_entry_runs_on_empty_tables(spark, empty_sf_dir, name):
-    df = CATALOG[name].spark(spark, empty_sf_dir)
+def test_entry_runs_on_empty_tables(spark, empty_sf_dir, empty_oracle, name):
+    """Every entry must RUN on zero-row tables, and (round 10) its
+    result must MATCH its DuckDB oracle there too — the class of hole
+    ADVICE r9 found in x246 (0/0 -> NULL in one dialect, a literal 0 in
+    the other) is latent in exactly the code paths only degenerate
+    input exercises, so the parity gate now covers them."""
+    spec = CATALOG[name]
+    df = spec.spark(spark, empty_sf_dir)
+    got = df.toPandas()
     # global aggregates (a6, k2, ...) legitimately return ONE row of
-    # nulls/zeros on empty input; everything else must return zero rows
-    assert df.count() <= _FIXED_CARDINALITY.get(name, 1)
+    # nulls/zeros on empty input; fixed-spine reports their spine;
+    # everything else must return zero rows
+    assert len(got) <= _FIXED_CARDINALITY.get(name, 1)
     assert len(df.schema.fields) > 0
+    if spec.oracle is None or name in EMPTY_PARITY_INHERENT:
+        return
+    from .oracle_utils import compare_frames
+
+    want = empty_oracle.execute(spec.oracle).fetchdf()
+    res = compare_frames(got, want)
+    assert res.ok and res.exact, f"{name} (on EMPTY input): {res.detail}"

@@ -763,7 +763,8 @@ _BNLJ_SCALAR_ATTACH = {
     "a17_rfm_segmentation",
     "a18_autocorrelation_lags",
     "a25_mix_rate_decomposition",
-    "a26_quantile_treatment_effects",
+    # a26 left in round 10: the arm pivot became one global conditional
+    # aggregate — no crossJoin remains in its plan
     "a28_winsorized_mean",
     "j9_churned_rich_customers",
     "k5_join_cardinality_estimate",

@@ -4,6 +4,8 @@ machine-calibrated.
 
 Usage: python tools/bench_compare.py [SWEEP.json] [RECORD.json]
 (defaults: BENCH_SWEEP.json vs BENCH_LOCAL.json at the repo root).
+Exit codes: 0 clean, 1 drift flags, 2 vacuous (either side carried no
+per-query timings — machine-distinguishable from a clean comparison).
 
 Why this exists (round 8): two back-to-back full sweeps with zero plan
 changes measured 218 s and 145 s against an 88.7 s record, with
@@ -55,12 +57,18 @@ def main() -> int:
     record = json.loads(pathlib.Path(record_path).read_text())
     # the driver's BENCH_r<N>.json is a wrapper {n, rc, cpus, sf, tail,
     # parsed} around the bench result; comparing the wrapper directly
-    # found no queries/probes and reported a vacuous all-clear (round 9)
-    sweep = sweep.get("parsed", sweep)
-    record = record.get("parsed", record)
+    # found no queries/probes and reported a vacuous all-clear (round 9).
+    # `or` (not a .get default) because a failed-parse wrapper carries
+    # "parsed": null (BENCH_r04) — falling back to the wrapper then hits
+    # the vacuous-comparison warning instead of an AttributeError
+    # (ADVICE r9).
+    sweep = sweep.get("parsed") or sweep
+    record = record.get("parsed") or record
+    vacuous = False
     for side, rec, path in (("sweep", sweep, sweep_path),
                             ("record", record, record_path)):
         if not rec.get("queries"):
+            vacuous = True
             print(f"WARNING: {side} {path} has no per-query timings — "
                   "comparison is vacuous (tail-trimmed capture? pass "
                   "BENCH_SWEEP.json or a full record instead)")
@@ -75,19 +83,52 @@ def main() -> int:
         f"{probe_of(record):.2f}s / {cores_of(record):.0f} cores "
         f"-> host ratio {host_ratio:.2f}x"
     )
+    def q_time(rec: dict, name: str, default: float | None) -> float | None:
+        """Per-query comparison time: MIN of the raw rep samples when the
+        record carries them (VERDICT r9 item 2 — the min is the host's
+        best delivery of that plan, least contaminated by one-off
+        stalls; a straggler rep inflates the median but not the min),
+        else the aggregated per-query number (pre-r10 records)."""
+        samples = rec.get("reps_sec", {}).get(name)
+        if isinstance(samples, list) and samples:
+            return min(samples)
+        return default
+
     flagged = []
     for name, sec in sweep.get("queries", {}).items():
-        rec_sec = record.get("queries", {}).get(name)
+        rec_sec = q_time(record, name, record.get("queries", {}).get(name))
+        sec = q_time(sweep, name, sec)
         if not rec_sec or rec_sec < 0.15:
             continue  # sub-150ms records are scheduling noise
         raw = sec / rec_sec
         calibrated = raw / host_ratio
         if calibrated > threshold:
             flagged.append((calibrated, raw, name, rec_sec, sec))
+    # mid-suite probe timeline (bench.py samples cpu_probe every ~20
+    # queries): annotate each flag with the host-state reading nearest
+    # its run position, so a flag landing on a 2.x s-probe window reads
+    # as host weather in ONE sweep (VERDICT r9 item 7)
+    qorder = list(sweep.get("queries", {}))  # insertion = run order
+    timeline = [[0.0, probe_of(sweep)]]
+    timeline += [
+        [float(i), float(p)] for i, p in sweep.get("mid_probes") or []
+    ]
+    if len(qorder) > 1:
+        last = sweep.get("cpu_probe")
+        if isinstance(last, list) and len(last) == 2:
+            timeline.append([float(len(qorder) - 1), float(last[1])])
+
+    def nearest_probe(name: str) -> str:
+        if name not in qorder or not timeline:
+            return ""
+        pos = qorder.index(name)
+        at, p = min(timeline, key=lambda ip: abs(ip[0] - pos))
+        return f", nearest probe {p:.2f}s @pos {int(at)} (query @pos {pos})"
+
     for cal, raw, name, rec_sec, sec in sorted(flagged, reverse=True):
         print(
             f"DRIFT {name}: {rec_sec:.2f}s -> {sec:.2f}s "
-            f"(raw {raw:.2f}x, calibrated {cal:.2f}x)"
+            f"(raw {raw:.2f}x, calibrated {cal:.2f}x{nearest_probe(name)})"
         )
     if flagged:
         # In-suite vs standalone (round 9, BASELINE.md): in-suite flags
@@ -97,7 +138,6 @@ def main() -> int:
         # stall hitting one window of the suite, not five independent
         # plan regressions — and every one read 0.6-1.1x calibrated
         # standalone. Surface that signature when it recurs.
-        qorder = list(sweep.get("queries", {}))  # insertion = run order
         pos = sorted(qorder.index(f[2]) for f in flagged if f[2] in qorder)
         if len(pos) >= 3 and pos[-1] - pos[0] + 1 <= 2 * len(pos):
             print(
@@ -122,6 +162,11 @@ def main() -> int:
             f"{total_s / total_r / host_ratio:.2f}x)"
         )
     print(f"{len(flagged)} queries over calibrated {threshold}x")
+    if vacuous:
+        # distinct exit code: an automated caller checking only the
+        # return code must not read a no-queries comparison as the
+        # all-clear it was built to eliminate (ADVICE r9)
+        return 2
     return 1 if flagged else 0
 
 

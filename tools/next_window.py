@@ -54,13 +54,32 @@ PULL_FORWARD: tuple[str, ...] = (
 # latest row is green, so the re-pin fill takes them FIRST (registration
 # order among themselves). Each maps to the first round whose green row
 # makes the evidence current again; an entry drops out automatically
-# once it holds a green at or after that round. x246 (also fix-touched)
-# is absent: it is never-windowed, so the drain backlog already owns it.
+# once it holds a green at or after that round. The r8-fix cohort
+# (x82/x178/x180/x234 -> 9) re-pinned green in round 9 and has expired
+# out of effect.
 REPIN_FIRST: dict[str, int] = {
     "x82_training_shard_layout": 9,  # r8 shard-sink sort fix (sinks.py:154)
     "x178_kcore_peeling": 9,  # r8 replay fix: checkpointed self-join base
     "x180_modularity_score": 9,  # r7 rollup rework + r8 inline plan guard
     "x234_greedy_mixture_allocation": 9,  # r8 checkpointed greedy state
+    # r9 ADVICE: x246's ORACLE changed (empty-corpus recall_ppm now
+    # coalesce(..//nullif(n_truth,0),0) to match the Spark-side literal
+    # 0) — sf0.01 values are identical, but the parity contract the r9
+    # green attested to is not byte-identical, so re-pin for currency
+    "x246_ivf_nprobe_recall_sweep": 10,
+    # round-10 empty-input parity fixes (the x246 hole generalized: a
+    # catalog-wide scan found 7 more fixable divergences on zero-row
+    # input). Non-empty values are identical by construction, but each
+    # entry's plan or oracle text changed, so their driver evidence
+    # re-pins for currency. tests/test_empty_inputs.py now gates the
+    # whole class.
+    "a15_ks_two_sample": 10,  # n1/n2 via the always-one-row count frame
+    "a19_runs_test": 10,  # count(when) replaces sum(when/otherwise 0)
+    "a26_quantile_treatment_effects": 10,  # one global agg, no crossJoin
+    "a30_delta_method_ratio_se": 10,  # oracle sqrt(greatest(0, n-1))
+    "k2_approx_sketches": 10,  # vacuous-TRUE accuracy flags on NULLs
+    "x206_heaps_vocab_growth": 10,  # grid spine preserved via left joins
+    "x65_lsh_recall_report": 10,  # count FILTER both sides
 }
 
 
