@@ -10444,13 +10444,16 @@ _RFM_ORACLE = """
     "exact integer rank formula ((r-1)*5 DIV n + 1) over a totalized "
     "(metric, custkey) order — x132's trick — rather than ntile, so "
     "boundary assignment is identical in both engines by arithmetic, "
-    "not by shared convention. The three rankings RUN on x87's "
-    "two-phase numbering (range-repartition + per-partition offsets, "
-    "ext/packing.py:global_row_number) over the |custkey| "
-    "pre-aggregate — no unpartitioned row_number window, no "
-    "single-task sort at any scale. Recency scores INVERT (most "
-    "recent = 5) — the direction mistake every first RFM "
-    "implementation makes, pinned here by the oracle.",
+    "not by shared convention. The three rankings run as ONE x87 "
+    "two-phase numbering pass (range-repartition + per-partition "
+    "offsets, ext/packing.py:global_row_number) over the metrics "
+    "stacked to (metric_id, value, custkey) rows of the |custkey| "
+    "pre-aggregate — metric blocks are contiguous in the total order, "
+    "so each within-metric rank is global_index - (metric_id-1)*n by "
+    "arithmetic; no unpartitioned row_number window, no single-task "
+    "sort, and one barrier set instead of three (r10 rework). Recency "
+    "scores INVERT (most recent = 5) — the direction mistake every "
+    "first RFM implementation makes, pinned here by the oracle.",
     oracle=_RFM_ORACLE,
     tags=("analytics", "rfm", "segmentation", "quantiles"),
 )
@@ -10473,18 +10476,51 @@ def a17_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     anchored = per_cust.crossJoin(F.broadcast(scalars)).withColumn(
         "recency_days", F.datediff("anchor", "last_order")
     )
-    # the three global rankings use x87's two-phase numbering
-    # (range-repartition + per-partition offsets) instead of an
-    # unpartitioned row_number window, which would funnel every
-    # customer through ONE task; (metric, o_custkey) is a total order
-    # so the numbering is bit-identical to the single-task form
-    ranked = PK.global_row_number(
-        anchored, ("recency_days", "o_custkey"), out_col="_rn_r"
+    # the three global rankings run as ONE x87 two-phase numbering pass
+    # (range-repartition + per-partition offsets — never an
+    # unpartitioned row_number window funneling every customer through
+    # ONE task) over the metrics STACKED to (metric_id, value, custkey)
+    # rows: metric_id leads the total order, so each metric's block is
+    # contiguous and holds exactly n rows, making the within-metric
+    # rank = global_index - (metric_id - 1) * n by arithmetic. One
+    # range sampling + one count collect + one checkpoint instead of
+    # three of each (VERDICT r9 item 6): a17 was the suite's most
+    # barrier-heavy query — ~10 sequential driver barriers whose fixed
+    # per-job latency dominated wall time (24.5 s min-rep on a degraded
+    # 20-core box vs the 2.8 s record) — and the stack trims it to ~4
+    # jobs while shuffling the same 3n rows of (long, long, long):
+    # 3.2 s min-rep / 4.5 s median standalone after, same box state,
+    # value-exact vs the DuckDB oracle at sf0.01 AND sf0.1.
+    stacked = anchored.select(
+        "o_custkey",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mid).alias("m"),
+                        F.col(c).cast("long").alias("val"),
+                    )
+                    for mid, c in (
+                        (1, "recency_days"),
+                        (2, "freq"),
+                        (3, "monetary_cents"),
+                    )
+                ]
+            )
+        ).alias("s"),
+    ).select("o_custkey", "n", F.col("s.m").alias("m"), F.col("s.val").alias("val"))
+    numbered = PK.global_row_number(
+        stacked, ("m", "val", "o_custkey"), out_col="_gidx"
     )
-    ranked = PK.global_row_number(ranked, ("freq", "o_custkey"), out_col="_rn_f")
-    ranked = PK.global_row_number(
-        ranked, ("monetary_cents", "o_custkey"), out_col="_rn_m"
+    rank_in_block = F.col("_gidx") - (F.col("m") - 1) * F.col("n")
+    ranks = numbered.groupBy("o_custkey").agg(
+        *[
+            F.max(F.when(F.col("m") == mid, rank_in_block)).alias(out)
+            for mid, out in ((1, "_rn_r"), (2, "_rn_f"), (3, "_rn_m"))
+        ]
     )
+    ranked = anchored.join(ranks, "o_custkey")
 
     def quintile(rn_col):
         return (F.col(rn_col) - 1) * 5 / F.col("n")

@@ -80,6 +80,11 @@ REPIN_FIRST: dict[str, int] = {
     "k2_approx_sketches": 10,  # vacuous-TRUE accuracy flags on NULLs
     "x206_heaps_vocab_growth": 10,  # grid spine preserved via left joins
     "x65_lsh_recall_report": 10,  # count FILTER both sides
+    # round-10 perf rework (VERDICT r9 items 1+6): the three RFM
+    # rankings consolidated into ONE stacked global_row_number pass —
+    # value-exact vs the oracle at sf0.01 and sf0.1, but the plan
+    # changed, so driver evidence re-pins
+    "a17_rfm_segmentation": 10,
 }
 
 
