@@ -990,6 +990,21 @@ def test_bench_compare_flags_and_stall_cluster_note(tmp_path):
     assert "positionally clustered" not in out.stdout
     assert "re-measure flagged queries standalone" in out.stdout
 
+    # (c2) TWO stall windows in one sweep (the r10 shape: flags at
+    # positions 19-25 and 67-70, all clean standalone) must surface
+    # the signature PER window — the old single-span test read the
+    # mixed spread as unclustered
+    two_stalls = {
+        "queries": {f"q{i}": (3.0 if i in (20, 21, 22, 67, 68, 70) else 1.0)
+                    for i in range(98)},
+        "value": 110.0, "cpu_probe": [0.8, 0.8], "effective_cores": 32,
+    }
+    out = run(two_stalls, record)
+    assert out.returncode == 1
+    assert out.stdout.count("positionally clustered") == 2
+    assert "positions 20-22" in out.stdout
+    assert "positions 67-70" in out.stdout
+
     # (d) ADVICE r9: a driver wrapper with "parsed": null (the
     # BENCH_r04 failed-parse case) must fall back to the wrapper and
     # hit the vacuous-comparison path — exit 2 (machine-distinguishable
