@@ -5659,15 +5659,23 @@ def x103_quantile_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
     def side(col: str, half: str):
         return F.max(F.when(F.col("half") == half, F.col(col)))
 
-    return qf.groupBy("event_type").agg(
-        side("n", "h1").alias("n_h1"),
-        side("n", "h2").alias("n_h2"),
-        side("p50", "h1").alias("p50_h1"),
-        side("p50", "h2").alias("p50_h2"),
-        side("p95", "h1").alias("p95_h1"),
-        side("p95", "h2").alias("p95_h2"),
-        (side("p50", "h2") - side("p50", "h1")).alias("p50_shift"),
-        (side("p95", "h2") - side("p95", "h1")).alias("p95_shift"),
+    # a drift row needs BOTH slices (the oracle's h1 x h2 inner join):
+    # a type seen in only one half-month has nothing to diff against,
+    # so it drops instead of emitting a NULL-shift row (one-row-input
+    # parity, round 10; vacuous on any corpus spanning both halves)
+    return (
+        qf.groupBy("event_type")
+        .agg(
+            side("n", "h1").alias("n_h1"),
+            side("n", "h2").alias("n_h2"),
+            side("p50", "h1").alias("p50_h1"),
+            side("p50", "h2").alias("p50_h2"),
+            side("p95", "h1").alias("p95_h1"),
+            side("p95", "h2").alias("p95_h2"),
+            (side("p50", "h2") - side("p50", "h1")).alias("p50_shift"),
+            (side("p95", "h2") - side("p95", "h1")).alias("p95_shift"),
+        )
+        .filter(F.col("n_h1").isNotNull() & F.col("n_h2").isNotNull())
     )
 
 
@@ -5720,7 +5728,13 @@ _MANN_KENDALL_ORACLE = """
     tags=("ext", "stats", "trend", "applyInPandas"),
 )
 def x104_mann_kendall_trend(spark: SparkSession, sf: str) -> DataFrame:
-    return ST.mann_kendall_trend(load_table(spark, sf, "events"))
+    # the statistic is undefined below two points (no pairs): the
+    # oracle's pair self-join drops such groups, so the verified entry
+    # filters the library kernel's degenerate n=1 row to match
+    # (one-row-input parity, round 10; vacuous at any real volume)
+    return ST.mann_kendall_trend(load_table(spark, sf, "events")).filter(
+        F.col("n") >= 2
+    )
 
 
 _BITMAP_ROLLUP_ORACLE = """
@@ -22353,7 +22367,12 @@ _IVF_SWEEP_ORACLE = f"""
             FROM bscored
         ) WHERE rank <= 3
     ),{_ivf_sweep_sql(1, 's1_')},{_ivf_sweep_sql(2, 's2_')},{_ivf_sweep_sql(4, 's4_')},
-    denom AS (SELECT count(*) * 3 AS n_truth FROM bprobes)
+    -- the denominator is the ACTUAL truth-set size (|btop|, what the
+    -- Spark side counts), not the nominal probes x 3: a corpus smaller
+    -- than k+1 vectors has fewer true neighbors than the nominal count
+    -- (one-row-input parity, round 10; equal whenever the corpus holds
+    -- more than k vectors)
+    denom AS (SELECT count(*) AS n_truth FROM btop)
     SELECT r.nprobe,
            CAST(r.n_hits AS BIGINT) AS n_hits,
            CAST(d.n_truth AS BIGINT) AS n_truth,
@@ -22458,6 +22477,16 @@ def x246_ivf_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
     # literal sweep spine: a zero-hit nprobe still emits its row (the
     # oracle's per-point aggregates always produce one row each)
     spine = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+    # n_truth is a driver-side int: when the corpus is smaller than k+1
+    # vectors the truth set is empty even though a quantizer exists —
+    # recall over an empty truth set is the vacuous 0, same convention
+    # as the empty-corpus branch and the oracle's nullif/coalesce
+    # (one-row-input parity, round 10)
+    recall = (
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / F.lit(n_truth))
+        if n_truth
+        else F.lit(0)
+    )
     return (
         F.broadcast(spine)
         .join(hits, "nprobe", "left")
@@ -22465,9 +22494,7 @@ def x246_ivf_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
             F.col("nprobe").cast("long").alias("nprobe"),
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
             F.lit(n_truth).cast("long").alias("n_truth"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / F.lit(n_truth))
-            .cast("long")
-            .alias("recall_ppm"),
+            recall.cast("long").alias("recall_ppm"),
         )
     )
 

@@ -90,6 +90,36 @@ def empty_oracle(empty_sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def one_row_sf_dir(tmp_path_factory):
+    """One deterministic row per table — the n=1 corner where n-1
+    divisors, pair joins, self-exclusions, and nominal-vs-actual
+    denominators diverge (a distinct class from empty: aggregates run,
+    but every pairwise structure is still degenerate)."""
+    d = tmp_path_factory.mktemp("one_row_sf")
+    for t in TABLE_NAMES:
+        duckdb.sql(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"ORDER BY 1 LIMIT 1) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def one_row_oracle(one_row_sf_dir):
+    from .oracle_utils import duckdb_connection
+
+    con = duckdb_connection(one_row_sf_dir)
+    yield con
+    con.close()
+
+
+# One-row divergence that is inherent (same reasoning as the empty
+# allowlist): the dynamic pivot discovers one event-type column from a
+# one-event corpus while the static-SQL oracle hardcodes all five.
+ONE_ROW_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_runs_on_empty_tables(spark, empty_sf_dir, empty_oracle, name):
     """Every entry must RUN on zero-row tables, and (round 10) its
@@ -112,3 +142,26 @@ def test_entry_runs_on_empty_tables(spark, empty_sf_dir, empty_oracle, name):
     want = empty_oracle.execute(spec.oracle).fetchdf()
     res = compare_frames(got, want)
     assert res.ok and res.exact, f"{name} (on EMPTY input): {res.detail}"
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_entry_matches_oracle_on_one_row_tables(
+    spark, one_row_sf_dir, one_row_oracle, name
+):
+    """The n=1 leg of the degenerate-input parity gate (round 10): a
+    catalog-wide scan found the empty-input fix wave left three
+    one-row-only holes (x103's single-slice NULL-shift row, x104's
+    undefined n=1 statistic, x246's nominal-vs-actual recall
+    denominator) — different corners than empty input exercises, so
+    both fixtures stay gated."""
+    spec = CATALOG[name]
+    df = spec.spark(spark, one_row_sf_dir)
+    got = df.toPandas()
+    assert len(df.schema.fields) > 0
+    if spec.oracle is None or name in ONE_ROW_PARITY_INHERENT:
+        return
+    from .oracle_utils import compare_frames
+
+    want = one_row_oracle.execute(spec.oracle).fetchdf()
+    res = compare_frames(got, want)
+    assert res.ok and res.exact, f"{name} (on ONE-ROW input): {res.detail}"

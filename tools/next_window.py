@@ -85,6 +85,11 @@ REPIN_FIRST: dict[str, int] = {
     # value-exact vs the oracle at sf0.01 and sf0.1, but the plan
     # changed, so driver evidence re-pins
     "a17_rfm_segmentation": 10,
+    # round-10 one-row-input parity fixes (the n=1 leg of the
+    # degenerate-input gate): both-halves filter / n>=2 filter —
+    # non-degenerate values identical, plans changed, evidence re-pins
+    "x103_quantile_drift_monitor": 10,
+    "x104_mann_kendall_trend": 10,
 }
 
 
