@@ -97,7 +97,13 @@ def brute_force_topk_pandas(
     import numpy as np
     import pandas as pd
 
-    probe_rows = probes.select(id_col, vec_col).collect()
+    # NULL-vector probes are unanswerable and would poison the whole
+    # probe matrix (np.float64 over a None row raises — round-10 NULL
+    # audit); skip them driver-side, same contract as the seeders
+    probe_rows = [
+        r for r in probes.select(id_col, vec_col).collect()
+        if r[1] is not None
+    ]
     probe_ids = np.array([r[0] for r in probe_rows])
     probe_mat = np.array([r[1] for r in probe_rows], dtype=np.float64)
     probe_norms = np.linalg.norm(probe_mat, axis=1)
@@ -312,10 +318,17 @@ def ivf_centroids(
     """The deterministic coarse quantizer shared by the IVF family:
     centroids are the ``n_centroids`` lowest-id corpus vectors (no RNG,
     reproducible plans); a k-means refinement would drop in without
-    changing any query shape. Bounded collect — n_centroids rows."""
+    changing any query shape. Bounded collect — n_centroids rows.
+
+    NULL vectors are excluded from seeding (a production corpus WILL
+    carry rows whose embedding failed upstream; iterating a NULL
+    collected row crashed the driver — round-10 NULL-payload audit).
+    This is a seeding-side filter only: it runs inside this bounded
+    collect query, so callers' returned plans are unchanged."""
     return [
         (int(r[0]), [float(x) for x in r[1]])
         for r in corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(id_col)
         .limit(n_centroids)
         .collect()
@@ -595,8 +608,11 @@ def kmeans_lloyd(
     Returns (assignments (id, cell), centroids, rounds_run).
     """
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).persist()
+    # NULL vectors never seed (seeding-collect-side filter; the float()
+    # loop below crashed the driver on one — round-10 NULL audit)
     sample = (
-        vecs.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        vecs.filter(F.col("v").isNotNull())
+        .orderBy(F.md5(F.col("vid").cast("string")), "vid")
         .limit(max(k, 256))
         .collect()
     )
@@ -664,8 +680,13 @@ def _fixed_rounds_centroids(
     convergence test, so an external engine can replay every step.
     Updates use the fixed-point floor(val*1e6) integer sums (order-free,
     exact at any parallelism); assignment tie-breaks on the lower cell
-    index. Returns the final centroids ([] on an empty input)."""
-    seed_rows = vecs.orderBy("vid").limit(k).collect()
+    index. Returns the final centroids ([] on an empty input).
+
+    NULL vectors never seed (seeding-collect-side filter; crashes the
+    driver otherwise — round-10 NULL-payload audit)."""
+    seed_rows = (
+        vecs.filter(F.col("v").isNotNull()).orderBy("vid").limit(k).collect()
+    )
     if not seed_rows:
         return []
     centroids = [[float(x) for x in r.v] for r in seed_rows]
@@ -809,7 +830,14 @@ def pq_train_fixed(
     constant in data size, so the fusion matters MORE at 100 TB where
     each extra action is a full scan). Per-round collect is
     m x k x sub_dim rows, never data-sized."""
-    first = df.select(F.size(vec_col).alias("d")).first()
+    # the dim probe and the seeds skip NULL vectors (a NULL first row
+    # read size = -1, a NULL seed crashed the float() loop — round-10
+    # NULL-payload audit; bounded seeding-side queries only)
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
     if first is None:
         return []
     dim = int(first.d)
@@ -820,7 +848,9 @@ def pq_train_fixed(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).persist()
-    seed_rows = vecs.orderBy("vid").limit(k).collect()
+    seed_rows = (
+        vecs.filter(F.col("v").isNotNull()).orderBy("vid").limit(k).collect()
+    )
     if not seed_rows:
         vecs.unpersist()
         return [[] for _ in range(m)]
