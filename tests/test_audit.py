@@ -1014,20 +1014,33 @@ def test_bench_compare_flags_and_stall_cluster_note(tmp_path):
     assert "vacuous" in out.stdout
     assert "Traceback" not in out.stderr
 
-    # (e) VERDICT r9 item 2: when rep vectors are present, calibration
-    # uses the per-query MIN — one straggler rep (median 3.0, min 1.0)
-    # is weather, not a flag; a uniformly slow plan (all reps 3.0)
-    # still flags
+    # (e) VERDICT r9 item 2: when rep vectors are present ON BOTH
+    # SIDES, calibration uses the per-query MIN — one straggler rep
+    # (median 3.0, min 1.0) is weather, not a flag; a uniformly slow
+    # plan (all reps 3.0) still flags
+    rec_with_reps = dict(
+        record,
+        reps_sec={"q10": [1.0, 1.0, 1.1], "q20": [1.0, 1.1, 1.0]},
+    )
     straggler = {
         "queries": {**{f"q{i}": 1.0 for i in range(98)}, "q10": 3.0,
                     "q20": 3.0},
         "reps_sec": {"q10": [3.0, 1.0, 3.2], "q20": [3.0, 2.9, 3.1]},
         "value": 102.0, "cpu_probe": [0.8, 0.8], "effective_cores": 32,
     }
-    out = run(straggler, record)
+    out = run(straggler, rec_with_reps)
     assert out.returncode == 1, out.stdout
     assert out.stdout.count("DRIFT") == 1
     assert "DRIFT q20" in out.stdout and "q10" not in out.stdout
+
+    # (e2) ADVICE r10: min-of-reps applies only when BOTH sides carry
+    # rep vectors — sweep-min vs a pre-r10 record's median would
+    # deflate calibrated ratios by the rep spread and mask genuine
+    # drift, so a record WITHOUT reps_sec compares median-vs-median
+    # and the straggler's 3.0 median now flags
+    out = run(straggler, record)
+    assert out.returncode == 1, out.stdout
+    assert "DRIFT q10" in out.stdout and "DRIFT q20" in out.stdout
 
     # (f) VERDICT r9 item 7: a flag is annotated with the mid-suite
     # probe reading nearest its run position, timestamping the host
@@ -1040,3 +1053,48 @@ def test_bench_compare_flags_and_stall_cluster_note(tmp_path):
     out = run(probed, record)
     assert out.returncode == 1
     assert "nearest probe 2.10s @pos 40 (query @pos 41)" in out.stdout
+
+    # (f2) ADVICE r10: the position-0 timeline anchor is the BEFORE
+    # probe of the cpu_probe pair, not the before/after mean — on a
+    # sweep whose host state diverged (0.8 -> 2.4), an early flag must
+    # be annotated with the actual start-of-sweep reading (0.80s), not
+    # a blended 1.60s that never existed
+    diverged = {
+        # the divergent pair also raises host_ratio (mean probe 1.6 vs
+        # 0.8 = 2.0x), so the spike must exceed 2 x threshold to flag
+        "queries": {f"q{i}": (4.0 if i == 1 else 1.0) for i in range(98)},
+        "value": 101.0, "cpu_probe": [0.8, 2.4], "effective_cores": 32,
+    }
+    out = run(diverged, record)
+    assert out.returncode == 1
+    assert "nearest probe 0.80s @pos 0 (query @pos 1)" in out.stdout, (
+        out.stdout
+    )
+
+    # (g) ADVICE r10: a tail-trimmed driver capture stores queries
+    # sorted by descending TIME (not run order) while still carrying
+    # mid_probes — positional probe annotations and cluster notes on
+    # such a capture are actively misleading and must be suppressed
+    trimmed = {
+        "queries": {f"q{i}": 3.0 for i in (70, 71, 72, 73)},
+        "n_queries": 98, "queries_full_in": "BENCH_SWEEP.json",
+        "mid_probes": [[40, 2.1]],
+        "value": 110.0, "cpu_probe": [0.8, 0.8], "effective_cores": 32,
+    }
+    out = run(trimmed, record)
+    assert out.returncode == 1
+    assert out.stdout.count("DRIFT") == 4
+    assert "nearest probe" not in out.stdout
+    assert "positionally clustered" not in out.stdout
+    assert "tail-trimmed capture" in out.stdout
+
+    # (h) ADVICE r10: a missing/null effective_cores silently becomes
+    # the 32.0-core default inside the calibration — the comparison
+    # must say so, since on a degraded box the default understates
+    # host_ratio and inflates every calibrated ratio
+    no_cores = dict(uniform)
+    no_cores.pop("effective_cores")
+    out = run(no_cores, record)
+    assert "no effective_cores probe" in out.stdout
+    out = run(uniform, record)
+    assert "no effective_cores probe" not in out.stdout

@@ -74,6 +74,20 @@ def main() -> int:
                   "BENCH_SWEEP.json or a full record instead)")
     threshold = float(os.environ.get("BENCH_DRIFT_THRESHOLD", "1.5"))
 
+    for side, rec in (("sweep", sweep), ("record", record)):
+        # bench.py's effective_cores returns None on probe failure — most
+        # likely on exactly the degraded box where calibration matters
+        # most. Defaulting silently to 32.0 understates host_ratio and
+        # inflates every calibrated ratio, so say the fallback entered
+        # the calculation (ADVICE r10).
+        if not rec.get("effective_cores"):
+            print(
+                f"WARNING: {side} carries no effective_cores probe — "
+                "calibration uses the 32.0-core DEFAULT (not a measured "
+                "value); calibrated ratios may be inflated on a degraded "
+                "host"
+            )
+
     host_ratio = (probe_of(sweep) / probe_of(record)) * (
         cores_of(record) / cores_of(sweep)
     )
@@ -83,21 +97,26 @@ def main() -> int:
         f"{probe_of(record):.2f}s / {cores_of(record):.0f} cores "
         f"-> host ratio {host_ratio:.2f}x"
     )
-    def q_time(rec: dict, name: str, default: float | None) -> float | None:
-        """Per-query comparison time: MIN of the raw rep samples when the
-        record carries them (VERDICT r9 item 2 — the min is the host's
-        best delivery of that plan, least contaminated by one-off
-        stalls; a straggler rep inflates the median but not the min),
-        else the aggregated per-query number (pre-r10 records)."""
+    def rep_min(rec: dict, name: str) -> float | None:
         samples = rec.get("reps_sec", {}).get(name)
         if isinstance(samples, list) and samples:
             return min(samples)
-        return default
+        return None
 
     flagged = []
     for name, sec in sweep.get("queries", {}).items():
-        rec_sec = q_time(record, name, record.get("queries", {}).get(name))
-        sec = q_time(sweep, name, sec)
+        rec_sec = record.get("queries", {}).get(name)
+        # Compare at the rep MINIMUM only when BOTH sides carry rep
+        # vectors for this query (VERDICT r9 item 2: the min is the
+        # host's best delivery, least contaminated by one-off stalls).
+        # One-sided min — sweep-min vs a pre-r10 record's median, or a
+        # trimmed sweep missing a query's vector — systematically
+        # deflates calibrated ratios by the rep spread and can mask
+        # genuine drift just under the threshold (ADVICE r10), so fall
+        # back to median-vs-median unless both vectors exist.
+        s_min, r_min = rep_min(sweep, name), rep_min(record, name)
+        if s_min is not None and r_min is not None:
+            sec, rec_sec = s_min, r_min
         if not rec_sec or rec_sec < 0.15:
             continue  # sub-150ms records are scheduling noise
         raw = sec / rec_sec
@@ -109,7 +128,34 @@ def main() -> int:
     # its run position, so a flag landing on a 2.x s-probe window reads
     # as host weather in ONE sweep (VERDICT r9 item 7)
     qorder = list(sweep.get("queries", {}))  # insertion = run order
-    timeline = [[0.0, probe_of(sweep)]]
+    # ... but a tail-trimmed driver capture (bench.py tail_budget path)
+    # stores queries sorted by DESCENDING TIME while still carrying
+    # mid_probes — position-based probe annotations on such a capture
+    # would be actively misleading, not merely absent (ADVICE r10).
+    # Trimmed-capture markers: n_queries / queries_full_in, or a queries
+    # dict shorter than the declared run length.
+    n_q = sweep.get("n_queries")
+    sweep_trimmed = bool(sweep.get("queries_full_in")) or (
+        n_q is not None and len(qorder) != n_q
+    )
+    if sweep_trimmed:
+        qorder = []
+        print(
+            "NOTE: sweep is a tail-trimmed capture (queries sorted by "
+            "time, not run order) — positional probe annotations "
+            "suppressed; read BENCH_SWEEP.json for the full record"
+        )
+    # position-0 anchor: the BEFORE probe of the cpu_probe pair, not the
+    # before/after mean — when host state diverged across the sweep
+    # (exactly the drift case), the mean blends away the start-of-sweep
+    # reading (ADVICE r10); mean only when the pair is absent
+    p_pair = sweep.get("cpu_probe")
+    start_p = (
+        float(p_pair[0])
+        if isinstance(p_pair, list) and p_pair
+        else probe_of(sweep)
+    )
+    timeline = [[0.0, start_p]]
     timeline += [
         [float(i), float(p)] for i, p in sweep.get("mid_probes") or []
     ]
