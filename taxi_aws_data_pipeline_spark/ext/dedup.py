@@ -80,6 +80,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased text; documents shorter
     than n words contribute their full text as one shingle.
 
+    NULL text shingles to NULL (round 11, the text-NULL convention): a
+    document with no text has no shingle set, so it participates in no
+    similarity — every downstream ``explode`` emits nothing for it and
+    every set-arithmetic expression over its shingles is NULL, which the
+    threshold filters drop. Without this, ``concat_ws`` swallowed the
+    NULL into the empty-string shingle {""} and every pair of NULL-text
+    documents scored Jaccard 1.0 (the round-10 NULL-payload audit).
+
     The word array is let-bound: referencing the raw ``split`` expression
     inside the gram lambda re-tokenizes the document once PER GRAM
     (O(words²) — measured 3.7 s → 0.35 s on 5k sf0.1 docs), the same
@@ -101,7 +109,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             )
         )
 
-    return bind_once(w, grams)
+    return F.when(text.isNotNull(), bind_once(w, grams))
 
 
 # ---------------------------------------------------------------------------

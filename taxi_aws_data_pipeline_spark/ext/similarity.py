@@ -54,11 +54,18 @@ def brute_force_topk(
     cut is total-ordered and reproducible.
 
     Output: (probe_id, neighbor_id, cos_sim, rank).
+
+    NULL vectors are excluded from BOTH sides (round 11, the engine-wide
+    vector-NULL convention): a row whose embedding failed upstream has
+    no similarity to anything — without the filter it would rank with a
+    NULL cos_sim instead of being absent. The filter is a pushed-down
+    IsNotNull on the scan (free at 100 TB); every vector oracle carries
+    the explicit `WHERE embedding IS NOT NULL` twin.
     """
-    p = probes.select(
+    p = probes.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
     )
     scored = (
@@ -268,15 +275,17 @@ def lsh_topk(
     of the corpus. The corpus side keeps exactly one bucket per vector
     regardless, so the inverted index never grows.
 
-    Same output shape as brute force.
+    Same output shape as brute force. NULL vectors are excluded from
+    both sides (the engine-wide vector-NULL convention — see
+    :func:`brute_force_topk`).
     """
     planes = hyperplanes(n_planes, dim)
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
         signature_bits(F.col(vec_col), planes).alias("cand_bucket"),
     )
-    p = probes.select(
+    p = probes.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         signature_bits(F.col(vec_col), planes).alias("b0"),
@@ -373,8 +382,11 @@ def ivf_topk(
     At 100 TB the corpus is hash-partitioned by ``cell`` (one shuffle at
     build time), probes broadcast, and each probe touches
     nprobe/n_centroids of the data. Same output shape as
-    :func:`brute_force_topk`.
+    :func:`brute_force_topk`. NULL vectors are excluded from both sides
+    (the engine-wide vector-NULL convention).
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    probes = probes.filter(F.col(vec_col).isNotNull())
     centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     if not centroids:
         # empty corpus: no quantizer exists — return a correctly-typed
@@ -425,9 +437,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: only same-
     bucket pairs are scored (high-cosine pairs collide with high
-    probability under sign-bit LSH)."""
+    probability under sign-bit LSH). NULL vectors are excluded (the
+    engine-wide vector-NULL convention)."""
     planes = hyperplanes(n_planes, dim)
-    keyed = df.select(
+    keyed = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),
         signature_bits(F.col(vec_col), planes),
@@ -470,10 +483,14 @@ def semantic_dedup(
     and the final labeling is one left join — no step touches raw vectors
     after the pair stage.
 
-    Output: (id, cluster_id, is_representative) for EVERY input vector.
+    Output: (id, cluster_id, is_representative) for every input vector
+    with a non-NULL embedding — NULL vectors are excluded entirely (the
+    engine-wide vector-NULL convention: a row with no embedding cannot
+    be judged semantically, so it neither pairs nor forms a singleton).
     """
     from .dedup import connected_components
 
+    df = df.filter(F.col(vec_col).isNotNull())
     pairs = embedding_near_dup_pairs(
         df, threshold, n_planes, dim, id_col, vec_col
     )
@@ -1049,9 +1066,10 @@ def knn_graph(
 
     Output: (src_id, dst_id, cos_sim, rank), rank 1..k per src — rows
     exist only for vectors whose bucket holds at least one other vector.
+    NULL vectors are excluded (the engine-wide vector-NULL convention).
     """
     planes = hyperplanes(n_planes, dim)
-    keyed = df.select(
+    keyed = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         signature_bits(F.col(vec_col), planes).alias("bucket"),

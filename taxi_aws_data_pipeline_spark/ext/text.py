@@ -51,7 +51,10 @@ def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scores each language by stopword occurrences; picks the
     lexicographically-first language among the max scorers; all-zero →
-    'und' (undetermined). One projection, no shuffle.
+    'und' (undetermined); NULL text → NULL (round 11, the text-NULL
+    convention: a missing document is unknown input, not an 'und'
+    verdict — without the guard the size(NULL) = -1 sentinel leaked
+    through best <= 0 as 'und'). One projection, no shuffle.
     """
     toks = words(text_col)
     scored = df.withColumn("_toks", toks)
@@ -59,7 +62,9 @@ def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         scored = scored.withColumn(f"_score_{lang}", stopword_hits(F.col("_toks"), sw))
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"_score_{lang}") for lang in langs])
-    pred = F.when(best <= 0, F.lit("und"))
+    pred = F.when(F.col(text_col).isNull(), F.lit(None)).when(
+        best <= 0, F.lit("und")
+    )
     for lang in langs:  # first max wins → lexicographic tie-break
         pred = pred.when(F.col(f"_score_{lang}") == best, F.lit(lang))
     return scored.withColumn("lang_pred", pred).drop(
@@ -69,7 +74,14 @@ def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / uppercase signals + a composite
-    quality score in [0,1] (the usual pre-training heuristics tier)."""
+    quality score in [0,1] (the usual pre-training heuristics tier).
+
+    NULL text → every signal NULL (round 11, the text-NULL convention:
+    without the guard, size(NULL) = -1 leaked a -1 word_count and a
+    negative quality score; both Spark's and DuckDB's least/greatest
+    IGNORE NULL args, so leaving propagation to the expressions gives
+    accident semantics — the guard makes the convention explicit on
+    both sides)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     word_count = F.size(words(text_col))
@@ -85,20 +97,25 @@ def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         length_score * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0)))
         * (1.0 - F.least(upper_ratio * 4.0, F.lit(1.0)))
     )
+    sig = lambda c: F.when(t.isNotNull(), c)  # noqa: E731
     return (
-        df.withColumn("word_count", word_count)
-        .withColumn("punct_ratio", punct_ratio)
-        .withColumn("upper_ratio", upper_ratio)
-        .withColumn("stopword_ratio", stop_ratio)
-        .withColumn("quality_score", quality)
+        df.withColumn("word_count", sig(word_count))
+        .withColumn("punct_ratio", sig(punct_ratio))
+        .withColumn("upper_ratio", sig(upper_ratio))
+        .withColumn("stopword_ratio", sig(stop_ratio))
+        .withColumn("quality_score", sig(quality))
     )
 
 
 def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + BPE-ish regex token count."""
-    return df.withColumn("ws_tokens", F.size(words(text_col))).withColumn(
-        "bpe_tokens", F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN))
-    )
+    """Whitespace token count + BPE-ish regex token count. NULL text →
+    NULL counts (round 11, the text-NULL convention — size(NULL)'s -1
+    sentinel is a Spark legacy artifact, not a token count; regexp_count
+    already propagates NULL natively)."""
+    t = F.col(text_col)
+    return df.withColumn(
+        "ws_tokens", F.when(t.isNotNull(), F.size(words(text_col)))
+    ).withColumn("bpe_tokens", F.regexp_count(t, F.lit(TOKEN_PATTERN)))
 
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -354,7 +371,9 @@ def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Duplicate-line repetition signals (the Gopher/MassiveText-style
     repetition filter): per document, the count of non-empty lines, the
     count of distinct lines, and the duplicate-line fraction
-    ``1 - distinct/total`` (0.0 for empty docs).
+    ``1 - distinct/total`` (0.0 for empty docs; all three NULL for NULL
+    text — round 11, the text-NULL convention: size(NULL)'s -1 sentinel
+    is not a line count).
 
     Pure projection — array ops over split(), no explode, no shuffle —
     so at 100 TB it costs one codegen'd map pass. ``bind_once`` keeps the
@@ -367,11 +386,11 @@ def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     def signals(lines: Column) -> Column:
-        total = F.size(lines)
-        distinct = F.size(F.array_distinct(lines))
+        total = F.when(lines.isNotNull(), F.size(lines))
+        distinct = F.when(lines.isNotNull(), F.size(F.array_distinct(lines)))
         ratio = F.when(
             total > 0, 1.0 - distinct.cast("double") / total
-        ).otherwise(F.lit(0.0))
+        ).when(total == 0, F.lit(0.0))
         return F.struct(
             total.alias("n_lines"),
             distinct.alias("n_distinct_lines"),

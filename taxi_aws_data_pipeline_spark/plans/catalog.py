@@ -1339,14 +1339,18 @@ def k2_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def within(approx: Column, exact: Column, tol: float) -> Column:
-        # vacuously TRUE when either side is NULL (empty input — both
-        # sketch and exact are NULL, so the accuracy contract holds by
-        # vacuity, matching the oracle's literal TRUEs; round 10)
-        return F.coalesce(
+        # Vacuously TRUE only on EMPTY input (n_rows == 0, where both
+        # sketch and exact are NULL and the oracle emits literal TRUEs).
+        # The round-10 coalesce was wider than its own comment: it
+        # blessed ANY one-sided NULL, so a regression making a sketch
+        # return NULL on live data would read as a passing accuracy
+        # flag. Gate on the empty-input condition explicitly so a
+        # one-sided NULL on non-empty input yields NULL and FAILS the
+        # hash against the oracle's TRUE (ADVICE r10).
+        return F.when(F.col("n_rows") == 0, F.lit(True)).otherwise(
             F.abs(approx.cast("double") - exact.cast("double"))
-            <= F.lit(tol) * F.abs(exact.cast("double")),
-            F.lit(True),
-        ).alias("w")
+            <= F.lit(tol) * F.abs(exact.cast("double"))
+        )
 
     return sketched.select(
         "n_rows",
@@ -2031,10 +2035,15 @@ def g6_unpivot_lineitem_measures(spark: SparkSession, sf: str) -> DataFrame:
     "carries its exact p50/p99 (oracle-computable) plus booleans "
     "asserting the percentile_approx sketch landed inside its "
     "documented 1% error — so the driver hash verifies both the exact "
-    "surface and the per-group accuracy contract. At 100 TB this is "
-    "the shape that matters: grouped exact percentiles sort every "
-    "group's values, while the approx sketch stays one constant-memory "
-    "mergeable pass per group.",
+    "surface and the per-group accuracy contract. The accuracy "
+    "assertion applies only to groups with >= 100 rows (vacuous TRUE "
+    "below): percentile_approx returns an actual data point while the "
+    "exact percentile interpolates, so on tiny groups the gap between "
+    "adjacent points — not sketch error — dominates (round-11 "
+    "NULL-payload audit, surfaced by the 5-row fixture). At 100 TB "
+    "this is the shape that matters: grouped exact percentiles sort "
+    "every group's values, while the approx sketch stays one "
+    "constant-memory mergeable pass per group.",
     oracle="""
         SELECT l_returnflag,
                COUNT(*) AS n_rows,
@@ -2064,7 +2073,13 @@ def k4_grouped_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     def within(i: int) -> Column:
         e = F.element_at("exact", i).cast("double")
         a = F.element_at("approx", i).cast("double")
-        return F.abs(a - e) <= F.lit(0.01) * F.abs(e)
+        # min-support gate: below 100 rows the data-point-vs-
+        # interpolation gap dominates, not sketch error (see contract
+        # note in the description); the k2 lesson applies — gate on the
+        # explicit condition, never coalesce a one-sided NULL to TRUE
+        return F.when(F.col("n_rows") < 100, F.lit(True)).otherwise(
+            F.abs(a - e) <= F.lit(0.01) * F.abs(e)
+        )
 
     return g.select(
         "l_returnflag",

@@ -43,9 +43,13 @@ SQL_WORDS = "string_split_regex(lower({t}), '\\s+')"
 
 
 def sql_shingles(t: str, n: int = 3) -> str:
+    # NULL text → NULL shingles (round 11, the text-NULL convention —
+    # exact twin of ext/dedup.word_shingles): without the leading arm,
+    # the ELSE branch wraps NULL into the one-element list [NULL]
     w = SQL_WORDS.format(t=t)
     return (
-        f"CASE WHEN len({w}) >= {n} THEN "
+        f"CASE WHEN {t} IS NULL THEN NULL "
+        f"WHEN len({w}) >= {n} THEN "
         f"list_distinct(list_transform(range(1, len({w}) - {n - 2}), "
         f"i -> array_to_string(({w})[i:i+{n - 1}], ' '))) "
         f"ELSE [array_to_string({w}, ' ')] END"
@@ -191,12 +195,13 @@ _QUALITY_ORACLE = """
                / greatest(length(text), 1)                    AS punct_ratio,
            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
                / greatest(length(text), 1)                    AS upper_ratio,
+           CASE WHEN text IS NULL THEN NULL ELSE
            least(CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) / 50.0, 1.0)
              * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
                             / greatest(length(text), 1) * 4.0, 1.0))
              * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
                             / greatest(length(text), 1) * 4.0, 1.0))
-                                                              AS quality_score
+           END                                                AS quality_score
     FROM documents
 """
 
@@ -470,7 +475,8 @@ def x9_simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
 _COS_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     p AS (
         SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
@@ -527,7 +533,8 @@ _PROBE_BUCKETS = "\n        UNION ALL\n".join(
 
 _LSH_ANN_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     b AS (
         SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
@@ -575,7 +582,8 @@ def x11_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 # reverse(array_sort(struct(sim, cell))) tie order)
 _IVF_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     cent AS (
         SELECT vec_id AS cell, v AS cv,
@@ -635,7 +643,8 @@ def x14_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 _EMB_PAIRS_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     b AS (
         SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
@@ -677,11 +686,13 @@ def x12_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     "should treat this entry as Spark-defined.",
     oracle="""
         SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                        list_transform(string_split(text, ''),
                                       c -> CAST(ascii(c) AS BIGINT))),
-                   (acc, x) -> (acc * 257 + x) % 1000000007) AS rolling_hash
+                   (acc, x) -> (acc * 257 + x) % 1000000007)
+               END AS rolling_hash
         FROM documents
     """,
     tags=("ext", "text"),
@@ -798,7 +809,8 @@ def x18_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id,
                len(lines)                AS n_lines,
                len(list_distinct(lines)) AS n_distinct_lines,
-               CASE WHEN len(lines) > 0
+               CASE WHEN lines IS NULL THEN NULL
+                    WHEN len(lines) > 0
                     THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
                                / len(lines)
                     ELSE 0.0 END         AS dup_line_ratio
@@ -1432,7 +1444,8 @@ def x31_corpus_language_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 _SEMANTIC_DEDUP_ORACLE = f"""
     WITH RECURSIVE c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     b AS (
         SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
@@ -2141,7 +2154,8 @@ _HYBRID_ORACLE = f"""
                     AND a.doc_id < b.doc_id
     ),
     c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     eb AS (
         SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
@@ -2897,7 +2911,8 @@ def x59_next_event_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 _KNN_GRAPH_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     b AS (
         SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM c
@@ -2939,7 +2954,7 @@ _RANK_QUANTILE_ORACLE = """
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rk,
                count(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(max(n) AS BIGINT) AS n,
@@ -2961,14 +2976,17 @@ _RANK_QUANTILE_ORACLE = """
     "shuffle on the group key with O(1) per-row window state, versus "
     "percentile()'s ObjectHashAggregate which buffers every group value "
     "in executor memory (the a1 plan's documented cost). Same one-pass "
-    "group-by recovers both quantiles from conditional aggregates.",
+    "group-by recovers both quantiles from conditional aggregates. NULL "
+    "values are excluded like any SQL aggregate would (round 11 — also "
+    "load-bearing for parity: Spark sorts NULLs first, DuckDB last, so "
+    "an unfiltered rank selection is engine-defined).",
     oracle=_RANK_QUANTILE_ORACLE,
     tags=("ext", "stats", "quantile", "window"),
 )
 def x61_exact_quantiles_by_rank(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf, "events")
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
     ranked = ev.select(
@@ -3630,7 +3648,12 @@ def x70_mixture_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(TX.words("text"))).alias("n_tokens"),
+        # NULL text contributes no tokens, exactly as the oracle's
+        # sum(len(NULL)) is a sum-ignored NULL — withOUT the guard,
+        # size(NULL) = -1 SUBTRACTS a token per missing doc (round 11)
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.size(TX.words("text")))
+        ).alias("n_tokens"),
     )
     tot = per_source.agg(
         F.sum("n_tokens").alias("total_tokens"),
@@ -7989,7 +8012,7 @@ _SQ8_ORACLE = """
                list_max(list_transform(embedding,
                                        x -> abs(CAST(x AS DOUBLE)))) AS scale,
                embedding
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), coded AS (
         SELECT vec_id, scale,
                list_transform(embedding,
@@ -8029,7 +8052,11 @@ _SQ8_ORACLE = """
     tags=("ext", "embedding", "quantization", "compression"),
 )
 def x136_int8_scalar_quantization(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors carry nothing to encode — excluded from the code
+    # store on both sides (engine-wide vector-NULL convention, round 11)
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     xd = lambda x: x.cast("double")  # noqa: E731
     scaled = emb.select(
         "vec_id",
@@ -8795,7 +8822,8 @@ def x141_bloom_filter_membership(spark: SparkSession, sf: str) -> DataFrame:
 
 _RRF_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
         SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
     ), sem AS (
@@ -8870,7 +8898,11 @@ _RRF_ORACLE = f"""
 def x142_reciprocal_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = emb.select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
@@ -12030,7 +12062,8 @@ def _sql_dcg(glist: str) -> str:
 
 _NDCG_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
         SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
     ), semk AS (
@@ -12052,6 +12085,7 @@ _NDCG_ORACLE = f"""
                // (len(p.ps) + len(d.sh) - len(list_intersect(p.ps, d.sh)))
                    AS gain_ppm
         FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+            AND len(list_intersect(p.ps, d.sh)) > 0
     ), sys_lists AS (
         SELECT s.probe_id,
                list(CAST(coalesce(g.gain_ppm, 0) AS DOUBLE)
@@ -12087,7 +12121,8 @@ _NDCG_ORACLE = f"""
     "NDCG@10 ranking evaluation — the retrieval-quality closer for "
     "the similarity tier: the SEMANTIC arm's cosine top-10 per probe "
     "is scored against lexical-overlap ground truth (exact integer "
-    "ppm Jaccard gains), discounted by the pre-baked 1/log2(i+1) "
+    "ppm Jaccard gains over docs sharing >=1 shingle — the inverted-"
+    "index candidate set, on both sides), discounted by the pre-baked 1/log2(i+1) "
     "position constants (the x140 no-libm pattern), and normalized "
     "by the ideal ordering's DCG — measuring how well embedding "
     "search recovers lexically-relevant documents, the cross-modal "
@@ -12105,7 +12140,11 @@ _NDCG_ORACLE = f"""
 def x162_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = emb.select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
@@ -12206,7 +12245,8 @@ def x162_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 _MRR_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
         SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
     ), semk AS (
@@ -12233,6 +12273,7 @@ _MRR_ORACLE = f"""
                            d.doc_id
                    ) AS lrk
             FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+                AND len(list_intersect(p.ps, d.sh)) > 0
         ) WHERE lrk <= 5
     ), hits AS (
         SELECT s.probe_id, s.rnk,
@@ -12258,7 +12299,8 @@ _MRR_ORACLE = f"""
     "x163_mrr_recall_at_k",
     "MRR and recall@k — the INTEGER-surface retrieval metrics beside "
     "x162's NDCG: the lexical top-5 per probe is the relevant set "
-    "(rank-based, tie-broken, no threshold to tune), and the semantic "
+    "(rank-based among docs sharing >=1 shingle — the inverted-index "
+    "candidate set — tie-broken, no score threshold to tune), and the semantic "
     "top-10 is scored by the rank of its first relevant hit "
     "(reciprocal rank as exact ppm = 1e6 DIV rank — no float "
     "division), plus relevant-hit counts at cutoffs 1, 5, 10. Every "
@@ -12274,7 +12316,11 @@ _MRR_ORACLE = f"""
 def x163_mrr_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = emb.select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
@@ -12414,7 +12460,8 @@ def w21_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
 
 _MAP_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
         SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
     ), semk AS (
@@ -12441,6 +12488,7 @@ _MAP_ORACLE = f"""
                            d.doc_id
                    ) AS lrk
             FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+                AND len(list_intersect(p.ps, d.sh)) > 0
         ) WHERE lrk <= 5
     ), hits AS (
         SELECT s.probe_id, s.rnk,
@@ -12468,7 +12516,8 @@ _MAP_ORACLE = f"""
     "eval family (x162 NDCG weights positions, x163 MRR takes the "
     "first hit; AP integrates precision at EVERY relevant hit, the "
     "metric most sensitive to burying a relevant doc mid-list). Same "
-    "rank-based relevant set (lexical top-5) and semantic top-10; "
+    "rank-based relevant set (lexical top-5 among docs sharing >=1 "
+    "shingle) and semantic top-10; "
     "precision-at-hit terms are the TRUNCATING integer form "
     "(hits_so_far * 1e6 DIV rank, summed then DIV n_rel) — documented "
     "as the exact-integer variant of AP, monotone-equivalent to the "
@@ -12482,7 +12531,11 @@ _MAP_ORACLE = f"""
 def x164_map_at_10(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = emb.select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
@@ -13596,7 +13649,8 @@ def x171_video_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
 
 _KENDALL_RANKINGS_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
         SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
     ), semk AS (
@@ -13623,6 +13677,7 @@ _KENDALL_RANKINGS_ORACLE = f"""
                            d.doc_id
                    ) AS lrk
             FROM psh p JOIN dsh d ON d.doc_id <> p.probe_id
+                AND len(list_intersect(p.ps, d.sh)) > 0
         ) WHERE lrk <= 10
     ), common AS (
         SELECT s.probe_id, s.doc_id, s.rnk AS srk, l.lrk
@@ -13645,7 +13700,8 @@ _KENDALL_RANKINGS_ORACLE = f"""
                      // (COALESCE(pa.concordant, 0)
                          + COALESCE(pa.discordant, 0))
                 END AS BIGINT) AS tau_ppm
-    FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 8) s
+    FROM (SELECT vec_id AS probe_id FROM embeddings
+          WHERE vec_id < 8 AND embedding IS NOT NULL) s
     LEFT JOIN (
         SELECT probe_id, count(*) AS n_common FROM common GROUP BY 1
     ) ca ON ca.probe_id = s.probe_id
@@ -13676,7 +13732,11 @@ _KENDALL_RANKINGS_ORACLE = f"""
 def x172_kendall_tau_rankings(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = emb.select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
@@ -15161,7 +15221,8 @@ def _msub(v: str, i: int) -> str:
 
 _MAXSIM_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
         SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 6
     ), scored AS (
@@ -15207,7 +15268,11 @@ _MAXSIM_ORACLE = f"""
 def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = emb.select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dv")
     )
@@ -15327,7 +15392,8 @@ def x184_skipgram_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 _MATRYOSHKA_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
         SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 8
     ), coarse AS (
@@ -15375,7 +15441,11 @@ _MATRYOSHKA_ORACLE = f"""
 def x185_matryoshka_funnel_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = emb.select("vec_id", "embedding")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
@@ -15709,7 +15779,7 @@ def a24_covariate_balance_smd(spark: SparkSession, sf: str) -> DataFrame:
 _KNN_LABEL_ORACLE = f"""
     WITH c AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
         SELECT vec_id AS probe_id, label AS true_label, v AS pv
         FROM c WHERE vec_id < 50
@@ -15762,7 +15832,11 @@ _KNN_LABEL_ORACLE = f"""
 def x188_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     corpus = emb.select("vec_id", "label", "embedding")
     probes = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("probe_id"),
@@ -22330,7 +22404,8 @@ def _ivf_sweep_sql(np_: int, p: str) -> str:
 
 _IVF_SWEEP_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     cent AS (
         SELECT vec_id AS cell, v AS cv,
@@ -22576,7 +22651,8 @@ def x247_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
 
 _IVF_BALANCE_ORACLE = f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     cent AS (
         SELECT vec_id AS cell, v AS cv,
@@ -22630,7 +22706,11 @@ _IVF_BALANCE_ORACLE = f"""
 def x248_ivf_cell_balance(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL vectors are excluded (engine-wide vector-NULL convention,
+    # round 11) — the oracle carries the explicit IS NOT NULL twin
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     c = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).persist()

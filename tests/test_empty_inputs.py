@@ -120,6 +120,68 @@ def one_row_oracle(one_row_sf_dir):
 ONE_ROW_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
 
 
+@pytest.fixture(scope="module")
+def null_payload_sf_dir(tmp_path_factory):
+    """Five rows per table with the payload columns (documents.text,
+    events.value, embeddings.embedding) NULLed on even ids — the
+    round-11 leg of the degenerate-input parity gate. A production
+    corpus WILL carry rows whose text extraction or embedding job
+    failed; this fixture puts live NULLs beside real rows so every
+    isNotNull path, size(NULL) sentinel, and NULL-ignoring aggregate is
+    exercised. The round-10 scan found 35 divergences here (2 engine
+    crashes, 33 convention gaps) — all closed in round 11 under two
+    documented conventions: per-row signals propagate NULL (NULL text →
+    NULL lang/count/score/hash), set-level similarity excludes NULL
+    payloads on both sides (no shingles, no vector, no pair, no rank)."""
+    import duckdb as ddb
+
+    null_mods = {
+        "documents": ("text", "doc_id"),
+        "events": ("value", "event_id"),
+        "embeddings": ("embedding", "vec_id"),
+    }
+    d = tmp_path_factory.mktemp("null_payload_sf")
+    for t in TABLE_NAMES:
+        if t in null_mods:
+            col, key = null_mods[t]
+            cols = [
+                r[0]
+                for r in ddb.sql(
+                    f"DESCRIBE SELECT * FROM "
+                    f"'/root/testdata/sf0.001/{t}.parquet'"
+                ).fetchall()
+            ]
+            sel = ", ".join(
+                f"CASE WHEN {key} % 2 = 0 THEN NULL ELSE {c} END AS {c}"
+                if c == col
+                else c
+                for c in cols
+            )
+        else:
+            sel = "*"
+        ddb.sql(
+            f"COPY (SELECT {sel} FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"ORDER BY 1 LIMIT 5) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def null_payload_oracle(null_payload_sf_dir):
+    from .oracle_utils import duckdb_connection
+
+    con = duckdb_connection(null_payload_sf_dir)
+    yield con
+    con.close()
+
+
+# NULL-payload divergence that is inherent (same reasoning as the empty
+# and one-row allowlists): the dynamic pivot discovers its event-type
+# columns from the 5-row fixture while the static-SQL oracle hardcodes
+# the full vocabulary — schema-on-degenerate-input is data-determined.
+NULL_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_runs_on_empty_tables(spark, empty_sf_dir, empty_oracle, name):
     """Every entry must RUN on zero-row tables, and (round 10) its
@@ -165,3 +227,26 @@ def test_entry_matches_oracle_on_one_row_tables(
     want = one_row_oracle.execute(spec.oracle).fetchdf()
     res = compare_frames(got, want)
     assert res.ok and res.exact, f"{name} (on ONE-ROW input): {res.detail}"
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_entry_matches_oracle_on_null_payload_tables(
+    spark, null_payload_sf_dir, null_payload_oracle, name
+):
+    """The NULL-payload leg of the degenerate-input parity gate
+    (round 11): live NULLs in text/value/embedding beside real rows —
+    the corner where the engine's NULL conventions and the oracle's SQL
+    NULL semantics must agree EXPLICITLY, not by accident (size(NULL)
+    = -1, concat_ws swallowing NULL, least/greatest ignoring NULL, and
+    NULL sort position all differ between the engines' defaults)."""
+    spec = CATALOG[name]
+    df = spec.spark(spark, null_payload_sf_dir)
+    got = df.toPandas()
+    assert len(df.schema.fields) > 0
+    if spec.oracle is None or name in NULL_PARITY_INHERENT:
+        return
+    from .oracle_utils import compare_frames
+
+    want = null_payload_oracle.execute(spec.oracle).fetchdf()
+    res = compare_frames(got, want)
+    assert res.ok and res.exact, f"{name} (on NULL-PAYLOAD input): {res.detail}"

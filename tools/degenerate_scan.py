@@ -9,7 +9,8 @@ divergences that sf0.01 parity cannot see, and both are now permanent
 test legs (tests/test_empty_inputs.py); the NULL-payload fixture's
 findings are the staged round-11 package (COVERAGE.md).
 
-Usage: python tools/degenerate_scan.py {empty|one_row|null_payload}
+Usage: python tools/degenerate_scan.py {empty|one_row|null_payload} [name...]
+(optional entry names/prefixes restrict the scan — fast fix-iteration)
 
 Fixtures (built from /root/testdata/sf0.001 into a temp dir):
   empty        — zero-row copies of all ten tables
@@ -87,6 +88,9 @@ def main() -> int:
     spark = get_spark(app_name=f"degenerate-scan-{kind}")
     bad = []
     names = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
+    if len(sys.argv) > 2:
+        wanted = sys.argv[2:]
+        names = [n for n in names if any(n.startswith(w) for w in wanted)]
     for i, name in enumerate(names):
         spec = CATALOG[name]
         try:

@@ -57,39 +57,83 @@ PULL_FORWARD: tuple[str, ...] = (
 # once it holds a green at or after that round. The r8-fix cohort
 # (x82/x178/x180/x234 -> 9) re-pinned green in round 9 and has expired
 # out of effect.
+# (History: the r8 cohort — x82/x178/x180/x234 — re-pinned green in r9;
+# the r10 cohort — a15/a17/a19/a26/a30/k2/x65/x103/x104/x206/x246 —
+# re-pinned green in r10. Both have expired out of effect and are
+# dropped from the dict; an expired entry is a no-op by construction.)
+#
+# Round-11 cohort: the NULL-payload parity wave (VERDICT r10 item 1).
+# Every entry below had its PLAN and/or ORACLE text changed closing the
+# 35 NULL-convention divergences (engine-wide vector-NULL exclusion in
+# ext/similarity.py, NULL-preserving shingles/signals in ext/dedup.py +
+# ext/text.py, explicit IS-NOT-NULL oracle twins, k4's min-support
+# accuracy gate, k2's empty-gated vacuity). Non-degenerate values are
+# identical by construction (zero NULL payloads at graded SFs; full
+# sf0.01 parity re-verified), but the evidence each green attested to
+# changed, so all 55 re-pin. The set was computed MECHANICALLY: both
+# trees' per-entry analyzed-plan + oracle md5s were dumped and diffed
+# (s9/s10/s11 excluded as replay-temp-path plan-hash noise — their
+# sources are untouched this round). 50 fit the r11 window; the last 5
+# by registration order carry to r12 automatically.
 REPIN_FIRST: dict[str, int] = {
-    "x82_training_shard_layout": 9,  # r8 shard-sink sort fix (sinks.py:154)
-    "x178_kcore_peeling": 9,  # r8 replay fix: checkpointed self-join base
-    "x180_modularity_score": 9,  # r7 rollup rework + r8 inline plan guard
-    "x234_greedy_mixture_allocation": 9,  # r8 checkpointed greedy state
-    # r9 ADVICE: x246's ORACLE changed (empty-corpus recall_ppm now
-    # coalesce(..//nullif(n_truth,0),0) to match the Spark-side literal
-    # 0) — sf0.01 values are identical, but the parity contract the r9
-    # green attested to is not byte-identical, so re-pin for currency
-    "x246_ivf_nprobe_recall_sweep": 10,
-    # round-10 empty-input parity fixes (the x246 hole generalized: a
-    # catalog-wide scan found 7 more fixable divergences on zero-row
-    # input). Non-empty values are identical by construction, but each
-    # entry's plan or oracle text changed, so their driver evidence
-    # re-pins for currency. tests/test_empty_inputs.py now gates the
-    # whole class.
-    "a15_ks_two_sample": 10,  # n1/n2 via the always-one-row count frame
-    "a19_runs_test": 10,  # count(when) replaces sum(when/otherwise 0)
-    "a26_quantile_treatment_effects": 10,  # one global agg, no crossJoin
-    "a30_delta_method_ratio_se": 10,  # oracle sqrt(greatest(0, n-1))
-    "k2_approx_sketches": 10,  # vacuous-TRUE accuracy flags on NULLs
-    "x206_heaps_vocab_growth": 10,  # grid spine preserved via left joins
-    "x65_lsh_recall_report": 10,  # count FILTER both sides
-    # round-10 perf rework (VERDICT r9 items 1+6): the three RFM
-    # rankings consolidated into ONE stacked global_row_number pass —
-    # value-exact vs the oracle at sf0.01 and sf0.1, but the plan
-    # changed, so driver evidence re-pins
-    "a17_rfm_segmentation": 10,
-    # round-10 one-row-input parity fixes (the n=1 leg of the
-    # degenerate-input gate): both-halves filter / n>=2 filter —
-    # non-degenerate values identical, plans changed, evidence re-pins
-    "x103_quantile_drift_monitor": 10,
-    "x104_mann_kendall_trend": 10,
+    name: 11
+    for name in (
+        "k2_approx_sketches",
+        "k4_grouped_approx_percentiles",
+        "x1_lang_id_stopword_vote",
+        "x2_text_quality_signals",
+        "x3_token_counts",
+        "x6_jaccard_near_dup_pairs",
+        "x7_minhash_signatures",
+        "x8_minhash_lsh_candidate_pairs",
+        "x10_cosine_topk_bruteforce",
+        "x11_lsh_ann_topk",
+        "x12_embedding_near_dup_pairs",
+        "x13_rolling_hash_fingerprint",
+        "x14_ivf_ann_topk",
+        "x15_minhash_jaccard_estimate",
+        "x18_near_dup_clusters",
+        "x19_repetition_signals",
+        "x25_ngram_decontamination_fuzzy",
+        "x27_training_data_pipeline",
+        "x31_corpus_language_stats",
+        "x32_semantic_dedup",
+        "x33_cross_corpus_dedup",
+        "x47_hybrid_near_dup_pairs",
+        "x48_quality_weighted_sample",
+        "x50_benchmark_leak_report",
+        "x52_leakage_safe_split",
+        "x53_dedup_with_weights",
+        "x54_ngram_novelty",
+        "x60_knn_graph",
+        "x61_exact_quantiles_by_rank",
+        "x64_language_label_audit",
+        "x65_lsh_recall_report",
+        "x66_filter_cascade_report",
+        "x70_mixture_token_budget_plan",
+        "x73_cross_source_syndication_matrix",
+        "x75_quality_dup_calibration",
+        "x77_keep_best_dedup_policy",
+        "x80_incremental_dedup_precomputed",
+        "x85_prefix_filtered_jaccard",
+        "x98_containment_pairs",
+        "x119_incremental_refresh_pipeline",
+        "x136_int8_scalar_quantization",
+        "x142_reciprocal_rank_fusion",
+        "x160_lsh_recall_curve",
+        "x162_ndcg_eval",
+        "x163_mrr_recall_at_k",
+        "x164_map_at_10",
+        "x172_kendall_tau_rankings",
+        "x179_greedy_coverage_picks",
+        "x181_weighted_jaccard_pairs",
+        "x183_colbert_maxsim_topk",
+        "x185_matryoshka_funnel_topk",
+        "x188_knn_label_eval",
+        "x220_hard_negative_mining",
+        "x246_ivf_nprobe_recall_sweep",
+        "x248_ivf_cell_balance",
+    )
 }
 
 
