@@ -103,13 +103,23 @@ def word_shingles(text: Column, n: int = 3) -> Column:
                 " ", *[F.element_at(ww, i + j) for j in range(n)]
             ),
         )
-        return F.array_distinct(
-            F.when(F.size(ww) >= n, gs).otherwise(
-                F.array(F.concat_ws(" ", ww))
-            )
+        # NULL guard INSIDE the bound lambda (on the let-bound word
+        # array, so split(NULL) -> NULL words -> NULL shingles), NOT as
+        # an outer F.when around the whole expression: a top-level
+        # CaseWhen wrapper de-optimizes every consumer, because Spark's
+        # subexpression elimination refuses to extract from conditional
+        # branches — the first r11 shape cost x8 20x in-suite (clean
+        # standalone; BASELINE.md round-11 note)
+        return F.when(
+            ww.isNotNull(),
+            F.array_distinct(
+                F.when(F.size(ww) >= n, gs).otherwise(
+                    F.array(F.concat_ws(" ", ww))
+                )
+            ),
         )
 
-    return F.when(text.isNotNull(), bind_once(w, grams))
+    return bind_once(w, grams)
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,8 @@ divergences that sf0.01 parity cannot see, and both are now permanent
 test legs (tests/test_empty_inputs.py); the NULL-payload fixture's
 findings are the staged round-11 package (COVERAGE.md).
 
-Usage: python tools/degenerate_scan.py {empty|one_row|null_payload} [name...]
+Usage: python tools/degenerate_scan.py
+           {empty|one_row|null_payload|all_null} [name...]
 (optional entry names/prefixes restrict the scan — fast fix-iteration)
 
 Fixtures (built from /root/testdata/sf0.001 into a temp dir):
@@ -18,6 +19,11 @@ Fixtures (built from /root/testdata/sf0.001 into a temp dir):
   null_payload — five rows per table; documents.text / events.value /
                  embeddings.embedding NULLed on even ids, so every
                  isNotNull path sees live NULLs beside real rows
+  all_null     — five rows per table with the SAME payload columns
+                 NULLed on EVERY row: tables are non-empty but the
+                 usable payload set is empty (a failed upstream batch),
+                 the corner between empty and mixed that exercises
+                 zero-survivor seeding/filter paths on live row counts
 
 Exit code: number of divergent entries (0 = clean), capped at 120.
 """
@@ -52,7 +58,7 @@ def build_fixture(kind: str, d: str) -> None:
             sel, tail = "*", "LIMIT 0"
         elif kind == "one_row":
             sel, tail = "*", "ORDER BY 1 LIMIT 1"
-        else:  # null_payload
+        else:  # null_payload / all_null
             tail = "ORDER BY 1 LIMIT 5"
             if t in NULL_MODS:
                 col, key = NULL_MODS[t]
@@ -62,8 +68,11 @@ def build_fixture(kind: str, d: str) -> None:
                         f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
                     ).fetchall()
                 ]
+                null_when = (
+                    "TRUE" if kind == "all_null" else f"{key} % 2 = 0"
+                )
                 sel = ", ".join(
-                    f"CASE WHEN {key} % 2 = 0 THEN NULL ELSE {c} END AS {c}"
+                    f"CASE WHEN {null_when} THEN NULL ELSE {c} END AS {c}"
                     if c == col
                     else c
                     for c in cols
@@ -78,7 +87,7 @@ def build_fixture(kind: str, d: str) -> None:
 
 def main() -> int:
     kind = sys.argv[1] if len(sys.argv) > 1 else "null_payload"
-    if kind not in ("empty", "one_row", "null_payload"):
+    if kind not in ("empty", "one_row", "null_payload", "all_null"):
         raise SystemExit(f"unknown fixture kind {kind!r}")
     d = tempfile.mkdtemp(prefix=f"degenerate_{kind}_")
     build_fixture(kind, d)
