@@ -182,6 +182,66 @@ def null_payload_oracle(null_payload_sf_dir):
 NULL_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
 
 
+@pytest.fixture(scope="module")
+def all_null_sf_dir(tmp_path_factory):
+    """Five rows per table with the payload columns NULLed on EVERY row
+    (a fully-failed upstream batch): tables are non-empty but the usable
+    payload set is empty — the corner BETWEEN empty and mixed. Distinct
+    code paths from both: the vector seeders run their bounded collects
+    against live row counts and find zero survivors (the exact r10
+    crash class), ivf_topk takes its empty-quantizer branch while
+    probes exist, and every shingle explode emits nothing while doc
+    inventories stay populated. The round-11 audit scan measured this
+    fixture 386/387 against the oracles with ZERO additional fixes —
+    the two NULL conventions generalize; this leg pins that."""
+    import duckdb as ddb
+
+    null_mods = {
+        "documents": "text",
+        "events": "value",
+        "embeddings": "embedding",
+    }
+    d = tmp_path_factory.mktemp("all_null_sf")
+    for t in TABLE_NAMES:
+        if t in null_mods:
+            col = null_mods[t]
+            cols = [
+                r[0]
+                for r in ddb.sql(
+                    f"DESCRIBE SELECT * FROM "
+                    f"'/root/testdata/sf0.001/{t}.parquet'"
+                ).fetchall()
+            ]
+            # CASE (not CAST AS NULL) so the column keeps its original
+            # parquet type — same form as tools/degenerate_scan.py
+            sel = ", ".join(
+                f"CASE WHEN TRUE THEN NULL ELSE {c} END AS {c}"
+                if c == col
+                else c
+                for c in cols
+            )
+        else:
+            sel = "*"
+        ddb.sql(
+            f"COPY (SELECT {sel} FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"ORDER BY 1 LIMIT 5) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def all_null_oracle(all_null_sf_dir):
+    from .oracle_utils import duckdb_connection
+
+    con = duckdb_connection(all_null_sf_dir)
+    yield con
+    con.close()
+
+
+# Same inherent dynamic-pivot divergence as the other degenerate legs.
+ALL_NULL_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_runs_on_empty_tables(spark, empty_sf_dir, empty_oracle, name):
     """Every entry must RUN on zero-row tables, and (round 10) its
@@ -250,3 +310,24 @@ def test_entry_matches_oracle_on_null_payload_tables(
     want = null_payload_oracle.execute(spec.oracle).fetchdf()
     res = compare_frames(got, want)
     assert res.ok and res.exact, f"{name} (on NULL-PAYLOAD input): {res.detail}"
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_entry_matches_oracle_on_all_null_tables(
+    spark, all_null_sf_dir, all_null_oracle, name
+):
+    """The ALL-NULL leg (round 11): live row counts, zero usable
+    payloads — pins the zero-survivor seeding paths (bounded collects
+    that find nothing), ivf's empty-quantizer branch under live probes,
+    and the oracle twins' behavior when every filter drops every row."""
+    spec = CATALOG[name]
+    df = spec.spark(spark, all_null_sf_dir)
+    got = df.toPandas()
+    assert len(df.schema.fields) > 0
+    if spec.oracle is None or name in ALL_NULL_PARITY_INHERENT:
+        return
+    from .oracle_utils import compare_frames
+
+    want = all_null_oracle.execute(spec.oracle).fetchdf()
+    res = compare_frames(got, want)
+    assert res.ok and res.exact, f"{name} (on ALL-NULL input): {res.detail}"
