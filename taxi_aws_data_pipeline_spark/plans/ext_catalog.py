@@ -22818,3 +22818,104 @@ def x249_dedup_savings_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("k * n_clusters * 1000000 DIV total_docs").cast("long")
         .alias("corpus_share_ppm"),
     )
+
+
+_NONFINITE_AUDIT_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+           CAST(count(*) FILTER (WHERE isnan(value)) AS BIGINT) AS n_nan,
+           CAST(count(*) FILTER (WHERE abs(value) = 'Infinity'::DOUBLE)
+                AS BIGINT) AS n_inf,
+           CAST(count(*) FILTER (WHERE value IS NOT NULL
+                                   AND NOT isnan(value)
+                                   AND abs(value) <> 'Infinity'::DOUBLE)
+                AS BIGINT) AS n_finite,
+           min(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                     AND abs(value) <> 'Infinity'::DOUBLE
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+               AS finite_min_cents,
+           max(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                     AND abs(value) <> 'Infinity'::DOUBLE
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+               AS finite_max_cents
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register(
+    "x250_nonfinite_value_audit",
+    "Non-finite payload audit — the gate in front of the exact-decimal "
+    "(cents) arithmetic tier: per event type, counts of NULL / NaN / "
+    "+-Inf / finite values plus the finite range in exact cents. The "
+    "fixed-point idioms (a12/a20-a31, the w-family walks, the k-means/"
+    "PQ quantizers) are DEFINED on finite inputs — a NaN reaching "
+    "floor(value*100)::BIGINT raises in ANSI engines and silently "
+    "folds in others, so production pipelines run THIS audit (and "
+    "x251's screen) at ingest, once, instead of paying an isnan() per "
+    "row in every downstream query. One partial-agg groupBy over the "
+    "type key — |event_types| rows out at any scale. Non-finite "
+    "checks avoid cross-engine NaN equality entirely: isnan() plus an "
+    "abs() = Infinity comparison, both defined identically in Spark "
+    "and DuckDB (NaN = Infinity is false in both).",
+    oracle=_NONFINITE_AUDIT_ORACLE,
+    tags=("ext", "quality", "audit", "nonfinite"),
+)
+def x250_nonfinite_value_audit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = F.col("value")
+    inf = F.lit(float("inf"))
+    is_nan = F.isnan(v)
+    is_inf = F.abs(v) == inf
+    finite = v.isNotNull() & ~is_nan & ~is_inf
+    cents = F.floor(v * 100 + F.lit(0.5)).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(v.isNull(), 1)).cast("long").alias("n_null"),
+        F.count(F.when(is_nan, 1)).cast("long").alias("n_nan"),
+        F.count(F.when(is_inf, 1)).cast("long").alias("n_inf"),
+        F.count(F.when(finite, 1)).cast("long").alias("n_finite"),
+        F.min(F.when(finite, cents)).alias("finite_min_cents"),
+        F.max(F.when(finite, cents)).alias("finite_max_cents"),
+    )
+
+
+_NONFINITE_SCREEN_ORACLE = """
+    SELECT event_id,
+           event_type,
+           CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                 AND abs(value) <> 'Infinity'::DOUBLE
+                THEN value END AS value_clean,
+           (value IS NOT NULL AND (isnan(value)
+             OR abs(value) = 'Infinity'::DOUBLE)) AS was_nonfinite
+    FROM events
+"""
+
+
+@register(
+    "x251_nonfinite_screen",
+    "Non-finite payload screen — the ingest-time cleaning op the x250 "
+    "audit motivates: NaN and +-Inf values map to NULL (value_clean), "
+    "with a was_nonfinite provenance flag so downstream can count what "
+    "was screened. After this pass the whole exact-decimal tier's "
+    "finite-inputs contract holds by construction and every SQL "
+    "aggregate ignores the screened rows like any other NULL — the "
+    "same treat-failed-payloads-as-NULL convention the round-11 NULL "
+    "wave established for text and vectors. Pure projection, zero "
+    "shuffle; at 100 TB this runs once inside the ingest write, not "
+    "per query.",
+    oracle=_NONFINITE_SCREEN_ORACLE,
+    tags=("ext", "quality", "cleaning", "nonfinite"),
+)
+def x251_nonfinite_screen(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = F.col("value")
+    inf = F.lit(float("inf"))
+    nonfinite = F.isnan(v) | (F.abs(v) == inf)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.when(v.isNotNull() & ~nonfinite, v).alias("value_clean"),
+        (v.isNotNull() & nonfinite).alias("was_nonfinite"),
+    )

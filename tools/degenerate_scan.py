@@ -24,6 +24,11 @@ Fixtures (built from /root/testdata/sf0.001 into a temp dir):
                  usable payload set is empty (a failed upstream batch),
                  the corner between empty and mixed that exercises
                  zero-survivor seeding/filter paths on live row counts
+  nan_payload  — five rows per table; events.value = NaN and the first
+                 embedding component = NaN on even ids (a sizing audit:
+                 Spark and DuckDB disagree on NaN ordering, equality,
+                 and aggregate semantics — scan before deciding which
+                 divergences to close vs document)
 
 Exit code: number of divergent entries (0 = clean), capped at 120.
 """
@@ -58,7 +63,7 @@ def build_fixture(kind: str, d: str) -> None:
             sel, tail = "*", "LIMIT 0"
         elif kind == "one_row":
             sel, tail = "*", "ORDER BY 1 LIMIT 1"
-        else:  # null_payload / all_null
+        else:  # null_payload / all_null / nan_payload
             tail = "ORDER BY 1 LIMIT 5"
             if t in NULL_MODS:
                 col, key = NULL_MODS[t]
@@ -68,15 +73,32 @@ def build_fixture(kind: str, d: str) -> None:
                         f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
                     ).fetchall()
                 ]
-                null_when = (
-                    "TRUE" if kind == "all_null" else f"{key} % 2 = 0"
-                )
-                sel = ", ".join(
-                    f"CASE WHEN {null_when} THEN NULL ELSE {c} END AS {c}"
-                    if c == col
-                    else c
-                    for c in cols
-                )
+                if kind == "nan_payload":
+                    if t == "events":
+                        mod = (
+                            f"CASE WHEN {key} % 2 = 0 THEN 'NaN'::DOUBLE "
+                            f"ELSE {col} END AS {col}"
+                        )
+                    elif t == "embeddings":
+                        mod = (
+                            f"CASE WHEN {key} % 2 = 0 THEN "
+                            f"list_concat(['NaN'::FLOAT], {col}[2:]) "
+                            f"ELSE {col} END AS {col}"
+                        )
+                    else:  # documents keep real text — NaN is numeric
+                        mod = col
+                    sel = ", ".join(mod if c == col else c for c in cols)
+                else:
+                    null_when = (
+                        "TRUE" if kind == "all_null" else f"{key} % 2 = 0"
+                    )
+                    sel = ", ".join(
+                        f"CASE WHEN {null_when} THEN NULL ELSE {c} END "
+                        f"AS {c}"
+                        if c == col
+                        else c
+                        for c in cols
+                    )
             else:
                 sel = "*"
         duckdb.sql(
@@ -87,7 +109,9 @@ def build_fixture(kind: str, d: str) -> None:
 
 def main() -> int:
     kind = sys.argv[1] if len(sys.argv) > 1 else "null_payload"
-    if kind not in ("empty", "one_row", "null_payload", "all_null"):
+    if kind not in (
+        "empty", "one_row", "null_payload", "all_null", "nan_payload"
+    ):
         raise SystemExit(f"unknown fixture kind {kind!r}")
     d = tempfile.mkdtemp(prefix=f"degenerate_{kind}_")
     build_fixture(kind, d)
