@@ -932,7 +932,7 @@ def test_bench_compare_flags_and_stall_cluster_note(tmp_path):
     records: (a) calibrated flagging divides out the host ratio, (b)
     >=3 flags at consecutive suite positions print the
     transient-host-stall note (the r8 signature: five flags at
-    positions 64-68, all clean standalone — BASELINE.md round 9), (c)
+    positions 64-68, all clean standalone — BASELINE_HISTORY.md round 9), (c)
     scattered flags do NOT claim positional clustering."""
     import json
     import pathlib

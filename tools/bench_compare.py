@@ -177,7 +177,7 @@ def main() -> int:
             f"(raw {raw:.2f}x, calibrated {cal:.2f}x{nearest_probe(name)})"
         )
     if flagged:
-        # In-suite vs standalone (round 9, BASELINE.md): in-suite flags
+        # In-suite vs standalone (BASELINE_HISTORY.md round 9): in-suite flags
         # on this oscillating host have repeatedly measured clean when
         # re-run standalone. The r8 signature: all five flags sat at
         # CONSECUTIVE suite positions (64-68) — a minutes-long host
@@ -209,7 +209,7 @@ def main() -> int:
             "(python bench.py <names>) before treating them as "
             "regressions; a forward+reverse pair "
             "(SPARK_GRAFT_BENCH_ORDER=reverse) separates position/"
-            "warmup effects from the plans (BASELINE.md round-9 note)."
+            "warmup effects from the plans (BASELINE.md calibration rules)."
         )
     total_s = sweep.get("value")
     total_r = record.get("value")
