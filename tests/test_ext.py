@@ -3864,6 +3864,44 @@ def test_x246_recall_is_monotone_in_nprobe(spark, sf_dir):
     )
 
 
+def test_x246_zero_truth_on_live_quantizer_is_vacuous_zero(spark, tmp_path):
+    """Planted corner (VERDICT r10 item 5): a NONEMPTY corpus whose
+    vec_ids are all >= 8 trains a real quantizer but yields an empty
+    probe set, hence an empty truth set — the vacuous-recall branch
+    must fire on the LIVE path (not the empty-corpus spine) and agree
+    with the oracle's coalesce/nullif convention: 0 hits / 0 truth /
+    recall_ppm 0 at every sweep point, on both engines."""
+    import duckdb
+
+    from taxi_aws_data_pipeline_spark.plans import CATALOG
+
+    d = tmp_path / "sf_zerotruth"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES
+            (10, [1.0, 0.0, 0.0, 0.0]::FLOAT[], 0),
+            (11, [0.0, 1.0, 0.0, 0.0]::FLOAT[], 0),
+            (12, [0.0, 0.0, 1.0, 0.0]::FLOAT[], 1),
+            (13, [0.0, 0.0, 0.0, 1.0]::FLOAT[], 1))
+            t(vec_id, embedding, label))
+            TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    entry = CATALOG["x246_ivf_nprobe_recall_sweep"]
+    got = {r.nprobe: r for r in entry.spark(spark, str(d)).collect()}
+    assert set(got) == {1, 2, 4}
+    for r in got.values():
+        assert (r.n_hits, r.n_truth, r.recall_ppm) == (0, 0, 0)
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    oracle = {r[0]: r for r in con.execute(entry.oracle).fetchall()}
+    assert set(oracle) == {1, 2, 4}
+    for r in oracle.values():
+        assert (r[1], r[2], r[3]) == (0, 0, 0)
+
+
 def test_x247_kappa_bounds_and_perfect_agreement(spark, tmp_path):
     """Perfect agreement → kappa exactly 1 (num == den); the sf
     fixture's kappa stays within [-1, 1]."""
