@@ -49,9 +49,20 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _finite(c: Column) -> Column:
+    """Non-finite (NaN/±Inf) → NULL before the decimal cast (round-11
+    NaN convention): Spark's non-ANSI double→decimal cast folds NaN to
+    NULL while ANSI engines RAISE — so the exact-decimal tier screens
+    explicitly and every aggregate skips screened values like any other
+    NULL, identically in both engines. Leaf-column guard only (never a
+    multiply-referenced expression — BASELINE.md ledger #2)."""
+    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
+
+
 def exact_sum(col: Column | str) -> Column:
-    """Order-independent SUM: decimal-cast before accumulating."""
-    return F.sum(_c(col).cast(DEC))
+    """Order-independent SUM: decimal-cast before accumulating;
+    non-finite addends are screened to NULL (skipped), see _finite."""
+    return F.sum(_finite(_c(col)).cast(DEC))
 
 
 def money_sum(col: Column | str, scale: int = 2) -> Column:
@@ -72,7 +83,8 @@ def money_avg(col: Column | str) -> Column:
     uses a pandas oracle.
     """
     c = _c(col)
-    return exact_sum(c).cast("double") / F.count(c)
+    # count the SCREENED column too: the mean is over finite values
+    return exact_sum(c).cast("double") / F.count(_finite(c))
 
 
 def money_median(col: Column | str) -> Column:
@@ -80,14 +92,25 @@ def money_median(col: Column | str) -> Column:
     return F.median(_c(col))
 
 
+def oracle_finite(expr: str) -> str:
+    """DuckDB SQL twin of :func:`_finite`."""
+    return f"CASE WHEN isfinite({expr}) THEN {expr} END"
+
+
 def oracle_money_sum(expr: str, scale: int = 2) -> str:
     """DuckDB SQL twin of :func:`money_sum`."""
-    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(28,6))), {scale}) AS DOUBLE)"
+    return (
+        f"CAST(ROUND(SUM(CAST(({oracle_finite(f'({expr})')}) "
+        f"AS DECIMAL(28,6))), {scale}) AS DOUBLE)"
+    )
 
 
 def oracle_money_avg(expr: str) -> str:
     """DuckDB SQL twin of :func:`money_avg`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr})"
+    return (
+        f"CAST(SUM(CAST(({oracle_finite(f'({expr})')}) AS DECIMAL(28,6))) "
+        f"AS DOUBLE) / COUNT({oracle_finite(f'({expr})')})"
+    )
 
 
 def oracle_money_median(expr: str) -> str:

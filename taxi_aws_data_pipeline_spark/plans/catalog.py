@@ -60,6 +60,69 @@ def register(name: str, doc: str, oracle: str | None = None, tags: tuple[str, ..
 
 
 # ---------------------------------------------------------------------------
+# Non-finite payload screens (round 11, the NaN/Inf convention — the
+# extension of the treat-failed-payloads-as-NULL line the NULL wave
+# drew; x251_nonfinite_screen is the ingest-time whole-corpus twin).
+# A NaN/±Inf payload reaching a fixed-point cast RAISES in ANSI engines
+# (DuckDB: "nan can't be cast ... INT64") and silently folds to 0 under
+# Spark's pinned non-ANSI cast — silent corruption either way, so every
+# exact-decimal (cents / fixed-point) cast screens non-finite to NULL
+# first, on BOTH engines; SQL aggregates then skip screened values like
+# any other NULL. The Spark guard tests a LEAF column reference only —
+# never a multiply-referenced expression — so it cannot re-trigger the
+# conditional-branch subexpression trap (BASELINE.md ledger #2).
+# ---------------------------------------------------------------------------
+
+_INF = float("inf")
+
+
+def fin(c: str | Column) -> Column:
+    """Spark: non-finite (NaN/±Inf) scalar → NULL; NULL stays NULL."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(~F.isnan(col) & (F.abs(col) != F.lit(_INF)), col)
+
+
+def sql_finite(c: str) -> str:
+    """DuckDB twin of :func:`fin` (isfinite(NULL) is NULL → NULL out)."""
+    return f"CASE WHEN isfinite({c}) THEN {c} END"
+
+
+# Spark-SQL dialect of the same screen, for F.expr() strings (Spark has
+# no isfinite(); abs(x) <> Infinity is false for NaN too, but the isnan
+# arm keeps the intent explicit and mirrors fin()):
+def sparksql_finite(c: str) -> str:
+    return (
+        f"CASE WHEN NOT isnan({c}) AND "
+        f"abs({c}) <> CAST('Infinity' AS DOUBLE) THEN {c} END"
+    )
+
+
+def finite_vec(c: str | Column) -> Column:
+    """Spark: TRUE iff the vector is present with every component
+    finite — a vector carrying any NaN/±Inf component is a FAILED
+    embedding and is excluded whole (the NULL-vector convention
+    extended; screening single components would leak NULL-component
+    centroids into downstream algebra)."""
+    col = F.col(c) if isinstance(c, str) else c
+    # size > 0 matches the SQL twin, whose max-over-empty-list is NULL
+    return (
+        col.isNotNull()
+        & (F.size(col) > 0)
+        & ~F.exists(col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(_INF)))
+    )
+
+
+def sql_finite_vec(c: str) -> str:
+    """DuckDB twin of :func:`finite_vec`: max(|x_i|) is finite iff all
+    components are (NaN propagates through list max; NULL list → NULL
+    → excluded by WHERE)."""
+    return (
+        f"isfinite(list_aggregate(list_transform(CAST({c} AS DOUBLE[]), "
+        f"x -> abs(x)), 'max'))"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scans / sources (SURVEY §2.1)
 # ---------------------------------------------------------------------------
 
@@ -1153,7 +1216,7 @@ def j2_asof_join_prior_click(spark: SparkSession, sf: str) -> DataFrame:
     "One shuffle on user_id serves both window specs.",
     oracle="""
         SELECT event_id, user_id, ts,
-               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+               CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) OVER w AS DOUBLE)
                    / COUNT(value) OVER w                         AS moving_avg_3,
                value - lag(value) OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id)   AS delta_prev
@@ -1978,7 +2041,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
                {", ".join(
                    f"CAST(ROUND(SUM(CASE WHEN event_type = '{t}' THEN "
-                   f"CAST(value AS DECIMAL(28,6)) END), 2) AS DOUBLE) AS {t}"
+                   f"CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6)) END), 2) AS DOUBLE) AS {t}"
                    for t in _EVENT_TYPES
                )}
         FROM events
@@ -2254,7 +2317,8 @@ def a8_measure_correlations(spark: SparkSession, sf: str) -> DataFrame:
         WITH iv AS (
             SELECT event_id, ts AS s,
                    ts + to_minutes(
-                       ((CAST(floor(value) AS BIGINT) % 120) + 120) % 120
+                       ((CAST(floor(CASE WHEN isfinite(value) THEN value
+                         END) AS BIGINT) % 120) + 120) % 120
                    ) AS e
             FROM events
         ),
@@ -2280,7 +2344,9 @@ def j12_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("s"),
         F.expr(
             "ts + make_dt_interval(0, 0, "
-            "CAST(pmod(CAST(floor(value) AS BIGINT), 120) AS INT), 0)"
+            "CAST(pmod(CAST(floor(CASE WHEN NOT isnan(value) AND "
+            "abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) "
+            "AS BIGINT), 120) AS INT), 0)"
         ).alias("e"),
     )
     left = iv.filter(F.col("event_id") % 2 == 1)
@@ -2960,7 +3026,7 @@ def j17_top_supplier_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
         WITH ht AS (
             SELECT date_trunc('hour', ts) AS h, event_type,
-                   SUM(CAST(value AS DECIMAL(28,6))) AS v
+                   SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS v
             FROM events
             GROUP BY 1, 2
         ),
@@ -3328,8 +3394,8 @@ def e17_calendar_dimension(spark: SparkSession, sf: str) -> DataFrame:
                    count(*) AS n,
                    sum(day(ts)) AS sx,
                    sum(day(ts) * day(ts)) AS sxx,
-                   sum(CAST(floor(value * 1000000) AS BIGINT)) AS sy,
-                   sum(day(ts) * CAST(floor(value * 1000000) AS BIGINT))
+                   sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 1000000) AS BIGINT)) AS sy,
+                   sum(day(ts) * CAST(floor(CASE WHEN isfinite(value) THEN value END * 1000000) AS BIGINT))
                        AS sxy
             FROM events WHERE value IS NOT NULL
             GROUP BY 1
@@ -3351,7 +3417,7 @@ def e17_calendar_dimension(spark: SparkSession, sf: str) -> DataFrame:
 def a12_ols_trend_per_group(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     x = F.dayofmonth("ts")
-    y = F.floor(F.col("value") * 1_000_000).cast("long")
+    y = F.floor(fin("value") * 1_000_000).cast("long")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -3402,7 +3468,7 @@ def a12_ols_trend_per_group(spark: SparkSession, sf: str) -> DataFrame:
         WITH iv AS (
             SELECT event_type, event_id, ts AS s,
                    ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
-            FROM events WHERE value IS NOT NULL
+            FROM events WHERE value IS NOT NULL AND isfinite(value)
         ), pts AS (
             SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
             UNION ALL
@@ -3425,7 +3491,11 @@ def a12_ols_trend_per_group(spark: SparkSession, sf: str) -> DataFrame:
     tags=("interval", "sweep-line", "window", "capacity"),
 )
 def j19_interval_concurrency(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    # non-finite duration -> the interval cannot join the sweep: the
+    # row is excluded whole (a screened-NULL end would need a cross-
+    # engine NULL sort position inside the timeline walk; exclusion is
+    # the same convention as the NULL filter it extends)
+    ev = load_table(spark, sf, "events").filter(fin("value").isNotNull())
     iv = ev.select(
         "event_type",
         "event_id",

@@ -32,7 +32,7 @@ from ..ext import dedup as X
 from ..ext import similarity as S
 from ..ext import text as TX
 from ..tables import load_table
-from .catalog import register
+from .catalog import fin, finite_vec, register, sparksql_finite, sql_finite, sql_finite_vec
 
 # ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments (single source: the ext module constants)
@@ -880,7 +880,7 @@ def x20_stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
     "|labels|×dim per partition before the single shuffle, so the explode "
     "never hits the wire at scale. Flattened to one row per (label, pos): "
     "arrays of doubles don't value-hash portably.",
-    oracle="""
+    oracle=f"""
         SELECT label, pos,
                CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
                     AS DOUBLE) / (1000000.0 * COUNT(val)) AS centroid,
@@ -890,13 +890,17 @@ def x20_stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
                    generate_subscripts(embedding, 1) - 1 AS pos,
                    unnest(embedding)                     AS val
             FROM embeddings
+            WHERE {sql_finite_vec('embedding')}
         )
         GROUP BY label, pos
     """,
     tags=("ext", "embedding", "centroid", "agg"),
 )
 def x21_embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
+    # a vector with any non-finite component is a failed embedding —
+    # excluded whole (round-11 NaN convention; a component-level screen
+    # would average a half-failed vector's surviving positions)
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
     q = F.floor(F.col("val").cast("double") * 1000000)
     return ex.groupBy("label", "pos").agg(
@@ -1633,7 +1637,8 @@ def x34_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
 _KMEANS_CELLS_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
     ),{_km_rounds_sql('e', 8, 3, 'm_')}
     SELECT vec_id, cell FROM m_code
 """
@@ -1658,9 +1663,7 @@ _KMEANS_CELLS_ORACLE = f"""
     tags=("ext", "embedding", "clustering", "iterative"),
 )
 def x35_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     return S.kmeans_fixed_rounds(emb, k=8, rounds=3)
 
 
@@ -1776,7 +1779,8 @@ def _pq_adc_term(j: int, sub: int) -> str:
 _PQ_ANN_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
     ),
     {",".join(
         f'e{j} AS (SELECT vec_id, v[{j * 16 + 1}:{(j + 1) * 16}] AS v FROM e)'
@@ -1828,9 +1832,7 @@ _PQ_ANN_ORACLE = f"""
     tags=("ext", "embedding", "ann", "pq"),
 )
 def x38_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     books = S.pq_train_fixed(emb, m=4, k=16, rounds=2)
     return S.pq_topk(emb, emb.filter(F.col("vec_id") < 8), books, k=3)
 
@@ -2107,6 +2109,7 @@ def _sql_random_projection() -> str:
 _RANDOM_PROJECTION_ORACLE = f"""
     WITH c AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
     )
     SELECT vec_id,
            {_sql_random_projection()}
@@ -2129,8 +2132,11 @@ _RANDOM_PROJECTION_ORACLE = f"""
     tags=("ext", "embedding", "projection"),
 )
 def x46_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    # failed (non-finite) embeddings are excluded whole (round-11 NaN
+    # convention): a NaN component would poison the fixed-point fold
     return S.random_projection(
-        load_table(spark, sf, "embeddings"), out_dim=_RP_DIM
+        load_table(spark, sf, "embeddings").filter(finite_vec("embedding")),
+        out_dim=_RP_DIM,
     )
 
 
@@ -4486,7 +4492,8 @@ def x82_training_shard_layout(spark: SparkSession, sf: str) -> DataFrame:
 _KMEANS_FIXED_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
     ),
     seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -4514,9 +4521,7 @@ _KMEANS_FIXED_ORACLE = f"""
     tags=("ext", "similarity", "kmeans", "iterative", "ml"),
 )
 def x83_kmeans_fixed_rounds(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     return S.kmeans_fixed_rounds(emb, k=4, rounds=2)
 
 
@@ -4973,7 +4978,8 @@ _PI_V1_LIST = "(SELECT list(vc ORDER BY pos) FROM v1)"
 _POWER_ITER_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
     ),
     q1 AS (
         SELECT t.pos,
@@ -5033,9 +5039,7 @@ _POWER_ITER_ORACLE = f"""
     tags=("ext", "embedding", "pca", "iterative", "ml"),
 )
 def x92_power_iteration_top_pc(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     return S.power_iteration_top_component(emb, rounds=2)
 
 
@@ -5709,7 +5713,7 @@ _MANN_KENDALL_ORACLE = """
         SELECT event_type, value,
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY ts, event_id) AS i
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ),
     pairs AS (
         SELECT a.event_type,
@@ -5755,9 +5759,12 @@ def x104_mann_kendall_trend(spark: SparkSession, sf: str) -> DataFrame:
     # oracle's pair self-join drops such groups, so the verified entry
     # filters the library kernel's degenerate n=1 row to match
     # (one-row-input parity, round 10; vacuous at any real volume)
-    return ST.mann_kendall_trend(load_table(spark, sf, "events")).filter(
-        F.col("n") >= 2
-    )
+    # non-finite values carry no trend information and their pairwise
+    # sign is engine-dependent (numpy NaN-sign vs SQL NaN-comparison
+    # conventions) — excluded like NULLs (round-11 NaN convention)
+    return ST.mann_kendall_trend(
+        load_table(spark, sf, "events").filter(fin("value").isNotNull())
+    ).filter(F.col("n") >= 2)
 
 
 _BITMAP_ROLLUP_ORACLE = """
@@ -6636,7 +6643,7 @@ _DECAY_SHIFT = 31
 _DECAYED_ORACLE = f"""
     WITH base AS (
         SELECT user_id,
-               CAST(floor(value * 1000000) AS BIGINT) AS v_int,
+               CAST(floor(CASE WHEN isfinite(value) THEN value END * 1000000) AS BIGINT) AS v_int,
                date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
                    AS age_days
         FROM events WHERE value IS NOT NULL AND value >= 0
@@ -6673,7 +6680,7 @@ def x117_time_decayed_user_value(spark: SparkSession, sf: str) -> DataFrame:
     )
     base = ev.select(
         "user_id",
-        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_int"),
+        F.floor(fin("value") * 1_000_000).cast("long").alias("v_int"),
         F.datediff(F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")).alias(
             "age_days"
         ),
@@ -7395,6 +7402,7 @@ _BALANCE_ORACLE = """
                     ELSE -CAST(floor(value) AS BIGINT) END AS delta
         FROM events
         WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+          AND isfinite(value)
     ), n AS (
         SELECT user_id, max(pos) AS n_deltas FROM d GROUP BY user_id
     ), walk AS (
@@ -7442,7 +7450,7 @@ _BALANCE_ORACLE = """
 def x127_clamped_running_balance(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(
         F.col("event_type").isin("purchase", "error")
-        & F.col("value").isNotNull()
+        & fin("value").isNotNull()
     )
     d = ev.select(
         "user_id",
@@ -7961,7 +7969,7 @@ def x134_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
 _K_ANON_ORACLE = """
     SELECT event_type,
            strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-           CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+           CAST(floor(CASE WHEN isfinite(value) THEN value END / 50.0) AS BIGINT) AS value_band,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(count(*) AS BIGINT) AS n_events,
            count(DISTINCT user_id) < 5 AS at_risk
@@ -7991,7 +7999,7 @@ def x135_k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type",
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
-        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+        F.floor(fin("value") / 50.0).cast("long").alias("value_band"),
     ).agg(
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -8012,7 +8020,8 @@ _SQ8_ORACLE = """
                list_max(list_transform(embedding,
                                        x -> abs(CAST(x AS DOUBLE)))) AS scale,
                embedding
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
     ), coded AS (
         SELECT vec_id, scale,
                list_transform(embedding,
@@ -8054,9 +8063,7 @@ _SQ8_ORACLE = """
 def x136_int8_scalar_quantization(spark: SparkSession, sf: str) -> DataFrame:
     # NULL vectors carry nothing to encode — excluded from the code
     # store on both sides (engine-wide vector-NULL convention, round 11)
-    emb = load_table(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     xd = lambda x: x.cast("double")  # noqa: E731
     scaled = emb.select(
         "vec_id",
@@ -8303,8 +8310,8 @@ _EWMA_ORACLE = """
                x
         FROM (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
-            FROM events WHERE value IS NOT NULL
+                   CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL AND isfinite(value)
             GROUP BY 1, 2
         )
     ), n AS (
@@ -8356,7 +8363,7 @@ _EWMA_ORACLE = """
 def w15_ewma_daily_value(spark: SparkSession, sf: str) -> DataFrame:
     from ..compat import exact_sum
 
-    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    ev = load_table(spark, sf, "events").filter(fin("value").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(exact_sum("value").cast("double").alias("x"))
@@ -8545,7 +8552,7 @@ _BENFORD_ORACLE = f"""
         SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
                            1, 1) AS INT) AS digit,
                count(*) AS n
-        FROM events WHERE value >= 1
+        FROM events WHERE value >= 1 AND isfinite(value)
         GROUP BY 1
     ), tot AS (SELECT sum(n) AS n_total FROM obs)
     SELECT d.digit,
@@ -8578,7 +8585,9 @@ _BENFORD_ORACLE = f"""
     tags=("ext", "audit", "benford", "data-quality"),
 )
 def x140_benford_first_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events").filter(F.col("value") >= 1)
+    ev = load_table(spark, sf, "events").filter(
+        (F.col("value") >= 1) & fin("value").isNotNull()
+    )
     obs = ev.groupBy(
         F.substring(F.floor("value").cast("long").cast("string"), 1, 1)
         .cast("int")
@@ -8982,8 +8991,8 @@ _DRAWDOWN_ORACLE = """
                x
         FROM (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
-            FROM events WHERE value IS NOT NULL
+                   CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL AND isfinite(value)
             GROUP BY 1, 2
         )
     ), n AS (
@@ -9029,7 +9038,7 @@ _DRAWDOWN_ORACLE = """
 def w17_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
     from ..compat import exact_sum
 
-    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    ev = load_table(spark, sf, "events").filter(fin("value").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(exact_sum("value").cast("double").alias("x"))
@@ -9377,7 +9386,7 @@ _GENERALIZE_WIDTHS = (50, 100, 200)
 
 _GENERALIZE_CELLS_SQL = "\n        UNION ALL ".join(
     f"SELECT event_type, CAST(ts AS DATE) AS day, {w} AS width, "
-    f"CAST(floor(value / {w}.0) AS BIGINT) AS band, user_id FROM events"
+    f"CAST(floor(CASE WHEN isfinite(value) THEN value END / {w}.0) AS BIGINT) AS band, user_id FROM events"
     for w in _GENERALIZE_WIDTHS
 )
 _GENERALIZE_ORACLE = f"""
@@ -9430,7 +9439,7 @@ def x146_k_anonymity_generalization(spark: SparkSession, sf: str) -> DataFrame:
             "event_type",
             F.to_date("ts").alias("day"),
             F.lit(w).cast("int").alias("width"),
-            F.floor(F.col("value") / float(w)).cast("long").alias("band"),
+            F.floor(fin("value") / float(w)).cast("long").alias("band"),
             "user_id",
         )
         bands = part if bands is None else bands.unionByName(part)
@@ -10950,8 +10959,8 @@ _HOLT_ORACLE = """
                x
         FROM (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
-            FROM events WHERE value IS NOT NULL
+                   CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL AND isfinite(value)
             GROUP BY 1, 2
         )
     ), n AS (
@@ -11002,7 +11011,7 @@ _HOLT_ORACLE = """
 def w19_holt_double_exponential(spark: SparkSession, sf: str) -> DataFrame:
     from ..compat import exact_sum
 
-    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    ev = load_table(spark, sf, "events").filter(fin("value").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(exact_sum("value").cast("double").alias("x"))
@@ -11581,10 +11590,10 @@ _CUPED_ORACLE = f"""
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
                sum(CASE WHEN CAST(ts AS DATE) < d0 + 15
-                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS pre_cents,
                sum(CASE WHEN CAST(ts AS DATE) >= d0 + 15
-                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS post_cents
         FROM events, anchor
         WHERE value IS NOT NULL
@@ -11651,7 +11660,7 @@ _CUPED_ORACLE = f"""
 def x159_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     anchor = ev.agg(F.min(F.to_date("ts")).alias("d0"))
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cents = F.floor(fin("value") * 100 + 0.5).cast("long")
     per_user = (
         ev.crossJoin(F.broadcast(anchor))
         .groupBy(
@@ -11722,7 +11731,7 @@ _BACKTEST_ORACLE = """
                x
         FROM (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+                   CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
             FROM events WHERE value IS NOT NULL
             GROUP BY 1, 2
         )
@@ -11940,10 +11949,10 @@ _DID_ORACLE = f"""
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
                sum(CASE WHEN CAST(ts AS DATE) < d0 + 15
-                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS pre_cents,
                sum(CASE WHEN CAST(ts AS DATE) >= d0 + 15
-                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS post_cents
         FROM events, anchor
         WHERE value IS NOT NULL
@@ -11989,7 +11998,7 @@ _DID_ORACLE = f"""
 def x161_difference_in_differences(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     anchor = ev.agg(F.min(F.to_date("ts")).alias("d0"))
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cents = F.floor(fin("value") * 100 + 0.5).cast("long")
     per_user = (
         ev.crossJoin(F.broadcast(anchor))
         .groupBy(
@@ -12400,7 +12409,7 @@ _ROLLMED_ORACLE = """
         SELECT CAST(ts AS DATE) AS day,
                datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
                    AS epoch_day,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), rolled AS (
@@ -12441,7 +12450,7 @@ def w21_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy(
         F.to_date("ts").alias("day")
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     ).withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
     w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
     rolled = daily.select(
@@ -12603,7 +12612,7 @@ _COHENS_D_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), mo AS (
@@ -12651,7 +12660,7 @@ def a20_cohens_d_effect_size(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     a0 = F.when(F.col("arm") == 0, 1).otherwise(0)
     a1 = F.when(F.col("arm") == 1, 1).otherwise(0)
@@ -12689,9 +12698,11 @@ _MANN_WHITNEY_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
+        HAVING sum(CAST(floor(CASE WHEN isfinite(value) THEN value
+                   END * 100 + 0.5) AS BIGINT)) IS NOT NULL
     ), vals AS (
         SELECT cents, count(*) AS n_eq,
                sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a_eq
@@ -12751,8 +12762,12 @@ def a21_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
+    # a user with NO finite observations has no spend statistic: the
+    # NULL-cents group would otherwise need a cross-engine NULL rank
+    # position (Spark NULLS FIRST vs DuckDB NULLS LAST) — drop it
+    per_user = per_user.filter(F.col("cents").isNotNull())
     vals = per_user.groupBy("cents").agg(
         F.count(F.lit(1)).alias("n_eq"),
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a_eq"),
@@ -12795,7 +12810,7 @@ def a21_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
 _CUSUM_ORACLE = """
     WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS d,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), tot AS (
@@ -12846,7 +12861,7 @@ def x165_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total")
@@ -13041,7 +13056,7 @@ def z6_zone_map_skipping_report(spark: SparkSession, sf: str) -> DataFrame:
 _L_DIVERSITY_ORACLE = """
     WITH cells AS (
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-               CAST(floor(value / 5e1) AS BIGINT) AS value_band,
+               CAST(floor(CASE WHEN isfinite(value) THEN value END / 5e1) AS BIGINT) AS value_band,
                count(DISTINCT event_type) AS n_sensitive,
                count(DISTINCT user_id) AS n_users,
                count(*) AS n_events
@@ -13075,7 +13090,7 @@ def x167_l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     cells = ev.groupBy(
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
-        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+        F.floor(fin("value") / 50.0).cast("long").alias("value_band"),
     ).agg(
         F.countDistinct("event_type").cast("long").alias("n_sensitive"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
@@ -13094,7 +13109,7 @@ def x167_l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
 _MAD_ORACLE = """
     WITH obs AS (
         SELECT event_type,
-               2 * CAST(floor(value * 100 + 0.5) AS BIGINT) AS x2
+               2 * CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS x2
         FROM events WHERE value IS NOT NULL
     ), med AS (
         SELECT event_type,
@@ -13143,7 +13158,7 @@ def x168_mad_outlier_flags(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     obs = ev.select(
         "event_type",
-        (2 * F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("x2"),
+        (2 * F.floor(fin("value") * 100 + 0.5).cast("long")).alias("x2"),
     )
     med = obs.groupBy("event_type").agg(
         F.expr("CAST(percentile(x2, 0.5) AS BIGINT)").alias("med2")
@@ -13175,7 +13190,7 @@ def x168_mad_outlier_flags(spark: SparkSession, sf: str) -> DataFrame:
 _SAX_ORACLE = """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), sym AS (
@@ -13216,7 +13231,7 @@ def x169_sax_rank_symbolization(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     w = Window.partitionBy("event_type").orderBy("cents", "d")
     sym = daily.withColumn("tile", F.ntile(4).over(w)).withColumn(
@@ -13238,7 +13253,7 @@ _WELCH_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), mo AS (
@@ -13295,7 +13310,7 @@ def a22_welch_t_test(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     a0 = F.when(F.col("arm") == 0, 1).otherwise(0)
     a1 = F.when(F.col("arm") == 1, 1).otherwise(0)
@@ -13344,7 +13359,7 @@ def a22_welch_t_test(spark: SparkSession, sf: str) -> DataFrame:
 _ROLLING_BAND_ORACLE = """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), rolled AS (
@@ -13393,7 +13408,7 @@ def w22_rolling_band_outliers(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     w = (
         Window.partitionBy("event_type")
@@ -14035,7 +14050,7 @@ _TEMPORAL_SPLIT_ORACLE = """
         SELECT split,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS total_cents
         FROM tagged GROUP BY 1
     ), overlap AS (
@@ -14100,7 +14115,7 @@ def x174_temporal_split_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.sum(
-            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+            F.floor(F.coalesce(fin("value"), F.lit(0.0)) * 100 + 0.5).cast(
                 "long"
             )
         )
@@ -14117,7 +14132,7 @@ def x174_temporal_split_audit(spark: SparkSession, sf: str) -> DataFrame:
 _TWAP_ORACLE = """
     WITH obs AS (
         SELECT user_id, event_id, epoch_us(ts) AS t_us,
-               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS cents
         FROM events WHERE value IS NOT NULL
     ), paired AS (
         SELECT user_id, cents, t_us,
@@ -14164,7 +14179,7 @@ def w23_time_weighted_average(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "event_id",
         F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.floor(fin("value") * 100 + 0.5).cast("long").alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     paired = obs.select(
@@ -14429,7 +14444,7 @@ _SRM_ORACLE = f"""
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
                count(*) AS n_events,
-               sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS cents
         FROM events GROUP BY 1, 2
     ), mo AS (
@@ -14477,7 +14492,7 @@ def a23_experiment_health_report(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(
-            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+            F.floor(F.coalesce(fin("value"), F.lit(0.0)) * 100 + 0.5).cast(
                 "long"
             )
         ).alias("cents"),
@@ -15070,7 +15085,7 @@ def x181_weighted_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 _CUSUM_ALARM_ORACLE = """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), tot AS (
@@ -15117,7 +15132,7 @@ def w24_cusum_alarm_walk(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total")
@@ -15148,13 +15163,13 @@ _PSEUDONYM_ORACLE = f"""
         SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS pseudonym
         FROM ids
     ), by_id AS (
-        SELECT sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+        SELECT sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS cents
         FROM events
     ), by_ps AS (
         SELECT sum(cents) AS cents FROM (
             SELECT md5(CAST(user_id AS VARCHAR)) AS pseudonym,
-                   sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                   sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
                        AS cents
             FROM events GROUP BY 1
         )
@@ -15678,7 +15693,7 @@ _COVARIATE_BALANCE_ORACLE = f"""
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
                count(*) AS n_events,
-               sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS cents,
                count(DISTINCT CAST(ts AS DATE)) AS n_days
         FROM events GROUP BY 1, 2
@@ -15739,7 +15754,7 @@ def a24_covariate_balance_smd(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(
-            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+            F.floor(F.coalesce(fin("value"), F.lit(0.0)) * 100 + 0.5).cast(
                 "long"
             )
         ).alias("cents"),
@@ -15882,7 +15897,7 @@ _MIX_RATE_ORACLE = """
         SELECT event_type,
                CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
                    AS period,
-               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS cents
         FROM events WHERE value IS NOT NULL
     ), st AS (
         SELECT event_type,
@@ -15932,7 +15947,7 @@ def a25_mix_rate_decomposition(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(2)
         .alias("period"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.floor(fin("value") * 100 + 0.5).cast("long").alias("cents"),
     )
     p1 = F.when(F.col("period") == 1, 1).otherwise(0)
     p2 = F.when(F.col("period") == 2, 1).otherwise(0)
@@ -15964,7 +15979,7 @@ _QTE_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), q AS (
@@ -16013,7 +16028,7 @@ def a26_quantile_treatment_effects(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     q = per_user.groupBy("arm").agg(
         F.expr("percentile(cents, 0.25)").alias("q25"),
@@ -16246,7 +16261,7 @@ _CHURN_LABEL_ORACLE = """
     WITH obs AS (
         SELECT user_id,
                count(*) AS n_events,
-               sum(CAST(floor(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS cents,
                count(DISTINCT CAST(ts AS DATE)) AS n_days,
                date_diff('day', max(CAST(ts AS DATE)), DATE '2024-01-24')
@@ -16290,7 +16305,7 @@ def x191_churn_label_builder(spark: SparkSession, sf: str) -> DataFrame:
     obs = ev.filter(F.col("ts") < wall).groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(
-            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+            F.floor(F.coalesce(fin("value"), F.lit(0.0)) * 100 + 0.5).cast(
                 "long"
             )
         )
@@ -16321,7 +16336,7 @@ _MDE_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), mo AS (
@@ -16368,7 +16383,7 @@ def a27_minimum_detectable_effect(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         (X.base_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     mo = per_user.agg(
         F.count(F.lit(1)).alias("n"),
@@ -16629,7 +16644,7 @@ _LTV_ORACLE = """
         SELECT e.user_id, f.cohort_week,
                date_diff('week', f.cohort_week,
                          date_trunc('week', CAST(e.ts AS DATE))) AS age_w,
-               CAST(floor(COALESCE(e.value, 0) * 100 + 0.5) AS BIGINT)
+               CAST(floor(COALESCE(CASE WHEN isfinite(e.value) THEN e.value END, 0) * 100 + 0.5) AS BIGINT)
                    AS cents
         FROM events e JOIN firsts f USING (user_id)
     ), cell AS (
@@ -16693,7 +16708,7 @@ def x195_cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("long")
         .alias("age_w"),
-        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+        F.floor(F.coalesce(fin("value"), F.lit(0.0)) * 100 + 0.5)
         .cast("long")
         .alias("cents"),
     )
@@ -18012,7 +18027,7 @@ _MASE_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
                    AS ed,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -18062,7 +18077,7 @@ def w25_seasonal_naive_mase(spark: SparkSession, sf: str) -> DataFrame:
             F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01")
         ).alias("ed"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
 
     def lag_err(k: int) -> DataFrame:
@@ -18330,7 +18345,7 @@ def x212_data_expectations(spark: SparkSession, sf: str) -> DataFrame:
 
 _WINSOR_ORACLE = """
     WITH v AS (
-        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        SELECT CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS cents
         FROM events WHERE value IS NOT NULL
     ),
     lv AS (
@@ -18389,7 +18404,7 @@ def a28_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     lv = (
         ev.select(
-            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+            F.floor(fin("value") * 100 + 0.5).cast("long").alias("cents")
         )
         .groupBy("cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -18438,7 +18453,7 @@ _STREAM_REPLAY_ORACLE = """
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
     FROM events WHERE value IS NOT NULL
     GROUP BY 1, 2
@@ -18485,7 +18500,7 @@ def s9_streaming_hourly_replay(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            F.sum(F.floor(fin("value") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("cents"),
         )
@@ -18510,7 +18525,7 @@ def s9_streaming_hourly_replay(spark: SparkSession, sf: str) -> DataFrame:
 _KRUSKAL_ORACLE = """
     WITH per_user AS (
         SELECT user_id, event_type,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -18568,7 +18583,7 @@ _KRUSKAL_ORACLE = """
 def a29_kruskal_wallis_terms(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     per_user = ev.groupBy("user_id", "event_type").agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     lv = per_user.groupBy("cents", "event_type").agg(
         F.count(F.lit(1)).alias("n_eq")
@@ -18613,10 +18628,10 @@ def a29_kruskal_wallis_terms(spark: SparkSession, sf: str) -> DataFrame:
 _OHLC_ORACLE = """
     WITH t AS (
         SELECT event_type, date_trunc('day', ts) AS d,
-               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS cents,
                printf('%020d', epoch_us(ts)) || printf('%010d', event_id)
                    AS ord
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     )
     SELECT event_type, d,
            CAST(arg_min(cents, ord) AS BIGINT) AS open_cents,
@@ -18643,8 +18658,11 @@ _OHLC_ORACLE = """
     tags=("ext", "timeseries", "resample", "ohlc"),
 )
 def w26_daily_ohlc(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    # a non-finite tick is not a price: excluded whole (argmin/argmax
+    # NULL-skip conventions differ between engines, so a screened-NULL
+    # close is not portable; round-11 NaN convention, row-exclusion arm)
+    ev = load_table(spark, sf, "events").filter(fin("value").isNotNull())
+    cents = F.floor(fin("value") * 100 + 0.5).cast("long")
     # zero-padded (epoch_us, event_id) string: a portable TOTAL order
     # (unix_micros ≡ epoch_us, the w23-verified anchor)
     key = F.concat(
@@ -19207,7 +19225,7 @@ _UPLIFT_ORACLE = """
                     AS BIGINT) % 2 AS arm,
                sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
                              AND value IS NOT NULL
-                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS pre_cents,
                max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
                              AND event_type = 'purchase'
@@ -19270,7 +19288,7 @@ def x217_uplift_deciles(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(
             F.when(
                 (F.col("ts") < wall) & F.col("value").isNotNull(),
-                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                F.floor(fin("value") * 100 + 0.5).cast("long"),
             ).otherwise(0)
         ).alias("pre_cents"),
         F.max(
@@ -19322,7 +19340,7 @@ _HAAR_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE)
                    - DATE '2024-01-01' AS di,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS c
         FROM events WHERE value IS NOT NULL
           AND ts < TIMESTAMP '2024-01-09 00:00:00'
         GROUP BY 1, 2
@@ -19381,7 +19399,7 @@ def w27_haar_pyramid(spark: SparkSession, sf: str) -> DataFrame:
             F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
         ).alias("di"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("c")
     )
     c, di = F.col("c"), F.col("di")
     sgn = lambda expr: F.sum(expr).cast("long")  # noqa: E731
@@ -19541,7 +19559,7 @@ _STL_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE)
                    - DATE '2024-01-01' AS di,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS c
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -19604,7 +19622,7 @@ def w28_stl_lite_decomposition(spark: SparkSession, sf: str) -> DataFrame:
             F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
         ).alias("di"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("c")
     )
     a, b = daily.alias("a"), daily.alias("b")
     trend = (
@@ -19650,7 +19668,8 @@ def w28_stl_lite_decomposition(spark: SparkSession, sf: str) -> DataFrame:
 _INT8_QUANT_ORACLE = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
     ),
     mm AS (
         SELECT vec_id, v,
@@ -19698,9 +19717,7 @@ _INT8_QUANT_ORACLE = """
     tags=("ext", "similarity", "quantization", "serving"),
 )
 def x219_int8_quantization_error(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     v = F.col("embedding").cast("array<double>")
     e = emb.select("vec_id", v.alias("v"))
     fold_min = F.aggregate(
@@ -19839,7 +19856,7 @@ def x220_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
 _DELTA_RATIO_ORACLE = """
     WITH per_user AS (
         SELECT user_id,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents,
                count(*) AS n_ev
         FROM events WHERE value IS NOT NULL
         GROUP BY user_id
@@ -19895,7 +19912,7 @@ _DELTA_RATIO_ORACLE = """
 def a30_delta_method_ratio_se(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     per_user = ev.groupBy("user_id").agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents"),
         F.count(F.lit(1)).alias("n_ev"),
     )
     mo = per_user.agg(
@@ -20393,7 +20410,8 @@ def x226_labeling_function_census(spark: SparkSession, sf: str) -> DataFrame:
 _MARGIN_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings
+        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
     ),{{rounds}},
     scored AS (
         SELECT e.vec_id, c.cell,
@@ -20444,9 +20462,7 @@ def x227_margin_uncertainty_sampling(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..ext.similarity import _fixed_rounds_centroids, _sql_double
 
-    emb = load_table(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     vecs = emb.select(
         F.col("vec_id").alias("vid"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
@@ -20997,7 +21013,7 @@ _THEIL_SEN_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE)
                    - DATE '2024-01-01' AS di,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS c
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -21053,7 +21069,7 @@ def w29_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
             F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
         ).alias("di"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("c")
     )
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(
@@ -21307,7 +21323,8 @@ _SEPARATION_ORACLE = f"""
             SELECT label, vec_id, embedding,
                    row_number() OVER (PARTITION BY label
                                       ORDER BY vec_id) AS rn
-            FROM embeddings WHERE embedding IS NOT NULL
+            FROM embeddings
+            WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
         ) WHERE rn <= 10
     ),
     pairs AS (
@@ -21354,9 +21371,7 @@ _SEPARATION_ORACLE = f"""
 def x235_embedding_separation(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").filter(finite_vec("embedding"))
     w = Window.partitionBy("label").orderBy("vec_id")
     probes = (
         emb.select(
@@ -21457,7 +21472,7 @@ _CONFORMAL_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE)
                    - DATE '2024-01-01' AS di,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -21535,7 +21550,7 @@ def x236_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
             F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
         ).alias("di"),
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        F.sum(F.floor(fin("value") * 100 + 0.5).cast("long")).alias("cents")
     )
     a, b = daily.alias("a"), daily.alias("b")
     err = (
@@ -22096,7 +22111,7 @@ def x243_positive_pair_views(spark: SparkSession, sf: str) -> DataFrame:
 
 _JARQUE_BERA_ORACLE = """
     WITH v AS (
-        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        SELECT CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS c
         FROM events WHERE value IS NOT NULL
     ),
     mo AS (
@@ -22154,7 +22169,7 @@ _JARQUE_BERA_ORACLE = """
 )
 def a31_skewness_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
-    c = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    c = F.floor(fin("value") * 100 + 0.5).cast("long")
     v = ev.select(c.alias("c"))
     mo = v.agg(
         F.count(F.lit(1)).alias("n"),

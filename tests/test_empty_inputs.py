@@ -242,6 +242,69 @@ def all_null_oracle(all_null_sf_dir):
 ALL_NULL_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
 
 
+@pytest.fixture(scope="module")
+def nan_payload_sf_dir(tmp_path_factory):
+    """Five rows per table with NON-FINITE payloads beside real ones:
+    events.value = NaN and the first embedding component = NaN on even
+    ids (documents keep text — NaN is numeric). The round-11 NaN wave's
+    fixture: a NaN reaching a fixed-point cast RAISES in ANSI engines
+    and silently folds to 0 under Spark's pinned non-ANSI cast, so the
+    exact-decimal tier screens non-finite to NULL inside the cast on
+    BOTH sides (compat.exact_sum / oracle_money_* / the cents idioms),
+    vector entries exclude failed embeddings whole (finite_vec /
+    sql_finite_vec), and rank/argminmax/series consumers drop the
+    zero-finite-observation unit explicitly."""
+    import duckdb as ddb
+
+    nan_mods = {
+        "events": ("value", "event_id"),
+        "embeddings": ("embedding", "vec_id"),
+    }
+    d = tmp_path_factory.mktemp("nan_payload_sf")
+    for t in TABLE_NAMES:
+        if t in nan_mods:
+            col, key = nan_mods[t]
+            cols = [
+                r[0]
+                for r in ddb.sql(
+                    f"DESCRIBE SELECT * FROM "
+                    f"'/root/testdata/sf0.001/{t}.parquet'"
+                ).fetchall()
+            ]
+            if t == "events":
+                mod = (
+                    f"CASE WHEN {key} % 2 = 0 THEN 'NaN'::DOUBLE "
+                    f"ELSE {col} END AS {col}"
+                )
+            else:
+                mod = (
+                    f"CASE WHEN {key} % 2 = 0 THEN "
+                    f"list_concat(['NaN'::FLOAT], {col}[2:]) "
+                    f"ELSE {col} END AS {col}"
+                )
+            sel = ", ".join(mod if c == col else c for c in cols)
+        else:
+            sel = "*"
+        ddb.sql(
+            f"COPY (SELECT {sel} FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"ORDER BY 1 LIMIT 5) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def nan_payload_oracle(nan_payload_sf_dir):
+    from .oracle_utils import duckdb_connection
+
+    con = duckdb_connection(nan_payload_sf_dir)
+    yield con
+    con.close()
+
+
+# Same inherent dynamic-pivot divergence as the other degenerate legs.
+NAN_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_runs_on_empty_tables(spark, empty_sf_dir, empty_oracle, name):
     """Every entry must RUN on zero-row tables, and (round 10) its
@@ -331,3 +394,27 @@ def test_entry_matches_oracle_on_all_null_tables(
     want = all_null_oracle.execute(spec.oracle).fetchdf()
     res = compare_frames(got, want)
     assert res.ok and res.exact, f"{name} (on ALL-NULL input): {res.detail}"
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_entry_matches_oracle_on_nan_payload_tables(
+    spark, nan_payload_sf_dir, nan_payload_oracle, name
+):
+    """The NON-FINITE-payload leg (round 11): NaN values/components
+    beside real rows — pins the fixed-point screens (a NaN reaching
+    floor(x*100)::BIGINT raises in DuckDB and folds to 0 in Spark's
+    non-ANSI cast: the one degenerate class where the engines disagree
+    CATASTROPHICALLY rather than conventionally), the failed-embedding
+    whole-vector exclusion, and the zero-finite-observation drops in
+    the rank/series consumers."""
+    spec = CATALOG[name]
+    df = spec.spark(spark, nan_payload_sf_dir)
+    got = df.toPandas()
+    assert len(df.schema.fields) > 0
+    if spec.oracle is None or name in NAN_PARITY_INHERENT:
+        return
+    from .oracle_utils import compare_frames
+
+    want = nan_payload_oracle.execute(spec.oracle).fetchdf()
+    res = compare_frames(got, want)
+    assert res.ok and res.exact, f"{name} (on NAN-PAYLOAD input): {res.detail}"

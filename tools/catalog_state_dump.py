@@ -26,6 +26,12 @@ from taxi_aws_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 ID_RE = re.compile(r"#\d+")
+# Spark lambda variables carry a session-global counter in their NAME
+# (`lambda x_705#12`), which the exprId strip does not touch — without
+# this, every entry analyzed after a tree adds/removes ONE lambda
+# upstream hashes differently (the round-11 false-cohort lesson: a
+# 161-entry "diff" of which ~100 were counter shifts).
+LAMBDA_RE = re.compile(r"(\blambda\s+\w+?)_\d+")
 out = {}
 spark = get_spark(app_name="catalog-state-dump")
 for name, spec in sorted(CATALOG.items()):
@@ -33,6 +39,7 @@ for name, spec in sorted(CATALOG.items()):
         df = spec.spark(spark, SF)
         plan = df._jdf.queryExecution().analyzed().toString()
         plan = ID_RE.sub("#", plan)
+        plan = LAMBDA_RE.sub(r"\1_", plan)
         ph = hashlib.md5(plan.encode()).hexdigest()
     except Exception as e:  # noqa: BLE001
         ph = f"ERROR: {e!r}"[:200]

@@ -75,9 +75,7 @@ PULL_FORWARD: tuple[str, ...] = (
 # (s9/s10/s11 excluded as replay-temp-path plan-hash noise — their
 # sources are untouched this round). 50 fit the r11 window; the last 5
 # by registration order carry to r12 automatically.
-REPIN_FIRST: dict[str, int] = {
-    name: 11
-    for name in (
+_R11_NULL_WAVE: tuple[str, ...] = (
         "k2_approx_sketches",
         "k4_grouped_approx_percentiles",
         "x1_lang_id_stopword_vote",
@@ -133,7 +131,113 @@ REPIN_FIRST: dict[str, int] = {
         "x220_hard_negative_mining",
         "x246_ivf_nprobe_recall_sweep",
         "x248_ivf_cell_balance",
-    )
+)
+
+# Round-11 second cohort: the NaN/non-finite payload wave (VERDICT
+# r10 staged package, pulled into r11). Computed MECHANICALLY with
+# tools/catalog_state_dump.py (lambda-counter normalization added —
+# the naive diff read 161 entries, ~half session-global `lambda
+# x_NNN` counter shifts): 87 entries whose plan and/or oracle hash
+# changed (the compat.exact_sum/money central screens fan out to
+# every money-family consumer), plus s9 (its oracle text changed;
+# its plan hash is replay-temp-path noise and stays excluded from
+# the mechanical diff). sf0.01 values identical by construction
+# (zero non-finite payloads at graded SFs; full suite green), but
+# the evidence each green attested to changed, so all re-pin at 11
+# and drain across the r11-r13 windows.
+_R11_NAN_WAVE: tuple[str, ...] = (
+        "a10_retractable_rollup",
+        "a12_ols_trend_per_group",
+        "a1_returnflag_performance",
+        "a20_cohens_d_effect_size",
+        "a21_mann_whitney_u",
+        "a22_welch_t_test",
+        "a23_experiment_health_report",
+        "a24_covariate_balance_smd",
+        "a25_mix_rate_decomposition",
+        "a26_quantile_treatment_effects",
+        "a27_minimum_detectable_effect",
+        "a28_winsorized_mean",
+        "a29_kruskal_wallis_terms",
+        "a2_hourly_demand",
+        "a30_delta_method_ratio_se",
+        "a31_skewness_kurtosis",
+        "a3_supplier_analysis",
+        "a4_priority_analysis",
+        "a5_monthly_summary",
+        "a9_mergeable_rollup_maintenance",
+        "g1_rollup_year_priority",
+        "g2_cube_flag_status",
+        "g3_grouping_sets_explicit",
+        "g5_pivot_daily_event_values",
+        "j10_small_quantity_revenue",
+        "j11_large_volume_orders",
+        "j12_interval_overlap_join",
+        "j13_bi_national_volume",
+        "j14_disjunctive_pred_join",
+        "j17_top_supplier_by_revenue",
+        "j19_interval_concurrency",
+        "j1_region_revenue_star_join",
+        "j22_pareto_frontier",
+        "j6_small_quantity_revenue",
+        "j9_churned_rich_customers",
+        "k1_salted_skew_agg",
+        "k3_salted_skew_join",
+        "w12_ratio_to_report",
+        "w15_ewma_daily_value",
+        "w17_max_drawdown",
+        "w19_holt_double_exponential",
+        "w1_tumbling_hourly_value",
+        "w20_forecast_backtest",
+        "w21_rolling_median",
+        "w22_rolling_band_outliers",
+        "w23_time_weighted_average",
+        "w24_cusum_alarm_walk",
+        "w25_seasonal_naive_mase",
+        "w26_daily_ohlc",
+        "w27_haar_pyramid",
+        "w28_stl_lite_decomposition",
+        "w29_theil_sen_slope",
+        "w5_moving_avg_lag_delta",
+        "w6_sliding_window_halfhour",
+        "w8_time_grid_forward_fill",
+        "w9_time_grid_interpolate",
+        "x104_mann_kendall_trend",
+        "x117_time_decayed_user_value",
+        "x127_clamped_running_balance",
+        "x128_last_touch_attribution",
+        "x135_k_anonymity_audit",
+        "x136_int8_scalar_quantization",
+        "x140_benford_first_digit_audit",
+        "x143_coordinated_key_sample",
+        "x146_k_anonymity_generalization",
+        "x159_cuped_adjustment",
+        "x161_difference_in_differences",
+        "x165_cusum_changepoint",
+        "x167_l_diversity_audit",
+        "x168_mad_outlier_flags",
+        "x169_sax_rank_symbolization",
+        "x174_temporal_split_audit",
+        "x182_pseudonym_collision_audit",
+        "x191_churn_label_builder",
+        "x195_cohort_ltv_curve",
+        "x217_uplift_deciles",
+        "x219_int8_quantization_error",
+        "x21_embedding_label_centroids",
+        "x227_margin_uncertainty_sampling",
+        "x235_embedding_separation",
+        "x236_conformal_interval",
+        "x35_kmeans_cells",
+        "x38_pq_ann_topk",
+        "x46_random_projection",
+        "x83_kmeans_fixed_rounds",
+        "x92_power_iteration_top_pc",
+        "x94_equidepth_histogram",
+        "s9_streaming_hourly_replay",
+)
+
+REPIN_FIRST: dict[str, int] = {
+    name: 11 for name in _R11_NULL_WAVE + _R11_NAN_WAVE
 }
 
 
