@@ -28,7 +28,16 @@ Fixtures (built from /root/testdata/sf0.001 into a temp dir):
                  embedding component = NaN on even ids (a sizing audit:
                  Spark and DuckDB disagree on NaN ordering, equality,
                  and aggregate semantics — scan before deciding which
-                 divergences to close vs document)
+                 divergences to close vs document; CLOSED round 11,
+                 now the fifth permanent test leg)
+  huge_payload — five rows per table; events.value = 1e23 and the
+                 first embedding component = 1e30 on even ids: FINITE
+                 magnitudes that pass isfinite() but overflow the
+                 exact-decimal tier (cents*100 past INT64, value past
+                 DECIMAL(28,6)'s 22 integer digits, component*1e6 past
+                 the quantizer BIGINT) — ANSI engines raise, Spark's
+                 non-ANSI casts clamp/NULL silently. The magnitude
+                 sibling of the NaN class (a sizing audit)
 
 Exit code: number of divergent entries (0 = clean), capped at 120.
 """
@@ -73,19 +82,24 @@ def build_fixture(kind: str, d: str) -> None:
                         f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
                     ).fetchall()
                 ]
-                if kind == "nan_payload":
+                if kind in ("nan_payload", "huge_payload"):
+                    ev_bad, emb_bad = (
+                        ("'NaN'::DOUBLE", "'NaN'::FLOAT")
+                        if kind == "nan_payload"
+                        else ("1e23::DOUBLE", "1e30::FLOAT")
+                    )
                     if t == "events":
                         mod = (
-                            f"CASE WHEN {key} % 2 = 0 THEN 'NaN'::DOUBLE "
+                            f"CASE WHEN {key} % 2 = 0 THEN {ev_bad} "
                             f"ELSE {col} END AS {col}"
                         )
                     elif t == "embeddings":
                         mod = (
                             f"CASE WHEN {key} % 2 = 0 THEN "
-                            f"list_concat(['NaN'::FLOAT], {col}[2:]) "
+                            f"list_concat([{emb_bad}], {col}[2:]) "
                             f"ELSE {col} END AS {col}"
                         )
-                    else:  # documents keep real text — NaN is numeric
+                    else:  # documents keep real text — numeric classes
                         mod = col
                     sel = ", ".join(mod if c == col else c for c in cols)
                 else:
@@ -110,7 +124,8 @@ def build_fixture(kind: str, d: str) -> None:
 def main() -> int:
     kind = sys.argv[1] if len(sys.argv) > 1 else "null_payload"
     if kind not in (
-        "empty", "one_row", "null_payload", "all_null", "nan_payload"
+        "empty", "one_row", "null_payload", "all_null", "nan_payload",
+        "huge_payload",
     ):
         raise SystemExit(f"unknown fixture kind {kind!r}")
     d = tempfile.mkdtemp(prefix=f"degenerate_{kind}_")
