@@ -49,14 +49,26 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: The exact-decimal tier's value domain. Beyond ~9e13 the DOUBLE
+#: multiplication value*100 itself stops being integer-exact (2^53/100),
+#: so cents-int64 exactness is unachievable regardless of the cast —
+#: 1e13 is where the tier's contract honestly ends, not a tuning knob.
+EXACT_DOMAIN_ABS = 1e13
+
+
 def _finite(c: Column) -> Column:
-    """Non-finite (NaN/±Inf) → NULL before the decimal cast (round-11
-    NaN convention): Spark's non-ANSI double→decimal cast folds NaN to
-    NULL while ANSI engines RAISE — so the exact-decimal tier screens
-    explicitly and every aggregate skips screened values like any other
-    NULL, identically in both engines. Leaf-column guard only (never a
+    """Out-of-domain (NaN/±Inf/|x| ≥ 1e13) → NULL before the decimal
+    cast (round-11 NaN + magnitude conventions): Spark's non-ANSI
+    casts fold NaN/overflow to NULL/clamped values while ANSI engines
+    RAISE — so the exact-decimal tier screens explicitly and every
+    aggregate skips screened values like any other NULL, identically
+    in both engines. ``abs(c) < B`` alone rejects NaN and ±Inf in both
+    engines (NaN compares greater than everything); the isnan arm
+    stays for explicitness. Leaf-column guard only (never a
     multiply-referenced expression — BASELINE.md ledger #2)."""
-    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
+    return F.when(
+        ~F.isnan(c) & (F.abs(c) < F.lit(EXACT_DOMAIN_ABS)), c
+    )
 
 
 def exact_sum(col: Column | str) -> Column:
@@ -94,7 +106,10 @@ def money_median(col: Column | str) -> Column:
 
 def oracle_finite(expr: str) -> str:
     """DuckDB SQL twin of :func:`_finite`."""
-    return f"CASE WHEN isfinite({expr}) THEN {expr} END"
+    return (
+        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 1e13 "
+        f"THEN {expr} END"
+    )
 
 
 def oracle_money_sum(expr: str, scale: int = 2) -> str:

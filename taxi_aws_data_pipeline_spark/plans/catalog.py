@@ -76,15 +76,23 @@ def register(name: str, doc: str, oracle: str | None = None, tags: tuple[str, ..
 _INF = float("inf")
 
 
+#: Exact-decimal value domain (see compat.EXACT_DOMAIN_ABS: beyond
+#: ~9e13 the value*100 DOUBLE multiply loses integer exactness, so the
+#: cents tier's contract honestly ends there).
+_DOMAIN = 1e13
+
+
 def fin(c: str | Column) -> Column:
-    """Spark: non-finite (NaN/±Inf) scalar → NULL; NULL stays NULL."""
+    """Spark: out-of-domain (NaN/±Inf/|x| ≥ 1e13) scalar → NULL; NULL
+    stays NULL. abs(c) < B alone rejects NaN and ±Inf (NaN compares
+    greater than everything in both engines)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.when(~F.isnan(col) & (F.abs(col) != F.lit(_INF)), col)
+    return F.when(~F.isnan(col) & (F.abs(col) < F.lit(_DOMAIN)), col)
 
 
 def sql_finite(c: str) -> str:
     """DuckDB twin of :func:`fin` (isfinite(NULL) is NULL → NULL out)."""
-    return f"CASE WHEN isfinite({c}) THEN {c} END"
+    return f"CASE WHEN isfinite({c}) AND abs({c}) < 1e13 THEN {c} END"
 
 
 # Spark-SQL dialect of the same screen, for F.expr() strings (Spark has
@@ -92,8 +100,7 @@ def sql_finite(c: str) -> str:
 # arm keeps the intent explicit and mirrors fin()):
 def sparksql_finite(c: str) -> str:
     return (
-        f"CASE WHEN NOT isnan({c}) AND "
-        f"abs({c}) <> CAST('Infinity' AS DOUBLE) THEN {c} END"
+        f"CASE WHEN NOT isnan({c}) AND abs({c}) < 1e13 THEN {c} END"
     )
 
 
@@ -104,21 +111,27 @@ def finite_vec(c: str | Column) -> Column:
     extended; screening single components would leak NULL-component
     centroids into downstream algebra)."""
     col = F.col(c) if isinstance(c, str) else c
-    # size > 0 matches the SQL twin, whose max-over-empty-list is NULL
+    # size > 0 matches the SQL twin, whose max-over-empty-list is NULL.
+    # The 1e9 component bound keeps the fixed-point quantizer algebra
+    # (floor(x*1e6) sums) inside int64/2^53 exactness; abs >= bound
+    # also catches ±Inf, and isnan the NaN arm.
     return (
         col.isNotNull()
         & (F.size(col) > 0)
-        & ~F.exists(col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(_INF)))
+        & ~F.exists(
+            col, lambda x: F.isnan(x) | (F.abs(x) >= F.lit(1e9))
+        )
     )
 
 
 def sql_finite_vec(c: str) -> str:
-    """DuckDB twin of :func:`finite_vec`: max(|x_i|) is finite iff all
-    components are (NaN propagates through list max; NULL list → NULL
-    → excluded by WHERE)."""
+    """DuckDB twin of :func:`finite_vec`: max(|x_i|) < 1e9 iff all
+    components are finite and in the quantizer domain (NaN propagates
+    through list max and compares greater than everything; NULL list →
+    NULL → excluded by WHERE)."""
     return (
-        f"isfinite(list_aggregate(list_transform(CAST({c} AS DOUBLE[]), "
-        f"x -> abs(x)), 'max'))"
+        f"(list_aggregate(list_transform(CAST({c} AS DOUBLE[]), "
+        f"x -> abs(x)), 'max') < 1e9)"
     )
 
 
@@ -1216,7 +1229,7 @@ def j2_asof_join_prior_click(spark: SparkSession, sf: str) -> DataFrame:
     "One shuffle on user_id serves both window specs.",
     oracle="""
         SELECT event_id, user_id, ts,
-               CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) OVER w AS DOUBLE)
+               CAST(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END AS DECIMAL(28,6))) OVER w AS DOUBLE)
                    / COUNT(value) OVER w                         AS moving_avg_3,
                value - lag(value) OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id)   AS delta_prev
@@ -2041,7 +2054,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
                {", ".join(
                    f"CAST(ROUND(SUM(CASE WHEN event_type = '{t}' THEN "
-                   f"CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6)) END), 2) AS DOUBLE) AS {t}"
+                   f"CAST(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END AS DECIMAL(28,6)) END), 2) AS DOUBLE) AS {t}"
                    for t in _EVENT_TYPES
                )}
         FROM events
@@ -2317,7 +2330,7 @@ def a8_measure_correlations(spark: SparkSession, sf: str) -> DataFrame:
         WITH iv AS (
             SELECT event_id, ts AS s,
                    ts + to_minutes(
-                       ((CAST(floor(CASE WHEN isfinite(value) THEN value
+                       ((CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value
                          END) AS BIGINT) % 120) + 120) % 120
                    ) AS e
             FROM events
@@ -2345,7 +2358,7 @@ def j12_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(
             "ts + make_dt_interval(0, 0, "
             "CAST(pmod(CAST(floor(CASE WHEN NOT isnan(value) AND "
-            "abs(value) <> CAST('Infinity' AS DOUBLE) THEN value END) "
+            "abs(value) < 1e13 THEN value END) "
             "AS BIGINT), 120) AS INT), 0)"
         ).alias("e"),
     )
@@ -3026,7 +3039,7 @@ def j17_top_supplier_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
         WITH ht AS (
             SELECT date_trunc('hour', ts) AS h, event_type,
-                   SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS v
+                   SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END AS DECIMAL(28,6))) AS v
             FROM events
             GROUP BY 1, 2
         ),
@@ -3394,8 +3407,8 @@ def e17_calendar_dimension(spark: SparkSession, sf: str) -> DataFrame:
                    count(*) AS n,
                    sum(day(ts)) AS sx,
                    sum(day(ts) * day(ts)) AS sxx,
-                   sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 1000000) AS BIGINT)) AS sy,
-                   sum(day(ts) * CAST(floor(CASE WHEN isfinite(value) THEN value END * 1000000) AS BIGINT))
+                   sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 1000000) AS BIGINT)) AS sy,
+                   sum(day(ts) * CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 1000000) AS BIGINT))
                        AS sxy
             FROM events WHERE value IS NOT NULL
             GROUP BY 1
@@ -3468,7 +3481,7 @@ def a12_ols_trend_per_group(spark: SparkSession, sf: str) -> DataFrame:
         WITH iv AS (
             SELECT event_type, event_id, ts AS s,
                    ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
-            FROM events WHERE value IS NOT NULL AND isfinite(value)
+            FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e13
         ), pts AS (
             SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
             UNION ALL

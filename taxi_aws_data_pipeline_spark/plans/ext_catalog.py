@@ -1638,7 +1638,7 @@ _KMEANS_CELLS_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
-        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+        WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
     ),{_km_rounds_sql('e', 8, 3, 'm_')}
     SELECT vec_id, cell FROM m_code
 """
@@ -1780,7 +1780,7 @@ _PQ_ANN_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
-        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+        WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
     ),
     {",".join(
         f'e{j} AS (SELECT vec_id, v[{j * 16 + 1}:{(j + 1) * 16}] AS v FROM e)'
@@ -2109,7 +2109,7 @@ def _sql_random_projection() -> str:
 _RANDOM_PROJECTION_ORACLE = f"""
     WITH c AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+        WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
     )
     SELECT vec_id,
            {_sql_random_projection()}
@@ -4493,7 +4493,7 @@ _KMEANS_FIXED_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
-        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+        WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
     ),
     seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -4979,7 +4979,7 @@ _POWER_ITER_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
-        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+        WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
     ),
     q1 AS (
         SELECT t.pos,
@@ -5713,7 +5713,7 @@ _MANN_KENDALL_ORACLE = """
         SELECT event_type, value,
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY ts, event_id) AS i
-        FROM events WHERE value IS NOT NULL AND isfinite(value)
+        FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e13
     ),
     pairs AS (
         SELECT a.event_type,
@@ -6643,7 +6643,7 @@ _DECAY_SHIFT = 31
 _DECAYED_ORACLE = f"""
     WITH base AS (
         SELECT user_id,
-               CAST(floor(CASE WHEN isfinite(value) THEN value END * 1000000) AS BIGINT) AS v_int,
+               CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 1000000) AS BIGINT) AS v_int,
                date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
                    AS age_days
         FROM events WHERE value IS NOT NULL AND value >= 0
@@ -7402,7 +7402,7 @@ _BALANCE_ORACLE = """
                     ELSE -CAST(floor(value) AS BIGINT) END AS delta
         FROM events
         WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
-          AND isfinite(value)
+          AND isfinite(value) AND abs(value) < 1e13
     ), n AS (
         SELECT user_id, max(pos) AS n_deltas FROM d GROUP BY user_id
     ), walk AS (
@@ -7969,7 +7969,7 @@ def x134_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
 _K_ANON_ORACLE = """
     SELECT event_type,
            strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-           CAST(floor(CASE WHEN isfinite(value) THEN value END / 50.0) AS BIGINT) AS value_band,
+           CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END / 50.0) AS BIGINT) AS value_band,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(count(*) AS BIGINT) AS n_events,
            count(DISTINCT user_id) < 5 AS at_risk
@@ -8021,7 +8021,7 @@ _SQ8_ORACLE = """
                                        x -> abs(CAST(x AS DOUBLE)))) AS scale,
                embedding
         FROM embeddings
-        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+        WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
     ), coded AS (
         SELECT vec_id, scale,
                list_transform(embedding,
@@ -8310,8 +8310,8 @@ _EWMA_ORACLE = """
                x
         FROM (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
-            FROM events WHERE value IS NOT NULL AND isfinite(value)
+                   CAST(sum(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e13
             GROUP BY 1, 2
         )
     ), n AS (
@@ -8552,7 +8552,7 @@ _BENFORD_ORACLE = f"""
         SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
                            1, 1) AS INT) AS digit,
                count(*) AS n
-        FROM events WHERE value >= 1 AND isfinite(value)
+        FROM events WHERE value >= 1 AND isfinite(value) AND abs(value) < 1e13
         GROUP BY 1
     ), tot AS (SELECT sum(n) AS n_total FROM obs)
     SELECT d.digit,
@@ -8991,8 +8991,8 @@ _DRAWDOWN_ORACLE = """
                x
         FROM (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
-            FROM events WHERE value IS NOT NULL AND isfinite(value)
+                   CAST(sum(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e13
             GROUP BY 1, 2
         )
     ), n AS (
@@ -9386,7 +9386,7 @@ _GENERALIZE_WIDTHS = (50, 100, 200)
 
 _GENERALIZE_CELLS_SQL = "\n        UNION ALL ".join(
     f"SELECT event_type, CAST(ts AS DATE) AS day, {w} AS width, "
-    f"CAST(floor(CASE WHEN isfinite(value) THEN value END / {w}.0) AS BIGINT) AS band, user_id FROM events"
+    f"CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END / {w}.0) AS BIGINT) AS band, user_id FROM events"
     for w in _GENERALIZE_WIDTHS
 )
 _GENERALIZE_ORACLE = f"""
@@ -10959,8 +10959,8 @@ _HOLT_ORACLE = """
                x
         FROM (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
-            FROM events WHERE value IS NOT NULL AND isfinite(value)
+                   CAST(sum(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e13
             GROUP BY 1, 2
         )
     ), n AS (
@@ -11590,10 +11590,10 @@ _CUPED_ORACLE = f"""
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
                sum(CASE WHEN CAST(ts AS DATE) < d0 + 15
-                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS pre_cents,
                sum(CASE WHEN CAST(ts AS DATE) >= d0 + 15
-                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS post_cents
         FROM events, anchor
         WHERE value IS NOT NULL
@@ -11731,7 +11731,7 @@ _BACKTEST_ORACLE = """
                x
         FROM (
             SELECT event_type, CAST(ts AS DATE) AS day,
-                   CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
+                   CAST(sum(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS x
             FROM events WHERE value IS NOT NULL
             GROUP BY 1, 2
         )
@@ -11949,10 +11949,10 @@ _DID_ORACLE = f"""
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
                sum(CASE WHEN CAST(ts AS DATE) < d0 + 15
-                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS pre_cents,
                sum(CASE WHEN CAST(ts AS DATE) >= d0 + 15
-                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS post_cents
         FROM events, anchor
         WHERE value IS NOT NULL
@@ -12409,7 +12409,7 @@ _ROLLMED_ORACLE = """
         SELECT CAST(ts AS DATE) AS day,
                datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
                    AS epoch_day,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), rolled AS (
@@ -12612,7 +12612,7 @@ _COHENS_D_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), mo AS (
@@ -12698,10 +12698,10 @@ _MANN_WHITNEY_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
-        HAVING sum(CAST(floor(CASE WHEN isfinite(value) THEN value
+        HAVING sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value
                    END * 100 + 0.5) AS BIGINT)) IS NOT NULL
     ), vals AS (
         SELECT cents, count(*) AS n_eq,
@@ -12810,7 +12810,7 @@ def a21_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
 _CUSUM_ORACLE = """
     WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS d,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), tot AS (
@@ -13056,7 +13056,7 @@ def z6_zone_map_skipping_report(spark: SparkSession, sf: str) -> DataFrame:
 _L_DIVERSITY_ORACLE = """
     WITH cells AS (
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-               CAST(floor(CASE WHEN isfinite(value) THEN value END / 5e1) AS BIGINT) AS value_band,
+               CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END / 5e1) AS BIGINT) AS value_band,
                count(DISTINCT event_type) AS n_sensitive,
                count(DISTINCT user_id) AS n_users,
                count(*) AS n_events
@@ -13109,7 +13109,7 @@ def x167_l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
 _MAD_ORACLE = """
     WITH obs AS (
         SELECT event_type,
-               2 * CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS x2
+               2 * CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT) AS x2
         FROM events WHERE value IS NOT NULL
     ), med AS (
         SELECT event_type,
@@ -13190,7 +13190,7 @@ def x168_mad_outlier_flags(spark: SparkSession, sf: str) -> DataFrame:
 _SAX_ORACLE = """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), sym AS (
@@ -13253,7 +13253,7 @@ _WELCH_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), mo AS (
@@ -13359,7 +13359,7 @@ def a22_welch_t_test(spark: SparkSession, sf: str) -> DataFrame:
 _ROLLING_BAND_ORACLE = """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), rolled AS (
@@ -14050,7 +14050,7 @@ _TEMPORAL_SPLIT_ORACLE = """
         SELECT split,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
+               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS total_cents
         FROM tagged GROUP BY 1
     ), overlap AS (
@@ -14132,7 +14132,7 @@ def x174_temporal_split_audit(spark: SparkSession, sf: str) -> DataFrame:
 _TWAP_ORACLE = """
     WITH obs AS (
         SELECT user_id, event_id, epoch_us(ts) AS t_us,
-               CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS cents
+               CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT) AS cents
         FROM events WHERE value IS NOT NULL
     ), paired AS (
         SELECT user_id, cents, t_us,
@@ -14444,7 +14444,7 @@ _SRM_ORACLE = f"""
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
                count(*) AS n_events,
-               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
+               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS cents
         FROM events GROUP BY 1, 2
     ), mo AS (
@@ -15085,7 +15085,7 @@ def x181_weighted_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 _CUSUM_ALARM_ORACLE = """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), tot AS (
@@ -15163,13 +15163,13 @@ _PSEUDONYM_ORACLE = f"""
         SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS pseudonym
         FROM ids
     ), by_id AS (
-        SELECT sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
+        SELECT sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS cents
         FROM events
     ), by_ps AS (
         SELECT sum(cents) AS cents FROM (
             SELECT md5(CAST(user_id AS VARCHAR)) AS pseudonym,
-                   sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
+                   sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END, 0) * 100 + 0.5) AS BIGINT))
                        AS cents
             FROM events GROUP BY 1
         )
@@ -15205,7 +15205,7 @@ _PSEUDONYM_ORACLE = f"""
 def x182_pseudonym_collision_audit(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     cents = F.floor(
-        F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5
+        F.coalesce(fin("value"), F.lit(0.0)) * 100 + 0.5
     ).cast("long")
     by_ps = (
         ev.groupBy(F.md5(F.col("user_id").cast("string")).alias("pseudonym"))
@@ -15693,7 +15693,7 @@ _COVARIATE_BALANCE_ORACLE = f"""
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
                count(*) AS n_events,
-               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
+               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS cents,
                count(DISTINCT CAST(ts AS DATE)) AS n_days
         FROM events GROUP BY 1, 2
@@ -15897,7 +15897,7 @@ _MIX_RATE_ORACLE = """
         SELECT event_type,
                CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
                    AS period,
-               CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS cents
+               CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT) AS cents
         FROM events WHERE value IS NOT NULL
     ), st AS (
         SELECT event_type,
@@ -15979,7 +15979,7 @@ _QTE_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), q AS (
@@ -16261,7 +16261,7 @@ _CHURN_LABEL_ORACLE = """
     WITH obs AS (
         SELECT user_id,
                count(*) AS n_events,
-               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) THEN value END, 0) * 100 + 0.5) AS BIGINT))
+               sum(CAST(floor(COALESCE(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END, 0) * 100 + 0.5) AS BIGINT))
                    AS cents,
                count(DISTINCT CAST(ts AS DATE)) AS n_days,
                date_diff('day', max(CAST(ts AS DATE)), DATE '2024-01-24')
@@ -16336,7 +16336,7 @@ _MDE_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id,
                {SQL_H.format(s='CAST(user_id AS VARCHAR)')} % 2 AS arm,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), mo AS (
@@ -16644,7 +16644,7 @@ _LTV_ORACLE = """
         SELECT e.user_id, f.cohort_week,
                date_diff('week', f.cohort_week,
                          date_trunc('week', CAST(e.ts AS DATE))) AS age_w,
-               CAST(floor(COALESCE(CASE WHEN isfinite(e.value) THEN e.value END, 0) * 100 + 0.5) AS BIGINT)
+               CAST(floor(COALESCE(CASE WHEN isfinite(e.value) AND abs(e.value) < 1e13 THEN e.value END, 0) * 100 + 0.5) AS BIGINT)
                    AS cents
         FROM events e JOIN firsts f USING (user_id)
     ), cell AS (
@@ -18027,7 +18027,7 @@ _MASE_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
                    AS ed,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -18345,7 +18345,7 @@ def x212_data_expectations(spark: SparkSession, sf: str) -> DataFrame:
 
 _WINSOR_ORACLE = """
     WITH v AS (
-        SELECT CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS cents
+        SELECT CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT) AS cents
         FROM events WHERE value IS NOT NULL
     ),
     lv AS (
@@ -18453,7 +18453,7 @@ _STREAM_REPLAY_ORACLE = """
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
     FROM events WHERE value IS NOT NULL
     GROUP BY 1, 2
@@ -18525,7 +18525,7 @@ def s9_streaming_hourly_replay(spark: SparkSession, sf: str) -> DataFrame:
 _KRUSKAL_ORACLE = """
     WITH per_user AS (
         SELECT user_id, event_type,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -18628,10 +18628,10 @@ def a29_kruskal_wallis_terms(spark: SparkSession, sf: str) -> DataFrame:
 _OHLC_ORACLE = """
     WITH t AS (
         SELECT event_type, date_trunc('day', ts) AS d,
-               CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT) AS cents,
                printf('%020d', epoch_us(ts)) || printf('%010d', event_id)
                    AS ord
-        FROM events WHERE value IS NOT NULL AND isfinite(value)
+        FROM events WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e13
     )
     SELECT event_type, d,
            CAST(arg_min(cents, ord) AS BIGINT) AS open_cents,
@@ -19225,7 +19225,7 @@ _UPLIFT_ORACLE = """
                     AS BIGINT) % 2 AS arm,
                sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
                              AND value IS NOT NULL
-                        THEN CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)
+                        THEN CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS pre_cents,
                max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
                              AND event_type = 'purchase'
@@ -19340,7 +19340,7 @@ _HAAR_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE)
                    - DATE '2024-01-01' AS di,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS c
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS c
         FROM events WHERE value IS NOT NULL
           AND ts < TIMESTAMP '2024-01-09 00:00:00'
         GROUP BY 1, 2
@@ -19559,7 +19559,7 @@ _STL_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE)
                    - DATE '2024-01-01' AS di,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS c
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS c
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -19669,7 +19669,7 @@ _INT8_QUANT_ORACLE = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
-        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+        WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
     ),
     mm AS (
         SELECT vec_id, v,
@@ -19856,7 +19856,7 @@ def x220_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
 _DELTA_RATIO_ORACLE = """
     WITH per_user AS (
         SELECT user_id,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents,
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents,
                count(*) AS n_ev
         FROM events WHERE value IS NOT NULL
         GROUP BY user_id
@@ -20411,7 +20411,7 @@ _MARGIN_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
-        WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+        WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
     ),{{rounds}},
     scored AS (
         SELECT e.vec_id, c.cell,
@@ -21013,7 +21013,7 @@ _THEIL_SEN_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE)
                    - DATE '2024-01-01' AS di,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS c
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS c
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -21324,7 +21324,7 @@ _SEPARATION_ORACLE = f"""
                    row_number() OVER (PARTITION BY label
                                       ORDER BY vec_id) AS rn
             FROM embeddings
-            WHERE isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+            WHERE (list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') < 1e9)
         ) WHERE rn <= 10
     ),
     pairs AS (
@@ -21472,7 +21472,7 @@ _CONFORMAL_ORACLE = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE)
                    - DATE '2024-01-01' AS di,
-               sum(CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT)) AS cents
+               sum(CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT)) AS cents
         FROM events WHERE value IS NOT NULL
         GROUP BY 1, 2
     ),
@@ -22111,7 +22111,7 @@ def x243_positive_pair_views(spark: SparkSession, sf: str) -> DataFrame:
 
 _JARQUE_BERA_ORACLE = """
     WITH v AS (
-        SELECT CAST(floor(CASE WHEN isfinite(value) THEN value END * 100 + 0.5) AS BIGINT) AS c
+        SELECT CAST(floor(CASE WHEN isfinite(value) AND abs(value) < 1e13 THEN value END * 100 + 0.5) AS BIGINT) AS c
         FROM events WHERE value IS NOT NULL
     ),
     mo AS (
@@ -22842,18 +22842,18 @@ _NONFINITE_AUDIT_ORACLE = """
            CAST(count(*) FILTER (WHERE isnan(value)) AS BIGINT) AS n_nan,
            CAST(count(*) FILTER (WHERE abs(value) = 'Infinity'::DOUBLE)
                 AS BIGINT) AS n_inf,
-           CAST(count(*) FILTER (WHERE value IS NOT NULL
-                                   AND NOT isnan(value)
-                                   AND abs(value) <> 'Infinity'::DOUBLE)
-                AS BIGINT) AS n_finite,
-           min(CASE WHEN value IS NOT NULL AND NOT isnan(value)
-                     AND abs(value) <> 'Infinity'::DOUBLE
+           CAST(count(*) FILTER (WHERE isfinite(value)
+                                   AND abs(value) >= 1e13)
+                AS BIGINT) AS n_overflow,
+           CAST(count(*) FILTER (WHERE isfinite(value)
+                                   AND abs(value) < 1e13)
+                AS BIGINT) AS n_usable,
+           min(CASE WHEN isfinite(value) AND abs(value) < 1e13
                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
-               AS finite_min_cents,
-           max(CASE WHEN value IS NOT NULL AND NOT isnan(value)
-                     AND abs(value) <> 'Infinity'::DOUBLE
+               AS usable_min_cents,
+           max(CASE WHEN isfinite(value) AND abs(value) < 1e13
                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
-               AS finite_max_cents
+               AS usable_max_cents
     FROM events
     GROUP BY event_type
 """
@@ -22861,19 +22861,21 @@ _NONFINITE_AUDIT_ORACLE = """
 
 @register(
     "x250_nonfinite_value_audit",
-    "Non-finite payload audit — the gate in front of the exact-decimal "
-    "(cents) arithmetic tier: per event type, counts of NULL / NaN / "
-    "+-Inf / finite values plus the finite range in exact cents. The "
-    "fixed-point idioms (a12/a20-a31, the w-family walks, the k-means/"
-    "PQ quantizers) are DEFINED on finite inputs — a NaN reaching "
-    "floor(value*100)::BIGINT raises in ANSI engines and silently "
-    "folds in others, so production pipelines run THIS audit (and "
-    "x251's screen) at ingest, once, instead of paying an isnan() per "
-    "row in every downstream query. One partial-agg groupBy over the "
-    "type key — |event_types| rows out at any scale. Non-finite "
-    "checks avoid cross-engine NaN equality entirely: isnan() plus an "
-    "abs() = Infinity comparison, both defined identically in Spark "
-    "and DuckDB (NaN = Infinity is false in both).",
+    "Out-of-domain payload audit — the gate in front of the exact-"
+    "decimal (cents) arithmetic tier: per event type, counts of NULL "
+    "/ NaN / +-Inf / overflow (finite but |x| >= 1e13, where the "
+    "value*100 DOUBLE multiply itself stops being integer-exact: "
+    "2^53/100) / usable values, plus the usable range in exact cents. "
+    "The fixed-point idioms (a12/a20-a31, the w-family walks, the "
+    "k-means/PQ quantizers) are DEFINED on in-domain inputs — a NaN "
+    "or 1e23 reaching floor(value*100)::BIGINT raises in ANSI engines "
+    "and silently folds/clamps in others, so production pipelines run "
+    "THIS audit (and x251's screen) at ingest, once, instead of "
+    "paying the guard per row in every downstream query. One "
+    "partial-agg groupBy over the type key — |event_types| rows out "
+    "at any scale. NaN checks avoid cross-engine NaN equality: "
+    "isnan() plus abs() comparisons, defined identically in Spark "
+    "and DuckDB (NaN compares greater than everything in both).",
     oracle=_NONFINITE_AUDIT_ORACLE,
     tags=("ext", "quality", "audit", "nonfinite"),
 )
@@ -22884,36 +22886,38 @@ def x250_nonfinite_value_audit(spark: SparkSession, sf: str) -> DataFrame:
     is_nan = F.isnan(v)
     is_inf = F.abs(v) == inf
     finite = v.isNotNull() & ~is_nan & ~is_inf
+    overflow = finite & (F.abs(v) >= F.lit(1e13))
+    usable = finite & (F.abs(v) < F.lit(1e13))
     cents = F.floor(v * 100 + F.lit(0.5)).cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(v.isNull(), 1)).cast("long").alias("n_null"),
         F.count(F.when(is_nan, 1)).cast("long").alias("n_nan"),
         F.count(F.when(is_inf, 1)).cast("long").alias("n_inf"),
-        F.count(F.when(finite, 1)).cast("long").alias("n_finite"),
-        F.min(F.when(finite, cents)).alias("finite_min_cents"),
-        F.max(F.when(finite, cents)).alias("finite_max_cents"),
+        F.count(F.when(overflow, 1)).cast("long").alias("n_overflow"),
+        F.count(F.when(usable, 1)).cast("long").alias("n_usable"),
+        F.min(F.when(usable, cents)).alias("usable_min_cents"),
+        F.max(F.when(usable, cents)).alias("usable_max_cents"),
     )
 
 
 _NONFINITE_SCREEN_ORACLE = """
     SELECT event_id,
            event_type,
-           CASE WHEN value IS NOT NULL AND NOT isnan(value)
-                 AND abs(value) <> 'Infinity'::DOUBLE
+           CASE WHEN isfinite(value) AND abs(value) < 1e13
                 THEN value END AS value_clean,
-           (value IS NOT NULL AND (isnan(value)
-             OR abs(value) = 'Infinity'::DOUBLE)) AS was_nonfinite
+           (value IS NOT NULL AND NOT (isfinite(value)
+             AND abs(value) < 1e13)) AS was_screened
     FROM events
 """
 
 
 @register(
     "x251_nonfinite_screen",
-    "Non-finite payload screen — the ingest-time cleaning op the x250 "
-    "audit motivates: NaN and +-Inf values map to NULL (value_clean), "
-    "with a was_nonfinite provenance flag so downstream can count what "
-    "was screened. After this pass the whole exact-decimal tier's "
+    "Out-of-domain payload screen — the ingest-time cleaning op the "
+    "x250 audit motivates: NaN, +-Inf, and |x| >= 1e13 overflow "
+    "values map to NULL (value_clean), with a was_screened provenance "
+    "flag so downstream can count what was removed. After this pass the whole exact-decimal tier's "
     "finite-inputs contract holds by construction and every SQL "
     "aggregate ignores the screened rows like any other NULL — the "
     "same treat-failed-payloads-as-NULL convention the round-11 NULL "
@@ -22926,11 +22930,10 @@ _NONFINITE_SCREEN_ORACLE = """
 def x251_nonfinite_screen(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     v = F.col("value")
-    inf = F.lit(float("inf"))
-    nonfinite = F.isnan(v) | (F.abs(v) == inf)
+    usable = ~F.isnan(v) & (F.abs(v) < F.lit(1e13))
     return ev.select(
         "event_id",
         "event_type",
-        F.when(v.isNotNull() & ~nonfinite, v).alias("value_clean"),
-        (v.isNotNull() & nonfinite).alias("was_nonfinite"),
+        F.when(v.isNotNull() & usable, v).alias("value_clean"),
+        (v.isNotNull() & ~usable).alias("was_screened"),
     )

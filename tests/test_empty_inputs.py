@@ -305,6 +305,68 @@ def nan_payload_oracle(nan_payload_sf_dir):
 NAN_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
 
 
+@pytest.fixture(scope="module")
+def huge_payload_sf_dir(tmp_path_factory):
+    """Five rows per table with FINITE out-of-domain magnitudes beside
+    real ones: events.value = 1e23 and the first embedding component =
+    1e30 on even ids. These pass isfinite() but overflow the exact-
+    decimal tier (cents past INT64 — and past 2^53, where the DOUBLE
+    multiply itself loses integer exactness; value past DECIMAL(28,6);
+    component*1e6 past the quantizer BIGINT): ANSI engines raise,
+    Spark's non-ANSI casts clamp or NULL silently. Round 11 bounded
+    every screen to the tier's honest domain (|value| < 1e13,
+    |component| < 1e9) on both engines; this leg pins the bound."""
+    import duckdb as ddb
+
+    mods = {
+        "events": ("value", "event_id", "1e23::DOUBLE", None),
+        "embeddings": ("embedding", "vec_id", None, "1e30::FLOAT"),
+    }
+    d = tmp_path_factory.mktemp("huge_payload_sf")
+    for t in TABLE_NAMES:
+        if t in mods:
+            col, key, scalar_bad, comp_bad = mods[t]
+            cols = [
+                r[0]
+                for r in ddb.sql(
+                    f"DESCRIBE SELECT * FROM "
+                    f"'/root/testdata/sf0.001/{t}.parquet'"
+                ).fetchall()
+            ]
+            if scalar_bad:
+                mod = (
+                    f"CASE WHEN {key} % 2 = 0 THEN {scalar_bad} "
+                    f"ELSE {col} END AS {col}"
+                )
+            else:
+                mod = (
+                    f"CASE WHEN {key} % 2 = 0 THEN "
+                    f"list_concat([{comp_bad}], {col}[2:]) "
+                    f"ELSE {col} END AS {col}"
+                )
+            sel = ", ".join(mod if c == col else c for c in cols)
+        else:
+            sel = "*"
+        ddb.sql(
+            f"COPY (SELECT {sel} FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"ORDER BY 1 LIMIT 5) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def huge_payload_oracle(huge_payload_sf_dir):
+    from .oracle_utils import duckdb_connection
+
+    con = duckdb_connection(huge_payload_sf_dir)
+    yield con
+    con.close()
+
+
+# Same inherent dynamic-pivot divergence as the other degenerate legs.
+HUGE_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_runs_on_empty_tables(spark, empty_sf_dir, empty_oracle, name):
     """Every entry must RUN on zero-row tables, and (round 10) its
@@ -418,3 +480,26 @@ def test_entry_matches_oracle_on_nan_payload_tables(
     want = nan_payload_oracle.execute(spec.oracle).fetchdf()
     res = compare_frames(got, want)
     assert res.ok and res.exact, f"{name} (on NAN-PAYLOAD input): {res.detail}"
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_entry_matches_oracle_on_huge_payload_tables(
+    spark, huge_payload_sf_dir, huge_payload_oracle, name
+):
+    """The MAGNITUDE-overflow leg (round 11): finite values beyond the
+    exact-decimal domain beside real rows — pins the |value| < 1e13 /
+    |component| < 1e9 domain bounds in every screen. Without them a
+    single corrupt 1e23 sensor reading silently clamps to
+    Long.MaxValue cents in Spark while ANSI engines raise — the
+    magnitude sibling of the NaN corruption class."""
+    spec = CATALOG[name]
+    df = spec.spark(spark, huge_payload_sf_dir)
+    got = df.toPandas()
+    assert len(df.schema.fields) > 0
+    if spec.oracle is None or name in HUGE_PARITY_INHERENT:
+        return
+    from .oracle_utils import compare_frames
+
+    want = huge_payload_oracle.execute(spec.oracle).fetchdf()
+    res = compare_frames(got, want)
+    assert res.ok and res.exact, f"{name} (on HUGE-PAYLOAD input): {res.detail}"
