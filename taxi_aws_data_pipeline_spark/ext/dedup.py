@@ -1088,6 +1088,12 @@ def _cc_label_propagation(edges: DataFrame, max_iterations: int) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # non-eager checkpoint + the convergence count as the
+        # materializing action (r11 optimization): the eager form ran
+        # TWO jobs per round — one to materialize the checkpoint, one
+        # for the changed-count — where the count's first computation
+        # can itself populate the checkpoint. Lineage truncation is
+        # unchanged (the RDD is marked before the action computes it).
         proposed = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
@@ -1095,7 +1101,7 @@ def _cc_label_propagation(edges: DataFrame, max_iterations: int) -> DataFrame:
                 F.col("label").alias("old_label"),
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = proposed.filter(F.col("label") != F.col("old_label")).count()
         labels = proposed.select("node", "label")
@@ -1142,12 +1148,17 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
         ).collect()[0]
         return (row.n, row.h)
 
-    # canonical orientation (u > v); input is symmetric so nothing is lost
+    # canonical orientation (u > v); input is symmetric so nothing is
+    # lost. Checkpoints are NON-eager with the fixpoint-signature agg as
+    # the materializing action (r11 optimization): the eager form ran
+    # two jobs per round (materialize + stats) where one suffices —
+    # lineage truncation is identical, the signature's first computation
+    # populates the checkpoint.
     canon = (
         edges.filter(F.col("src") > F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = _stats(canon)
 
@@ -1157,6 +1168,11 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
             canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        # no .distinct() on ls (r11): its only consumers are the s_min
+        # MIN aggregate (duplicate-insensitive) and the ss join whose
+        # output ends in .distinct() — the dedup here bought nothing
+        # and cost a full (u, v) exchange per round. Fixpoint edges
+        # identical.
         ls = (
             sym.join(nbr_min, "u")
             .filter(F.col("v") > F.col("u"))
@@ -1165,7 +1181,6 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
                 F.col("v").alias("u"),
                 F.least(F.col("u"), F.col("mn")).alias("v"),
             )
-            .distinct()
         )
         # small-star over the canonical (u > v) edges
         s_min = ls.groupBy("u").agg(F.min("v").alias("m"))
@@ -1176,7 +1191,7 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(s_min.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         sig = _stats(ss)
         canon = ss

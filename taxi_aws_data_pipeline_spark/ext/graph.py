@@ -87,13 +87,19 @@ def pagerank_fixed_rounds(
         nodes.unpersist()
         return empty
     teleport = (PR_SCALE * 15 // 100) // n_nodes
+    # ranks CARRIES out_deg through the rounds (r11 optimization, guide
+    # §2.4): the previous shape re-joined ranks with nodes every round
+    # just to re-attach out_deg — one data-scaled join per round that
+    # vanishes when the (node, out_deg, r) triple rides together. Rank
+    # values are bit-identical (same arithmetic, same join tree depth
+    # on the contribution side).
     ranks = nodes.select(
-        "node", F.lit(PR_SCALE // n_nodes).cast("long").alias("r")
+        "node", "out_deg", F.lit(PR_SCALE // n_nodes).cast("long").alias("r")
     )
     for _ in range(rounds):
         contribs = (
             e.join(
-                ranks.join(nodes, "node").select(
+                ranks.select(
                     F.col("node").alias("src"), "r", "out_deg"
                 ),
                 "src",
@@ -106,6 +112,7 @@ def pagerank_fixed_rounds(
             contribs, nodes["node"] == contribs["dst"], "left"
         ).select(
             "node",
+            "out_deg",
             (
                 F.lit(teleport)
                 + F.expr("coalesce(s, 0L) * 85 div 100")
@@ -142,41 +149,54 @@ def label_propagation_fixed_rounds(
 
     Scale posture: per round one (dst) equi-join of the edge list with
     the (node, label) frame + one partial-aggregated (node, label)
-    count shuffle + one per-node top-1 window — labels are scalar pairs,
-    adjacency never ships, and plan depth grows linearly with the small
-    fixed round count (localCheckpoint the result, as here, for more).
+    count shuffle + one partial-aggregated per-node argmax (max over
+    (c, -label) structs — no window, no sort) — labels are scalar
+    pairs, adjacency never ships, and plan depth grows linearly with
+    the small fixed round count (localCheckpoint the result, as here,
+    for more).
 
-    Returns (node, label) — isolated nodes (none in a symmetric edge
-    list derived from co-occurrence) would keep their own label via the
-    left join + coalesce.
+    Returns (node, label) for every node of the symmetric edge list
+    (every node is a src of ≥1 edge, so the per-round neighbor-count
+    frame covers all of them; isolated nodes cannot occur under the
+    symmetric-input contract).
     """
-    from pyspark.sql import Window
-
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    nodes = e.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lab"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    # r11 optimization (guide §2.4): the per-node top-1 was a
+    # row_number window (its own exchange + SORT per round) and each
+    # round re-joined `nodes` left to re-cover isolated nodes. In a
+    # symmetric edge list (the function's documented contract) every
+    # node appears as src of ≥1 edge, so the neighbor-count frame
+    # already covers every node each round and the left join +
+    # coalesce was structurally a no-op; and argmax-by-(c DESC, lab
+    # ASC) ≡ max(struct(c, -lab)) — a partial-aggregable two-phase
+    # aggregation with NO sort. Labels are value-identical (same
+    # counts, same tie-break; re-verified hash-exact vs the unrolled
+    # x91/x180/x233 oracles).
     for _ in range(rounds):
         counts = (
             e.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        top = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("lab").alias("new_lab"))
-        )
-        labels = nodes.join(top, "node", "left").select(
-            "node", F.coalesce("new_lab", F.col("node")).alias("lab")
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("lab")).alias("neg_lab")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg_lab")).alias("lab"))
         )
     out = labels.select("node", F.col("lab").alias("label")).localCheckpoint(
         eager=True
     )
     e.unpersist()
-    nodes.unpersist()
     return out
 
 
@@ -203,8 +223,12 @@ def personalized_pagerank_fixed_rounds(
     ).persist()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     nodes = out_deg.select(F.col("src").alias("node"), "out_deg")
+    # ranks carries out_deg through the rounds (r11 optimization — same
+    # rework as pagerank_fixed_rounds: the per-round ranks⋈nodes join
+    # existed only to re-attach out_deg; values are bit-identical)
     ranks = nodes.select(
         "node",
+        "out_deg",
         F.when(F.col("node") == seed, F.lit(PR_SCALE))
         .otherwise(F.lit(0))
         .cast("long")
@@ -216,7 +240,7 @@ def personalized_pagerank_fixed_rounds(
     for _ in range(rounds):
         contribs = (
             e.join(
-                ranks.join(nodes, "node").select(
+                ranks.select(
                     F.col("node").alias("src"), "r", "out_deg"
                 ),
                 "src",
@@ -228,6 +252,7 @@ def personalized_pagerank_fixed_rounds(
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
+                "out_deg",
                 (
                     teleport
                     + F.expr("COALESCE(s, 0) * 85 DIV 100")

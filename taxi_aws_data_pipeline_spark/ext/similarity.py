@@ -345,25 +345,43 @@ def ivf_centroids(
 
 
 def ivf_nearest_cells(
-    centroids: list[tuple[int, list[float]]], vec: Column, n: int
+    centroids: list[tuple[int, list[float]]], vec_sql: str, n: int
 ) -> Column:
     """Array of the ``n`` closest centroid ids by cosine (descending;
     ties broken by HIGHER cell id, matching the oracles' ``cell DESC``).
     The query vector's own norm is constant across cells, so ranking by
-    dot/|centroid| is cosine-equivalent at a third of the cost."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    dot(vec, F.array(*[F.lit(x) for x in cvec]))
-                    / F.lit(math.sqrt(sum(x * x for x in cvec)))
-                ).alias("sim"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, cvec in centroids
-        ]
+    dot/|centroid| is cosine-equivalent at a third of the cost.
+    ``vec_sql`` is a SQL expression string (e.g. ``"embedding"``).
+
+    Built as ONE parsed SQL expression (r11 optimization, guide §1.2
+    step 2 / the _nearest_centroid_cell r6 A/B finding): the previous
+    Column-API construction issued ~n_centroids x dim F.lit() py4j
+    round-trips per call site (~2.4 s of serial DRIVER time per query
+    at 16x64 — profiled via tools/profile_query.py: x14 t_build 2.4 s
+    with only 2 Spark jobs), which no cluster size can parallelize
+    away. One F.expr over an f-string is milliseconds. Arithmetic is
+    IEEE-identical: _sql_double embeds the exact shortest-round-trip
+    decimal of every Python double (string->double parse is correctly
+    rounded), the fold/zip_with element order is unchanged, and the
+    (sim, cell) struct sort + reverse + slice is the same tie-break
+    (hash-verified at sf0.01/sf0.1 against the unchanged oracles)."""
+    structs = ", ".join(
+        "named_struct('sim', "
+        "aggregate(zip_with({v}, {cb}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / {nrm}, 'cell', {cid})".format(
+            v=vec_sql,
+            cb="array("
+            + ", ".join(_sql_double(float(x)) for x in cvec)
+            + ")",
+            nrm=_sql_double(math.sqrt(sum(x * x for x in cvec))),
+            cid=int(cid),
+        )
+        for cid, cvec in centroids
     )
-    return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("cell")
+    return F.slice(
+        F.reverse(F.array_sort(F.expr(f"array({structs})"))), 1, n
+    ).getField("cell")
 
 
 def ivf_topk(
@@ -403,19 +421,19 @@ def ivf_topk(
             .select("probe_id", "neighbor_id", "cos_sim", "rank")
         )
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        return ivf_nearest_cells(centroids, vec, n)
+    def nearest_cells(n: int) -> Column:
+        return ivf_nearest_cells(centroids, f"`{vec_col}`", n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
         # corpus side: exactly one cell per vector (the inverted file)
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+        F.element_at(nearest_cells(1), 1).alias("cell"),
     ).persist()
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
-        F.explode(nearest_cells(F.col(vec_col), nprobe)).alias("cell"),
+        F.explode(nearest_cells(nprobe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(p), "cell")

@@ -22529,14 +22529,14 @@ def x246_ivf_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cand_vec"),
         F.element_at(
-            S.ivf_nearest_cells(cents, F.col("embedding"), 1), 1
+            S.ivf_nearest_cells(cents, "embedding", 1), 1
         ).alias("cell"),
     )
     p = probes.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
         F.posexplode(
-            S.ivf_nearest_cells(cents, F.col("embedding"), 4)
+            S.ivf_nearest_cells(cents, "embedding", 4)
         ).alias("pos", "cell"),
     )
     swept = (
