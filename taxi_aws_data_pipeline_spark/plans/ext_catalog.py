@@ -1228,14 +1228,28 @@ _PIPELINE_ORACLE = f"""
     tags=("ext", "pipeline", "composition", "dedup", "decontamination"),
 )
 def x27_training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
     d = TX.add_quality_signals(TX.add_language_id(docs))
     d = d.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.8))
     d = TX.add_fingerprint(d).select(
         "doc_id", "lang_pred", "quality_score", "fingerprint"
     )
-    keepers = d.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    d = d.join(keepers, ["fingerprint", "doc_id"], "left_semi")
+    # keep-min dedup as a window min (r11 optimization, guide §2.4):
+    # the groupBy + left-semi self-join formulation evaluated the whole
+    # language/quality/fingerprint projection TWICE (once per join
+    # side — profiled as the bulk of x27's exec time) and paid a
+    # second exchange for the join; one min-over-fingerprint window is
+    # a single pass and a single exchange, and keeps exactly the same
+    # rows (doc_id == min(doc_id) per fingerprint group).
+    d = (
+        d.withColumn(
+            "_min_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
     benchmark = (
         docs.orderBy(F.length("text").desc(), "doc_id")
         .limit(10)
@@ -3336,11 +3350,6 @@ def x66_filter_cascade_report(spark: SparkSession, sf: str) -> DataFrame:
         .alias("in_sample"),
         pass12.alias("pass12"),
     )
-    keepers = (
-        d.filter("pass12")
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("keep_id"))
-    )
     bench = (
         docs.filter(F.col("text").isNotNull())
         .orderBy(F.length("text").desc(), "doc_id")
@@ -3352,9 +3361,22 @@ def x66_filter_cascade_report(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(1).alias("bench_flag"),
         )
     )
-    flagged = d.join(keepers, "fingerprint", "left").join(
-        F.broadcast(bench), "fingerprint", "left"
-    )
+    # keeper election as a window min over pass12 rows (r11, same rework
+    # as x27 — guide §2.4): the groupBy + left-join formulation evaluated
+    # the language/quality signal chain TWICE (once per join side) and
+    # paid a join exchange on top of the groupBy's. min(CASE WHEN pass12
+    # THEN doc_id END) over the fingerprint partition is join-equivalent
+    # bit for bit: min ignores the non-pass12 NULLs (groups with no
+    # keeper yield NULL keep_id, exactly like the unmatched left join,
+    # including the NULL-fingerprint group whose rows all fail pass12).
+    from pyspark.sql.window import Window
+
+    flagged = d.withColumn(
+        "keep_id",
+        F.min(F.when(F.col("pass12"), F.col("doc_id"))).over(
+            Window.partitionBy("fingerprint")
+        ),
+    ).join(F.broadcast(bench), "fingerprint", "left")
     reason = (
         F.when(F.col("text").isNull(), "null_text")
         .when(F.col("lang_pred") != "en", "non_english")
@@ -7027,8 +7049,15 @@ def x121_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="bkt_")
     spark.sql("DROP TABLE IF EXISTS x121_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS x121_bkt_lineitem")
+    # project to the query's columns BEFORE the bucketing shuffle+write
+    # (r11 optimization, guide §2.3/§6: shuffle and write fewer bytes —
+    # the bucketed intermediates exist to serve THIS declared join, and
+    # carrying lineitem's 14 unused columns through the write shuffle
+    # tripled its bytes for nothing; the join/agg result is unchanged
+    # and the one-Exchange plan guard still holds)
     (
         load_table(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority")
         .write.format("parquet")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
@@ -7038,6 +7067,7 @@ def x121_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     (
         load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
         .write.format("parquet")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
