@@ -62,15 +62,32 @@ def brute_force_topk(
     IsNotNull on the scan (free at 100 TB); every vector oracle carries
     the explicit `WHERE embedding IS NOT NULL` twin.
     """
+    # norms are hoisted to per-ROW columns before the pair join (r11
+    # optimization, guide §1.2 step 2): cosine() inside the join
+    # recomputed BOTH vector norms per probe x candidate PAIR — at k
+    # probes that is k redundant norm folds per corpus row (and a
+    # corpus-size-redundant probe-norm fold). dot/(probe_norm *
+    # cand_norm) is the same IEEE arithmetic on the same values
+    # (multiplication of identical doubles), so cos_sim is
+    # bit-identical; the same hoist is applied to every pair-join
+    # cosine in this module.
     p = probes.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        norm(F.col(vec_col)).alias("probe_norm"),
     )
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
     )
     scored = (
         c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("cos_sim", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("probe_norm") * F.col("cand_norm")),
+        )
         .select("probe_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -283,11 +300,13 @@ def lsh_topk(
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
         signature_bits(F.col(vec_col), planes).alias("cand_bucket"),
     )
     p = probes.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
+        norm(F.col(vec_col)).alias("probe_norm"),
         signature_bits(F.col(vec_col), planes).alias("b0"),
     )
     if probe_flips >= 1:
@@ -298,7 +317,10 @@ def lsh_topk(
     else:
         buckets = F.array(F.col("b0"))
     p = p.select(
-        "probe_id", "probe_vec", F.explode(buckets).alias("probe_bucket")
+        "probe_id",
+        "probe_vec",
+        "probe_norm",
+        F.explode(buckets).alias("probe_bucket"),
     )
     scored = (
         c.join(
@@ -306,7 +328,13 @@ def lsh_topk(
             (F.col("cand_bucket") == F.col("probe_bucket"))
             & (F.col("neighbor_id") != F.col("probe_id")),
         )
-        .withColumn("cos_sim", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        # per-row norms hoisted above the pair join — bit-identical,
+        # see brute_force_topk
+        .withColumn(
+            "cos_sim",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("probe_norm") * F.col("cand_norm")),
+        )
         .select("probe_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -427,18 +455,26 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
         # corpus side: exactly one cell per vector (the inverted file)
         F.element_at(nearest_cells(1), 1).alias("cell"),
     ).persist()
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
+        norm(F.col(vec_col)).alias("probe_norm"),
         F.explode(nearest_cells(nprobe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(p), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("cos_sim", cosine(F.col("probe_vec"), F.col("cand_vec")))
+        # per-row norms hoisted above the pair join — bit-identical,
+        # see brute_force_topk
+        .withColumn(
+            "cos_sim",
+            dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("probe_norm") * F.col("cand_norm")),
+        )
         .select("probe_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -461,6 +497,7 @@ def embedding_near_dup_pairs(
     keyed = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
         signature_bits(F.col(vec_col), planes),
     ).persist()  # self-join: project each vector through the planes once
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -470,7 +507,13 @@ def embedding_near_dup_pairs(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .withColumn("cos_sim", cosine(F.col("a.vec"), F.col("b.vec")))
+        # per-row norms hoisted above the pair self-join — bit-identical,
+        # see brute_force_topk
+        .withColumn(
+            "cos_sim",
+            dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select(
             F.col("a.doc").alias("doc_a"),
@@ -1090,6 +1133,7 @@ def knn_graph(
     keyed = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
         signature_bits(F.col(vec_col), planes).alias("bucket"),
     ).persist()
     x, y = keyed.alias("x"), keyed.alias("y")
@@ -1102,7 +1146,12 @@ def knn_graph(
         .select(
             F.col("x.id").alias("src_id"),
             F.col("y.id").alias("dst_id"),
-            cosine(F.col("x.v"), F.col("y.v")).alias("cos_sim"),
+            # per-row norms hoisted above the bucket self-join —
+            # bit-identical, see brute_force_topk
+            (
+                dot(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nrm") * F.col("y.nrm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))

@@ -22558,6 +22558,7 @@ def x246_ivf_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cand_vec"),
+        S.norm(F.col("embedding")).alias("cand_norm"),
         F.element_at(
             S.ivf_nearest_cells(cents, "embedding", 1), 1
         ).alias("cell"),
@@ -22565,6 +22566,7 @@ def x246_ivf_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
     p = probes.select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
+        S.norm(F.col("embedding")).alias("probe_norm"),
         F.posexplode(
             S.ivf_nearest_cells(cents, "embedding", 4)
         ).alias("pos", "cell"),
@@ -22575,7 +22577,12 @@ def x246_ivf_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "probe_id",
             "neighbor_id",
-            S.cosine(F.col("probe_vec"), F.col("cand_vec")).alias("cos_sim"),
+            # per-row norms hoisted above the pair join (r11, same
+            # bit-identical rework as similarity.brute_force_topk)
+            (
+                S.dot(F.col("probe_vec"), F.col("cand_vec"))
+                / (F.col("probe_norm") * F.col("cand_norm"))
+            ).alias("cos_sim"),
             F.explode(
                 F.filter(
                     F.array(F.lit(1), F.lit(2), F.lit(4)),
