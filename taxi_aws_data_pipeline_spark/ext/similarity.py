@@ -908,20 +908,14 @@ def pq_train_fixed(
     constant in data size, so the fusion matters MORE at 100 TB where
     each extra action is a full scan). Per-round collect is
     m x k x sub_dim rows, never data-sized."""
-    # the dim probe and the seeds skip NULL vectors (a NULL first row
-    # read size = -1, a NULL seed crashed the float() loop — round-10
-    # NULL-payload audit; bounded seeding-side queries only)
-    first = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("d"))
-        .first()
-    )
-    if first is None:
-        return []
-    dim = int(first.d)
-    if dim % m:
-        raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
-    sub = dim // m
+    # seeds skip NULL vectors (a NULL seed crashed the float() loop —
+    # round-10 NULL-payload audit; bounded seeding-side queries only).
+    # dim comes from the seed rows themselves (r11: the previous
+    # separate first()-probe was one more full driver action per
+    # training call for a value the seeds already carry; empty-input
+    # behavior unchanged — no seeds ⇒ the same empty return as the
+    # old None probe, and the dim % m ValueError fires on the same
+    # non-empty inputs as before).
     vecs = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -931,7 +925,17 @@ def pq_train_fixed(
     )
     if not seed_rows:
         vecs.unpersist()
-        return [[] for _ in range(m)]
+        # same empty contract as the old dim probe: no non-NULL vector
+        # anywhere ⇒ [] (the old [[] for _ in range(m)] branch was
+        # unreachable — the seeds filter matches exactly the rows the
+        # probe matched, and pq_topk's `if not codebooks` guard would
+        # crash on that shape anyway)
+        return []
+    dim = len(seed_rows[0].v)
+    if dim % m:
+        vecs.unpersist()
+        raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
+    sub = dim // m
     books = [
         [
             [float(x) for x in r.v[j * sub : (j + 1) * sub]]

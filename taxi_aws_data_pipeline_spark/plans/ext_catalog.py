@@ -8942,9 +8942,13 @@ def x142_reciprocal_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    corpus = emb.select("vec_id", "embedding")
+    corpus = emb.select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("cn")
+    )
     probes = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        S.norm(F.col("embedding")).alias("pn"),
     )
     cos = (
         F.broadcast(probes)
@@ -8952,7 +8956,12 @@ def x142_reciprocal_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("doc_id"),
-            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+            # per-row norms hoisted above the pair join (r11, same
+            # bit-identical rework as similarity.brute_force_topk)
+            (
+                S.dot(F.col("pv"), F.col("embedding"))
+                / (F.col("pn") * F.col("cn"))
+            ).alias("c"),
         )
     )
     w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
@@ -12184,9 +12193,13 @@ def x162_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    corpus = emb.select("vec_id", "embedding")
+    corpus = emb.select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("cn")
+    )
     probes = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        S.norm(F.col("embedding")).alias("pn"),
     )
     cos = (
         F.broadcast(probes)
@@ -12194,7 +12207,12 @@ def x162_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("doc_id"),
-            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+            # per-row norms hoisted above the pair join (r11, same
+            # bit-identical rework as similarity.brute_force_topk)
+            (
+                S.dot(F.col("pv"), F.col("embedding"))
+                / (F.col("pn") * F.col("cn"))
+            ).alias("c"),
         )
     )
     w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
@@ -12360,9 +12378,13 @@ def x163_mrr_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    corpus = emb.select("vec_id", "embedding")
+    corpus = emb.select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("cn")
+    )
     probes = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        S.norm(F.col("embedding")).alias("pn"),
     )
     cos = (
         F.broadcast(probes)
@@ -12370,7 +12392,12 @@ def x163_mrr_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("doc_id"),
-            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+            # per-row norms hoisted above the pair join (r11, same
+            # bit-identical rework as similarity.brute_force_topk)
+            (
+                S.dot(F.col("pv"), F.col("embedding"))
+                / (F.col("pn") * F.col("cn"))
+            ).alias("c"),
         )
     )
     w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
@@ -12575,9 +12602,13 @@ def x164_map_at_10(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    corpus = emb.select("vec_id", "embedding")
+    corpus = emb.select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("cn")
+    )
     probes = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        S.norm(F.col("embedding")).alias("pn"),
     )
     cos = (
         F.broadcast(probes)
@@ -12585,7 +12616,12 @@ def x164_map_at_10(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("doc_id"),
-            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+            # per-row norms hoisted above the pair join (r11, same
+            # bit-identical rework as similarity.brute_force_topk)
+            (
+                S.dot(F.col("pv"), F.col("embedding"))
+                / (F.col("pn") * F.col("cn"))
+            ).alias("c"),
         )
     )
     w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
@@ -13782,9 +13818,13 @@ def x172_kendall_tau_rankings(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    corpus = emb.select("vec_id", "embedding")
+    corpus = emb.select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("cn")
+    )
     probes = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        S.norm(F.col("embedding")).alias("pn"),
     )
     cos = (
         F.broadcast(probes)
@@ -13792,7 +13832,12 @@ def x172_kendall_tau_rankings(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("doc_id"),
-            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+            # per-row norms hoisted above the pair join (r11, same
+            # bit-identical rework as similarity.brute_force_topk)
+            (
+                S.dot(F.col("pv"), F.col("embedding"))
+                / (F.col("pn") * F.col("cn"))
+            ).alias("c"),
         )
     )
     w_sem = Window.partitionBy("probe_id").orderBy(F.desc("c"), "doc_id")
@@ -15318,15 +15363,26 @@ def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
+    def sl(i: int):
+        return F.expr(f"slice(embedding, {i} * 16 + 1, 16)")
+
+    # sub-vector slices AND their norms are hoisted to per-ROW columns
+    # before the pair join (r11, the same bit-identical rework as
+    # similarity.brute_force_topk): the in-join cosines re-sliced each
+    # operand and re-folded both sub-norms per probe x candidate PAIR —
+    # 48 array folds + 64 slices per pair drop to the 16 dot folds +
+    # 16 multiplies MaxSim actually needs. dot/(pn_i * dn_j) is the
+    # same IEEE arithmetic on the same values.
     corpus = emb.select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dv")
+        F.col("vec_id").alias("doc_id"),
+        *[sl(j).alias(f"d{j}") for j in range(4)],
+        *[S.norm(sl(j)).alias(f"dn{j}") for j in range(4)],
     )
     probes = emb.filter(F.col("vec_id") < 6).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        *[sl(j).alias(f"p{j}") for j in range(4)],
+        *[S.norm(sl(j)).alias(f"pn{j}") for j in range(4)],
     )
-
-    def sl(c: str, i: int):
-        return F.expr(f"slice({c}, {i} * 16 + 1, 16)")
 
     # per query-sub best match as greatest() of the four document-sub
     # cosines — the whole MaxSim score is ONE projected expression per
@@ -15336,7 +15392,11 @@ def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
     # fixed-associativity sum discipline is unchanged)
     m = [
         F.greatest(
-            *[S.cosine(sl("pv", qi), sl("dv", dj)) for dj in range(4)]
+            *[
+                S.dot(F.col(f"p{qi}"), F.col(f"d{dj}"))
+                / (F.col(f"pn{qi}") * F.col(f"dn{dj}"))
+                for dj in range(4)
+            ]
         )
         for qi in range(4)
     ]
@@ -15496,31 +15556,46 @@ def x185_matryoshka_funnel_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
     )
     w_c = Window.partitionBy("probe_id").orderBy(F.desc("cc"), "doc_id")
+    # per-row slice norms hoisted above both funnel arms' pair joins
+    # (r11, same bit-identical rework as similarity.brute_force_topk)
     coarse = (
         F.broadcast(probes.select(
-            "probe_id", F.expr("slice(pv, 1, 16)").alias("pp")
+            "probe_id",
+            F.expr("slice(pv, 1, 16)").alias("pp"),
+            S.norm(F.expr("slice(pv, 1, 16)")).alias("ppn"),
         ))
         .join(
             corpus.select(
                 F.col("vec_id").alias("doc_id"),
                 F.expr("slice(embedding, 1, 16)").alias("dp"),
+                S.norm(F.expr("slice(embedding, 1, 16)")).alias("dpn"),
             ),
             F.col("doc_id") != F.col("probe_id"),
         )
         .select(
             "probe_id",
             "doc_id",
-            S.cosine(F.col("pp"), F.col("dp")).alias("cc"),
+            (
+                S.dot(F.col("pp"), F.col("dp"))
+                / (F.col("ppn") * F.col("dpn"))
+            ).alias("cc"),
         )
         .withColumn("crank", F.row_number().over(w_c))
         .filter(F.col("crank") <= 20)
         .select("probe_id", "doc_id", "crank")
     )
     rerank = (
-        coarse.join(F.broadcast(probes), "probe_id")
+        coarse.join(
+            F.broadcast(
+                probes.withColumn("pvn", S.norm(F.col("pv")))
+            ),
+            "probe_id",
+        )
         .join(
             corpus.select(
-                F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dv")
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("dv"),
+                S.norm(F.col("embedding")).alias("dvn"),
             ),
             "doc_id",
         )
@@ -15528,7 +15603,10 @@ def x185_matryoshka_funnel_topk(spark: SparkSession, sf: str) -> DataFrame:
             "probe_id",
             "doc_id",
             "crank",
-            S.cosine(F.col("pv"), F.col("dv")).alias("cos_full"),
+            (
+                S.dot(F.col("pv"), F.col("dv"))
+                / (F.col("pvn") * F.col("dvn"))
+            ).alias("cos_full"),
         )
     )
     w_f = Window.partitionBy("probe_id").orderBy(
@@ -15882,11 +15960,14 @@ def x188_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    corpus = emb.select("vec_id", "label", "embedding")
+    corpus = emb.select(
+        "vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("cn")
+    )
     probes = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("pv"),
+        S.norm(F.col("embedding")).alias("pn"),
     )
     w_nn = Window.partitionBy("probe_id").orderBy(F.desc("c"), "vec_id")
     nn = (
@@ -15897,7 +15978,12 @@ def x188_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
             "true_label",
             "label",
             "vec_id",
-            S.cosine(F.col("pv"), F.col("embedding")).alias("c"),
+            # per-row norms hoisted above the pair join (r11, same
+            # bit-identical rework as similarity.brute_force_topk)
+            (
+                S.dot(F.col("pv"), F.col("embedding"))
+                / (F.col("pn") * F.col("cn"))
+            ).alias("c"),
         )
         .withColumn("rnk", F.row_number().over(w_nn))
         .filter(F.col("rnk") <= 5)
@@ -19865,19 +19951,27 @@ def x220_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     cand = X.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    # per-doc norm computed once in e and reused by BOTH join sides
+    # (r11, same bit-identical rework as similarity.brute_force_topk)
     e = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("v"),
+        S.norm(F.col("embedding").cast("array<double>")).alias("nv"),
     )
     scored = (
         cand.join(e.select(F.col("doc_id").alias("doc_a"),
-                           F.col("v").alias("va")), "doc_a")
+                           F.col("v").alias("va"),
+                           F.col("nv").alias("na")), "doc_a")
         .join(e.select(F.col("doc_id").alias("doc_b"),
-                       F.col("v").alias("vb")), "doc_b")
+                       F.col("v").alias("vb"),
+                       F.col("nv").alias("nb")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            (
+                S.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
         )
     )
     return scored.filter(F.col("cos_sim") < 0.2)
@@ -20222,6 +20316,7 @@ def x224_density_core_points(spark: SparkSession, sf: str) -> DataFrame:
     keyed = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("v"),
+        S.norm(F.col("embedding")).alias("nv"),
         S.signature_bits(F.col("embedding"), planes).alias("bucket"),
     ).persist()
     x, y = keyed.alias("x"), keyed.alias("y")
@@ -20231,7 +20326,13 @@ def x224_density_core_points(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.id") != F.col("y.id")),
         )
-        .filter(S.cosine(F.col("x.v"), F.col("y.v")) >= _DBSCAN_EPS)
+        # per-row norms hoisted above the bucket self-join (r11, same
+        # bit-identical rework as similarity.brute_force_topk)
+        .filter(
+            S.dot(F.col("x.v"), F.col("y.v"))
+            / (F.col("x.nv") * F.col("y.nv"))
+            >= _DBSCAN_EPS
+        )
         .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
     ).persist()
     deg = nb.groupBy("src").agg(F.count(F.lit(1)).alias("n_nb"))
@@ -21408,6 +21509,7 @@ def x235_embedding_separation(spark: SparkSession, sf: str) -> DataFrame:
             "label",
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
+            S.norm(F.col("embedding").cast("array<double>")).alias("nv"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 10)
@@ -21417,7 +21519,13 @@ def x235_embedding_separation(spark: SparkSession, sf: str) -> DataFrame:
     a, b = probes.alias("a"), probes.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         (F.col("a.label") == F.col("b.label")).alias("intra"),
-        F.floor(S.cosine(F.col("a.v"), F.col("b.v")) * 1000000)
+        # per-row norms hoisted above the pair self-join (r11, same
+        # bit-identical rework as similarity.brute_force_topk)
+        F.floor(
+            S.dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nv") * F.col("b.nv"))
+            * 1000000
+        )
         .cast("long")
         .alias("cos_ppm"),
     )
