@@ -1082,18 +1082,23 @@ def _cc_label_propagation(edges: DataFrame, max_iterations: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # non-eager checkpoint + the convergence count as the
-        # materializing action (r11 optimization): the eager form ran
-        # TWO jobs per round — one to materialize the checkpoint, one
-        # for the changed-count — where the count's first computation
-        # can itself populate the checkpoint. Lineage truncation is
-        # unchanged (the RDD is marked before the action computes it).
+        # ONE action per round (r11 optimization): the changed-count
+        # rides the eager checkpoint's materialization as an observe()
+        # metric — accumulator-based, exactly-once per successful task,
+        # zero extra stages — where the previous shape paid a separate
+        # filter+count action (and before that, two full actions per
+        # round). Verified: eager localCheckpoint fires the metrics
+        # listener with the computed values; the non-eager form does
+        # NOT (returns zeros) — eager is load-bearing here.
+        obs = Observation()
         proposed = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
@@ -1101,9 +1106,17 @@ def _cc_label_propagation(edges: DataFrame, max_iterations: int) -> DataFrame:
                 F.col("label").alias("old_label"),
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            # count(when(...)) never yields NULL, so the empty-input
+            # round still reads changed == 0 and terminates
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("label") != F.col("old_label"), True)
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
         )
-        changed = proposed.filter(F.col("label") != F.col("old_label")).count()
+        changed = obs.get["changed"]
         labels = proposed.select("node", "label")
         if changed == 0:
             break
@@ -1141,26 +1154,37 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
     iterative DataFrame algorithms.
     """
 
-    def _stats(frame: DataFrame):
-        # order-free fixpoint signature of an edge set
-        row = frame.agg(
-            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
-        ).collect()[0]
-        return (row.n, row.h)
+    from pyspark.sql import Observation
 
-    # canonical orientation (u > v); input is symmetric so nothing is
-    # lost. Checkpoints are NON-eager with the fixpoint-signature agg as
-    # the materializing action (r11 optimization): the eager form ran
-    # two jobs per round (materialize + stats) where one suffices —
-    # lineage truncation is identical, the signature's first computation
-    # populates the checkpoint.
+    def _sig_metrics():
+        # order-free fixpoint signature of an edge set, ridden on the
+        # eager checkpoint's materialization as observe() metrics (r11
+        # optimization — ONE action per round with zero extra stages;
+        # the previous shapes paid a separate signature agg action).
+        # Accumulator-based observed metrics are exactly-once per
+        # successful task; the xxhash sum is order-free, so the
+        # signature is the same value the old agg computed. NOTE the
+        # checkpoint must stay EAGER: a non-eager localCheckpoint fires
+        # the metrics listener before anything computes and returns
+        # zeros (verified on this Spark build).
+        obs = Observation()
+        cols = (
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        )
+        return obs, cols
+
+    # canonical orientation (u > v); input is symmetric so nothing is lost
+    obs0, cols0 = _sig_metrics()
     canon = (
         edges.filter(F.col("src") > F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .observe(obs0, *cols0)
+        .localCheckpoint(eager=True)
     )
-    prev_sig = _stats(canon)
+    m0 = obs0.get
+    prev_sig = (m0["n"], m0["h"])
 
     for _ in range(max_iterations):
         # large-star over the symmetric view of canon
@@ -1184,6 +1208,7 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
         )
         # small-star over the canonical (u > v) edges
         s_min = ls.groupBy("u").agg(F.min("v").alias("m"))
+        obs, cols = _sig_metrics()
         ss = (
             ls.join(s_min, "u")
             .filter(F.col("v") != F.col("m"))
@@ -1191,9 +1216,11 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(s_min.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=False)
+            .observe(obs, *cols)
+            .localCheckpoint(eager=True)
         )
-        sig = _stats(ss)
+        m = obs.get
+        sig = (m["n"], m["h"])
         canon = ss
         if sig == prev_sig:
             break
