@@ -79,3 +79,45 @@ def test_lsh_cc_clusters_mass_duplicate_into_one(spark, megadup_dir):
         if labels.get(i, i) == 0
     ]
     assert not absorbed, f"distinct docs absorbed by the clique: {absorbed}"
+
+
+def test_eager_checkpoint_observe_delivers_exact_metrics(spark):
+    # The r11 CC loops ride their per-round convergence signature on the
+    # eager localCheckpoint's materialization via observe(): this pins
+    # the platform contract they rely on — an EAGER checkpoint fires the
+    # metrics listener with the computed (exactly-once) values, and the
+    # observed count/xxhash signature equals a direct aggregation of the
+    # same frame. (A non-eager checkpoint returns zeros — the pitfall the
+    # dedup.py comments document; if Spark ever changes either behavior,
+    # this test localizes the break before the CC parity entries do.)
+    from pyspark.sql import Observation
+
+    df = spark.range(1000).select(
+        F.col("id").alias("u"), (F.col("id") % 7).alias("v")
+    )
+    obs = Observation()
+    ck = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v")).alias("h"),
+    ).localCheckpoint(eager=True)
+    direct = ck.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+    ).collect()[0]
+    got = obs.get
+    assert got["n"] == direct.n == 1000
+    assert got["h"] == direct.h
+    # empty-input shape: count stays 0 (never NULL), hash sum is NULL —
+    # the (0, None) signature both CC loops treat as the empty fixpoint
+    obs_empty = Observation()
+    (
+        df.filter(F.col("u") < 0)
+        .observe(
+            obs_empty,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    got_empty = obs_empty.get
+    assert got_empty["n"] == 0 and got_empty["h"] is None
