@@ -1073,7 +1073,9 @@ def _cc_label_propagation(edges: DataFrame, max_iterations: int) -> DataFrame:
     lineage truncation the query tree grows EXPONENTIALLY with rounds and
     the driver dies in analysis (observed: heap OOM at ~15 rounds on a
     toy graph). Checkpointing resets each round to a materialized scan —
-    the standard shape for iterative DataFrame algorithms.
+    the standard shape for iterative DataFrame algorithms. Since r11 the
+    changed-count convergence test rides the checkpoint job as an
+    ``observe()`` metric, so each round is exactly ONE action.
     """
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -1151,7 +1153,9 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
 
     Every round ends in an eager ``localCheckpoint`` — see
     _cc_label_propagation for why lineage truncation is load-bearing in
-    iterative DataFrame algorithms.
+    iterative DataFrame algorithms. Since r11 the fixpoint signature
+    rides each checkpoint job as ``observe()`` metrics, so each round
+    is exactly ONE action with no separate aggregation stages.
     """
 
     from pyspark.sql import Observation

@@ -4976,9 +4976,10 @@ _LABEL_PROP_ORACLE = f"""
     "community-structure sibling of x84's verified PageRank and x18's "
     "connected components (which answers reachability, not density). "
     "Per round: one (dst) equi-join of scalar (node, label) pairs + "
-    "one partial-aggregated (node, label) count shuffle + a per-node "
-    "top-1 window; adjacency never ships; edge build is the x84 "
-    "one-exchange form.",
+    "one partial-aggregated (node, label) count shuffle + a "
+    "partial-aggregated per-node argmax (max over (c, -label) "
+    "structs — no window sort; r11 rework); adjacency never ships; "
+    "edge build is the x84 one-exchange form.",
     oracle=_LABEL_PROP_ORACLE,
     tags=("ext", "graph", "community", "iterative"),
 )
