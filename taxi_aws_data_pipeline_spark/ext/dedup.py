@@ -201,7 +201,13 @@ def jaccard_near_dup_pairs(
     candidates carry (id, id, count) plus two int sizes and two small
     frequent-arrays; the old formulation (array_intersect of the full
     arrays per pair) re-shuffled every document's whole shingle set per
-    candidate and measured 4× slower at sf0.1.
+    candidate and measured 4× slower at sf0.1. Since r12 the per-doc
+    set sizes RIDE the blocked shingle rows through the self-join and
+    come out of the pair aggregation (min over the functionally-
+    dependent n_sh), deleting the two post-aggregation size joins the
+    r11 verdict flagged — one int per exploded row buys back two
+    data-scaled exchanges (guide §2.4; A/B 3.09 → 2.88 s min-of-5,
+    identical pairs).
     """
     # the doc→shingle-array index feeds candidate generation and the
     # per-doc set sizes; persist so shingling runs once — at scale this is
@@ -214,7 +220,7 @@ def jaccard_near_dup_pairs(
         .withColumn("n_sh", F.size("shs"))
         .persist()
     )
-    sh = docs.select("doc", F.explode("shs").alias("s"))
+    sh = docs.select("doc", "n_sh", F.explode("shs").alias("s"))
     if max_shingle_df is not None:
         # anti-join against the FREQUENT set, not inner-join against the
         # rare set: heavy hitters are few by definition (≤ total/df_cap
@@ -242,22 +248,19 @@ def jaccard_near_dup_pairs(
     # same recompute trap BASELINE.md records for the LSH bucket join
     sh_rare = sh_rare.persist()
     a, b = sh_rare.alias("a"), sh_rare.alias("b")
-    # one aggregation yields candidate pairs AND their rare-intersection
+    # one aggregation yields candidate pairs, their rare-intersection
     # size (shingles are per-doc distinct ⇒ one joined row per shared
-    # rare shingle per pair)
-    pairs = (
+    # rare shingle per pair), AND both set sizes: n_sh rides the
+    # blocked rows, is constant within each (doc_a, doc_b) group
+    # (functionally dependent on the key), and the min() picks it out
+    # without the two per-side size joins this replaced (r12)
+    scored = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("common_rare"))
-    )
-    sizes = docs.select("doc", "n_sh")
-    scored = (
-        pairs.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
-        ).join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
+        .agg(
+            F.count("*").alias("common_rare"),
+            F.min(F.col("a.n_sh")).alias("n_a"),
+            F.min(F.col("b.n_sh")).alias("n_b"),
         )
     )
     if doc_freq is not None:

@@ -148,17 +148,31 @@ def label_propagation_fixed_rounds(
     PageRank tiers make.
 
     Scale posture: per round one (dst) equi-join of the edge list with
-    the (node, label) frame + one partial-aggregated (node, label)
-    count shuffle + one partial-aggregated per-node argmax (max over
-    (c, -label) structs — no window, no sort) — labels are scalar
-    pairs, adjacency never ships, and plan depth grows linearly with
-    the small fixed round count (localCheckpoint the result, as here,
+    the (node, label) frame + ONE src-keyed exchange feeding both
+    aggregations (r12, guide §2.4): the joined rows repartition by
+    src once, and because HashPartitioning(src) satisfies the
+    clustered-distribution requirement of BOTH the (node, label)
+    count and the per-node argmax (max over (c, -label) structs — no
+    window, no sort), neither aggregate adds an exchange. The r11
+    shape paid two exchanges per round (partial-agg by (src, lab),
+    then re-shuffle by node); trading the map-side combine for one
+    exchange measured 3.52 -> 2.42 s on the x91 pipeline (min-of-5,
+    same session, identical labels). Labels are scalar pairs,
+    adjacency never ships, and plan depth grows linearly with the
+    small fixed round count (localCheckpoint the result, as here,
     for more).
 
     Returns (node, label) for every node of the symmetric edge list
     (every node is a src of ≥1 edge, so the per-round neighbor-count
     frame covers all of them; isolated nodes cannot occur under the
     symmetric-input contract).
+
+    Contract: node ids must be NUMERIC (all callers pass integer
+    keys). The argmax tie-break negates the label (max over
+    (c, -label) structs), which has no meaning for string ids — those
+    would error under ANSI casting rather than silently mis-break
+    ties (ADVICE r11). The symmetric-edge contract is pinned by
+    tests/test_properties.py::test_lp_symmetric_contract_*.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -179,6 +193,11 @@ def label_propagation_fixed_rounds(
     for _ in range(rounds):
         counts = (
             e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            # ONE exchange per round (r12): both grouped aggregates
+            # below are src-clustered, so an explicit src repartition
+            # lets them run exchange-free (alias-aware partitioning
+            # carries hash(src) through node = src). See docstring.
+            .repartition("src")
             .groupBy(F.col("src").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )

@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
-"""Dump .explain("formatted") for catalog queries to plans/r11/.
+"""Dump .explain("formatted") for catalog queries to plans/r12/.
 
 Usage: python tools/explain_dump.py before|after q1 [q2 ...]
        python tools/explain_dump.py before|after --stdout q1
 
-Writes plans/r11/<query>_<tag>.txt — the optimization-round evidence
+Writes plans/r12/<query>_<tag>.txt — the optimization-round evidence
 files the judge checks plan claims against. Uses the same session and
 SF dir as bench.py so the plans match what the bench measures.
 """
@@ -35,7 +35,7 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
     spark = get_spark(app_name="explain-dump")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r11")
+    outdir = os.path.join(here, "plans", "r12")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = CATALOG[name].spark(spark, SF_DIR)
