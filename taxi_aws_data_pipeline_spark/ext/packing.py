@@ -159,24 +159,58 @@ def global_row_number(
 
     ``order_cols`` must be a total order (include a unique tie-break
     column) or numbering among ties is partition-placement-dependent.
-    Two passes over the repartitioned data (count per partition, then
-    number) — the price of contiguity; when gaps are acceptable use
-    ``monotonically_increasing_id`` (one pass, non-contiguous) instead.
+
+    r12 shape (guide §1.5/§2.4): ONE pass, ONE action. The per-
+    partition counts ride the eager ``localCheckpoint`` of the sorted
+    data as ``observe()`` metrics (n_partitions conditional counts —
+    the r11 eager-checkpoint/observe platform contract), replacing the
+    separate count-collect action; and the in-partition position comes
+    from ``monotonically_increasing_id`` evaluated ABOVE the partition
+    sort (pid * 2^33 + row index — Spark's documented encoding; the
+    sort is total per the order_cols contract, so the index is the
+    sorted rank), replacing the per-partition ``row_number`` window.
+    The window was not free: its partition-by-_pid clustering
+    requirement re-SHUFFLED the whole frame a second time (hash on
+    _pid) — the r11 plans show both exchanges. Numbering is identical
+    (A/B: x87 0.86 -> 0.72 s, x94 1.89 -> 1.83 s min-of-5, exact row
+    sets). Per-partition row counts beyond 2^33 would overflow the
+    index encoding — 8.6e9 rows in ONE partition, far past any sane
+    task size.
 
     The training-data uses: stable example ids for shuffled corpora,
     contiguous sample indexing for epoch-order curricula, resumable
     cursor positions.
     """
-    ranged = (
+    base = (
         df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
-    counts = {
-        r._pid: r.n
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }  # n_partitions rows — bounded driver data
+    if checkpoint:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ranged = base.observe(
+            obs,
+            *[
+                F.count(F.when(F.col("_pid") == i, True)).alias(f"c{i}")
+                for i in range(n_partitions)
+            ],
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        counts = {i: m[f"c{i}"] for i in range(n_partitions)}
+    else:
+        # plan-inspection / no-materialization path (tests assert the
+        # distributed shape on the raw plan): counts via a bounded
+        # collect over the persisted frame, as before r12
+        ranged = base.persist()
+        counts = {
+            r._pid: r.n
+            for r in ranged.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }  # n_partitions rows — bounded driver data
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -188,14 +222,7 @@ def global_row_number(
         ],
         F.lit(0),
     ) if offsets else F.lit(0)
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = ranged.withColumn(
-        out_col, (offset_col + F.row_number().over(w)).cast("long")
-    ).drop("_pid")
-    if checkpoint:
-        # sever lineage from the cache before releasing it (the caller
-        # consumes lazily); checkpoint=False exposes the raw plan so
-        # tests can assert no SinglePartition exchange exists
-        out = out.localCheckpoint(eager=True)
-        ranged.unpersist()
-    return out
+    local = F.col("_mid") - F.shiftleft(F.col("_pid").cast("long"), 33)
+    return ranged.withColumn(
+        out_col, (offset_col + local + 1).cast("long")
+    ).drop("_pid", "_mid")

@@ -14752,35 +14752,37 @@ def x178_kcore_peeling(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("l_quantity") >= 45.0)
         .select("l_orderkey", "l_suppkey")
     )
-    # materialize the co-supply self-join ONCE (x180's edge pattern;
-    # r8 fix): without this, each round's eager `keep` action replays
-    # the whole chain from the base scan — the self-join ran 4x (3
-    # rounds + final agg). _cosupply_edges is the audited agg+explode
-    # shape (tests/plan_invariants.py checkpoint list).
-    e = _cosupply_edges(li).localCheckpoint(eager=True)
-    for r in range(3):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        # eager checkpoint (x84's per-round pattern): `keep` feeds TWO
-        # semi-joins, so an unchecked lineage re-embeds this round's
-        # edge subtree twice per round — 3x branch duplication that
-        # compounds to ~27x of the base scan by round 3 (A/B in
-        # BASELINE.md); the survivor set is node-sized, the smallest
-        # thing in the round, so it is the right thing to materialize
-        keep = (
-            deg.filter(F.col("d") >= 22)
-            .select("src")
-            .localCheckpoint(eager=True)
+    # r12 rework (guide §2.4): each round's per-node degree is an
+    # unordered WINDOW count over the current edge set — symmetric
+    # edges make the dst-side window the dst node's true degree — and
+    # the round keeps an edge iff both endpoint degrees clear k. This
+    # deletes the whole keep/semi-join machinery: the old shape needed
+    # an eager node-set checkpoint per round (keep fed TWO semi-joins,
+    # so unchecked lineage re-embedded the round's edge subtree twice)
+    # plus a per-round edge checkpoint — 16 jobs/invocation. The window
+    # form's lineage is LINEAR (each round is two windows + a filter
+    # over the previous round), so the whole 3-round peel plus the
+    # closing agg is ONE lazy plan with zero intermediate actions
+    # (~5 jobs). Window order (dst, then src) leaves each round
+    # src-partitioned, so round N+1's dst window pays the only
+    # exchange and the closing src groupBy reuses the last window's
+    # partitioning. A/B min-of-5 1.41 -> 1.32 s, identical cores;
+    # symmetry is invariant under the peel (the filter is symmetric in
+    # the endpoints), so in-degree == out-degree holds every round.
+    # The r8 edge checkpoint is gone WITH its reason: it existed to
+    # stop the keep actions replaying the co-supply self-join, and
+    # there are no keep actions left — the single consumer reads the
+    # edge build once inside the one job.
+    e = _cosupply_edges(li)
+    wd = _W.partitionBy("dst")
+    ws = _W.partitionBy("src")
+    for _ in range(3):
+        e = (
+            e.withColumn("dd", F.count(F.lit(1)).over(wd))
+            .withColumn("ds", F.count(F.lit(1)).over(ws))
+            .filter((F.col("ds") >= 22) & (F.col("dd") >= 22))
+            .select("src", "dst")
         )
-        e = e.join(keep, "src", "semi").join(
-            keep.select(F.col("src").alias("dst")), "dst", "semi"
-        )
-        # per-round edge materialization (the dedup-CC iterative
-        # pattern): the next round's degree count reads a stored,
-        # SHRINKING edge list instead of replaying prior rounds' semi-
-        # joins; the final round stays lazy — the closing agg is its
-        # only consumer
-        if r < 2:
-            e = e.localCheckpoint(eager=True)
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
@@ -14852,51 +14854,49 @@ def x179_greedy_coverage_picks(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(X.word_shingles(F.col("text"))).alias("w")
     ).distinct().persist()
 
-    picked = None  # 1-row frames unioned as we go
-    covered = None
+    # r12 (guide §5, bounded driver data): each round's pick is ONE
+    # row — the argmax collect()s to driver literals instead of living
+    # on as an eagerly-checkpointed 1-row frame re-attached via
+    # broadcast joins. Lineage stays shallow because the next round's
+    # plan references only dw + literal predicates, so the per-round
+    # checkpoint, its job, and both broadcast builds disappear: 17
+    # jobs/invocation -> ~8 (the rounds themselves stay sequential —
+    # greedy marginal gain is inherently so). Identical picks (A/B
+    # min-of-7 3.28 -> 3.19 s; the residual cost is the three gain
+    # aggregations, which ARE the algorithm).
+    picked_ids: list = []
+    rows: list = []
     remaining = dw
-    out = []
     for round_no in (1, 2, 3):
         gains = remaining.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("gain")
         )
-        # eager 1-row checkpoint (the x84/x32 pattern): without it the
-        # pick's lineage embeds this round's whole aggregation, so
-        # round 2 re-executes round 1 and round 3 re-executes both —
-        # quadratic recompute that the greedy's sequential rounds turn
-        # into the entry's long pole (A/B in BASELINE.md)
-        pick = (
-            gains.orderBy(F.desc("gain"), "doc_id")
-            .limit(1)
-            .localCheckpoint(eager=True)
+        top = gains.orderBy(F.desc("gain"), "doc_id").limit(1).collect()
+        if not top:
+            break  # empty corpus: no pick exists this round or later
+        rows.append((round_no, top[0]["doc_id"], top[0]["gain"]))
+        picked_ids.append(top[0]["doc_id"])
+        covered = (
+            dw.filter(F.col("doc_id").isin(picked_ids))
+            .select("w")
+            .distinct()
         )
-        out.append(
-            pick.select(
-                F.lit(round_no).alias("pick_no"),
-                "doc_id",
-                F.col("gain").cast("long").alias("new_words"),
-            )
+        remaining = dw.filter(~F.col("doc_id").isin(picked_ids)).join(
+            covered, "w", "left_anti"
         )
-        new_cov = dw.join(F.broadcast(pick.select("doc_id")), "doc_id").select(
-            "w"
-        )
-        covered = new_cov if covered is None else covered.union(new_cov)
-        picked = (
-            pick.select("doc_id")
-            if picked is None
-            else picked.union(pick.select("doc_id"))
-        )
-        remaining = dw.join(
-            F.broadcast(picked), "doc_id", "left_anti"
-        ).join(covered.distinct(), "w", "left_anti")
-    res = out[0]
-    for df in out[1:]:
-        res = res.union(df)
     # dw's cache is intentionally left live: Spark's CacheManager
     # dedupes identical canonicalized plans, so repeated invocations
     # REUSE this cache rather than stack copies (A/B'd in r7: an
     # explicit unpersist here costs ~1 s/invocation in steady state)
-    return res
+    if rows:
+        return spark.createDataFrame(
+            rows, "pick_no INT, doc_id BIGINT, new_words BIGINT"
+        )
+    return dw.select(
+        F.lit(1).alias("pick_no"),
+        "doc_id",
+        F.lit(0).cast("long").alias("new_words"),
+    ).limit(0)
 
 
 _MODULARITY_ORACLE = f"""
@@ -21319,44 +21319,45 @@ def x234_greedy_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(
                 F.when(F.col("lang") == "en", F.col("n_chars")).otherwise(0)
             ).alias("q"),
-            F.lit(0).alias("e"),
         )
         .localCheckpoint(eager=True)
     )
+
+    # r12 (guide §5, bounded driver data): each round's pick is ONE row
+    # — collect it as a driver literal and carry the epoch bumps as a
+    # literal CASE expression over the checkpointed base state, instead
+    # of an eager 1-row pick checkpoint + broadcast cross-join + a
+    # full state re-checkpoint per round. Every round is now exactly
+    # one TakeOrdered job over the stored |sources| rows: 18
+    # jobs/invocation -> 6, A/B min-of-5 1.15 -> 0.82 s, identical
+    # allocation. Tie-break comparator unchanged (exact fraction via
+    # double, ties to the smaller source).
+    bumps: dict = {}
+
+    def e_col():
+        c = F.lit(0)
+        for s, n in sorted(bumps.items()):
+            c = c + F.when(F.col("source") == F.lit(s), F.lit(n)).otherwise(0)
+        return c
+
     for _ in range(5):
-        # eager 1-row checkpoint (x179's pattern): the pick otherwise
-        # re-embeds the previous state's whole subtree, so each round
-        # would double the plan (2^rounds leaf copies by round 5)
-        pick = (
-            state.orderBy(
+        top = (
+            state.withColumn("e", e_col())
+            .orderBy(
                 F.desc(F.col("q").cast("double") / (1 + F.col("e"))),
                 "source",
             )
             .limit(1)
-            .select(F.col("source").alias("picked"))
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        # per-round state checkpoint (source-cardinality — trivial):
-        # keeps every later pick action reading stored rows, never a
-        # replayed chain
-        state = (
-            state.crossJoin(F.broadcast(pick))
-            .select(
-                "source",
-                "q",
-                (
-                    F.col("e")
-                    + F.when(F.col("source") == F.col("picked"), 1).otherwise(
-                        0
-                    )
-                ).alias("e"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        if not top:
+            break  # no sources: the allocation is vacuously empty
+        s = top[0]["source"]
+        bumps[s] = bumps.get(s, 0) + 1
     return state.select(
         "source",
         F.col("q").cast("long").alias("quality_chars"),
-        F.col("e").cast("long").alias("tranches_allocated"),
+        e_col().cast("long").alias("tranches_allocated"),
     )
 
 

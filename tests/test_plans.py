@@ -327,7 +327,13 @@ def test_x87_numbering_has_no_single_partition_exchange(spark, sf_dir):
         df._jdf.queryExecution(), "simple"
     )
     assert "SinglePartition" not in plan
-    assert "Window" in plan  # per-partition numbering is a real window
+    # r12 shape: the numbering is a range exchange + in-partition sort
+    # + monotonically_increasing_id — no Window at all (the old
+    # per-partition row_number window forced a SECOND full shuffle,
+    # hash on _pid)
+    assert "rangepartitioning" in plan.lower()
+    assert "monotonically_increasing_id" in plan
+    assert "Window" not in plan
     # and the naive formulation DOES have one — the trap is real
     naive = docs.selectExpr(
         "doc_id", "row_number() OVER (ORDER BY n_chars, doc_id) AS rn"
