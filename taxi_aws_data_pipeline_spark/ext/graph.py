@@ -261,7 +261,18 @@ def personalized_pagerank_fixed_rounds(
             e.join(
                 ranks.select(
                     F.col("node").alias("src"), "r", "out_deg"
-                ),
+                )
+                # r12 (guide §2.3, shuffle fewer bytes): rank mass is
+                # non-negative and starts concentrated at the seed, so
+                # most nodes carry r == 0 in the early rounds and
+                # contribute exactly 0 (integer r DIV out_deg == 0).
+                # Dropping them BEFORE the edge join prunes the joined
+                # rows to the seed's k-hop neighborhood per round; a
+                # dst reached only by zero-rank sources merely vanishes
+                # from contribs, which the left join's COALESCE(s, 0)
+                # already treats as 0. Values bit-identical (interleaved
+                # A/B: old 3.14-3.31 s, new 2.29-2.86 s across 7 pairs).
+                .filter(F.col("r") > 0),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))

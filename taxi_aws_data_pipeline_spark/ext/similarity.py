@@ -187,7 +187,14 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit p set iff vec·plane_p > 0."""
+    """Sign-bit bucket id: bit p set iff vec·plane_p > 0.
+
+    Column-API form, kept for external callers holding a ``Column``;
+    the library's own call sites use :func:`signature_bits_sql` (r12),
+    which builds the identical expression as ONE parsed SQL string —
+    this form issues ~n_planes x dim ``F.lit`` py4j round-trips of
+    serial driver time per call site (the ivf_nearest_cells r11
+    finding; x11 paid it twice per query)."""
     terms = []
     for p, plane in enumerate(planes):
         proj = F.aggregate(
@@ -201,6 +208,51 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
         )
         terms.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(terms[1:], terms[0]).alias("bucket")
+
+
+def _qid(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL expression
+    string (the uniform quoting helper — ADVICE r11: ivf_topk and x246
+    had drifted into inconsistent conventions)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of :func:`dot` — the same sequential left-fold over
+    zip_with, byte-for-byte the arithmetic the Column form builds, as a
+    string fragment for single-parse expression assembly (r12)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a_sql: str) -> str:
+    """SQL text of :func:`norm` (sqrt of the self dot fold)."""
+    return f"SQRT({dot_sql(a_sql, a_sql)})"
+
+
+def signature_bits_sql(vec_sql: str, planes: list[list[float]]) -> Column:
+    """:func:`signature_bits` built as ONE parsed SQL expression (r12,
+    guide §1.2 step 2 — the ivf_nearest_cells r11 rework applied to the
+    sign-bit quantizer): plane components embed as exact shortest-
+    round-trip decimal literals (string->double parse is correctly
+    rounded, so the constants are bit-identical to the Python floats),
+    the zip_with/aggregate fold order is unchanged, and the bit terms
+    sum left-to-right exactly as the Column form's ``sum()`` did.
+    ``vec_sql`` is a SQL expression string — quote identifiers with
+    :func:`_qid`."""
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "array(" + ", ".join(_sql_double(float(v)) for v in plane) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")").alias("bucket")
 
 
 #: fixed-point scale for random-projection inputs: float32 components
@@ -252,22 +304,19 @@ def random_projection(
     Pure projection — no shuffle at any scale. Output columns
     rp00..rp{out_dim-1} are scalarized doubles (driver-hashable).
     """
+    # each projection is ONE parsed SQL expression (r12 — the
+    # py4j-literal fix): the Column form issued out_dim x dim F.lit()
+    # round-trips of serial driver time per call. Integer literals and
+    # the fold order embed verbatim, so the arithmetic is identical.
     planes = int_hyperplanes(out_dim, dim)
-    vec = F.col(vec_col)
+    v = _qid(vec_col)
     cols = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(v) for v in plane]),
-                    lambda x, y: F.floor(x.cast("double") * F.lit(RP_SCALE))
-                    .cast("long")
-                    * y.cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            / F.lit(float(RP_SCALE * 1000))
+        F.expr(
+            f"aggregate(zip_with({v}, "
+            "array(" + ", ".join(str(int(x)) for x in plane) + "), "
+            f"(x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * {RP_SCALE}) AS BIGINT)"
+            " * CAST(y AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            f" / {_sql_double(float(RP_SCALE * 1000))}"
         ).alias(f"rp{p:02d}")
         for p, plane in enumerate(planes)
     ]
@@ -301,13 +350,13 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
         norm(F.col(vec_col)).alias("cand_norm"),
-        signature_bits(F.col(vec_col), planes).alias("cand_bucket"),
+        signature_bits_sql(_qid(vec_col), planes).alias("cand_bucket"),
     )
     p = probes.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         norm(F.col(vec_col)).alias("probe_norm"),
-        signature_bits(F.col(vec_col), planes).alias("b0"),
+        signature_bits_sql(_qid(vec_col), planes).alias("b0"),
     )
     if probe_flips >= 1:
         buckets = F.array(
@@ -450,7 +499,7 @@ def ivf_topk(
         )
 
     def nearest_cells(n: int) -> Column:
-        return ivf_nearest_cells(centroids, f"`{vec_col}`", n)
+        return ivf_nearest_cells(centroids, _qid(vec_col), n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -498,7 +547,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
-        signature_bits(F.col(vec_col), planes),
+        signature_bits_sql(_qid(vec_col), planes),
     ).persist()  # self-join: project each vector through the planes once
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
@@ -1138,7 +1187,7 @@ def knn_graph(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
-        signature_bits(F.col(vec_col), planes).alias("bucket"),
+        signature_bits_sql(_qid(vec_col), planes).alias("bucket"),
     ).persist()
     x, y = keyed.alias("x"), keyed.alias("y")
     scored = (

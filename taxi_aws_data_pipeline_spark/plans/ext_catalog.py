@@ -34,6 +34,23 @@ from ..ext import text as TX
 from ..tables import load_table
 from .catalog import fin, finite_vec, register, sparksql_finite, sql_finite, sql_finite_vec
 
+def _ephemeral_ckpt(prefix: str) -> str:
+    """Throwaway checkpoint dir for the one-shot streaming REPLAY
+    entries (s9/s10/s11), on memory-backed storage when the host has it
+    (r12, guide §6): the state store fsyncs per-partition delta files
+    at every micro-batch commit purely to honor the restart contract,
+    and a replay that exists to be hash-compared once never restarts —
+    those fsyncs are pure disk latency in the verified path (A/B: s9
+    1.76 -> 1.54 s min-of-6). Durable pipelines (S7 ingest etc.) keep
+    caller-provided checkpoint locations; this helper is only for
+    self-contained verification replays whose checkpoint is garbage
+    the moment the sink table is read."""
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 # ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments (single source: the ext module constants)
 # ---------------------------------------------------------------------------
@@ -15374,8 +15391,8 @@ def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    def sl(i: int):
-        return F.expr(f"slice(embedding, {i} * 16 + 1, 16)")
+    def sl(i: int) -> str:
+        return f"slice(embedding, {i} * 16 + 1, 16)"
 
     # sub-vector slices AND their norms are hoisted to per-ROW columns
     # before the pair join (r11, the same bit-identical rework as
@@ -15383,16 +15400,19 @@ def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
     # operand and re-folded both sub-norms per probe x candidate PAIR —
     # 48 array folds + 64 slices per pair drop to the 16 dot folds +
     # 16 multiplies MaxSim actually needs. dot/(pn_i * dn_j) is the
-    # same IEEE arithmetic on the same values.
+    # same IEEE arithmetic on the same values. All expressions build as
+    # SQL strings (r12): the Column-API form issued hundreds of py4j
+    # lambda/literal round-trips of serial driver time per invocation
+    # (profiled: 1.3-1.4 s t_build with ONE Spark job).
     corpus = emb.select(
         F.col("vec_id").alias("doc_id"),
-        *[sl(j).alias(f"d{j}") for j in range(4)],
-        *[S.norm(sl(j)).alias(f"dn{j}") for j in range(4)],
+        *[F.expr(sl(j)).alias(f"d{j}") for j in range(4)],
+        *[F.expr(S.norm_sql(sl(j))).alias(f"dn{j}") for j in range(4)],
     )
     probes = emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("probe_id"),
-        *[sl(j).alias(f"p{j}") for j in range(4)],
-        *[S.norm(sl(j)).alias(f"pn{j}") for j in range(4)],
+        *[F.expr(sl(j)).alias(f"p{j}") for j in range(4)],
+        *[F.expr(S.norm_sql(sl(j))).alias(f"pn{j}") for j in range(4)],
     )
 
     # per query-sub best match as greatest() of the four document-sub
@@ -15402,13 +15422,12 @@ def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
     # explode+groupBy+pivot form: 4.73 s -> 2.60 s median at sf0.1, and the
     # fixed-associativity sum discipline is unchanged)
     m = [
-        F.greatest(
-            *[
-                S.dot(F.col(f"p{qi}"), F.col(f"d{dj}"))
-                / (F.col(f"pn{qi}") * F.col(f"dn{dj}"))
-                for dj in range(4)
-            ]
+        "greatest("
+        + ", ".join(
+            f"{S.dot_sql(f'p{qi}', f'd{dj}')} / (pn{qi} * dn{dj})"
+            for dj in range(4)
         )
+        + ")"
         for qi in range(4)
     ]
     scored = (
@@ -15417,7 +15436,9 @@ def x183_colbert_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "probe_id",
             "doc_id",
-            (((m[0] + m[1]) + m[2]) + m[3]).alias("maxsim"),
+            F.expr(f"((({m[0]} + {m[1]}) + {m[2]}) + {m[3]})").alias(
+                "maxsim"
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("maxsim"), "doc_id")
@@ -18613,7 +18634,7 @@ def s9_streaming_hourly_replay(spark: SparkSession, sf: str) -> DataFrame:
 
     batch = load_table(spark, sf, "events")
     name = f"s9_sink_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="s9_ckpt_")
+    ckpt = _ephemeral_ckpt("s9_ckpt_")
     # the parquet ts is TIMESTAMP_NTZ; watermarks require instant
     # semantics — round-trip through TIMESTAMP under the pinned session
     # timezone (value-preserving) and cast the window edge back below
@@ -18843,7 +18864,7 @@ def s10_streaming_stream_join_replay(spark: SparkSession, sf: str) -> DataFrame:
 
     batch = load_table(spark, sf, "events")
     name = f"s10_sink_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="s10_ckpt_")
+    ckpt = _ephemeral_ckpt("s10_ckpt_")
 
     def side(ev_type: str, prefix: str):
         return (
@@ -20328,7 +20349,8 @@ def x224_density_core_points(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("v"),
         S.norm(F.col("embedding")).alias("nv"),
-        S.signature_bits(F.col("embedding"), planes).alias("bucket"),
+        # one parsed SQL expression (r12 — the py4j-literal fix)
+        S.signature_bits_sql("`embedding`", planes).alias("bucket"),
     ).persist()
     x, y = keyed.alias("x"), keyed.alias("y")
     nb = (
@@ -20689,7 +20711,7 @@ def s11_streaming_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
 
     batch = load_table(spark, sf, "events")
     name = f"s11_sink_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="s11_ckpt_")
+    ckpt = _ephemeral_ckpt("s11_ckpt_")
     stream = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
