@@ -1259,7 +1259,14 @@ def x27_training_data_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # side — profiled as the bulk of x27's exec time) and paid a
     # second exchange for the join; one min-over-fingerprint window is
     # a single pass and a single exchange, and keeps exactly the same
-    # rows (doc_id == min(doc_id) per fingerprint group).
+    # rows (doc_id == min(doc_id) per fingerprint group). Skew note
+    # (ADVICE r11): a mass-duplicate corpus concentrates one duplicate
+    # group in one window task where the aggregate+join form had a
+    # partial-aggregable first phase; the megadup stress fixture
+    # (tests/test_dedup_stress.py) is the recorded guard for that
+    # shape, and AQE skew handling does not split windows — if a real
+    # corpus ever tips this, pre-salt the fingerprint and take
+    # min-of-mins.
     d = (
         d.withColumn(
             "_min_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))

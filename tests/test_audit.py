@@ -415,6 +415,14 @@ def test_no_data_scaled_collect_in_catalog():
         "c4_p99_outlier_cap": 1,
         # distinct event_type pivot headers — bounded enum cardinality
         "g8_two_phase_dynamic_pivot": 1,
+        # r12 greedy-tier rework: each round's pick is a LIMIT-1
+        # argmax collected as driver literals (one collect per round,
+        # always exactly one row) — replacing the eager 1-row
+        # checkpoint + broadcast re-attach that cost 2 extra jobs per
+        # sequential round; the per-round row count is bounded by
+        # construction, never data-scaled
+        "x179_greedy_coverage_picks": 1,
+        "x234_greedy_mixture_allocation": 1,
     }
     offenders = {}
     for name, spec in CATALOG.items():

@@ -367,56 +367,135 @@ def huge_payload_oracle(huge_payload_sf_dir):
 HUGE_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
 
 
+# ---------------------------------------------------------------------------
+# threaded leg evaluator (r12, guide §2.6 — overlap independent jobs)
+#
+# The six degenerate legs are 6 x |CATALOG| INDEPENDENT tiny queries
+# (zero-to-five-row inputs), and plain pytest runs them strictly
+# sequentially — ~0.6 s of mostly-idle driver latency each, 26+ min of
+# wall for work that leaves 32 cores idle (this single file was the
+# reason the round-11 driver pytest run hit its budget at 56%). Each
+# leg's sweep now runs ONCE in a module fixture on a small thread pool
+# (Spark's scheduler happily overlaps independent actions; each worker
+# thread gets its own DuckDB connection), and the parametrized tests —
+# same ids, same assertions, same -x semantics — read the recorded
+# per-entry outcome. Entries are distinct per leg, every temp
+# view/table/sink name in the catalog is entry-prefixed or
+# uuid-suffixed, so concurrent builders do not collide.
+# ---------------------------------------------------------------------------
+
+
+def _evaluate_leg(spark, sf_dir, leg_tag, inherent, check_cardinality=False):
+    import threading
+
+    from .oracle_utils import (
+        compare_frames,
+        duckdb_connection,
+        threaded_sweep,
+    )
+
+    tl = threading.local()
+
+    def check(name):
+        spec = CATALOG[name]
+        try:
+            df = spec.spark(spark, sf_dir)
+            got = df.toPandas()
+            if check_cardinality:
+                # global aggregates (a6, k2, ...) legitimately return
+                # ONE row of nulls/zeros on empty input; fixed-spine
+                # reports their spine; everything else zero rows
+                cap = _FIXED_CARDINALITY.get(name, 1)
+                if len(got) > cap:
+                    return (
+                        f"{name}: {len(got)} rows on EMPTY input "
+                        f"(expected <= {cap})"
+                    )
+            if not len(df.schema.fields) > 0:
+                return f"{name}: zero-width schema on {leg_tag} input"
+            if spec.oracle is None or name in inherent:
+                return None
+            con = getattr(tl, "con", None)
+            if con is None:
+                con = tl.con = duckdb_connection(sf_dir)
+            want = con.execute(spec.oracle).fetchdf()
+            res = compare_frames(got, want)
+            if not (res.ok and res.exact):
+                return f"{name} (on {leg_tag} input): {res.detail}"
+            return None
+        except Exception as exc:  # surfaced by the parametrized test
+            return f"{name} (on {leg_tag} input) raised: {exc!r}"
+
+    return threaded_sweep(sorted(CATALOG), check)
+
+
+@pytest.fixture(scope="module")
+def empty_results(spark, empty_sf_dir):
+    return _evaluate_leg(
+        spark, empty_sf_dir, "EMPTY", EMPTY_PARITY_INHERENT,
+        check_cardinality=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def one_row_results(spark, one_row_sf_dir):
+    return _evaluate_leg(
+        spark, one_row_sf_dir, "ONE-ROW", ONE_ROW_PARITY_INHERENT
+    )
+
+
+@pytest.fixture(scope="module")
+def null_payload_results(spark, null_payload_sf_dir):
+    return _evaluate_leg(
+        spark, null_payload_sf_dir, "NULL-PAYLOAD", NULL_PARITY_INHERENT
+    )
+
+
+@pytest.fixture(scope="module")
+def all_null_results(spark, all_null_sf_dir):
+    return _evaluate_leg(
+        spark, all_null_sf_dir, "ALL-NULL", ALL_NULL_PARITY_INHERENT
+    )
+
+
+@pytest.fixture(scope="module")
+def nan_payload_results(spark, nan_payload_sf_dir):
+    return _evaluate_leg(
+        spark, nan_payload_sf_dir, "NAN-PAYLOAD", NAN_PARITY_INHERENT
+    )
+
+
+@pytest.fixture(scope="module")
+def huge_payload_results(spark, huge_payload_sf_dir):
+    return _evaluate_leg(
+        spark, huge_payload_sf_dir, "HUGE-PAYLOAD", HUGE_PARITY_INHERENT
+    )
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
-def test_entry_runs_on_empty_tables(spark, empty_sf_dir, empty_oracle, name):
+def test_entry_runs_on_empty_tables(empty_results, name):
     """Every entry must RUN on zero-row tables, and (round 10) its
     result must MATCH its DuckDB oracle there too — the class of hole
     ADVICE r9 found in x246 (0/0 -> NULL in one dialect, a literal 0 in
     the other) is latent in exactly the code paths only degenerate
     input exercises, so the parity gate now covers them."""
-    spec = CATALOG[name]
-    df = spec.spark(spark, empty_sf_dir)
-    got = df.toPandas()
-    # global aggregates (a6, k2, ...) legitimately return ONE row of
-    # nulls/zeros on empty input; fixed-spine reports their spine;
-    # everything else must return zero rows
-    assert len(got) <= _FIXED_CARDINALITY.get(name, 1)
-    assert len(df.schema.fields) > 0
-    if spec.oracle is None or name in EMPTY_PARITY_INHERENT:
-        return
-    from .oracle_utils import compare_frames
-
-    want = empty_oracle.execute(spec.oracle).fetchdf()
-    res = compare_frames(got, want)
-    assert res.ok and res.exact, f"{name} (on EMPTY input): {res.detail}"
+    assert empty_results[name] is None, empty_results[name]
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
-def test_entry_matches_oracle_on_one_row_tables(
-    spark, one_row_sf_dir, one_row_oracle, name
-):
+def test_entry_matches_oracle_on_one_row_tables(one_row_results, name):
     """The n=1 leg of the degenerate-input parity gate (round 10): a
     catalog-wide scan found the empty-input fix wave left three
     one-row-only holes (x103's single-slice NULL-shift row, x104's
     undefined n=1 statistic, x246's nominal-vs-actual recall
     denominator) — different corners than empty input exercises, so
     both fixtures stay gated."""
-    spec = CATALOG[name]
-    df = spec.spark(spark, one_row_sf_dir)
-    got = df.toPandas()
-    assert len(df.schema.fields) > 0
-    if spec.oracle is None or name in ONE_ROW_PARITY_INHERENT:
-        return
-    from .oracle_utils import compare_frames
-
-    want = one_row_oracle.execute(spec.oracle).fetchdf()
-    res = compare_frames(got, want)
-    assert res.ok and res.exact, f"{name} (on ONE-ROW input): {res.detail}"
+    assert one_row_results[name] is None, one_row_results[name]
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_matches_oracle_on_null_payload_tables(
-    spark, null_payload_sf_dir, null_payload_oracle, name
+    null_payload_results, name
 ):
     """The NULL-payload leg of the degenerate-input parity gate
     (round 11): live NULLs in text/value/embedding beside real rows —
@@ -424,43 +503,21 @@ def test_entry_matches_oracle_on_null_payload_tables(
     NULL semantics must agree EXPLICITLY, not by accident (size(NULL)
     = -1, concat_ws swallowing NULL, least/greatest ignoring NULL, and
     NULL sort position all differ between the engines' defaults)."""
-    spec = CATALOG[name]
-    df = spec.spark(spark, null_payload_sf_dir)
-    got = df.toPandas()
-    assert len(df.schema.fields) > 0
-    if spec.oracle is None or name in NULL_PARITY_INHERENT:
-        return
-    from .oracle_utils import compare_frames
-
-    want = null_payload_oracle.execute(spec.oracle).fetchdf()
-    res = compare_frames(got, want)
-    assert res.ok and res.exact, f"{name} (on NULL-PAYLOAD input): {res.detail}"
+    assert null_payload_results[name] is None, null_payload_results[name]
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
-def test_entry_matches_oracle_on_all_null_tables(
-    spark, all_null_sf_dir, all_null_oracle, name
-):
+def test_entry_matches_oracle_on_all_null_tables(all_null_results, name):
     """The ALL-NULL leg (round 11): live row counts, zero usable
     payloads — pins the zero-survivor seeding paths (bounded collects
     that find nothing), ivf's empty-quantizer branch under live probes,
     and the oracle twins' behavior when every filter drops every row."""
-    spec = CATALOG[name]
-    df = spec.spark(spark, all_null_sf_dir)
-    got = df.toPandas()
-    assert len(df.schema.fields) > 0
-    if spec.oracle is None or name in ALL_NULL_PARITY_INHERENT:
-        return
-    from .oracle_utils import compare_frames
-
-    want = all_null_oracle.execute(spec.oracle).fetchdf()
-    res = compare_frames(got, want)
-    assert res.ok and res.exact, f"{name} (on ALL-NULL input): {res.detail}"
+    assert all_null_results[name] is None, all_null_results[name]
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_matches_oracle_on_nan_payload_tables(
-    spark, nan_payload_sf_dir, nan_payload_oracle, name
+    nan_payload_results, name
 ):
     """The NON-FINITE-payload leg (round 11): NaN values/components
     beside real rows — pins the fixed-point screens (a NaN reaching
@@ -469,22 +526,12 @@ def test_entry_matches_oracle_on_nan_payload_tables(
     CATASTROPHICALLY rather than conventionally), the failed-embedding
     whole-vector exclusion, and the zero-finite-observation drops in
     the rank/series consumers."""
-    spec = CATALOG[name]
-    df = spec.spark(spark, nan_payload_sf_dir)
-    got = df.toPandas()
-    assert len(df.schema.fields) > 0
-    if spec.oracle is None or name in NAN_PARITY_INHERENT:
-        return
-    from .oracle_utils import compare_frames
-
-    want = nan_payload_oracle.execute(spec.oracle).fetchdf()
-    res = compare_frames(got, want)
-    assert res.ok and res.exact, f"{name} (on NAN-PAYLOAD input): {res.detail}"
+    assert nan_payload_results[name] is None, nan_payload_results[name]
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_entry_matches_oracle_on_huge_payload_tables(
-    spark, huge_payload_sf_dir, huge_payload_oracle, name
+    huge_payload_results, name
 ):
     """The MAGNITUDE-overflow leg (round 11): finite values beyond the
     exact-decimal domain beside real rows — pins the |value| < 1e13 /
@@ -492,14 +539,4 @@ def test_entry_matches_oracle_on_huge_payload_tables(
     single corrupt 1e23 sensor reading silently clamps to
     Long.MaxValue cents in Spark while ANSI engines raise — the
     magnitude sibling of the NaN corruption class."""
-    spec = CATALOG[name]
-    df = spec.spark(spark, huge_payload_sf_dir)
-    got = df.toPandas()
-    assert len(df.schema.fields) > 0
-    if spec.oracle is None or name in HUGE_PARITY_INHERENT:
-        return
-    from .oracle_utils import compare_frames
-
-    want = huge_payload_oracle.execute(spec.oracle).fetchdf()
-    res = compare_frames(got, want)
-    assert res.ok and res.exact, f"{name} (on HUGE-PAYLOAD input): {res.detail}"
+    assert huge_payload_results[name] is None, huge_payload_results[name]

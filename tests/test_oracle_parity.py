@@ -15,30 +15,53 @@ ROWS_ONLY = sorted(n for n, s in CATALOG.items() if s.oracle is None)
 
 
 @pytest.fixture(scope="module")
-def oracle(sf_dir):
-    con = duckdb_connection(sf_dir)
-    yield con
-    con.close()
+def parity_results(spark, sf_dir):
+    """One threaded sweep over the SQL-backed catalog (r12 — see
+    oracle_utils.threaded_sweep); each parametrized test below reads
+    its entry's recorded outcome."""
+    import threading
+
+    from .oracle_utils import threaded_sweep
+
+    tl = threading.local()
+
+    def check(name):
+        spec = CATALOG[name]
+        try:
+            df = spec.spark(spark, sf_dir)
+            # catalog-wide physical invariants ride along for free: the
+            # plan is built here anyway (tests/plan_invariants.py — no
+            # CartesianProduct ever; BroadcastNestedLoopJoin only with
+            # a boundedness argument)
+            check_plan_invariants(
+                name, df._jdf.queryExecution().executedPlan().toString()
+            )
+            got = df.toPandas()
+            con = getattr(tl, "con", None)
+            if con is None:
+                con = tl.con = duckdb_connection(sf_dir)
+            want = con.execute(spec.oracle).fetchdf()
+            res = compare_frames(got, want)
+            if not res.ok:
+                return f"{name}: {res.detail}"
+            if not res.exact:
+                return (
+                    f"{name}: values only approximately equal "
+                    f"(max float diff {res.max_float_diff:g}) — driver "
+                    "hash would fail"
+                )
+            return None
+        except AssertionError as exc:  # plan invariant violations
+            return str(exc)
+        except Exception as exc:
+            return f"{name} raised: {exc!r}"
+
+    return threaded_sweep(SQL_BACKED, check)
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
-def test_query_matches_oracle(spark, sf_dir, oracle, name):
-    spec = CATALOG[name]
-    df = spec.spark(spark, sf_dir)
-    # catalog-wide physical invariants ride along for free: the plan is
-    # built here anyway (tests/plan_invariants.py — no CartesianProduct
-    # ever; BroadcastNestedLoopJoin only with a boundedness argument)
-    check_plan_invariants(
-        name, df._jdf.queryExecution().executedPlan().toString()
-    )
-    got = df.toPandas()
-    want = oracle.execute(spec.oracle).fetchdf()
-    res = compare_frames(got, want)
-    assert res.ok, f"{name}: {res.detail}"
-    assert res.exact, (
-        f"{name}: values only approximately equal "
-        f"(max float diff {res.max_float_diff:g}) — driver hash would fail"
-    )
+def test_query_matches_oracle(parity_results, name):
+    assert parity_results[name] is None, parity_results[name]
 
 
 # ROWS_ONLY has been empty since round 4 (every catalog entry is
