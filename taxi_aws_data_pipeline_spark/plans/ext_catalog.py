@@ -13042,7 +13042,23 @@ def x166_common_neighbor_link_prediction(spark: SparkSession, sf: str) -> DataFr
         .filter(F.col("l_quantity") >= 45.0)
         .select("l_orderkey", "l_suppkey")
     )
-    e = _cosupply_edges(li)
+    # materialize the co-supply edge build ONCE (r12 plan audit: the
+    # un-checkpointed plan embedded the collect_set+explode build FOUR
+    # times — both wedge sides, the anti-join side, and the degree
+    # count — with NO ReusedExchange; 10 parquet scans for one edge
+    # set). Same x180 pattern incl. the pre-checkpoint inline guard
+    # (lineage truncation blinds the parity sweep's plan check).
+    # A/B min-of-5: 1.90 -> 1.59 s, identical rows; persist() measured
+    # SLOWER (2.60 s — cache-write overhead on the wide edge set).
+    pre = _cosupply_edges(li)
+    if os.environ.get("SPARK_GRAFT_PLAN_GUARD") == "1":
+        from tests.plan_invariants import check_plan_invariants
+
+        check_plan_invariants(
+            "x166_common_neighbor_link_prediction (pre-checkpoint edges)",
+            pre._jdf.queryExecution().executedPlan().toString(),
+        )
+    e = pre.localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     x = e.select(F.col("src").alias("a"), F.col("dst").alias("n"))
     y = e.select(F.col("src").alias("b"), F.col("dst").alias("n"))

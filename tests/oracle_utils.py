@@ -126,7 +126,7 @@ def compare_frames(
     return CompareResult(True, max_diff == 0.0, len(a), len(b), max_diff)
 
 
-def threaded_sweep(names, check, max_workers=8):
+def threaded_sweep(names, check, request=None, max_workers=8):
     """Evaluate ``check(name)`` over a catalog sweep on a thread pool
     (r12, guide §2.6 — overlap independent jobs): plain pytest runs
     parametrized catalog sweeps strictly sequentially, ~0.5 s of
@@ -145,7 +145,24 @@ def threaded_sweep(names, check, max_workers=8):
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    if os.environ.get("SPARK_GRAFT_SHARD"):
+    eager = not os.environ.get("SPARK_GRAFT_SHARD")
+    if eager and request is not None:
+        # targeted runs (-k / node selection): when fewer than half the
+        # module's sweep tests were collected, evaluating the whole
+        # catalog eagerly would make a 1-test run pay the full sweep —
+        # fall back to lazy per-entry evaluation there too
+        try:
+            module_file = request.module.__file__
+            n_sel = sum(
+                1
+                for it in request.session.items
+                if str(getattr(it, "fspath", "")) == module_file
+            )
+            if n_sel < len(names) // 2:
+                eager = False
+        except Exception:
+            pass
+    if not eager:
         class _Lazy(dict):
             def __missing__(self, name):
                 self[name] = check(name)

@@ -385,7 +385,7 @@ HUGE_PARITY_INHERENT = {"g8_two_phase_dynamic_pivot"}
 # ---------------------------------------------------------------------------
 
 
-def _evaluate_leg(spark, sf_dir, leg_tag, inherent, check_cardinality=False):
+def _evaluate_leg(spark, sf_dir, leg_tag, inherent, check_cardinality=False, request=None):
     import threading
 
     from .oracle_utils import (
@@ -426,49 +426,49 @@ def _evaluate_leg(spark, sf_dir, leg_tag, inherent, check_cardinality=False):
         except Exception as exc:  # surfaced by the parametrized test
             return f"{name} (on {leg_tag} input) raised: {exc!r}"
 
-    return threaded_sweep(sorted(CATALOG), check)
+    return threaded_sweep(sorted(CATALOG), check, request=request)
 
 
 @pytest.fixture(scope="module")
-def empty_results(spark, empty_sf_dir):
+def empty_results(spark, empty_sf_dir, request):
     return _evaluate_leg(
         spark, empty_sf_dir, "EMPTY", EMPTY_PARITY_INHERENT,
-        check_cardinality=True,
+        check_cardinality=True, request=request,
     )
 
 
 @pytest.fixture(scope="module")
-def one_row_results(spark, one_row_sf_dir):
+def one_row_results(spark, one_row_sf_dir, request):
     return _evaluate_leg(
-        spark, one_row_sf_dir, "ONE-ROW", ONE_ROW_PARITY_INHERENT
+        spark, one_row_sf_dir, "ONE-ROW", ONE_ROW_PARITY_INHERENT, request=request
     )
 
 
 @pytest.fixture(scope="module")
-def null_payload_results(spark, null_payload_sf_dir):
+def null_payload_results(spark, null_payload_sf_dir, request):
     return _evaluate_leg(
-        spark, null_payload_sf_dir, "NULL-PAYLOAD", NULL_PARITY_INHERENT
+        spark, null_payload_sf_dir, "NULL-PAYLOAD", NULL_PARITY_INHERENT, request=request
     )
 
 
 @pytest.fixture(scope="module")
-def all_null_results(spark, all_null_sf_dir):
+def all_null_results(spark, all_null_sf_dir, request):
     return _evaluate_leg(
-        spark, all_null_sf_dir, "ALL-NULL", ALL_NULL_PARITY_INHERENT
+        spark, all_null_sf_dir, "ALL-NULL", ALL_NULL_PARITY_INHERENT, request=request
     )
 
 
 @pytest.fixture(scope="module")
-def nan_payload_results(spark, nan_payload_sf_dir):
+def nan_payload_results(spark, nan_payload_sf_dir, request):
     return _evaluate_leg(
-        spark, nan_payload_sf_dir, "NAN-PAYLOAD", NAN_PARITY_INHERENT
+        spark, nan_payload_sf_dir, "NAN-PAYLOAD", NAN_PARITY_INHERENT, request=request
     )
 
 
 @pytest.fixture(scope="module")
-def huge_payload_results(spark, huge_payload_sf_dir):
+def huge_payload_results(spark, huge_payload_sf_dir, request):
     return _evaluate_leg(
-        spark, huge_payload_sf_dir, "HUGE-PAYLOAD", HUGE_PARITY_INHERENT
+        spark, huge_payload_sf_dir, "HUGE-PAYLOAD", HUGE_PARITY_INHERENT, request=request
     )
 
 

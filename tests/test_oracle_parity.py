@@ -15,7 +15,7 @@ ROWS_ONLY = sorted(n for n, s in CATALOG.items() if s.oracle is None)
 
 
 @pytest.fixture(scope="module")
-def parity_results(spark, sf_dir):
+def parity_results(spark, sf_dir, request):
     """One threaded sweep over the SQL-backed catalog (r12 — see
     oracle_utils.threaded_sweep); each parametrized test below reads
     its entry's recorded outcome."""
@@ -56,7 +56,7 @@ def parity_results(spark, sf_dir):
         except Exception as exc:
             return f"{name} raised: {exc!r}"
 
-    return threaded_sweep(SQL_BACKED, check)
+    return threaded_sweep(SQL_BACKED, check, request=request)
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
